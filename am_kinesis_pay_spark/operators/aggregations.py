@@ -1,0 +1,224 @@
+"""Aggregations (SURVEY.md §2.4, A1–A7).
+
+A1 is the flagship: the reference's price-adjustment arithmetic
+(kinesis-pay.php:137-140 — ``abs($pct)/100`` multiplier, then 2-dp
+half-up rounding via ``number_format``) generalized into a TPC-H-Q1
+shaped pricing summary over ``lineitem``.
+
+Scale notes (100 TB): all of these are hash aggregations with map-side
+partial aggregation — one shuffle on the grouping key, no join. Group
+cardinality is tiny (≤ a few thousand), so the reduce side is never
+skew-bound; AQE coalesces post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from am_kinesis_pay_spark.functions.compat import davg, dec, dsum, sql_davg, sql_dsum
+from am_kinesis_pay_spark.registry import register
+from am_kinesis_pay_spark.tables import load
+
+# The reference's price multiplier: abs(getConfig('percentage', 100))/100
+# (kinesis-pay.php:137). Fixed at 85% here so the ``abs``/divide path is
+# exercised deterministically.
+_PCT = "0.85"
+
+_A1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum("l_quantity")} AS sum_qty,
+  {sql_dsum("l_extendedprice")} AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST({_PCT} AS DECIMAL(4,2)), 2)) AS DOUBLE) AS sum_adjusted,
+  {sql_davg("l_quantity")} AS avg_qty,
+  {sql_davg("l_extendedprice")} AS avg_price,
+  {sql_davg("l_discount", scale=2, prec=4)} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_pricing_summary", oracle=_A1_ORACLE, tags=("agg", "flagship"))
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 [REF→DRV]: pricing summary with the reference's adjustment
+    arithmetic (kinesis-pay.php:137-140) in TPC-H-Q1 shape."""
+    li = load(spark, sf_dir, "lineitem")
+    price = dec("l_extendedprice", 2)
+    disc = dec("l_discount", 2, 4)
+    tax = dec("l_tax", 2, 4)
+    # number_format(.., 2) ≙ round-half-up on DECIMAL (kinesis-pay.php:140)
+    adjusted = F.round(price * F.lit(_PCT).cast("decimal(4,2)"), 2)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            F.sum(adjusted).cast("double").alias("sum_adjusted"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_status_counts",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg",),
+)
+def agg_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 [REF]: events per status — state-machine telemetry
+    (kinesis-pay.php:239-249)."""
+    return load(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "agg_distinct_users",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg",),
+)
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 [DRV]: exact COUNT(DISTINCT) — generalizes the uniq-payment-id
+    contract (kinesis-pay.php:515-518). Two-phase shuffle in Spark
+    (partial distinct then count) — scales without a driver bottleneck."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3b [DRV]: HyperLogLog++ approximate distinct — the 100 TB path
+    where exact distinct would shuffle every key. No oracle (duckdb's
+    approx sketch differs); rows-only check."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  GROUPING(l_returnflag) AS g_rf,
+  GROUPING(l_linestatus) AS g_ls,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [DRV]: ROLLUP over (returnflag, linestatus) with GROUPING()
+    markers to disambiguate real NULLs from subtotal rows."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus").agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_rf"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_ls"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    ).select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "n_rows")
+
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) > 12
+""",
+    tags=("agg",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 [DRV]: post-aggregation filter (HAVING). Catalyst keeps the
+    filter above the partial agg — no extra shuffle."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@register(
+    "agg_max_by",
+    oracle="""
+SELECT event_type,
+  arg_max(value, event_id) AS last_value,
+  arg_max(user_id, event_id) AS last_user
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg",),
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 [REF]: arg-max — the best-bid = bids[0] top-of-book lookup
+    (kinesis-pay.php:468-485) as a single-pass aggregate, keyed on the
+    unique monotone event_id so ties cannot occur."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max_by("value", "event_id").alias("last_value"),
+        F.max_by("user_id", "event_id").alias("last_user"),
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle=f"""
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
+  CAST(SUM(CASE WHEN event_type <> 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS other_value
+FROM events
+GROUP BY user_id
+""",
+    tags=("agg",),
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 [REF]: conditional amount pick inside an aggregate — the
+    KAU-vs-KAG currency ternary (kinesis-pay.php:507-508)."""
+    ev = load(spark, sf_dir, "events")
+    zero = F.lit("0").cast("decimal(18,2)")
+    val = dec("value", 2)
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", val).otherwise(zero))
+        .cast("double")
+        .alias("purchase_value"),
+        F.sum(F.when(F.col("event_type") != "purchase", val).otherwise(zero))
+        .cast("double")
+        .alias("other_value"),
+    )

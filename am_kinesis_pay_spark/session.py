@@ -1,0 +1,39 @@
+"""SparkSession factory tuned for the test harness and for scale.
+
+Local harness: ``local[$SPARK_GRAFT_CPUS]`` single JVM. The configs
+below are the ones that also matter on a 1000-executor cluster:
+AQE (runtime re-planning, skew-join splitting, partition coalescing),
+UTC session timezone (oracle parity + cross-cluster determinism),
+Arrow for the Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app_name: str = "am_kinesis_pay_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # ~1 partition per core locally; on a cluster this would be
+        # 2-3x total cores — AQE coalesces the excess at runtime.
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as LONG and convert in tables.load().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

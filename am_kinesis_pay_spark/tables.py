@@ -1,0 +1,46 @@
+"""Fixture-table loaders (TESTDATA.md / FIXTURES.md §A).
+
+``spark.read.parquet`` gives the vectorized columnar scan with
+predicate pushdown and column pruning for free; every query should go
+through these helpers so the scan path is uniform.
+
+At the 100 TB design point these tables would be date/key-partitioned
+parquet (or Iceberg) directories; the loader signature (name → path)
+is the only thing that changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # The driver may hand us a session without this config; it is
+        # runtime-settable, so pin it here rather than in the builder.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the footer, surfaced as LONG nanos
+        # via spark.sql.legacy.parquet.nanosAsLong (session.py); convert
+        # to a first-class TIMESTAMP at microsecond precision — the same
+        # truncation DuckDB applies when it hands TIMESTAMP_NS to clients.
+        # integer DIV, not `/` — float division loses microseconds at
+        # 1.7e18 ns (> 2^53).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
