@@ -1,0 +1,285 @@
+"""Joins (SURVEY.md §2.3, J1–J8) including the as-of join the
+reference's best-bid rate lookup generalizes to.
+
+Scale notes (100 TB):
+- J1/J3 fact⋈fact: sort-merge join on the shuffled key; at 100 TB both
+  sides would be bucketed by the join key so the shuffle disappears.
+- J2/J6: dimension sides are small → broadcast (hinted explicitly);
+  a broadcast join is shuffle-free regardless of fact-side size.
+- J4/J5 semi/anti: Spark keeps only the key column of the build side.
+- J7 as-of: implemented as union + running `last(ignorenulls)` window,
+  i.e. ONE shuffle on (key) + a sort within partitions — the same
+  strategy as a bucketed merge-asof; no cross product at any scale.
+- J8 self range join: bounded by pre-filtering and an equi key on
+  user_id, so the theta predicate only runs within user partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from am_kinesis_pay_spark.functions.compat import dsum
+from am_kinesis_pay_spark.registry import register
+from am_kinesis_pay_spark.tables import load
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY c.c_custkey, c.c_name, n.n_name
+""",
+    tags=("join",),
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 [DRV]: orders ⋈ customer ⋈ nation — generalizes the
+    invoice↔payment linkage (kinesis-pay.php:176,297)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    tags=("join",),
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 [DRV]: fact ⋈ tiny dims with explicit broadcast hints — the
+    dim side stays resident per executor; zero shuffle for the join
+    itself (mirrors the 5-currency config table scale,
+    kinesis-pay.php:102-107)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+  CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 [DRV]: customer LEFT JOIN orders — NULL-extension for
+    customers without orders (mirrors the may-be-absent `paid` flag,
+    kinesis-pay.php:29-31). COUNT(col) skips NULLs on both engines."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit("0").cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 [DRV]: left-semi = EXISTS — 'invoice has a payment id'
+    existence check (kinesis-pay.php:173,298-300)."""
+    customer = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 [DRV]: left-anti = NOT EXISTS — the missing-payment error
+    path (kinesis-pay.php:298-300). Filtered to urgent orders so the
+    result is non-empty at every sf."""
+    customer = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, p.p_partkey,
+  CAST(l.l_extendedprice AS DOUBLE) AS line_price, p.p_retailprice
+FROM lineitem l
+JOIN part p
+  ON l.l_partkey = p.p_partkey
+ AND l.l_extendedprice >= p.p_retailprice * 10.0
+ AND l.l_extendedprice <  p.p_retailprice * 20.0
+""",
+    tags=("join",),
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 [DRV]: non-equi band predicate on top of an equi key — price
+    within a per-part band. The equi component keeps it a hash join
+    (the theta predicate becomes a post-join filter), so it scales
+    without a nested-loop cross product."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return li.join(
+        F.broadcast(part),
+        (li.l_partkey == part.p_partkey)
+        & (li.l_extendedprice >= part.p_retailprice * 10.0)
+        & (li.l_extendedprice < part.p_retailprice * 20.0),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_partkey",
+        F.col("l_extendedprice").cast("double").alias("line_price"),
+        "p_retailprice",
+    )
+
+
+@register(
+    "join_asof_rate",
+    oracle="""
+WITH ticks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+), lookups AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts, t.value AS rate
+FROM lookups l
+ASOF LEFT JOIN ticks t
+  ON l.user_id = t.user_id AND l.ts >= t.ts
+""",
+    tags=("join", "asof"),
+)
+def join_asof_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 [REF]: as-of join — rate at-or-before payment time,
+    generalizing the best-bid orderbook lookup (kinesis-pay.php:468-485).
+
+    Spark has no native ASOF JOIN; this is the sort-based pattern:
+    union ticks + lookups, then per-key running ``last(value,
+    ignorenulls=True)`` ordered by (ts, tick-first). One shuffle on the
+    key, no range cross-product — the plan a bucketed merge-asof would
+    produce, and it survives arbitrarily many ticks per key."""
+    ev = load(spark, sf_dir, "events")
+    ticks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("tick_value"), F.lit(None).cast("bigint").alias("event_id")
+    )
+    lookups = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("double").alias("tick_value"), "event_id"
+    )
+    unioned = ticks.unionByName(lookups)
+    # ticks sort before lookups at identical ts (is_lookup 0 < 1) so an
+    # exactly-simultaneous tick is visible — DuckDB ASOF `>=` semantics.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.col("event_id").isNotNull().cast("int"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        unioned.withColumn("rate", F.last("tick_value", ignorenulls=True).over(w))
+        .filter(F.col("event_id").isNotNull())
+        .select("event_id", "user_id", "ts", "rate")
+    )
+
+
+@register(
+    "join_self_window",
+    oracle="""
+SELECT a.user_id, COUNT(*) AS n_pairs
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTES
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+GROUP BY a.user_id
+""",
+    tags=("join",),
+)
+def join_self_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 [DRV]: self-join within a time window — click followed by a
+    purchase within 5 minutes per user (sessionization precursor;
+    generalizes the poll-stream cadence, kinesis-pay.php:231-263).
+    Equi key user_id bounds the theta predicate to within-user pairs."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .groupBy(F.col("a_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1,0 +1,68 @@
+"""Sorts / limits / top-k (SURVEY.md §2.6).
+
+Scale notes: ORDER BY + LIMIT k plans as TakeOrderedAndProject — each
+task keeps a k-sized heap and only k·partitions rows reach the driver,
+so S1 is safe at any scale. S2 (top-k per group) is a single window
+shuffle; no global sort ever happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from am_kinesis_pay_spark.registry import register
+from am_kinesis_pay_spark.tables import load
+
+
+@register(
+    "sort_limit",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 25
+""",
+    tags=("sort",),
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 [DRV]: ORDER BY + LIMIT (top-25 customers by balance).
+    c_custkey tie-break makes the LIMIT cut deterministic — without it
+    two engines may legitimately return different row sets."""
+    return (
+        load(spark, sf_dir, "customer")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .limit(25)
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+SELECT c_nationkey, c_custkey, c_acctbal, rn
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+WHERE rn <= 3
+""",
+    tags=("sort",),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 [REF]: first-per-key — the best-bid `bids[0]` top-of-book
+    pattern (kinesis-pay.php:484) generalized to top-3 per nation."""
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
