@@ -1,0 +1,205 @@
+"""Scalar-function surface (SURVEY.md §2.8).
+
+Every scalar operation the reference performs, grouped into themed
+oracle-checked queries. All pure Catalyst expressions — whole-stage
+codegen, zero shuffles, and at 100 TB these are map-only pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from am_kinesis_pay_spark.registry import register
+from am_kinesis_pay_spark.tables import load
+
+# The reference masks its secret token in logged payloads
+# (kinesis-pay.php:459); fixed stand-in secret for determinism.
+_SECRET = "s3cr3t-t0k3n"
+
+
+@register(
+    "fn_money_pipeline",
+    oracle="""
+SELECT o_orderkey,
+  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.85 AS DECIMAL(4,2)), 2) AS DOUBLE) AS adj_2dp,
+  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) / CAST(73.5 AS DECIMAL(6,1)), 5) AS DOUBLE) AS metal_5dp,
+  CAST(abs(-85) AS DOUBLE) / 100 AS pct_multiplier,
+  CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DOUBLE) ELSE 0.0 END AS first_or_second,
+  CAST(o_totalprice AS DOUBLE) AS as_double,
+  concat(printf('%.2f', CAST(o_totalprice AS DOUBLE)), ' ', 'USD') AS amount_label
+FROM orders
+""",
+    tags=("scalar",),
+)
+def fn_money_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic: number_format 2dp/5dp half-up
+    (kinesis-pay.php:140,147-148), abs(pct)/100 (:137), ternary total
+    pick (:138), doubleval cast (:124), amount+currency label (:509)."""
+    o = load(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_orderkey",
+        F.round(price_dec * F.lit("0.85").cast("decimal(4,2)"), 2)
+        .cast("double")
+        .alias("adj_2dp"),
+        # 5-dp metal conversion: amount / rate (kinesis-pay.php:147-148)
+        F.round(price_dec / F.lit("73.5").cast("decimal(6,1)"), 5)
+        .cast("double")
+        .alias("metal_5dp"),
+        (F.abs(F.lit(-85)).cast("double") / 100).alias("pct_multiplier"),
+        F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice").cast("double"))
+        .otherwise(0.0)
+        .alias("first_or_second"),
+        F.col("o_totalprice").cast("double").alias("as_double"),
+        F.concat(
+            F.format_string("%.2f", F.col("o_totalprice").cast("double")),
+            F.lit(" "),
+            F.lit("USD"),
+        ).alias("amount_label"),
+    )
+
+
+@register(
+    "fn_json_ops",
+    oracle=f"""
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+  COALESCE(json_extract_string(props, '$.missing'), 'default') AS k_missing,
+  printf('{{"nonce":%d,"method":"%s","path":"%s"}}', epoch_ms(ts), 'GET', '/api/merchants/payment') AS request_json,
+  COALESCE(NULLIF(props, ''), '{{}}') AS payload_or_empty
+FROM events
+""",
+    tags=("scalar", "json"),
+)
+def fn_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON point-get with NULL fallback (kinesis-pay.php:172,501 —
+    `?? null` / getConfig default), JSON construction with `{}` empty
+    fallback (:423,441). printf keeps the byte layout oracle-exact."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+        F.coalesce(
+            F.get_json_object("props", "$.missing"), F.lit("default")
+        ).alias("k_missing"),
+        F.format_string(
+            '{"nonce":%d,"method":"%s","path":"%s"}',
+            F.unix_millis("ts"),
+            F.lit("GET"),
+            F.lit("/api/merchants/payment"),
+        ).alias("request_json"),
+        F.coalesce(F.nullif("props", F.lit("")), F.lit("{}")).alias(
+            "payload_or_empty"
+        ),
+    )
+
+
+@register(
+    "fn_datetime_ops",
+    oracle="""
+SELECT event_id,
+  epoch_ms(ts) AS nonce_millis,
+  CAST(ceil((epoch_ms(TIMESTAMP '2024-02-01 00:00:00') - epoch_ms(ts)) / 60000.0) AS BIGINT) AS minutes_left,
+  CASE WHEN CAST(ceil((epoch_ms(TIMESTAMP '2024-02-01 00:00:00') - epoch_ms(ts)) / 60000.0) AS BIGINT) = 1
+       THEN 'minute' ELSE 'minutes' END AS unit_label,
+  CAST(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS reparsed_ts
+FROM events
+""",
+    tags=("scalar", "datetime"),
+)
+def fn_datetime_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-millis nonce (kinesis-pay.php:422), ceil minutes-to-expiry
+    countdown (:252-254), pluralize (:255), ISO parse round-trip
+    (:252)."""
+    ev = load(spark, sf_dir, "events")
+    deadline = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    minutes = F.ceil(
+        (F.unix_millis(deadline) - F.unix_millis("ts")) / F.lit(60000.0)
+    ).alias("minutes_left")
+    return ev.select(
+        "event_id",
+        F.unix_millis("ts").alias("nonce_millis"),
+        minutes,
+        F.when(
+            F.ceil((F.unix_millis(deadline) - F.unix_millis("ts")) / F.lit(60000.0))
+            == 1,
+            "minute",
+        )
+        .otherwise("minutes")
+        .alias("unit_label"),
+        F.to_timestamp(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("reparsed_ts"),
+    )
+
+
+@register(
+    "fn_string_ops",
+    oracle=f"""
+SELECT event_id,
+  concat(CAST(epoch_ms(ts) AS VARCHAR), 'GET', '/api/payment/status', COALESCE(props, '{{}}')) AS signing_message,
+  concat_ws('_', 'KAU', 'USD') AS pair,
+  concat('https://api.example.com/v1/status?id=', CAST(event_id AS VARCHAR), '&seq=', CAST(user_id AS VARCHAR)) AS status_url,
+  upper(event_type) AS event_type_upper,
+  replace(concat('token=', '{_SECRET}', '&type=', event_type), '{_SECRET}', '***secret_token***') AS masked_payload
+FROM events
+""",
+    tags=("scalar", "string"),
+)
+def fn_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signing-message concat nonce.method.path.payload
+    (kinesis-pay.php:423), pair key concat (:470), URL building
+    (:179,236,306), strtoupper (:424), and literal secret masking
+    (:459 — replace, NOT regexp, so regex metachars in a secret can't
+    break the redaction)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.concat(
+            F.unix_millis("ts").cast("string"),
+            F.lit("GET"),
+            F.lit("/api/payment/status"),
+            F.coalesce("props", F.lit("{}")),
+        ).alias("signing_message"),
+        F.concat_ws("_", F.lit("KAU"), F.lit("USD")).alias("pair"),
+        F.concat(
+            F.lit("https://api.example.com/v1/status?id="),
+            F.col("event_id").cast("string"),
+            F.lit("&seq="),
+            F.col("user_id").cast("string"),
+        ).alias("status_url"),
+        F.upper("event_type").alias("event_type_upper"),
+        F.expr(
+            f"replace(concat('token=', '{_SECRET}', '&type=', event_type),"
+            f" '{_SECRET}', '***secret_token***')"
+        ).alias("masked_payload"),
+    )
+
+
+@register(
+    "fn_floor_mod",
+    oracle="""
+SELECT event_id,
+  CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10.0) AS BIGINT) AS code_class,
+  event_id % 10 AS poll_mod,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS int_div
+FROM events
+""",
+    tags=("scalar",),
+)
+def fn_floor_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(int) floor(status/100) HTTP-class bucketing
+    (kinesis-pay.php:153) and the % 10 sampling modulus (:303)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        F.floor(k / F.lit(10.0)).cast("bigint").alias("code_class"),
+        (F.col("event_id") % 10).alias("poll_mod"),
+        k.cast("long").alias("_k"),
+    ).select(
+        "event_id",
+        "code_class",
+        "poll_mod",
+        F.expr("_k div 10").alias("int_div"),
+    )
