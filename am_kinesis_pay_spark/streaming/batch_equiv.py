@@ -1,0 +1,313 @@
+"""Streaming semantics as batch queries (SURVEY.md §2.9).
+
+Structured Streaming's core property (the batch≡stream equivalence of
+the incrementalized plan) lets every streaming operator be specified —
+and oracle-checked — as a batch query over the bounded ``events``
+table. ``tests/test_streaming.py`` replays the same data through
+``readStream`` and asserts the results are identical; these batch
+forms are the specification.
+
+Scale notes: tumbling/sliding windows and dedup shuffle once on
+(key, window); session windows shuffle on key then sort within
+partitions. Watermarking bounds state: at 100 TB/day the state store
+holds only windows newer than the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from am_kinesis_pay_spark.functions.compat import dsum
+from am_kinesis_pay_spark.registry import register
+from am_kinesis_pay_spark.tables import load
+
+
+@register(
+    "stream_tumbling_count",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+  time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+    tags=("streaming",),
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] events per type per tumbling day — the poll-cadence
+    telemetry (kinesis-pay.php:263) aggregated into fixed windows."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_avg",
+    oracle="""
+WITH expanded AS (
+  SELECT unnest([
+      time_bucket(INTERVAL '12 hours', ts),
+      time_bucket(INTERVAL '12 hours', ts) - INTERVAL '12 hours'
+    ]) AS window_start,
+    value
+  FROM events
+)
+SELECT window_start,
+  window_start + INTERVAL '24 hours' AS window_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM expanded
+GROUP BY 1, 2
+""",
+    tags=("streaming",),
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] 24h windows sliding every 12h — each event lands in
+    exactly two windows (epoch-aligned, matching Spark's alignment).
+    AVG decomposed into exact-sum/count for cross-engine parity."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "24 hours", "12 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (dsum("value") / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL '30 minutes' AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    tags=("streaming",),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] per-user sessions with a 30-minute gap timeout — the
+    poll-burst grouping implied by the reference's failsafe window
+    (kinesis-pay.php:264-268). Spark's native session_window; the
+    oracle reconstructs identical sessions with lag + gap cumsum
+    (session end = last event + gap, Spark's convention; an event at
+    exactly gap distance starts a new session on both paths)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_watermark_expiry",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, ts,
+    MIN(ts) OVER (PARTITION BY user_id) AS created_at
+  FROM events
+)
+SELECT user_id,
+  CASE WHEN ts <= created_at + INTERVAL '10 minutes' THEN 'on_time' ELSE 'expired' END AS expiry_route,
+  COUNT(*) AS n_events
+FROM first_seen
+GROUP BY 1, 2
+""",
+    tags=("streaming",),
+)
+def stream_watermark_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] kinesis-pay.php:210,245-268 — the 10-minute expiry
+    deadline as an event-time routing rule: events after
+    first_seen+10min take the 'expired' path (the reference redirects;
+    a streaming watermark would GC the state — see
+    streaming/state_machine.py for the stateful variant)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    return (
+        ev.withColumn("created_at", F.min("ts").over(w))
+        .withColumn(
+            "expiry_route",
+            F.when(
+                F.col("ts") <= F.col("created_at") + F.expr("INTERVAL 10 MINUTES"),
+                "on_time",
+            ).otherwise("expired"),
+        )
+        .groupBy("user_id", "expiry_route")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "stream_dedup_payment",
+    oracle="""
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+    tags=("streaming",),
+)
+def stream_dedup_payment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] kinesis-pay.php:515-518 — exactly-once processing keyed by
+    globalPaymentId: keep the FIRST event per (user, type). Batch form
+    uses a deterministic row_number (ts is unique) rather than
+    dropDuplicates, whose row pick is arbitrary; the streaming form
+    (dropDuplicates + watermark) is first-arrival by definition."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "stream_poll_throttle_log",
+    oracle="""
+SELECT user_id, ts, poll_seq
+FROM (
+  SELECT user_id, ts,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS poll_seq
+  FROM events
+)
+WHERE poll_seq % 10 = 0
+""",
+    tags=("streaming",),
+)
+def stream_poll_throttle_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] kinesis-pay.php:302-304 — emit every 10th poll per payment
+    to the audit log (per-key sequence, then modulus — the stream-
+    ordered version of filter_mod_sample)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    return (
+        ev.withColumn("poll_seq", F.row_number().over(w))
+        .filter(F.col("poll_seq") % 10 == 0)
+        .select("user_id", "ts", "poll_seq")
+    )
+
+
+@register(
+    "stream_state_machine_batch",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(ts) AS created_at FROM events GROUP BY user_id
+), terminal AS (
+  SELECT e.user_id,
+    MIN(CASE WHEN e.event_type = 'purchase' THEN e.ts END) AS first_processed,
+    MIN(CASE WHEN e.event_type = 'error' THEN e.ts END) AS first_rejected
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+  WHERE e.ts <= f.created_at + INTERVAL '10 minutes'
+  GROUP BY e.user_id
+)
+SELECT f.user_id,
+  CASE
+    WHEN t.first_processed IS NOT NULL
+     AND (t.first_rejected IS NULL OR t.first_processed <= t.first_rejected)
+    THEN 'processed'
+    WHEN t.first_rejected IS NOT NULL THEN 'rejected'
+    ELSE 'expired'
+  END AS final_state,
+  COALESCE(
+    CASE
+      WHEN t.first_processed IS NOT NULL
+       AND (t.first_rejected IS NULL OR t.first_processed <= t.first_rejected)
+      THEN t.first_processed
+      ELSE t.first_rejected
+    END,
+    f.created_at + INTERVAL '10 minutes'
+  ) AS decided_at
+FROM first_seen f
+LEFT JOIN terminal t ON f.user_id = t.user_id
+""",
+    tags=("streaming", "state"),
+)
+def stream_state_machine_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] kinesis-pay.php:239-249,323-346 — the payment state
+    machine in batch form: pending → processed (first 'purchase') /
+    rejected (first 'error') / expired (deadline passes with no
+    terminal event). Only the FIRST terminal transition counts — the
+    exactly-once approval contract (:515-518). The true incremental
+    version with timeouts lives in streaming/state_machine.py."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("created_at"))
+    in_window = ev.join(first_seen, "user_id").filter(
+        F.col("ts") <= F.col("created_at") + F.expr("INTERVAL 10 MINUTES")
+    )
+    terminal = in_window.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_processed"
+        ),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "first_rejected"
+        ),
+    )
+    processed_wins = F.col("first_processed").isNotNull() & (
+        F.col("first_rejected").isNull()
+        | (F.col("first_processed") <= F.col("first_rejected"))
+    )
+    return (
+        first_seen.join(terminal, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(processed_wins, "processed")
+            .when(F.col("first_rejected").isNotNull(), "rejected")
+            .otherwise("expired")
+            .alias("final_state"),
+            F.coalesce(
+                F.when(processed_wins, F.col("first_processed")).otherwise(
+                    F.col("first_rejected")
+                ),
+                F.col("created_at") + F.expr("INTERVAL 10 MINUTES"),
+            ).alias("decided_at"),
+        )
+    )

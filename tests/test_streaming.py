@@ -1,0 +1,191 @@
+"""Batch≡stream golden tests (SURVEY.md §5.2.3): the same logical plan
+run over the bounded events table and replayed through readStream must
+agree. Plus the stateful payment state machine with expiry timeouts
+(FIXTURES.md §B edge rows: terminal transitions, duplicates, late
+terminal events, pure-pending expiry)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from am_kinesis_pay_spark.functions.compat import dsum
+from am_kinesis_pay_spark.registry import queries
+from am_kinesis_pay_spark.streaming.runner import (
+    EVENT_SCHEMA,
+    events_stream,
+    run_to_completion,
+    stage_stream_dir,
+)
+from am_kinesis_pay_spark.streaming.state_machine import payment_state_machine
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = stage_stream_dir(
+        spark, SF_DIR, n_files=6, base_dir=str(tmp_path_factory.mktemp("stream"))
+    )
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_tumbling_equals_batch(spark, stream_dir):
+    stream = (
+        events_stream(spark, stream_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    got = run_to_completion(stream, f"tumb_{uuid.uuid4().hex[:6]}", "complete")
+    want = queries()["stream_tumbling_count"](spark, SF_DIR)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_dedup_first_arrival_keys_match_batch(spark, stream_dir):
+    stream = (
+        events_stream(spark, stream_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    got = run_to_completion(stream, f"dedup_{uuid.uuid4().hex[:6]}", "append")
+    want = queries()["stream_dedup_payment"](spark, SF_DIR).select(
+        "user_id", "event_type"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_append_watermark_emits_closed_subset(spark, stream_dir):
+    """Append mode + watermark: only finalized windows emit; they must
+    agree exactly with the batch result for those windows (late/open
+    windows are withheld, matching watermark drop semantics —
+    SURVEY.md §2.9 stream_watermark_expiry note)."""
+    stream = (
+        events_stream(spark, stream_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    got = run_to_completion(stream, f"wm_{uuid.uuid4().hex[:6]}", "append")
+    want = queries()["stream_tumbling_count"](spark, SF_DIR).select(
+        "window_start", "event_type", "n_events"
+    )
+    got_rows = set(map(tuple, got.collect()))
+    want_rows = set(map(tuple, want.collect()))
+    assert got_rows  # watermark passed most windows → they emitted
+    assert got_rows <= want_rows
+    # everything except the final (still-open) event-time day must emit
+    last_day = max(r[0] for r in want_rows)
+    assert {r for r in want_rows if r[0] < last_day} <= got_rows
+
+
+def _ts(minute: float) -> dt.datetime:
+    return dt.datetime(2024, 3, 1, 12, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def _stage_payment_fixture(spark, base_dir: str) -> str:
+    """FIXTURES.md §B status_polls edge rows, split into 3 ordered
+    micro-batch files."""
+    out = os.path.join(base_dir, f"payments_{uuid.uuid4().hex[:8]}")
+    batches = [
+        # batch 0: everyone starts pending
+        [
+            (1, _ts(0), 1, "view", 1.0, None),
+            (2, _ts(0), 2, "view", 1.0, None),
+            (3, _ts(0), 3, "view", 1.0, None),
+            (5, _ts(0), 5, "purchase", 5.0, None),  # pay-5 terminal immediately
+            (6, _ts(0), 6, "view", 1.0, None),
+        ],
+        # batch 1: terminals within deadline for 1,2; duplicate terminal for 5
+        [
+            (10, _ts(3), 1, "purchase", 9.0, None),   # processed
+            (11, _ts(2), 2, "error", 0.0, None),      # rejected
+            (12, _ts(5), 3, "view", 1.0, None),       # still pending
+            (13, _ts(4), 5, "purchase", 7.0, None),   # dup — must NOT re-fire
+            (14, _ts(11), 6, "purchase", 3.0, None),  # after deadline → ignored
+        ],
+        # batch 2: far-future sentinel advances the watermark so
+        # event-time timeouts (expiry) fire for 3 and 6
+        [
+            (99, _ts(60 * 24), 99, "purchase", 1.0, None),
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [
+                {
+                    "event_id": r[0],
+                    "ts": r[1],
+                    "user_id": r[2],
+                    "event_type": r[3],
+                    "value": r[4],
+                    "props": r[5],
+                }
+                for r in rows
+            ],
+            EVENT_SCHEMA,
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_{i:04d}")
+        )
+    return out
+
+
+def test_payment_state_machine(spark, tmp_path_factory):
+    d = _stage_payment_fixture(spark, str(tmp_path_factory.mktemp("payfix")))
+    try:
+        stream = events_stream(spark, d)
+        out = run_to_completion(
+            payment_state_machine(stream, watermark="1 minute"),
+            f"sm_{uuid.uuid4().hex[:6]}",
+            "append",
+        )
+        rows = {r.user_id: (r.final_state, r.decided_at) for r in out.collect()}
+        # exactly one output row per payment (exactly-once contract)
+        assert out.count() == len(rows)
+        assert rows[1][0] == "processed" and rows[1][1] == _ts(3)
+        assert rows[2][0] == "rejected" and rows[2][1] == _ts(2)
+        assert rows[3][0] == "expired" and rows[3][1] == _ts(10)
+        assert rows[5] == ("processed", _ts(0))  # first purchase only
+        assert rows[6][0] == "expired"  # terminal arrived after deadline
+        assert rows[99][0] == "processed"  # sentinel decides itself
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_state_machine_stream_agrees_with_batch_query(spark, stream_dir):
+    """The incremental state machine over the replayed real events table
+    must reach the same terminal states as the declarative batch form
+    (stream_state_machine_batch) for every decided key."""
+    stream = events_stream(spark, stream_dir)
+    got = run_to_completion(
+        payment_state_machine(stream, watermark="1 minute"),
+        f"smb_{uuid.uuid4().hex[:6]}",
+        "append",
+    )
+    batch = queries()["stream_state_machine_batch"](spark, SF_DIR)
+    got_map = {r.user_id: (r.final_state, r.decided_at) for r in got.collect()}
+    want_map = {r.user_id: (r.final_state, r.decided_at) for r in batch.collect()}
+    # terminal decisions must agree wherever the stream emitted one;
+    # keys whose expiry timeout falls beyond the last watermark may be
+    # withheld in the stream — those are exactly the not-yet-final keys
+    for uid, got_val in got_map.items():
+        assert got_val == want_map[uid], f"user {uid}: {got_val} vs {want_map[uid]}"
+    decided_types = {u for u, v in want_map.items() if v[0] != "expired"}
+    assert decided_types <= set(got_map), "all in-deadline terminals must emit"
