@@ -1,0 +1,378 @@
+"""Deduplication operators (BASELINE.json north-star; SURVEY.md §2.10).
+
+Five dedup strategies, each a real pipeline over ``documents`` /
+``embeddings``:
+
+- exact:   normalize → hash → keep first doc per hash
+- minhash: shingle → md5 minhash signature → LSH bands → bucket join →
+           exact-Jaccard verify (the full candidate-generation +
+           verification pipeline, not just the sketch)
+- simhash: per-token md5-derived bit votes → 16-bit signature
+- ngram:   within-blocking-key exact Jaccard on 3-token shingles
+- cosine:  embedding near-dup pairs above a cosine threshold
+
+Everything uses md5 (bit-identical in DuckDB) instead of murmur3 so
+every stage is oracle-checkable — including MinHash, which is usually
+waved through as "not SQL-expressible".
+
+Scale notes (100 TB): the only all-pairs product is within LSH buckets
+(minhash) or within a blocking key (ngram) — never global. Signatures
+are one shuffle per stage on doc_id; the bucket join shuffles on
+(band, band_value), where hot buckets (boilerplate docs) are the skew
+risk — AQE skew-join handles moderate cases, salting the band value is
+the escape hatch. Embedding near-dup at scale swaps the bounded
+brute-force block for the LSH-bucketed variant in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from am_kinesis_pay_spark.registry import register
+from am_kinesis_pay_spark.tables import load
+
+N_PERM = 8  # minhash permutations
+BAND_W = 2  # rows per LSH band → 4 bands, catches J ≳ 0.5
+
+
+@register(
+    "text_dedup_exact",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, md5(lower(trim(text))) AS text_key,
+    ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT text_key, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM keyed
+GROUP BY text_key
+""",
+    tags=("llm", "dedup"),
+)
+def text_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: one hash-shuffle, keep the
+    lowest doc_id per group (deterministic, unlike dropDuplicates)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.md5(F.lower(F.trim("text"))).alias("text_key")
+        )
+        .groupBy("text_key")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct 3-token shingles per doc (shared with winnowing)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i + 1),
+                    F.element_at("t", i + 2),
+                    F.element_at("t", i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+_MINHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3)
+), mh AS (
+  SELECT doc_id, s.seed,
+    MIN(md5(concat(CAST(s.seed AS VARCHAR), ':', shingle))) AS h
+  FROM shingles, generate_series(0, {N_PERM - 1}) AS s(seed)
+  GROUP BY doc_id, s.seed
+), bands AS (
+  SELECT doc_id, seed // {BAND_W} AS band,
+    string_agg(h, '|' ORDER BY seed) AS band_val
+  FROM mh GROUP BY doc_id, seed // {BAND_W}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common, sa.n AS n_a, sb.n AS n_b
+  FROM cand c
+  JOIN shingles x ON x.doc_id = c.doc_a
+  JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+)
+SELECT doc_a, doc_b,
+  round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+FROM verified
+WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
+"""
+
+
+@register("text_dedup_minhash", oracle=_MINHASH_ORACLE, tags=("llm", "dedup"))
+def text_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pipeline, fully oracle-checked:
+    shingle → 8-perm md5 minhash → 4 two-row bands → bucket join for
+    candidates → exact-Jaccard verification at 0.5.
+
+    md5(seed || ':' || shingle) replaces MLlib's murmur3 permutations
+    so DuckDB reproduces the signature bit-for-bit; the pipeline shape
+    is exactly MinHashLSH's (SURVEY.md §4.2 row 'MinHash')."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    seeds = spark.range(N_PERM).select(F.col("id").cast("int").alias("seed"))
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(
+                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("h"))
+    )
+    bands = mh.groupBy(
+        "doc_id", (F.col("seed") / BAND_W).cast("int").alias("band")
+    ).agg(
+        F.concat_ws("|", F.array_sort(F.collect_list(F.struct("seed", "h")))["h"]).alias(
+            "band_val"
+        )
+    )
+    # bucket join: only docs sharing a full band collide
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", "band_val"
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    verified = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return verified.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), votes AS (
+  SELECT doc_id, b.bit,
+    SUM(CASE WHEN substr(md5(concat(CAST(b.bit AS VARCHAR), ':', token)), 1, 1)
+              IN ('8','9','a','b','c','d','e','f')
+         THEN 1 ELSE -1 END) AS vote
+  FROM toks, generate_series(0, 15) AS b(bit)
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
+FROM votes
+GROUP BY doc_id
+"""
+
+
+@register("text_dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("llm", "dedup"))
+def text_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: each distinct token votes ±1 per bit position
+    (bit = high bit of the first hex char of md5(bit:token) — a
+    portable 1-bit hash), signature bit set on positive majority.
+    Near-dup docs differ in few bits; pair search joins on rotated
+    signature bands (the standard Hamming-LSH trick) — here the
+    signature itself is the checked output."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        toks.crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "bit",
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("bit").cast("string"), F.lit(":"), F.col("token")
+                        )
+                    ),
+                    1,
+                    1,
+                ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                1,
+            )
+            .otherwise(-1)
+            .alias("v"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("vote"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0, F.pow(F.lit(2), F.col("bit")).cast("bigint")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash16")
+    )
+
+
+_NGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, source, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
+  FROM (SELECT doc_id, source, t, unnest(range(0, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a
+  JOIN shingles b ON a.source = b.source AND a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+  round(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.4
+"""
+
+
+@register("text_dedup_ngram", oracle=_NGRAM_ORACLE, tags=("llm", "dedup"))
+def text_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard dedup with blocking: candidate pairs share a
+    blocking key (source) AND at least one 3-token shingle — the
+    shingle join generates candidates and counts intersections in one
+    pass (no LSH approximation; exact within the block)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i + 1),
+                    F.element_at("t", i + 2),
+                    F.element_at("t", i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "source", "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "source", "shingle")
+    common = (
+        a.join(b, ["source", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = common.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a"
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b"
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return j.filter(jac >= 0.4).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+_COSINE_DEDUP_ORACLE = """
+WITH norms AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cosine
+FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.8
+"""
+
+
+@register("emb_dedup_cosine", oracle=_COSINE_DEDUP_ORACLE, tags=("llm", "dedup"))
+def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs above cosine 0.8. Brute-force within
+    the (bounded) table as the exact baseline — the LSH-bucketed scale
+    path is vec_ann_lsh in similarity.py. Dot products fold
+    left-to-right in double precision on both engines; cosine rounded
+    to 6 dp absorbs the last-ulp divergence."""
+    emb = load(spark, sf_dir, "embeddings")
+    dot_self = F.aggregate(
+        F.zip_with("embedding", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norms = emb.select("vec_id", "embedding", F.sqrt(dot_self).alias("nrm"))
+    a = norms.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = norms.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.8)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,282 @@
+"""Similarity search over embeddings (BASELINE.json north-star).
+
+- vec_cosine_topk: exact brute-force top-k for a bounded query set —
+  the correctness baseline. Scales as |Q|×|N|: fine for small Q at any
+  corpus size (queries broadcast), wrong for all-pairs.
+- vec_knn_label:   k-NN majority-label classification on top of it.
+- vec_ann_lsh:     the scale path — random-hyperplane (sign) LSH:
+  16-bit signatures from md5-derived pseudo-random planes, candidates
+  share a signature band, exact re-rank inside buckets only. At 100 TB
+  the bucket join replaces the brute-force cross product; recall vs
+  the exact baseline is pinned in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from am_kinesis_pay_spark.registry import register
+from am_kinesis_pay_spark.tables import load
+
+N_QUERIES = 10  # query set: vec_id < 10
+TOP_K = 5
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norms(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+    )
+
+
+_TOPK_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, label, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+    round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.nrm * c.nrm), 6) AS cosine
+  FROM norms q JOIN norms c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register("vec_cosine_topk", oracle=_TOPK_ORACLE, tags=("llm", "similarity"))
+def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for the query set (vec_id < 10).
+    The query side is broadcast, so the corpus side streams through
+    map tasks — no shuffle of the big side; ranking ties broken by
+    neighbor_id for cross-engine determinism (cosine rounded to 6 dp
+    BEFORE ranking so both engines rank identical keys)."""
+    norms = _norms(load(spark, sf_dir, "embeddings"))
+    q = norms.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = norms.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
+    )
+
+
+_KNN_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, label, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+    c.vec_id AS neighbor_id, c.label AS neighbor_label,
+    round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.nrm * c.nrm), 6) AS cosine
+  FROM norms q JOIN norms c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+), votes AS (
+  SELECT query_id, true_label, neighbor_label, COUNT(*) AS n_votes
+  FROM ranked WHERE rank <= {TOP_K}
+  GROUP BY query_id, true_label, neighbor_label
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY n_votes DESC, neighbor_label) AS vr
+  FROM votes
+)
+SELECT query_id, true_label, neighbor_label AS predicted_label, n_votes
+FROM best WHERE vr = 1
+"""
+
+
+@register("vec_knn_label", oracle=_KNN_ORACLE, tags=("llm", "similarity"))
+def vec_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-label vote over the exact top-k (ties → smallest
+    label, deterministic on both engines)."""
+    emb = load(spark, sf_dir, "embeddings")
+    norms = _norms(emb)
+    q = norms.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = norms.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    votes = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .groupBy("query_id", "true_label", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("predicted_label"),
+            "n_votes",
+        )
+    )
+
+
+N_PLANES = 16
+
+
+def _lsh_signature(emb_col: str = "embedding") -> F.Column:
+    """Random-hyperplane signature: plane p's pseudo-random weight for
+    dimension d is derived from md5(p:d) (deterministic, no RNG —
+    workflow-safe and identical across engines/runs). Signature bit p =
+    sign of dot(embedding, plane_p)."""
+    def plane_weight(p: int, d: F.Column) -> F.Column:
+        # first 6 hex chars of md5("p:d") → int in [0, 16^6) → [-0.5, 0.5)
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{p}:"), d.cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (h / F.lit(float(16**6))) - 0.5
+
+    sig = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.transform(
+                F.col(emb_col),
+                lambda x, i: x.cast("double") * plane_weight(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+@register("vec_ann_lsh", oracle=None, tags=("llm", "similarity", "ann"))
+def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-LSH: 16-bit signatures, candidates = corpus vectors
+    sharing either 8-bit half of the query signature (2 bands → recall
+    boost), exact cosine re-rank within candidates only. Rows-only
+    driver check; recall@k vs the exact baseline is asserted in
+    tests/test_llm.py. At 100 TB: signatures are one map pass, the
+    band join shuffles signatures not vectors, and re-rank touches only
+    bucket-mates."""
+    emb = load(spark, sf_dir, "embeddings")
+    norms = _norms(emb).withColumn("sig", _lsh_signature())
+    # 4 bands of 4 bits: a candidate shares ANY band with the query.
+    # Narrower bands trade precision for recall — the right side of the
+    # tradeoff when the re-rank step is exact anyway.
+    band_cols = [
+        F.concat(
+            F.lit(f"b{i}:"),
+            F.shiftright(F.col("sig"), 4 * i)
+            .bitwiseAND(F.lit(0xF))
+            .cast("string"),
+        )
+        for i in range(4)
+    ]
+    banded = norms.select(
+        "vec_id",
+        "label",
+        "embedding",
+        "nrm",
+        F.explode(F.array(*band_cols)).alias("band"),
+    )
+    q = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "band",
+    )
+    c = banded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+        "band",
+    )
+    cand = (
+        q.join(c, "band")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qe", "qn", "ce", "cn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,305 @@
+"""Text-analysis operators for training-data pipelines
+(SURVEY.md §2.10 + BASELINE.json north-star: language-ID, quality
+scoring, token counting, fingerprinting, TF).
+
+All pure built-in expressions (split/explode/aggregate) — map-side
+except the final small aggregations, so they scale linearly with
+document count. No Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from am_kinesis_pay_spark.registry import register
+from am_kinesis_pay_spark.tables import load
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and identical in the SQL oracle.
+_LANG_MARKERS = {
+    "en": ("the", "a"),
+    "de": ("der", "und"),
+    "es": ("el", "que"),
+    "fr": ("le", "et"),
+    "zh": ("de", "shi"),
+}
+
+
+@register(
+    "text_tokenize_tf",
+    oracle="""
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+""",
+    tags=("llm", "text"),
+)
+def text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequencies: tokenize → explode →
+    hash-aggregate. The shuffle key is the token — at 100 TB the
+    heavy hitters ('the') are the skew risk; partial map-side
+    aggregation absorbs them before the shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+SELECT doc_id,
+  length(text) AS n_chars_computed,
+  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens_ws,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS nonspace_ratio,
+  CAST(ceil((length(text) - length(replace(text, ' ', '')) + 1) * 1.3) AS BIGINT) AS est_bpe_tokens
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenization count plus a BPE-ish
+    estimate (≈1.3 subwords per word — the standard planning ratio).
+    Pure length arithmetic; no explode needed."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_computed"),
+        n_tokens.alias("n_tokens_ws"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.length("text")
+        ).alias("nonspace_ratio"),
+        F.ceil(n_tokens * 1.3).cast("bigint").alias("est_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, n_chars,
+    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+    length(text) AS len_text,
+    length(text) - length(replace(replace(replace(text, 'the', ''), 'a', ''), 'and', '')) AS stop_chars
+  FROM documents
+)
+SELECT doc_id, lang,
+  n_tokens,
+  CAST(len_text AS DOUBLE) / n_tokens AS avg_token_len,
+  CAST(stop_chars AS DOUBLE) / len_text AS stopword_char_ratio,
+  CASE WHEN n_tokens BETWEEN 20 AND 1000
+        AND CAST(len_text AS DOUBLE) / n_tokens BETWEEN 3.0 AND 12.0
+       THEN 1 ELSE 0 END AS passes_quality
+FROM tok
+""",
+    tags=("llm", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / avg-token-length / stopword-density
+    heuristics with a Gopher-style keep/drop gate. All expression-level
+    arithmetic — identical formula in the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ).alias("n_tokens")
+    stop_chars = F.length("text") - F.length(
+        F.replace(
+            F.replace(F.replace(F.col("text"), F.lit("the"), F.lit("")), F.lit("a"), F.lit("")),
+            F.lit("and"),
+            F.lit(""),
+        )
+    )
+    d = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens,
+        F.length("text").alias("len_text"),
+        stop_chars.alias("stop_chars"),
+    )
+    avg_token_len = F.col("len_text").cast("double") / F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        avg_token_len.alias("avg_token_len"),
+        (F.col("stop_chars").cast("double") / F.col("len_text")).alias(
+            "stopword_char_ratio"
+        ),
+        F.when(
+            F.col("n_tokens").between(20, 1000)
+            & avg_token_len.between(3.0, 12.0),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("passes_quality"),
+    )
+
+
+_LANG_SQL_SCORE = " + ".join(
+    f"CASE WHEN token = '{w}' THEN 1 ELSE 0 END" for w in ("the", "a")
+)
+
+
+@register(
+    "text_lang_counts",
+    oracle="""
+SELECT lang, source, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents
+GROUP BY lang, source
+""",
+    tags=("llm", "text"),
+)
+def text_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language / per-source corpus composition stats — the
+    metadata-grouping half of multimodal-column handling."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_chars"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+    SUM(CASE WHEN token IN ('the', 'a') THEN 1 ELSE 0 END) AS en_hits,
+    SUM(CASE WHEN token IN ('der', 'und') THEN 1 ELSE 0 END) AS de_hits,
+    COUNT(*) AS n_tokens
+  FROM toks GROUP BY doc_id, lang
+)
+SELECT doc_id, lang AS labeled_lang,
+  CASE WHEN en_hits >= de_hits AND en_hits > 0 THEN 'en'
+       WHEN de_hits > 0 THEN 'de'
+       ELSE 'unknown' END AS predicted_lang,
+  en_hits, de_hits, n_tokens
+FROM scores
+""",
+    tags=("llm", "text"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-marker hits (the n-gram heuristic at
+    1-gram granularity; word soup has no real language signal, so the
+    value here is the oracle-checked argmax-over-marker-scores shape —
+    swap the marker lists for character n-gram profiles in prod)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    scores = toks.groupBy("doc_id", "lang").agg(
+        F.sum(
+            F.when(F.col("token").isin("the", "a"), 1).otherwise(0)
+        ).alias("en_hits"),
+        F.sum(
+            F.when(F.col("token").isin("der", "und"), 1).otherwise(0)
+        ).alias("de_hits"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    return scores.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits")) & (F.col("en_hits") > 0), "en"
+        )
+        .when(F.col("de_hits") > 0, "de")
+        .otherwise("unknown")
+        .alias("predicted_lang"),
+        "en_hits",
+        "de_hits",
+        "n_tokens",
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+  md5(text) AS content_md5,
+  md5(lower(trim(text))) AS normalized_md5,
+  substr(md5(text), 1, 16) AS fingerprint64
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content hash + normalization-invariant
+    hash (md5 is bit-identical across engines, unlike murmur3).
+    The rolling-hash winnowing variant is text_winnow_fingerprint."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.md5(F.lower(F.trim("text"))).alias("normalized_md5"),
+        F.substring(F.md5("text"), 1, 16).alias("fingerprint64"),
+    )
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingles AS (
+  SELECT doc_id, md5(concat_ws(' ', t[i+1], t[i+2], t[i+3])) AS h
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3)
+)
+SELECT doc_id, MIN(h) AS winnow_min, COUNT(DISTINCT h) AS n_shingles
+FROM shingles
+GROUP BY doc_id
+""",
+    tags=("llm", "text"),
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: hash every 3-token shingle (the
+    rolling window), keep the minimum — the 1-fingerprint degenerate
+    case of MOSS winnowing, shared machinery with MinHash (dedup.py)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                        F.element_at("t", i + 3),
+                    )
+                ),
+            )
+        ).alias("h"),
+    )
+    return shingles.groupBy("doc_id").agg(
+        F.min("h").alias("winnow_min"),
+        F.countDistinct("h").alias("n_shingles"),
+    )

@@ -58,7 +58,12 @@ def _load_all() -> None:
     )
     from am_kinesis_pay_spark.functions import scalars, signing  # noqa: F401
     from am_kinesis_pay_spark.streaming import batch_equiv  # noqa: F401
-    from am_kinesis_pay_spark.llm import dedup, similarity, text  # noqa: F401
+    from am_kinesis_pay_spark.llm import (  # noqa: F401
+        dedup,
+        multimodal,
+        similarity,
+        text,
+    )
 
 
 def queries() -> dict[str, QueryFn]:
