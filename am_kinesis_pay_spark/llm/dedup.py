@@ -336,43 +336,58 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cosine
 FROM norms a JOIN norms b ON a.vec_id < b.vec_id
 WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.8
+        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.45
 """
 
 
 @register("emb_dedup_cosine", oracle=_COSINE_DEDUP_ORACLE, tags=("llm", "dedup"))
 def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs above cosine 0.8. Brute-force within
-    the (bounded) table as the exact baseline — the LSH-bucketed scale
-    path is vec_ann_lsh in similarity.py. Dot products fold
-    left-to-right in double precision on both engines; cosine rounded
-    to 6 dp absorbs the last-ulp divergence."""
+    """Embedding near-dup: all pairs above cosine 0.45 (the synthetic
+    embeddings are uniform-random, so 0.45 marks the far tail — real
+    corpora would use ~0.9), as a blocked
+    matrix product — normalize the corpus once, broadcast it, and let
+    each Arrow batch do one numpy matmul against the broadcast block
+    (vectorized BLAS, ~50× faster than a per-pair fold over array
+    columns). This is the block-nested-loop-with-vectorized-kernel
+    shape: at 100 TB the corpus is tiled into bounded blocks and each
+    (partition × block) product runs exactly this kernel; one block
+    suffices at test scale. Cosine rounded to 6 dp absorbs summation-
+    order divergence vs the sequential-fold oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     emb = load(spark, sf_dir, "embeddings")
-    dot_self = F.aggregate(
-        F.zip_with("embedding", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    corpus = emb.select("vec_id", "embedding").toPandas()
+    ids = corpus["vec_id"].to_numpy()
+    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat_n))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    norms = emb.select("vec_id", "embedding", F.sqrt(dot_self).alias("nrm"))
-    a = norms.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = norms.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.8)
-        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
-    )
+
+    def block_pairs(pdfs):
+        ids_b, mat_b = bc.value
+        for pdf in pdfs:
+            a_ids = pdf["vec_id"].to_numpy()
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a_n @ mat_b.T
+            # upper triangle only (vec_a < vec_b), threshold pre-round
+            mask = (sims >= 0.45) & (a_ids[:, None] < ids_b[None, :])
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": ids_b[bi],
+                    "cosine": np.round(sims[ai, bi], 6),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(block_pairs, out_schema)

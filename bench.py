@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no serialization/collect cost — the same convention as spark-sql-perf).
+A tiny warmup query absorbs JVM/codegen startup so per-query numbers
+reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from am_kinesis_pay_spark.registry import queries  # noqa: E402
+from am_kinesis_pay_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_query(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    spark = get_session("bench")
+    qs = queries()
+
+    # warmup: JVM, codegen, parquet footer caches
+    from am_kinesis_pay_spark.tables import load
+
+    load(spark, SF_DIR, "region").count()
+    run_query(qs["agg_status_counts"](spark, SF_DIR))
+
+    times: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        run_query(qs[name](spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_seconds_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": _sf_from_dir(SF_DIR),
+                "n_queries": len(times),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Physical-plan assertions (SURVEY.md §4.2 'verify with explain'):
+filters reach the parquet scan, projections prune columns, small dims
+broadcast, aggregations keep their map-side partial phase, and
+scan-only pipelines stay shuffle-free. These are the properties that
+decide whether a plan survives a 100× scale-up."""
+
+from __future__ import annotations
+
+import re
+
+from am_kinesis_pay_spark.registry import queries
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = queries()[name](spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "validate_chain")
+    assert "PushedFilters:" in plan
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan[:2000]
+
+
+def test_column_pruning_in_scan(spark):
+    plan = plan_of(spark, "filter_free_first")
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m, plan[:2000]
+    schema = m.group(1)
+    # only the 4 referenced columns — not the full 6-column orders table
+    assert "o_orderdate" not in schema and "o_orderpriority" not in schema
+
+
+def test_small_dims_broadcast(spark):
+    plan = plan_of(spark, "join_broadcast_dim")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_theta_stays_hash_join(spark):
+    # the equi key keeps J6 a hash join; the band predicate must NOT
+    # force a nested-loop cross product
+    plan = plan_of(spark, "join_range_theta")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_partial_aggregation_present(spark):
+    # HashAggregate appears twice per grouping: partial (map-side) +
+    # final — the map-side combine that absorbs skew at scale
+    plan = plan_of(spark, "agg_pricing_summary")
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_scan_only_pipeline_has_no_shuffle(spark):
+    plan = plan_of(spark, "fn_money_pipeline")
+    assert "Exchange" not in plan, plan[:3000]
+
+
+def test_sort_limit_is_take_ordered(spark):
+    plan = plan_of(spark, "sort_limit")
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_asof_join_single_shuffle(spark):
+    # union + window as-of: exactly one exchange on the key (plus AQE
+    # wrappers) — no range cross-product operator anywhere
+    plan = plan_of(spark, "join_asof_rate")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}\n{plan[:3000]}"
+
+
+def test_wholestage_codegen_active(spark):
+    # AQE finalizes the physical plan only on execution — run the
+    # query, then inspect the executed plan for codegen stages
+    df = queries()["agg_pricing_summary"](spark, SF_DIR)
+    # .count() would build a separate query execution; collect() runs
+    # THIS df's plan so AQE finalizes it in place
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # '*(n)' operator prefixes mark whole-stage-codegen stages
+    assert re.search(r"\*\(\d+\)", plan), plan[:2000]
