@@ -209,7 +209,7 @@ WITH ticks AS (
 ), lookups AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
 )
-SELECT l.event_id, l.user_id, l.ts, t.value AS rate
+SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts, t.value AS rate
 FROM lookups l
 ASOF LEFT JOIN ticks t
   ON l.user_id = t.user_id AND l.ts >= t.ts

@@ -17,7 +17,7 @@ from am_kinesis_pay_spark.tables import load
 @register(
     "win_poll_seq",
     oracle="""
-SELECT event_id, user_id, ts,
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS poll_seq
 FROM events
 """,
@@ -83,7 +83,7 @@ WITH seq AS (
     LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type
   FROM events
 )
-SELECT user_id, ts, prev_type, event_type
+SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, prev_type, event_type
 FROM seq
 WHERE prev_type IS NOT NULL AND prev_type <> event_type
 """,
@@ -112,7 +112,7 @@ def win_lag_status_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_running_total",
     oracle="""
-SELECT event_id, user_id, ts,
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
     PARTITION BY user_id ORDER BY ts
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
@@ -144,7 +144,7 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_frame_sliding_avg",
     oracle="""
-SELECT event_id, user_id, ts,
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
     / COUNT(*) OVER w AS sliding_avg
 FROM events

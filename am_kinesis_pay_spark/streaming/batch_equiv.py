@@ -25,8 +25,8 @@ from am_kinesis_pay_spark.tables import load
 @register(
     "stream_tumbling_count",
     oracle="""
-SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
-  time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS window_start,
+  CAST(time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS TIMESTAMP) AS window_end,
   event_type,
   COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -66,8 +66,8 @@ WITH expanded AS (
     value
   FROM events
 )
-SELECT window_start,
-  window_start + INTERVAL '24 hours' AS window_end,
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+  CAST(window_start + INTERVAL '24 hours' AS TIMESTAMP) AS window_end,
   COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
 FROM expanded
@@ -111,8 +111,8 @@ WITH flagged AS (
   FROM flagged
 )
 SELECT user_id,
-  MIN(ts) AS session_start,
-  MAX(ts) + INTERVAL '30 minutes' AS session_end,
+  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+  CAST(MAX(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
   COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM numbered
@@ -185,7 +185,7 @@ def stream_watermark_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_payment",
     oracle="""
-SELECT user_id, event_type, event_id, ts, value
+SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
 FROM (
   SELECT user_id, event_type, event_id, ts, value,
     ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts) AS rn
@@ -213,7 +213,7 @@ def stream_dedup_payment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_poll_throttle_log",
     oracle="""
-SELECT user_id, ts, poll_seq
+SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, poll_seq
 FROM (
   SELECT user_id, ts,
     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS poll_seq
@@ -257,7 +257,7 @@ SELECT f.user_id,
     WHEN t.first_rejected IS NOT NULL THEN 'rejected'
     ELSE 'expired'
   END AS final_state,
-  COALESCE(
+  CAST(COALESCE(
     CASE
       WHEN t.first_processed IS NOT NULL
        AND (t.first_rejected IS NULL OR t.first_processed <= t.first_rejected)
@@ -265,7 +265,7 @@ SELECT f.user_id,
       ELSE t.first_rejected
     END,
     f.created_at + INTERVAL '10 minutes'
-  ) AS decided_at
+  ) AS TIMESTAMP) AS decided_at
 FROM first_seen f
 LEFT JOIN terminal t ON f.user_id = t.user_id
 """,
