@@ -185,31 +185,36 @@ def vec_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_PLANES = 16
+_EMB_DIM = 64
+
+
+def _plane_weights() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: weight(p, d) derives
+    from md5(f"{p}:{d}") — no RNG, identical across runs/engines.
+    Computed once driver-side (N_PLANES × dim constants), not per row."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:6], 16)
+            / float(16**6)
+            - 0.5
+            for d in range(_EMB_DIM)
+        ]
+        for p in range(N_PLANES)
+    ]
 
 
 def _lsh_signature(emb_col: str = "embedding") -> F.Column:
-    """Random-hyperplane signature: plane p's pseudo-random weight for
-    dimension d is derived from md5(p:d) (deterministic, no RNG —
-    workflow-safe and identical across engines/runs). Signature bit p =
-    sign of dot(embedding, plane_p)."""
-    def plane_weight(p: int, d: F.Column) -> F.Column:
-        # first 6 hex chars of md5("p:d") → int in [0, 16^6) → [-0.5, 0.5)
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{p}:"), d.cast("string"))), 1, 6
-            ),
-            16,
-            10,
-        ).cast("long")
-        return (h / F.lit(float(16**6))) - 0.5
-
+    """Random-hyperplane signature: bit p = sign of dot(embedding,
+    plane_p). Planes are literal arrays, so each projection is a pure
+    zip_with/aggregate fold — no hashing in the per-row path."""
+    planes = _plane_weights()
     sig = F.lit(0).cast("long")
     for p in range(N_PLANES):
+        plane = F.array(*[F.lit(w) for w in planes[p]])
         proj = F.aggregate(
-            F.transform(
-                F.col(emb_col),
-                lambda x, i: x.cast("double") * plane_weight(p, i),
-            ),
+            F.zip_with(F.col(emb_col), plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

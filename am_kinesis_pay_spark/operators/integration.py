@@ -1,0 +1,137 @@
+"""Integration queries: multi-operator relational pipelines in the
+shape of the classic TPC-H workloads, plus correlated-subquery
+coverage. These exercise Catalyst end-to-end (join reordering, partial
+aggregation, subquery decorrelation, top-k) on one plan rather than
+one operator at a time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from am_kinesis_pay_spark.functions.compat import dsum
+from am_kinesis_pay_spark.registry import register
+from am_kinesis_pay_spark.tables import load
+
+
+@register(
+    "q_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  o.o_orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10
+""",
+    tags=("integration",),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filtered on both fact sides, revenue
+    aggregation, deterministic top-10. Catalyst pushes both date
+    filters into the scans and reorders the joins; the LIMIT rides a
+    TakeOrderedAndProject."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("double")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .limit(10)
+    )
+
+
+@register(
+    "q_local_supplier_volume",
+    oracle="""
+SELECT n.n_name,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_nationkey = n.n_nationkey
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE r.r_name IN ('AMERICA', 'ASIA')
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+    tags=("integration",),
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way snowflake join (two broadcast dims + two
+    fact joins) with region filter and revenue rollup per nation."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name").isin("AMERICA", "ASIA"))
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("double")
+    return (
+        F.broadcast(r)
+        .join(n, n.n_regionkey == r.r_regionkey)
+        .join(s, s.s_nationkey == n.n_nationkey)
+        .join(li, li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM customer c
+WHERE c_acctbal > (
+  SELECT AVG(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+""",
+    tags=("integration", "subquery"),
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — customers above their nation's
+    average balance. Written in SQL form so Catalyst's
+    RewriteCorrelatedScalarSubquery decorrelates it into an aggregate +
+    join (SURVEY.md §4.2); comparison on raw doubles is safe because
+    both engines compute the same avg over the same per-nation sets...
+    via > which tolerates last-ulp only when strict — the predicate
+    compares a row value to the group avg, and no c_acctbal sits within
+    1e-9 of its nation's avg in the fixtures (asserted in tests)."""
+    customer = load(spark, sf_dir, "customer")
+    customer.createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer_v c
+        WHERE c_acctbal > (
+          SELECT AVG(c2.c_acctbal) FROM customer_v c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )

@@ -51,12 +51,13 @@ def _load_all() -> None:
     from am_kinesis_pay_spark.operators import (  # noqa: F401
         aggregations,
         filters,
+        integration,
         joins,
         setops,
         sorts,
         windows,
     )
-    from am_kinesis_pay_spark.functions import scalars, signing  # noqa: F401
+    from am_kinesis_pay_spark.functions import scalars, signing, udtf_ops  # noqa: F401
     from am_kinesis_pay_spark.sources import readers, sinks  # noqa: F401
     from am_kinesis_pay_spark.streaming import batch_equiv  # noqa: F401
     from am_kinesis_pay_spark.llm import (  # noqa: F401

@@ -189,3 +189,82 @@ def test_state_machine_stream_agrees_with_batch_query(spark, stream_dir):
         assert got_val == want_map[uid], f"user {uid}: {got_val} vs {want_map[uid]}"
     decided_types = {u for u, v in want_map.items() if v[0] != "expired"}
     assert decided_types <= set(got_map), "all in-deadline terminals must emit"
+
+
+def test_stream_sliding_equals_batch(spark, stream_dir):
+    stream = (
+        events_stream(spark, stream_dir)
+        .groupBy(F.window("ts", "24 hours", "12 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (dsum("value") / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+    got = run_to_completion(stream, f"slide_{uuid.uuid4().hex[:6]}", "complete")
+    want = queries()["stream_sliding_avg"](spark, SF_DIR)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_session_window_equals_batch(spark, stream_dir):
+    stream = (
+        events_stream(spark, stream_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    # append + watermark: closed sessions must match the batch rows
+    got = run_to_completion(stream, f"sess_{uuid.uuid4().hex[:6]}", "append")
+    want = queries()["stream_session_window"](spark, SF_DIR)
+    got_rows = set(map(tuple, got.collect()))
+    want_rows = set(map(tuple, want.collect()))
+    assert got_rows and got_rows <= want_rows
+    # only sessions still open at the final watermark may be withheld
+    missing = want_rows - got_rows
+    max_emitted_end = max(r[2] for r in got_rows)
+    assert all(r[2] >= max_emitted_end for r in missing), "a closed session failed to emit"
+
+
+def test_foreach_batch_idempotent_sink(spark, stream_dir, tmp_path_factory):
+    from am_kinesis_pay_spark.streaming.foreach_sink import IdempotentKeyedSink
+
+    base = str(tmp_path_factory.mktemp("sink"))
+    sink = IdempotentKeyedSink(
+        spark, os.path.join(base, "table"), ["user_id", "event_type"]
+    )
+    stream = events_stream(spark, stream_dir).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    q = sink.attach(stream, os.path.join(base, "ckpt")).start()
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.user_id, r.event_type): r.event_id for r in sink.read().collect()}
+    # exactly the first-arrival keys of the batch dedup spec
+    want = {
+        (r.user_id, r.event_type): r.event_id
+        for r in queries()["stream_dedup_payment"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    # redelivery: replay a batch manually — table must not change
+    before = sorted(got.items())
+    first_batch = spark.read.parquet(f"{stream_dir}/batch_0000")
+    sink.process_batch(first_batch.select(*stream.columns), epoch_id=999)
+    after = sorted(
+        ((r.user_id, r.event_type), r.event_id) for r in sink.read().collect()
+    )
+    assert before == after
