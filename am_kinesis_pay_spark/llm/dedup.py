@@ -135,26 +135,27 @@ def text_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly MinHashLSH's (SURVEY.md §4.2 row 'MinHash')."""
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
-    seeds = spark.range(N_PERM).select(F.col("id").cast("int").alias("seed"))
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(
-                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("h"))
+    # all N_PERM minhashes in ONE aggregation pass — no seed cross join,
+    # one shuffle on doc_id, N_PERM min() columns computed map-side
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+            for s in range(N_PERM)
+        ]
     )
-    bands = mh.groupBy(
-        "doc_id", (F.col("seed") / BAND_W).cast("int").alias("band")
-    ).agg(
-        F.concat_ws("|", F.array_sort(F.collect_list(F.struct("seed", "h")))["h"]).alias(
-            "band_val"
+    # bands: BAND_W consecutive signature rows concatenated
+    band_exprs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"h{s}") for s in range(b * BAND_W, (b + 1) * BAND_W)]
+            ).alias("band_val"),
         )
-    )
+        for b in range(N_PERM // BAND_W)
+    ]
+    bands = mins.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("bv")
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
     # bucket join: only docs sharing a full band collide
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "band_val"

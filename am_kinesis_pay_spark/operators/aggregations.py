@@ -230,6 +230,72 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'extended' AS price_kind,
+  CAST(l_extendedprice AS DOUBLE) AS price
+FROM lineitem WHERE l_orderkey % 500 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discounted' AS price_kind,
+  l_extendedprice * (1 - l_discount) AS price
+FROM lineitem WHERE l_orderkey % 500 = 0
+""",
+    tags=("agg", "unpivot"),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV]: unpivot (wide→tall) via the native unpivot API — columns
+    become (kind, value) rows; the oracle spells out the UNION ALL it
+    desugars to."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("extended"),
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+            "discounted"
+        ),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["extended", "discounted"],
+        "price_kind",
+        "price",
+    )
+
+
+@register(
+    "agg_salted_tf",
+    oracle="""
+SELECT token, COUNT(*) AS tf
+FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+""",
+    tags=("agg", "skew"),
+)
+def agg_salted_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] skew handling made explicit: two-stage salted aggregation.
+    Stage 1 groups on (token, salt) — hot keys ('the') split across 8
+    reducers; stage 2 sums the partials per token. Identical result to
+    the direct groupBy (the oracle), with the skewed shuffle replaced
+    by two balanced ones. At 100 TB this is the manual fallback when
+    AQE skew handling isn't enough (SCALE.md §dedup)."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    salted = tokens.withColumn(
+        "salt", F.pmod(F.crc32(F.monotonically_increasing_id().cast("string")), F.lit(8))
+    )
+    partial = salted.groupBy("token", "salt").agg(
+        F.count(F.lit(1)).alias("partial_tf")
+    )
+    return partial.groupBy("token").agg(F.sum("partial_tf").alias("tf"))
+
+
+@register(
     "agg_conditional",
     oracle=f"""
 SELECT user_id,

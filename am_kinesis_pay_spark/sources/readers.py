@@ -55,6 +55,44 @@ def kinesis_stream(
 
 
 @register(
+    "source_json_roundtrip",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_type = 'signup' AND event_id % 10 = 0
+""",
+    tags=("source", "json"),
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] kinesis-pay.php:151,305-310 — the remote-JSON-endpoint
+    source modeled end-to-end: records serialized to JSON lines, read
+    back through the schema'd JSON source (never inferSchema), and
+    surfaced relationally. Overwrite into a scratch dir keeps repeated
+    driver runs idempotent."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "signup") & (F.col("event_id") % 10 == 0))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    out = os.path.join(tempfile.gettempdir(), "akps_json_source")
+    ev.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return read_json(spark, out, schema)
+
+
+@register(
     "lookup_by_secure_id",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
