@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from am_kinesis_pay_spark.functions.compat import dec
 from am_kinesis_pay_spark.registry import register
 from am_kinesis_pay_spark.tables import load
 
@@ -138,6 +139,125 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
             "running_value"
         ),
+    )
+
+
+@register(
+    "win_global_running_total",
+    oracle="""
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+    ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+""",
+    tags=("window", "scale-pattern"),
+)
+def win_global_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] GLOBAL cumulative sum — the two-pass prefix-sum pattern
+    (SCALE.md): a naive global ORDER BY window serializes into one
+    task; instead (1) bucket rows by day, (2) cumsum the per-day totals
+    (tiny frame), (3) broadcast the per-day offsets back and cumsum
+    within each day partition. Wall-clock scales with the largest
+    day, not the whole stream."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", dec("value", 2).alias("v")
+    )
+    day = F.date_trunc("day", "ts").alias("day")
+    with_day = ev.select("event_id", "ts", "v", day)
+    # pass 1: per-day totals → exclusive prefix offsets (tiny: one row/day)
+    day_offsets = (
+        with_day.groupBy("day")
+        .agg(F.sum("v").alias("day_total"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("day_total").over(
+                    W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit("0").cast("decimal(28,2)"),
+            ),
+        )
+        .select("day", "offset")
+    )
+    # pass 2: within-day cumsum (parallel across days) + broadcast offset
+    w_day = W.partitionBy("day").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        with_day.join(F.broadcast(day_offsets), "day")
+        .withColumn("running_value", (F.sum("v").over(w_day) + F.col("offset")).cast("double"))
+        .select("event_id", "ts", "running_value")
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT event_type,
+  round(quantile_cont(value, 0.25), 6) AS p25,
+  round(quantile_cont(value, 0.50), 6) AS p50,
+  round(quantile_cont(value, 0.90), 6) AS p90
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] exact interpolated percentiles (both engines use the
+    type-7 linear interpolation convention; rounded to 6 dp to absorb
+    interpolation-arithmetic ulps). At 100 TB the approximate
+    `percentile_approx` (KLL/GK sketch) replaces this — exact
+    percentile is a full sort per group."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
+    )
+
+
+@register(
+    "udaf_user_zscore",
+    oracle="""
+WITH stats AS (
+  SELECT user_id,
+    AVG(value) AS mu,
+    stddev_samp(value) AS sigma
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+  round((e.value - s.mu) / s.sigma, 6) AS zscore
+FROM events e JOIN stats s ON e.user_id = s.user_id
+WHERE s.sigma > 0
+""",
+    tags=("window", "udaf"),
+)
+def udaf_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] grouped-map applyInPandas (the UDAF surface, SURVEY §2.11):
+    per-user z-score normalization computed inside a pandas kernel —
+    the shape custom per-group math (feature normalization, curve
+    fitting) plugs into. Oracle spells out the same formula in SQL;
+    6-dp rounding absorbs accumulation-order ulps between pandas and
+    the engines."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sigma = pdf["value"].std(ddof=1)
+        if not sigma or sigma <= 0:
+            return pdf.iloc[0:0][["event_id", "user_id"]].assign(zscore=[])
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": ((pdf["value"] - mu) / sigma).round(6),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, "event_id long, user_id long, zscore double"
     )
 
 
