@@ -1,0 +1,48 @@
+"""Property test for the money-rounding convention (SURVEY.md §2.8
+fn_round_halfup): the DECIMAL pipeline must reproduce PHP
+number_format's round-half-away-from-zero on both engines for any
+representable money value — hypothesis drives DuckDB (fast, no Spark
+session) against Python's Decimal ROUND_HALF_UP reference; the Spark
+side of the same convention is pinned by the fn_money_pipeline oracle
+test."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+
+con = duckdb.connect()
+
+money = st.decimals(
+    min_value=Decimal("-999999.9999"),
+    max_value=Decimal("999999.9999"),
+    places=4,
+    allow_nan=False,
+    allow_infinity=False,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(money)
+def test_duckdb_decimal_round_is_half_up(x: Decimal):
+    got = con.execute(
+        "SELECT round(CAST(? AS DECIMAL(18,4)), 2)", [str(x)]
+    ).fetchone()[0]
+    want = x.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    assert Decimal(str(got)).quantize(Decimal("0.01")) == want, (x, got, want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(money, st.decimals(min_value=Decimal("0.01"), max_value=Decimal("9.99"),
+                          places=2, allow_nan=False, allow_infinity=False))
+def test_duckdb_decimal_multiply_round_exact(x: Decimal, pct: Decimal):
+    """The full reference arithmetic (total × pct then round 2,
+    kinesis-pay.php:137-140) in exact decimals."""
+    got = con.execute(
+        "SELECT round(CAST(? AS DECIMAL(18,4)) * CAST(? AS DECIMAL(4,2)), 2)",
+        [str(x), str(pct)],
+    ).fetchone()[0]
+    want = (x * pct).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    assert Decimal(str(got)).quantize(Decimal("0.01")) == want, (x, pct, got, want)

@@ -268,3 +268,46 @@ def test_foreach_batch_idempotent_sink(spark, stream_dir, tmp_path_factory):
         ((r.user_id, r.event_type), r.event_id) for r in sink.read().collect()
     )
     assert before == after
+
+
+def test_stream_stream_join_matches_batch(spark, stream_dir):
+    """Stream-stream inner join with watermarks + time-range condition:
+    clicks joined to purchases within 5 minutes per user must produce
+    the same pair multiset as the batch self-join (J8's pair set)."""
+    ev = events_stream(spark, stream_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts"),
+                F.col("event_id").alias("a_id"))
+        .withWatermark("a_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+                F.col("event_id").alias("b_id"))
+        .withWatermark("b_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("a_id", "b_id")
+    got = run_to_completion(joined, f"ssj_{uuid.uuid4().hex[:6]}", "append")
+
+    from am_kinesis_pay_spark.tables import load
+
+    ev_b = load(spark, SF_DIR, "events")
+    a = ev_b.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("a_id"))
+    b = ev_b.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_id"))
+    want = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("a_id", "b_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
