@@ -177,6 +177,85 @@ def fn_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_map_ops",
+    oracle="""
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_via_map,
+  1 AS n_keys,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL AS has_k
+FROM events
+WHERE props IS NOT NULL
+""",
+    tags=("scalar", "map"),
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface — the invoice KV data bag (SURVEY §1.1 #2,
+    kinesis-pay.php:15-16): parse the JSON bag into MAP<STRING,BIGINT>,
+    then element_at / map_keys / containment. The oracle reads the same
+    facts via JSON point lookups (DuckDB has no MAP-from-JSON)."""
+    from pyspark.sql import types as T
+
+    ev = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    bag = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return ev.select(
+        "event_id",
+        F.element_at(bag, "k").alias("k_via_map"),
+        F.size(F.map_keys(bag)).alias("n_keys"),
+        F.array_contains(F.map_keys(bag), "k").alias("has_k"),
+    )
+
+
+@register(
+    "fn_date_parts",
+    oracle="""
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INTEGER) AS yr,
+  CAST(month(o_orderdate) AS INTEGER) AS mon,
+  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+  CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+FROM orders
+""",
+    tags=("scalar", "datetime"),
+)
+def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar extraction over order dates. Convention trap made
+    explicit: Spark dayofweek is 1=Sunday..7, DuckDB dayofweek is
+    0=Sunday..6 — the oracle shifts by +1."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    )
+
+
+@register(
+    "filter_hash_sample",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10 = 0
+""",
+    tags=("filter", "sample"),
+)
+def filter_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by key hash — the reproducible
+    experiment-split pattern (TABLESAMPLE is engine-nondeterministic,
+    hash-mod is stable across engines, runs, and cluster sizes)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return docs.filter(bucket % 10 == 0).select("doc_id", "lang", "source")
+
+
+@register(
     "fn_floor_mod",
     oracle="""
 SELECT event_id,

@@ -359,12 +359,6 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     emb = load(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding").toPandas()
-    ids = corpus["vec_id"].to_numpy()
-    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat_n))
-
     out_schema = T.StructType(
         [
             T.StructField("vec_a", T.LongType()),
@@ -372,10 +366,19 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    corpus = emb.select("vec_id", "embedding").toPandas()
+    if corpus.empty:
+        return spark.createDataFrame([], out_schema)
+    ids = corpus["vec_id"].to_numpy()
+    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat_n))
 
     def block_pairs(pdfs):
         ids_b, mat_b = bc.value
         for pdf in pdfs:
+            if pdf.empty:
+                continue
             a_ids = pdf["vec_id"].to_numpy()
             a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             a_n = a / np.linalg.norm(a, axis=1, keepdims=True)

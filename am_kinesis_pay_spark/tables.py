@@ -40,7 +40,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # via spark.sql.legacy.parquet.nanosAsLong (session.py); convert
         # to a first-class TIMESTAMP at microsecond precision — the same
         # truncation DuckDB applies when it hands TIMESTAMP_NS to clients.
-        # integer DIV, not `/` — float division loses microseconds at
-        # 1.7e18 ns (> 2^53).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Type-gated so re-written events tables (already TIMESTAMP)
+        # load unchanged. Integer DIV, not `/` — float division loses
+        # microseconds at 1.7e18 ns (> 2^53).
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
