@@ -88,3 +88,24 @@ def test_wholestage_codegen_active(spark):
     assert "isFinalPlan=true" in plan
     # '*(n)' operator prefixes mark whole-stage-codegen stages
     assert re.search(r"\*\(\d+\)", plan), plan[:2000]
+
+
+def test_minhash_no_cartesian_product(spark):
+    plan = plan_of(spark, "text_dedup_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_salted_agg_two_stage(spark):
+    # two groupings → at least two separate HashAggregate pairs
+    plan = plan_of(spark, "agg_salted_tf")
+    assert plan.count("HashAggregate") >= 4, plan[:3000]
+
+
+def test_global_running_total_partitions_by_day(spark):
+    # the per-day window must be partitioned (no single global sort of
+    # the full table before the window)
+    plan = plan_of(spark, "win_global_running_total")
+    import re as _re
+
+    assert _re.search(r"Window.*day", plan, _re.S), plan[:3000]

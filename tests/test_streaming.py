@@ -311,3 +311,50 @@ def test_stream_stream_join_matches_batch(spark, stream_dir):
         & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
     ).select("a_id", "b_id")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_checkpoint_recovery_no_duplicates(spark, stream_dir, tmp_path_factory):
+    """Restart a streaming query from its checkpoint after new files
+    arrive: offsets resume (already-processed files are not re-read)
+    and the final sink state equals the batch spec — exactly-once
+    across restarts, the property checkpointing exists to provide."""
+    import glob
+    import shutil as _sh
+
+    from am_kinesis_pay_spark.streaming.foreach_sink import IdempotentKeyedSink
+
+    base = str(tmp_path_factory.mktemp("ckpt_rec"))
+    data_dir = os.path.join(base, "data")
+    batches = sorted(glob.glob(os.path.join(stream_dir, "batch_*")))
+    assert len(batches) >= 4
+    # phase 1: only the first half of the files exist
+    for b in batches[: len(batches) // 2]:
+        _sh.copytree(b, os.path.join(data_dir, os.path.basename(b)))
+
+    sink = IdempotentKeyedSink(
+        spark, os.path.join(base, "table"), ["user_id", "event_type"]
+    )
+    ckpt = os.path.join(base, "ckpt")
+    cols = ["user_id", "event_type", "event_id", "ts", "value"]
+
+    q1 = sink.attach(events_stream(spark, data_dir).select(*cols), ckpt).start()
+    q1.processAllAvailable()
+    q1.stop()
+    n_phase1 = sink.read().count()
+    assert n_phase1 > 0
+
+    # phase 2: the rest of the files arrive; restart from the checkpoint
+    for b in batches[len(batches) // 2 :]:
+        _sh.copytree(b, os.path.join(data_dir, os.path.basename(b)))
+    q2 = sink.attach(events_stream(spark, data_dir).select(*cols), ckpt).start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {(r.user_id, r.event_type): r.event_id for r in sink.read().collect()}
+    want = {
+        (r.user_id, r.event_type): r.event_id
+        for r in queries()["stream_dedup_payment"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    # first-arrival rows from phase 1 must have survived the restart
+    assert len(got) >= n_phase1
