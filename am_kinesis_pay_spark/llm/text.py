@@ -150,11 +150,6 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LANG_SQL_SCORE = " + ".join(
-    f"CASE WHEN token = '{w}' THEN 1 ELSE 0 END" for w in ("the", "a")
-)
-
-
 @register(
     "text_lang_counts",
     oracle="""
