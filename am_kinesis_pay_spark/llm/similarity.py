@@ -186,6 +186,128 @@ def vec_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_PLANES = 16
 _EMB_DIM = 64
+IVF_K = 16  # coarse-quantizer cells
+IVF_NPROBE = 4  # cells searched per query
+
+
+@register("vec_ann_ivf", oracle=None, tags=("llm", "similarity", "ann"))
+def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file index): a deterministic coarse
+    quantizer (every n/K-th vector by vec_id is a centroid — no RNG),
+    each corpus vector assigned to its nearest centroid cell, queries
+    probe their IVF_NPROBE nearest cells and re-rank exactly inside
+    them. Rows-only driver check; numeric correctness + recall pinned
+    in tests/test_llm.py.
+
+    Scale shape: the centroid table is tiny and broadcast; assignment
+    is one map pass (blocked matmul); the probe join shuffles only
+    (query, cell) pairs — candidates are |corpus| × nprobe / K on
+    average, an 4/16 = 25% scan here and arbitrarily sharper with
+    larger K at real scale."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").toPandas()
+    if corpus.empty:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    corpus = corpus.sort_values("vec_id").reset_index(drop=True)
+    ids = corpus["vec_id"].to_numpy()
+    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    # deterministic centroids: every n/K-th vector in vec_id order
+    step = max(len(ids) // IVF_K, 1)
+    cent = mat_n[::step][:IVF_K]
+    bc = spark.sparkContext.broadcast((ids, mat_n, cent))
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def assign(pdfs):
+        _, _, cent_b = bc.value
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
+            cells = (a_n @ cent_b.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cells.astype("int32")}
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, assign_schema
+    )
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def probes(pdfs):
+        _, _, cent_b = bc.value
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a_n @ cent_b.T
+            top = np.argsort(-sims, axis=1)[:, :IVF_NPROBE]
+            qids = np.repeat(pdf["vec_id"].to_numpy(), IVF_NPROBE)
+            yield pd.DataFrame(
+                {"query_id": qids, "cell": top.ravel().astype("int32")}
+            )
+
+    q_emb = emb.filter(F.col("vec_id") < N_QUERIES)
+    q_probes = q_emb.select("vec_id", "embedding").mapInPandas(
+        probes, probe_schema
+    )
+
+    norms = _norms(emb)
+    cand = (
+        q_probes.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    q = norms.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = norms.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def _plane_weights() -> list[list[float]]:

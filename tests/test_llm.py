@@ -86,3 +86,43 @@ def test_mm_frame_sample_shapes(spark):
             assert f.frame_offset >= 0
     full_docs = [f for fs in by_doc.values() if len(fs) == _N_FRAMES for f in fs]
     assert full_docs, "no doc yielded the full frame count"
+
+
+def test_ann_ivf_correctness(spark):
+    """IVF machinery: candidates generated, cosines numerically right,
+    ranking correct, recall clearly above broken (data is uniform-
+    random so absolute recall is bounded by the nprobe/K scan rate)."""
+    import math
+
+    from am_kinesis_pay_spark.tables import load
+
+    rows = queries()["vec_ann_ivf"](spark, SF_DIR).collect()
+    assert rows
+    vecs = {
+        r.vec_id: r.embedding for r in load(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(float(x) ** 2 for x in a))
+            * math.sqrt(sum(float(y) ** 2 for y in b))
+        )
+
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        want = round(cos(vecs[r.query_id], vecs[r.neighbor_id]), 6)
+        assert abs(r.cosine - want) < 1e-5
+    for q, rs in by_q.items():
+        ranked = sorted(rs, key=lambda r: r.rank)
+        cosines = [r.cosine for r in ranked]
+        assert cosines == sorted(cosines, reverse=True)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in queries()["vec_cosine_topk"](spark, SF_DIR).collect()
+    }
+    ann = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.1, f"recall {recall:.2f} ≈ broken assignment"
