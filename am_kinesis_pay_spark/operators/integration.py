@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from am_kinesis_pay_spark.functions.compat import dsum
+
 from am_kinesis_pay_spark.registry import register
 from am_kinesis_pay_spark.tables import load
 
@@ -99,6 +99,92 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, o.o_orderkey == li.l_orderkey)
         .groupBy("n_name")
         .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+@register(
+    "q_promo_revenue_ratio",
+    oracle="""
+SELECT
+  CAST(100 AS DOUBLE) * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+        THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+        ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
+    / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS promo_revenue_pct,
+  COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+""",
+    tags=("integration",),
+)
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional revenue to total revenue —
+    a single-pass aggregate with both sums exact-decimal, so the final
+    double division is bit-identical across engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit("0").cast("decimal(22,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100).cast("double")
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q_large_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+  CAST(agg.total_qty AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+) agg
+JOIN orders o ON o.o_orderkey = agg.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+    tags=("integration",),
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (aggregate-then-semi-join), joined back to customers. The aggregate
+    runs BEFORE the joins, so only qualifying orderkeys enter the join
+    graph — the order-of-operations that keeps Q18 tractable at scale."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, orders.o_orderkey == big.l_orderkey)
+        .join(customer, customer.c_custkey == orders.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
     )
 
 

@@ -10,7 +10,6 @@ import hashlib
 import hmac as hmac_mod
 from decimal import Decimal
 
-import pytest
 from pyspark.sql import functions as F, types as T
 
 from am_kinesis_pay_spark.functions.signing import SECRET

@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Row
 
 from am_kinesis_pay_spark.functions.udtf_ops import ExplodeJsonBag
 from am_kinesis_pay_spark.registry import queries
