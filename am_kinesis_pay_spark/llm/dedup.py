@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from am_kinesis_pay_spark.registry import register
+from am_kinesis_pay_spark.registry import REGISTRY, register
 from am_kinesis_pay_spark.tables import load
 
 N_PERM = 8  # minhash permutations
@@ -395,3 +395,86 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.select("vec_id", "embedding").mapInPandas(block_pairs, out_schema)
+
+
+# Splice the MinHash pipeline in as CTEs: its final SELECT becomes the
+# `pairs` CTE, then a recursive transitive closure assigns min-label
+# components.
+_mh_body = _MINHASH_ORACLE.strip()
+_mh_ctes, _mh_final = _mh_body.rsplit("SELECT doc_a, doc_b,", 1)
+_CLUSTER_ORACLE = (
+    "WITH RECURSIVE "
+    + _mh_ctes.strip()[len("WITH ") :].rstrip()
+    + ",\npairs AS (\nSELECT doc_a, doc_b,"
+    + _mh_final
+    + """),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS doc_id FROM edges
+), reach(doc_id, other) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.other
+)
+SELECT doc_id, MIN(other) AS cluster_id
+FROM reach
+GROUP BY doc_id
+"""
+)
+
+
+@register("text_dedup_clusters", oracle=_CLUSTER_ORACLE, tags=("llm", "dedup", "iterative"))
+def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup graph — the
+    iterative-algorithm surface (keep one doc per duplicate CLUSTER,
+    not per pair; pairs alone under-deduplicate transitive chains
+    A≈B≈C). Spark side: label propagation — every node starts as its
+    own label, each round adopts the min label among itself and its
+    neighbors, loop until fixpoint. Convergence ≤ graph diameter
+    rounds; each round is one join + one aggregation, and every
+    iteration localCheckpoints to cut the growing lineage (the standard
+    Spark iterative-algorithm discipline). Oracle: recursive-CTE
+    transitive closure with min-label per node."""
+    pairs = REGISTRY["text_dedup_minhash"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    for _ in range(20):  # diameter bound; tiny graphs converge in 2-3
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
