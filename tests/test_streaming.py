@@ -358,3 +358,20 @@ def test_checkpoint_recovery_no_duplicates(spark, stream_dir, tmp_path_factory):
     assert set(got) == set(want)
     # first-arrival rows from phase 1 must have survived the restart
     assert len(got) >= n_phase1
+
+
+def test_streaming_seq_counter_equals_batch_row_number(spark, stream_dir):
+    """The stateful per-key counter over the ordered replay must equal
+    the batch window row_number (win_poll_seq) for every event — the
+    window-function-on-a-stream bridge."""
+    from am_kinesis_pay_spark.streaming.seq_counter import streaming_poll_seq
+
+    got = run_to_completion(
+        streaming_poll_seq(events_stream(spark, stream_dir)),
+        f"seq_{uuid.uuid4().hex[:6]}",
+        "append",
+    )
+    want = queries()["win_poll_seq"](spark, SF_DIR)
+    got_rows = sorted((r.user_id, r.event_id, r.poll_seq) for r in got.collect())
+    want_rows = sorted((r.user_id, r.event_id, r.poll_seq) for r in want.collect())
+    assert got_rows == want_rows
