@@ -180,3 +180,51 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mime") == "video/mp4"
     )
     return binary.mapInPandas(sample_frames, _FRAME_SCHEMA)
+
+
+_RMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+_AUDIO_WIN = 256  # samples per analysis window
+
+
+def audio_window_rms(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio feature kernel: interpret the payload as unsigned 8-bit PCM,
+    compute per-window RMS and peak — the exact batch shape a real
+    (librosa/torchaudio) feature extractor plugs into; numpy here so
+    the pipeline is testable without codec libraries."""
+    import numpy as np
+
+    for pdf in pdfs:
+        out = {"doc_id": [], "window_idx": [], "rms": [], "peak": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                np.float64
+            )
+            samples = (samples - 128.0) / 128.0  # center to [-1, 1)
+            n_win = len(samples) // _AUDIO_WIN
+            for w in range(n_win):
+                seg = samples[w * _AUDIO_WIN : (w + 1) * _AUDIO_WIN]
+                out["doc_id"].append(doc_id)
+                out["window_idx"].append(w)
+                out["rms"].append(round(float(np.sqrt(np.mean(seg**2))), 6))
+                out["peak"].append(round(float(np.abs(seg).max()), 6))
+        yield pd.DataFrame(out)
+
+
+@register("mm_audio_rms", oracle=None, tags=("llm", "multimodal", "udf"))
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS/peak over 'audio' payloads (audio/wav rows):
+    mapInPandas explode into one row per analysis window. Rows-only
+    driver check; determinism and window math pinned in
+    tests/test_llm.py."""
+    binary = mm_binary_ingest_impl(spark, sf_dir).filter(
+        F.col("mime") == "audio/wav"
+    )
+    return binary.mapInPandas(audio_window_rms, _RMS_SCHEMA)

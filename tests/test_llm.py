@@ -126,3 +126,26 @@ def test_ann_ivf_correctness(spark):
     ann = {(r.query_id, r.neighbor_id) for r in rows}
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.1, f"recall {recall:.2f} ≈ broken assignment"
+
+
+def test_mm_audio_rms_window_math(spark):
+    import math
+
+    rows = queries()["mm_audio_rms"](spark, SF_DIR).limit(100).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.rms <= 1.0 and 0.0 <= r.peak <= 1.0
+        assert r.rms <= r.peak + 1e-9  # RMS never exceeds the peak
+    # recompute one window by hand from the source text bytes
+    from am_kinesis_pay_spark.tables import load
+
+    first = rows[0]
+    doc = (
+        load(spark, SF_DIR, "documents")
+        .filter(f"doc_id = {first.doc_id}")
+        .collect()[0]
+    )
+    payload = doc.text.encode()
+    seg = [((b - 128.0) / 128.0) for b in payload[:256]]
+    want_rms = round(math.sqrt(sum(x * x for x in seg) / len(seg)), 6)
+    assert abs(first.rms - want_rms) < 1e-6
