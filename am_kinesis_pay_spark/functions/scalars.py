@@ -282,3 +282,28 @@ def fn_floor_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
         "poll_mod",
         F.expr("_k div 10").alias("int_div"),
     )
+
+
+@register(
+    "fn_array_ops",
+    oracle="""
+SELECT user_id,
+  list_sort(list(DISTINCT event_type)) AS event_types,
+  len(list(DISTINCT event_type)) AS n_types,
+  list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase
+FROM events
+GROUP BY user_id
+""",
+    tags=("scalar", "array"),
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayType surface: collect-distinct into a SORTED array (an
+    unsorted collect_list is order-nondeterministic across engines and
+    runs — never hash-compare one), plus size and containment."""
+    ev = load(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        arr.alias("event_types"),
+        F.size(F.collect_set("event_type")).cast("bigint").alias("n_types"),
+        F.array_contains(arr, "purchase").alias("has_purchase"),
+    )

@@ -298,3 +298,31 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("winnow_min"),
         F.countDistinct("h").alias("n_shingles"),
     )
+
+
+@register(
+    "text_regex_tokens",
+    oracle="""
+SELECT doc_id,
+  len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+  len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
+  CAST(ceil(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) * 1.3) AS BIGINT) AS est_bpe_tokens
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tokenization — the BPE-ish counting path (vs the
+    whitespace path in text_token_stats): token classes extracted with
+    the same patterns on both engines; the 1.3x subword multiplier
+    gives the planning estimate."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0))
+    numbers = F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))
+    all_toks = F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0))
+    return docs.select(
+        "doc_id",
+        words.cast("bigint").alias("n_word_tokens"),
+        numbers.cast("bigint").alias("n_number_tokens"),
+        F.ceil(all_toks * 1.3).cast("bigint").alias("est_bpe_tokens"),
+    )
