@@ -294,3 +294,15 @@ def win_frame_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w)
         ).alias("sliding_avg"),
     )
+
+
+@register("agg_percentile_approx", oracle=None, tags=("agg", "approx"))
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] approximate percentiles via Spark's KLL-style sketch — the
+    100 TB path where exact interpolation (agg_percentiles) would need
+    a full sort per group. No oracle (sketch differs by engine);
+    rows-only check, bounded-error property implied by the exact twin."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.9], 10000).alias("approx_pcts")
+    )
