@@ -134,15 +134,25 @@ def text_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     so DuckDB reproduces the signature bit-for-bit; the pipeline shape
     is exactly MinHashLSH's (SURVEY.md §4.2 row 'MinHash')."""
     docs = load(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
-    # all N_PERM minhashes in ONE aggregation pass — no seed cross join,
-    # one shuffle on doc_id, N_PERM min() columns computed map-side
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
-            for s in range(N_PERM)
-        ]
+    sh = _shingles(docs)
+    # signatures AND the exact shingle set in ONE aggregation pass —
+    # no seed cross join, one shuffle on doc_id, N_PERM min() columns
+    # plus collect_set computed with map-side partial aggregation.
+    # Carrying the set (bounded by doc length) lets verification be a
+    # broadcast join + array_intersect instead of re-joining exploded
+    # shingles per candidate pair (3 fewer shuffles).
+    per_doc = (
+        sh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+                for s in range(N_PERM)
+            ],
+            F.collect_set("shingle").alias("sh_set"),
+        )
+        .cache()
     )
+    mins = per_doc
     # bands: BAND_W consecutive signature rows concatenated
     band_exprs = [
         F.struct(
@@ -169,16 +179,25 @@ def text_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    y = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # exact-Jaccard verify: candidate pairs are few, shingle sets are
+    # doc-bounded — join the per-doc sets back in and intersect arrays.
+    sets = per_doc.select("doc_id", "sh_set")
     verified = (
-        cand.join(x, "doc_a")
-        .join(y, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
+            F.size("set_a").alias("n_a"),
+            F.size("set_b").alias("n_b"),
+        )
     )
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
@@ -450,31 +469,34 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
     )
-    for _ in range(20):  # diameter bound; tiny graphs converge in 2-3
+    for it in range(20):  # diameter bound; tiny graphs converge in 2-3
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # carry the previous label through the checkpoint so change
+        # detection is a filter on the materialized frame, not a join
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("prev_id"),
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            break
+        labels = updated.select("doc_id", "cluster_id")
+        # round 0 always changes when any edge exists — skip the check
+        if it > 0:
+            changed = (
+                updated.filter(F.col("prev_id") != F.col("cluster_id"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
     edges.unpersist()
     return labels
