@@ -326,3 +326,64 @@ def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         numbers.cast("bigint").alias("n_number_tokens"),
         F.ceil(all_toks * 1.3).cast("bigint").alias("est_bpe_tokens"),
     )
+
+
+@register(
+    "pipeline_corpus_filter",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, source,
+    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+    CAST(length(text) AS DOUBLE)
+      / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_token_len,
+    ROW_NUMBER() OVER (
+      PARTITION BY md5(lower(trim(text))) ORDER BY doc_id
+    ) AS rn
+  FROM documents
+)
+SELECT lang, source, COUNT(*) AS n_kept,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM scored
+WHERE rn = 1
+  AND n_tokens BETWEEN 20 AND 1000
+  AND avg_token_len BETWEEN 3.0 AND 12.0
+GROUP BY lang, source
+""",
+    tags=("llm", "text", "integration"),
+)
+def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus filter — the composed training-data path:
+    exact dedup (keep lowest doc_id per normalized-text hash) THEN the
+    Gopher-style quality gate THEN per-(lang, source) token accounting.
+    One window shuffle on the text hash + one final aggregation; at
+    100 TB the dedup window and the quality filter both run before any
+    wide column survives, so the expensive text column never shuffles
+    twice."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        (F.length("text").cast("double") / n_tokens).alias("avg_token_len"),
+        F.row_number()
+        .over(
+            Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+        )
+        .alias("rn"),
+    )
+    return (
+        scored.filter(
+            (F.col("rn") == 1)
+            & F.col("n_tokens").between(20, 1000)
+            & F.col("avg_token_len").between(3.0, 12.0)
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -306,3 +306,29 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.25, 0.5, 0.9], 10000).alias("approx_pcts")
     )
+
+
+@register(
+    "win_ntile_quartile",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+  CAST(ntile(4) OVER (
+    PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+  ) AS BIGINT) AS balance_quartile
+FROM customer
+""",
+    tags=("window",),
+)
+def win_ntile_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] ntile bucketing: balance quartiles within each market
+    segment (the cohort-assignment shape for stratified sampling of
+    training data). Total ordering via the (acctbal, custkey)
+    tie-break keeps bucket edges deterministic across engines."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
+    )
