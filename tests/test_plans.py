@@ -109,3 +109,30 @@ def test_global_running_total_partitions_by_day(spark):
     import re as _re
 
     assert _re.search(r"Window.*day", plan, _re.S), plan[:3000]
+
+
+def test_returned_items_broadcasts_nation_and_pushes_filter(spark):
+    plan = plan_of(spark, "q_returned_items")
+    # returnflag filter must reach the lineitem scan
+    assert re.search(r"PushedFilters: \[[^\]]*l_returnflag", plan), plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_volume_shipping_broadcasts_both_nation_roles(spark):
+    # nation joins twice under different roles — both must broadcast,
+    # never a nested loop from the disjunctive cross-nation predicate
+    plan = plan_of(spark, "q_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_corpus_filter_single_wide_shuffle(spark):
+    # dedup window + final agg: the wide text column feeds exactly one
+    # exchange (the window hash); the post-filter agg reshuffles only
+    # the narrow (lang, source, n_tokens) projection
+    plan = plan_of(spark, "pipeline_corpus_filter")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 2, f"expected <=2 shuffles, saw {n_exchange}\n{plan[:3000]}"
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
