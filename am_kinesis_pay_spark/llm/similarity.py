@@ -329,21 +329,39 @@ def _plane_weights() -> list[list[float]]:
 
 def _lsh_signature(emb_col: str = "embedding") -> F.Column:
     """Random-hyperplane signature: bit p = sign of dot(embedding,
-    plane_p). Planes are literal arrays, so each projection is a pure
-    zip_with/aggregate fold — no hashing in the per-row path."""
-    planes = _plane_weights()
-    sig = F.lit(0).cast("long")
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(w) for w in planes[p]])
-        proj = F.aggregate(
-            F.zip_with(F.col(emb_col), plane, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+    plane_p). One Arrow-batched matmul against the 16×64 plane matrix —
+    a literal-array Catalyst fold per plane works but costs seconds of
+    codegen compile for a 1000-literal expression tree; the vectorized
+    kernel is both the faster and the 100 TB shape (BLAS per batch)."""
+    return _get_sig_udf()(F.col(emb_col))
+
+
+_SIG_UDF_CACHE: list = []
+
+
+def _get_sig_udf():
+    """Build the signature pandas UDF once per process — deferred
+    because return-type parsing needs an active SparkSession."""
+    if _SIG_UDF_CACHE:
+        return _SIG_UDF_CACHE[0]
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = np.array(_plane_weights()).T  # dim × N_PLANES
+    bit_weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+
+    def sig_kernel(emb):
+        if emb.empty:
+            return pd.Series([], dtype="int64")
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (mat @ planes_t) > 0
+        return pd.Series(bits @ bit_weights)
+
+    sig_kernel.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    udf = pandas_udf("long")(sig_kernel)
+    _SIG_UDF_CACHE.append(udf)
+    return udf
 
 
 @register("vec_ann_lsh", oracle=None, tags=("llm", "similarity", "ann"))
