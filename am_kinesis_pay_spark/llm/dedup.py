@@ -207,30 +207,44 @@ def text_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_ORACLE = """
+_HI_NIBBLE = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+_SIMHASH_ORACLE = (
+    """
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
   FROM documents
+), h AS (
+  SELECT doc_id, md5(token) AS hx FROM toks
 ), votes AS (
-  SELECT doc_id, b.bit,
-    SUM(CASE WHEN substr(md5(concat(CAST(b.bit AS VARCHAR), ':', token)), 1, 1)
-              IN ('8','9','a','b','c','d','e','f')
-         THEN 1 ELSE -1 END) AS vote
-  FROM toks, generate_series(0, 15) AS b(bit)
-  GROUP BY doc_id, b.bit
-)
-SELECT doc_id,
-  CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
-FROM votes
-GROUP BY doc_id
+  SELECT doc_id,
 """
+    + ",\n".join(
+        f"    SUM(CASE WHEN substr(hx, {p + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{p}"
+        for p in range(16)
+    )
+    + """
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST("""
+    + " + ".join(
+        f"(CASE WHEN v{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(16)
+    )
+    + """ AS BIGINT) AS simhash16
+FROM votes
+"""
+)
 
 
 @register("text_dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("llm", "dedup"))
 def text_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash: each distinct token votes ±1 per bit position
-    (bit = high bit of the first hex char of md5(bit:token) — a
-    portable 1-bit hash), signature bit set on positive majority.
+    """16-bit SimHash, the standard single-hash formulation: each
+    distinct token is hashed ONCE (md5), bit p of the signature takes
+    a ±1 vote from the high bit of hex nibble p, and the signature
+    sets bits with positive majorities. One hash + one aggregation
+    per doc — no bit-dimension row blowup (the previous form
+    cross-joined tokens × 16 bit rows, multiplying the shuffle 16×).
     Near-dup docs differ in few bits; pair search joins on rotated
     signature bands (the standard Hamming-LSH trick) — here the
     signature itself is the checked output."""
@@ -238,39 +252,20 @@ def text_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
-    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        toks.crossJoin(F.broadcast(bits))
-        .select(
-            "doc_id",
-            "bit",
-            F.when(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("bit").cast("string"), F.lit(":"), F.col("token")
-                        )
-                    ),
-                    1,
-                    1,
-                ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-                1,
-            )
-            .otherwise(-1)
-            .alias("v"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("vote"))
+    hashed = toks.select("doc_id", F.md5("token").alias("hx"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("hx", p + 1, 1).isin(*_HI_NIBBLE), 1).otherwise(-1)
+            ).alias(f"v{p}")
+            for p in range(16)
+        ]
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("vote") > 0, F.pow(F.lit(2), F.col("bit")).cast("bigint")
-            ).otherwise(F.lit(0))
-        )
-        .cast("bigint")
-        .alias("simhash16")
-    )
+    sig = None
+    for p in range(16):
+        term = F.when(F.col(f"v{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("bigint").alias("simhash16"))
 
 
 _NGRAM_ORACLE = """
