@@ -307,3 +307,27 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_set("event_type")).cast("bigint").alias("n_types"),
         F.array_contains(arr, "purchase").alias("has_purchase"),
     )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100
+      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+""",
+    tags=("filter", "sample"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language rates (10% of
+    the dominant 'en' stratum, 50% of the rest — the rebalancing move
+    when downsampling an overrepresented language). Same hash-mod
+    mechanism as filter_hash_sample, so membership is stable across
+    engines, runs, and repartitioning."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return docs.filter(bucket % 100 < rate).select("doc_id", "lang", "source")

@@ -387,3 +387,87 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), counts AS (
+  SELECT doc_id, token, COUNT(*) AS c
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+), stats AS (
+  SELECT doc_id,
+    CAST(SUM(c) AS BIGINT) AS n_tokens,
+    COUNT(*) AS n_distinct,
+    MAX(c) AS top_count
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+  round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+  round(CAST(top_count AS DOUBLE) / n_tokens, 6) AS top_token_ratio,
+  CASE WHEN CAST(top_count AS DOUBLE) / n_tokens <= 0.2 THEN 1 ELSE 0 END AS passes_repetition
+FROM stats
+""",
+    tags=("llm", "text"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (the Gopher/C4 repetition filters): per-doc
+    type-token ratio and most-frequent-token share, with the keep/drop
+    gate at 20%. Two hash aggregations — (doc, token) then doc — both
+    with map-side partial combine, so heavy boilerplate tokens never
+    skew a shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    top_ratio = F.col("top_count").cast("double") / F.col("n_tokens")
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(top_ratio, 6).alias("top_token_ratio"),
+        F.when(top_ratio <= 0.2, 1).otherwise(0).cast("int").alias(
+            "passes_repetition"
+        ),
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+SELECT event_id,
+  len(regexp_extract_all(props, '[0-9]+')) AS n_redactions,
+  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_scrubbed
+FROM events
+WHERE props IS NOT NULL
+""",
+    tags=("llm", "text"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing pass: count and replace every digit run in
+    the payload with a placeholder — the same masking shape as the
+    reference's secret-token redaction (kinesis-pay.php:459) applied
+    corpus-wide. Pure regexp expressions, map-only (no shuffle), so it
+    streams at scan speed at any scale."""
+    ev = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    return ev.select(
+        "event_id",
+        F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), 0))
+        .cast("bigint")
+        .alias("n_redactions"),
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("props_scrubbed"),
+    )
