@@ -330,3 +330,41 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.sum("volume").cast("double").alias("revenue"))
     )
+
+
+@register(
+    "subquery_exists",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+""",
+    tags=("integration", "subquery"),
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a quarter with at least one line item
+    shipped after the order date, counted by priority. Written as SQL
+    EXISTS so Catalyst's RewritePredicateSubquery turns the correlated
+    probe into a left-semi join (a different decorrelation rule than
+    the scalar-subquery case in subquery_correlated)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM orders_v o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem_v l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o.o_orderpriority
+        """
+    )

@@ -136,3 +136,10 @@ def test_corpus_filter_single_wide_shuffle(spark):
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange <= 2, f"expected <=2 shuffles, saw {n_exchange}\n{plan[:3000]}"
     assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_exists_subquery_becomes_semi_join(spark):
+    # RewritePredicateSubquery must decorrelate EXISTS into a semi
+    # join — no per-row subquery execution survives in the plan
+    plan = plan_of(spark, "subquery_exists")
+    assert "LeftSemi" in plan or "SemiJoin" in plan.replace(" ", ""), plan[:3000]
