@@ -228,3 +228,66 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mime") == "audio/wav"
     )
     return binary.mapInPandas(audio_window_rms, _RMS_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_side", T.IntegerType()),
+        T.StructField("out_side", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+        T.StructField("mean_px", T.DoubleType()),
+    ]
+)
+
+_OUT_SIDE = 8  # thumbnail side in "pixels"
+
+
+def resize_images(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Image-resize kernel: interpret the payload as a square 8-bit
+    grayscale bitmap (side = floor(sqrt(n_bytes)), tail truncated) and
+    box-filter it down to a fixed _OUT_SIDE x _OUT_SIDE thumbnail via
+    block averaging — the deterministic stand-in for PIL's
+    Image.resize(..., BOX); a real codec swaps in at the marked line
+    without touching the Spark plumbing."""
+    import numpy as np
+
+    for pdf in pdfs:
+        out = {
+            "doc_id": [],
+            "src_side": [],
+            "out_side": [],
+            "pixels": [],
+            "mean_px": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+            side = int(len(raw) ** 0.5)
+            if side < _OUT_SIDE:
+                continue  # too small to thumbnail; a real pipeline routes these aside
+            img = raw[: side * side].reshape(side, side).astype(np.float64)
+            # real codec path: img = np.asarray(Image.open(...).resize(...))
+            crop = side - side % _OUT_SIDE
+            blocks = img[:crop, :crop].reshape(
+                _OUT_SIDE, crop // _OUT_SIDE, _OUT_SIDE, crop // _OUT_SIDE
+            )
+            thumb = blocks.mean(axis=(1, 3))
+            out["doc_id"].append(doc_id)
+            out["src_side"].append(side)
+            out["out_side"].append(_OUT_SIDE)
+            out["pixels"].append(thumb.round().astype(np.uint8).tobytes())
+            out["mean_px"].append(round(float(thumb.mean()), 6))
+        yield pd.DataFrame(out)
+
+
+@register("mm_image_resize", oracle=None, tags=("llm", "multimodal", "udf"))
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail resize over 'image' payloads (image/png rows):
+    mapInPandas box-filter downsample to a fixed 8x8 grid. Rows-only
+    driver check; block-average math recomputed by hand in
+    tests/test_llm.py. Map-only — blobs never shuffle; at scale the
+    kernel is GPU/codec-swappable per Arrow batch."""
+    binary = mm_binary_ingest_impl(spark, sf_dir).filter(
+        F.col("mime") == "image/png"
+    )
+    return binary.mapInPandas(resize_images, _RESIZE_SCHEMA)

@@ -149,3 +149,36 @@ def test_mm_audio_rms_window_math(spark):
     seg = [((b - 128.0) / 128.0) for b in payload[:256]]
     want_rms = round(math.sqrt(sum(x * x for x in seg) / len(seg)), 6)
     assert abs(first.rms - want_rms) < 1e-6
+
+
+def test_image_resize_shapes_and_block_math(spark):
+    """Every thumbnail is exactly 8x8 bytes; spot-check one doc's
+    block-average against a direct numpy recomputation of the same
+    definition (square crop, box filter, round)."""
+    import numpy as np
+
+    from am_kinesis_pay_spark.llm.multimodal import _OUT_SIDE
+    from am_kinesis_pay_spark.tables import load
+
+    rows = queries()["mm_image_resize"](spark, SF_DIR).collect()
+    assert rows, "no image rows resized"
+    for r in rows:
+        assert r.out_side == _OUT_SIDE
+        assert len(r.pixels) == _OUT_SIDE * _OUT_SIDE
+        assert r.src_side >= _OUT_SIDE
+        assert 0.0 <= r.mean_px <= 255.0
+
+    docs = {
+        d.doc_id: d.text
+        for d in load(spark, SF_DIR, "documents").collect()
+    }
+    r0 = min(rows, key=lambda r: r.doc_id)
+    raw = np.frombuffer(docs[r0.doc_id].encode("utf-8"), dtype=np.uint8)
+    side = int(len(raw) ** 0.5)
+    img = raw[: side * side].reshape(side, side).astype(np.float64)
+    crop = side - side % _OUT_SIDE
+    blocks = img[:crop, :crop].reshape(
+        _OUT_SIDE, crop // _OUT_SIDE, _OUT_SIDE, crop // _OUT_SIDE
+    )
+    want = blocks.mean(axis=(1, 3)).round().astype(np.uint8).tobytes()
+    assert bytes(r0.pixels) == want
