@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from am_kinesis_pay_spark.registry import queries
 
 from tests.conftest import SF_DIR
@@ -143,3 +145,45 @@ def test_exists_subquery_becomes_semi_join(spark):
     # join — no per-row subquery execution survives in the plan
     plan = plan_of(spark, "subquery_exists")
     assert "LeftSemi" in plan or "SemiJoin" in plan.replace(" ", ""), plan[:3000]
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """SCALE.md's layout claim, demonstrated: lineitem and orders
+    written bucketed+sorted by the join key make the fact-fact join
+    read-local — the SMJ consumes bucket files directly, no Exchange
+    anywhere in the plan."""
+    from am_kinesis_pay_spark.tables import load
+    from tests.conftest import SF_DIR as _SF
+
+    n_buckets = 8
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        (
+            load(spark, _SF, tbl)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / tbl))
+            .mode("overwrite")
+            .saveAsTable(f"{tbl}_bucketed")
+        )
+    try:
+        j = (
+            spark.table("lineitem_bucketed")
+            .hint("merge")
+            .join(
+                spark.table("orders_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan, plan[:3000]
+        # the join itself must be exchange-free; only the final
+        # aggregation may shuffle (on the tiny grouped output)
+        assert "Exchange" not in join_section, join_section[:3000]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
