@@ -322,3 +322,33 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("other_value"),
     )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+SELECT l_returnflag,
+  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+  round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+  round(stddev_samp(l_discount), 6) AS discount_stddev,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates — correlation, sample covariance, and
+    sample stddev per group (the profiling pass a feature-engineering
+    pipeline runs before normalization). All are single-pass
+    partial-aggregable moments, so they scale exactly like sum/avg;
+    outputs rounded to absorb accumulation-order ulps between engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("discount_stddev"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
