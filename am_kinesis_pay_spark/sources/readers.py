@@ -112,3 +112,49 @@ def lookup_by_secure_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") == 42)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     )
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+  round(CAST(o_totalprice AS DECIMAL(18,2)), 2)::DOUBLE AS o_totalprice
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+    tags=("source", "csv"),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source surfaced end-to-end: a filtered orders slice written
+    as headered CSV and read back through the schema'd CSV reader
+    (never inferSchema — at 100 TB schema inference means a second full
+    scan). Price goes through DECIMAL(18,2) so the text roundtrip is
+    exact."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("o_totalprice"),
+        )
+    )
+    out = os.path.join(tempfile.gettempdir(), "akps_csv_source")
+    o.write.mode("overwrite").option("header", "true").csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    return read_csv(spark, out, schema)
