@@ -471,3 +471,56 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_redactions"),
         F.regexp_replace("props", "[0-9]+", "<NUM>").alias("props_scrubbed"),
     )
+
+
+_RK_WINDOW = 16  # bytes per window
+_RK_BASE = 257
+_RK_MOD = (1 << 31) - 1  # Mersenne prime; keeps products inside int64
+
+
+@register("text_rolling_hash", oracle=None, tags=("llm", "text", "udf"))
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin rolling-hash fingerprint: hash every 16-byte window
+    of the document under the polynomial hash sum(byte_j * B^(W-1-j))
+    mod M, then keep the winnowing summary (min hash + distinct-window
+    count). The kernel evaluates all windows as one numpy
+    sliding-window matrix product per doc — bit-identical to the
+    sequential rolling recurrence h' = (h - out*B^(W-1))*B + in mod M,
+    which tests/test_llm.py re-derives by hand. Rows-only driver check
+    (no SQL engine expresses the windowed polynomial portably)."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_windows", T.LongType()),
+            T.StructField("min_hash", T.LongType()),
+            T.StructField("n_distinct", T.LongType()),
+        ]
+    )
+    powers = np.array(
+        [pow(_RK_BASE, _RK_WINDOW - 1 - j, _RK_MOD) for j in range(_RK_WINDOW)],
+        dtype=np.int64,
+    )
+
+    def rolling(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            out = {"doc_id": [], "n_windows": [], "min_hash": [], "n_distinct": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if len(raw) < _RK_WINDOW:
+                    continue
+                wins = sliding_window_view(raw, _RK_WINDOW).astype(np.int64)
+                hashes = (wins @ powers) % _RK_MOD
+                out["doc_id"].append(doc_id)
+                out["n_windows"].append(len(hashes))
+                out["min_hash"].append(int(hashes.min()))
+                out["n_distinct"].append(int(np.unique(hashes).size))
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(rolling, out_schema)

@@ -182,3 +182,32 @@ def test_image_resize_shapes_and_block_math(spark):
     )
     want = blocks.mean(axis=(1, 3)).round().astype(np.uint8).tobytes()
     assert bytes(r0.pixels) == want
+
+
+def test_rolling_hash_matches_sequential_recurrence(spark):
+    """The vectorized window-matrix hashes must equal the canonical
+    Karp-Rabin rolling recurrence h' = (h - out*B^(W-1))*B + in mod M,
+    re-derived here character by character for one document."""
+    from am_kinesis_pay_spark.llm.text import _RK_BASE, _RK_MOD, _RK_WINDOW
+    from am_kinesis_pay_spark.tables import load
+
+    rows = queries()["text_rolling_hash"](spark, SF_DIR).collect()
+    assert rows
+    by_id = {r.doc_id: r for r in rows}
+    doc = min(
+        (d for d in load(spark, SF_DIR, "documents").collect() if d.doc_id in by_id),
+        key=lambda d: d.doc_id,
+    )
+    raw = doc.text.encode("utf-8")
+    lead = pow(_RK_BASE, _RK_WINDOW - 1, _RK_MOD)
+    h = 0
+    for b in raw[:_RK_WINDOW]:
+        h = (h * _RK_BASE + b) % _RK_MOD
+    hashes = [h]
+    for i in range(len(raw) - _RK_WINDOW):
+        h = ((h - raw[i] * lead) * _RK_BASE + raw[i + _RK_WINDOW]) % _RK_MOD
+        hashes.append(h)
+    got = by_id[doc.doc_id]
+    assert got.n_windows == len(hashes)
+    assert got.min_hash == min(hashes)
+    assert got.n_distinct == len(set(hashes))
