@@ -66,3 +66,30 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "sort_global",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'F'
+ORDER BY o_totalprice DESC, o_orderkey
+""",
+    tags=("sort",),
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 [DRV]: full global ORDER BY (no LIMIT) — plans as a
+    range-partitioned total sort: Spark samples the sort key to build
+    range bounds, each partition sorts locally, partitions concatenate
+    in order. The scalable total-order path (contrast sort_limit's
+    TakeOrderedAndProject, which is top-k only). The driver's
+    value-hash is order-insensitive, so the ordering property itself
+    is pinned by the RangePartitioning plan assertion in
+    tests/test_plans.py."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )

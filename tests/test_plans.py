@@ -187,3 +187,10 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    # a total sort must sample-and-range-partition, not single-task sort
+    plan = plan_of(spark, "sort_global")
+    assert "rangepartitioning" in plan.lower(), plan[:3000]
+    assert "TakeOrderedAndProject" not in plan
