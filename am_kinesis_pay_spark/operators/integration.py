@@ -368,3 +368,91 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o.o_orderpriority
         """
     )
+
+
+@register(
+    "q_priority_shipping",
+    oracle="""
+SELECT l.l_linestatus,
+  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS high_priority_lines,
+  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS low_priority_lines
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+""",
+    tags=("integration",),
+)
+def q_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact⋈fact join feeding a conditional CASE
+    aggregation (urgent vs non-urgent line counts per linestatus) —
+    the shipdate filter pushes to the lineitem scan, the CASE folds
+    into the map-side partial aggregate, and the final shuffle carries
+    only 2 groups."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_lines"),
+        )
+    )
+
+
+@register(
+    "q_disjunctive_revenue",
+    oracle="""
+SELECT
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 40 AND l.l_quantity BETWEEN 20 AND 50)
+""",
+    tags=("integration",),
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: broadcast part⋈lineitem with a 3-way
+    disjunction of (brand, size-band, quantity-band) clauses. The
+    brand/size legs are part-only, so Catalyst derives a pushable
+    part-side filter from the OR (partial predicate extraction) while
+    the mixed-table residual evaluates post-join; the join stays a
+    broadcast hash join on the equi key."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(20, 40)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("double")
+    return j.filter(clause).agg(
+        revenue.alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
