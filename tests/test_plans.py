@@ -194,3 +194,14 @@ def test_global_sort_uses_range_partitioning(spark):
     plan = plan_of(spark, "sort_global")
     assert "rangepartitioning" in plan.lower(), plan[:3000]
     assert "TakeOrderedAndProject" not in plan
+
+
+def test_disjunctive_join_extracts_both_side_filters(spark):
+    # from the OR-of-conjunctions, Catalyst must derive a part-only
+    # filter (brand/size) AND a lineitem-only filter (quantity bands)
+    # and push BOTH to their scans
+    plan = plan_of(spark, "q_disjunctive_revenue")
+    pushed = re.findall(r"PushedFilters: \[(.*?)\]", plan, re.S)
+    assert any("p_brand" in f for f in pushed), plan[:3000]
+    assert any("l_quantity" in f for f in pushed), plan[:3000]
+    assert "BroadcastHashJoin" in plan
