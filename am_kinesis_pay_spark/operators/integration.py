@@ -456,3 +456,75 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(clause).agg(
         revenue.alias("revenue"), F.count(F.lit(1)).alias("n_lines")
     )
+
+
+@register(
+    "q_customer_distribution",
+    oracle="""
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY n_orders
+""",
+    tags=("integration",),
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count histogram over a LEFT join with an
+    ON-clause filter (not WHERE — customers with zero qualifying orders
+    must survive as n_orders = 0, which COUNT(o_orderkey) encodes by
+    not counting NULLs). Two aggregations: per-customer (shuffles on
+    custkey), then the tiny histogram."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "q_small_quantity_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+""",
+    tags=("integration", "subquery"),
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders below 20% of the part's
+    average quantity — a correlated scalar AGGREGATE subquery in the
+    predicate. Catalyst decorrelates it into a per-part average
+    aggregate joined back on partkey; the brand filter broadcasts."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v17")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_v17")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7 AS avg_yearly
+        FROM lineitem_v17 l
+        JOIN part_v17 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity)
+            FROM lineitem_v17 l2
+            WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )
