@@ -528,3 +528,47 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           )
         """
     )
+
+
+@register(
+    "q_dormant_balances",
+    oracle="""
+WITH positive_avg AS (
+  SELECT AVG(c_acctbal) AS v FROM customer WHERE c_acctbal > 0.0
+)
+SELECT substr(c.c_name, 10, 2) AS cust_bucket,
+  COUNT(*) AS n_custs,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c, positive_avg
+WHERE c.c_acctbal > positive_avg.v
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+  )
+GROUP BY substr(c.c_name, 10, 2)
+""",
+    tags=("integration", "subquery"),
+)
+def q_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with NO orders,
+    bucketed by a name substring — an uncorrelated scalar subquery
+    (broadcast single-row cross join) composed with a NOT EXISTS
+    anti-join and a post-anti aggregation. Exercises Catalyst's
+    anti-join rewrite and scalar-subquery broadcast together."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v22")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v22")
+    return spark.sql(
+        """
+        WITH positive_avg AS (
+          SELECT AVG(c_acctbal) AS v FROM customer_v22 WHERE c_acctbal > 0.0
+        )
+        SELECT substr(c.c_name, 10, 2) AS cust_bucket,
+          COUNT(*) AS n_custs,
+          CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer_v22 c, positive_avg
+        WHERE c.c_acctbal > positive_avg.v
+          AND NOT EXISTS (
+            SELECT 1 FROM orders_v22 o WHERE o.o_custkey = c.c_custkey
+          )
+        GROUP BY substr(c.c_name, 10, 2)
+        """
+    )

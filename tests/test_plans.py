@@ -205,3 +205,10 @@ def test_disjunctive_join_extracts_both_side_filters(spark):
     assert any("p_brand" in f for f in pushed), plan[:3000]
     assert any("l_quantity" in f for f in pushed), plan[:3000]
     assert "BroadcastHashJoin" in plan
+
+
+def test_dormant_balances_uses_anti_join(spark):
+    # NOT EXISTS must rewrite to a left-anti join; the scalar avg
+    # subquery must not appear as a per-row subquery
+    plan = plan_of(spark, "q_dormant_balances")
+    assert "LeftAnti" in plan, plan[:3000]
