@@ -572,3 +572,88 @@ def q_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY substr(c.c_name, 10, 2)
         """
     )
+
+
+@register(
+    "q_important_parts",
+    oracle="""
+WITH part_value AS (
+  SELECT l_partkey,
+    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+FROM part_value
+WHERE value > (
+  SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 0.0005
+  FROM lineitem
+)
+""",
+    tags=("integration", "subquery"),
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value filtered against a
+    fraction of the GLOBAL total — a HAVING predicate over an
+    uncorrelated scalar aggregate subquery. Both aggregates compute in
+    exact DECIMAL (one grouped pass + one global pass over the same
+    scan), so the threshold comparison is engine-identical."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v11")
+    return spark.sql(
+        """
+        WITH part_value AS (
+          SELECT l_partkey,
+            SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+          FROM lineitem_v11 GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+        FROM part_value
+        WHERE value > (
+          SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 0.0005
+          FROM lineitem_v11
+        )
+        """
+    )
+
+
+@register(
+    "q_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON r.l_suppkey = s.s_suppkey
+WHERE r.total = (SELECT MAX(total) FROM revenue)
+""",
+    tags=("integration", "subquery"),
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum quarterly
+    revenue — argmax over an aggregate via a reused CTE: the revenue
+    aggregation feeds both the join and the scalar MAX subquery.
+    Equality on the exact DECIMAL total (not a rounded double) keeps
+    the argmax tie semantics identical across engines."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v15")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v15")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey,
+            SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total
+          FROM lineitem_v15
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(r.total AS DOUBLE) AS total_revenue
+        FROM supplier_v15 s
+        JOIN revenue r ON r.l_suppkey = s.s_suppkey
+        WHERE r.total = (SELECT MAX(total) FROM revenue)
+        """
+    )
