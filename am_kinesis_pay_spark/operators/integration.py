@@ -657,3 +657,90 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.total = (SELECT MAX(total) FROM revenue)
         """
     )
+
+
+@register(
+    "q_supplier_part_counts",
+    oracle="""
+SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p.p_brand, p.p_type
+""",
+    tags=("integration", "subquery"),
+)
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type)
+    excluding a NOT IN supplier blacklist — NOT IN compiles to a
+    null-aware anti join (stricter than NOT EXISTS: one NULL in the
+    subquery empties the result), composed with negated LIKE pushdown
+    and COUNT(DISTINCT) over a join."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v16")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_v16")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v16")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem_v16 l
+        JOIN part_v16 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#45'
+          AND p.p_type NOT LIKE 'MEDIUM%'
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier_v16 WHERE s_acctbal < 0.0
+          )
+        GROUP BY p.p_brand, p.p_type
+        """
+    )
+
+
+@register(
+    "q_nation_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+  CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+         - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(3,1))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+""",
+    tags=("integration",),
+)
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year over a 5-way
+    join with a substring filter on part names (0.6 x retailprice
+    stands in for the missing ps_supplycost). The LIKE pushes to the
+    part scan, nation broadcasts, and the profit expression stays in
+    exact DECIMAL until the output cast."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        - F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+        * F.lit("0.6").cast("decimal(3,1)")
+    ).cast("double")
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(profit.alias("profit"))
+    )
