@@ -744,3 +744,113 @@ def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(profit.alias("profit"))
     )
+
+
+@register(
+    "q_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+""",
+    tags=("integration",),
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the all-pushdown query — every predicate
+    (date range, discount band, quantity cap) reaches the parquet
+    scan and the single global aggregate needs no grouping shuffle.
+    The what-if revenue delta from removing small discounts."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_market_share",
+    oracle="""
+WITH all_sales AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+    CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
+    n.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM all_sales
+GROUP BY o_year
+""",
+    tags=("integration",),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's purchase volume
+    per year — a 7-way join (nation enters twice: supplier side for the
+    share numerator, customer side routed through region for the
+    market scope) feeding a conditional-sum ratio. Both DECIMAL sums
+    convert to DOUBLE before the division so the ratio is
+    engine-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    sales = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("ns_key"))
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("nc_region"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return sales.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
+                    zero
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
