@@ -854,3 +854,140 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("volume").cast("double")
         ).alias("mkt_share")
     )
+
+
+@register(
+    "q_min_cost_supplier",
+    oracle="""
+SELECT l.l_partkey, s.s_suppkey, s.s_name,
+  round(CAST(MIN(CAST(l.l_extendedprice AS DECIMAL(18,2)) / CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS unit_price
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE l.l_partkey <= 100
+GROUP BY l.l_partkey, s.s_suppkey, s.s_name
+HAVING MIN(CAST(l.l_extendedprice AS DECIMAL(18,2)) / CAST(l.l_quantity AS DECIMAL(18,2))) = (
+  SELECT MIN(CAST(l2.l_extendedprice AS DECIMAL(18,2)) / CAST(l2.l_quantity AS DECIMAL(18,2)))
+  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+""",
+    tags=("integration", "subquery"),
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp adapted to lineitem unit prices): for
+    each part, the supplier(s) whose best unit price equals the
+    part-wide minimum — a correlated scalar MIN subquery against the
+    same table that feeds the outer aggregate. Catalyst decorrelates
+    to a per-part min joined back on partkey; equality compares exact
+    DECIMAL quotients, rounded only at output."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v2")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v2")
+    return spark.sql(
+        """
+        SELECT l.l_partkey, s.s_suppkey, s.s_name,
+          round(CAST(MIN(CAST(l.l_extendedprice AS DECIMAL(18,2)) / CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS unit_price
+        FROM lineitem_v2 l
+        JOIN supplier_v2 s ON s.s_suppkey = l.l_suppkey
+        WHERE l.l_partkey <= 100
+        GROUP BY l.l_partkey, s.s_suppkey, s.s_name
+        HAVING MIN(CAST(l.l_extendedprice AS DECIMAL(18,2)) / CAST(l.l_quantity AS DECIMAL(18,2))) = (
+          SELECT MIN(CAST(l2.l_extendedprice AS DECIMAL(18,2)) / CAST(l2.l_quantity AS DECIMAL(18,2)))
+          FROM lineitem_v2 l2 WHERE l2.l_partkey = l.l_partkey
+        )
+        """
+    )
+
+
+@register(
+    "q_excess_shippers",
+    oracle="""
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+  )
+  GROUP BY l.l_suppkey
+  HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 400
+)
+""",
+    tags=("integration", "subquery"),
+)
+def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than a threshold
+    quantity of red parts — nested IN subqueries (part name filter
+    inside the supplier filter), each rewritten by Catalyst to a
+    semi join; the inner aggregate runs before the outer probe."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v20")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v20")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_v20")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier_v20 s
+        WHERE s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM lineitem_v20 l
+          WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part_v20 WHERE p_name LIKE '%red%'
+          )
+          GROUP BY l.l_suppkey
+          HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 400
+        )
+        """
+    )
+
+
+@register(
+    "q_sole_late_shipper",
+    oracle="""
+SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+""",
+    tags=("integration", "subquery"),
+)
+def q_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (commitdate adapted to a 60-day lateness rule):
+    suppliers who were the ONLY late shipper on finalized multi-supplier
+    orders — an EXISTS (other suppliers participated) composed with a
+    NOT EXISTS (none of them was also late), both correlated on the
+    same fact table: semi join + anti join against lineitem in one
+    plan."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v21")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v21")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v21")
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+        FROM supplier_v21 s
+        JOIN lineitem_v21 l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders_v21 o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem_v21 l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem_v21 l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s.s_name
+        """
+    )
