@@ -212,3 +212,25 @@ def test_dormant_balances_uses_anti_join(spark):
     # subquery must not appear as a per-row subquery
     plan = plan_of(spark, "q_dormant_balances")
     assert "LeftAnti" in plan, plan[:3000]
+
+
+def test_sole_late_shipper_has_semi_and_anti(spark):
+    # EXISTS -> left-semi and NOT EXISTS -> left-anti must both appear,
+    # decorrelated against the same fact table
+    plan = plan_of(spark, "q_sole_late_shipper")
+    assert "LeftSemi" in plan, plan[:3000]
+    assert "LeftAnti" in plan, plan[:3000]
+
+
+def test_excess_shippers_nested_in_becomes_semi_joins(spark):
+    # both IN subqueries (supplier <- lineitem <- part) rewrite to
+    # semi joins; no correlated per-row execution survives
+    plan = plan_of(spark, "q_excess_shippers")
+    assert plan.count("LeftSemi") >= 2, plan[:3000]
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    # nation x2 and region are broadcast; the two fact joins may shuffle
+    plan = plan_of(spark, "q_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+    assert "CartesianProduct" not in plan
