@@ -311,3 +311,41 @@ def stream_state_machine_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decided_at"),
         )
     )
+
+
+@register(
+    "stream_window_percentile",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS window_start,
+  event_type,
+  round(quantile_cont(value, 0.50), 6) AS p50,
+  round(quantile_cont(value, 0.95), 6) AS p95,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "percentile"),
+)
+def stream_window_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] per-window order statistics: median and p95 latency-style
+    values per event type per tumbling day — the SLO-monitoring shape.
+    Batch form uses exact interpolated percentiles (oracle-checked);
+    the incremental counterpart swaps in percentile_approx, whose
+    KLL-style sketch is mergeable and therefore valid inside a
+    streaming state store where a full per-window sort is not."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "p50",
+            "p95",
+            "n_events",
+        )
+    )
