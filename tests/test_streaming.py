@@ -375,3 +375,33 @@ def test_streaming_seq_counter_equals_batch_row_number(spark, stream_dir):
     got_rows = sorted((r.user_id, r.event_id, r.poll_seq) for r in got.collect())
     want_rows = sorted((r.user_id, r.event_id, r.poll_seq) for r in want.collect())
     assert got_rows == want_rows
+
+
+def test_stream_window_percentile_sketch_equals_batch_sketch(spark, stream_dir):
+    """The mergeable percentile_approx sketch must give the SAME answer
+    incrementally (partial sketches merged across micro-batches) as in
+    one batch pass — the property that makes it state-store safe. The
+    exact-percentile batch form (stream_window_percentile) is the
+    oracle-checked reference; this pins its streaming substitute."""
+    from am_kinesis_pay_spark.tables import load
+
+    agg = lambda df: (
+        df.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.expr("percentile_approx(value, 0.5, 1000)").alias("p50_sketch"),
+            F.expr("percentile_approx(value, 0.95, 1000)").alias("p95_sketch"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "p50_sketch",
+            "p95_sketch",
+        )
+    )
+    got = run_to_completion(
+        agg(events_stream(spark, stream_dir)),
+        f"pct_{uuid.uuid4().hex[:6]}",
+        "complete",
+    )
+    want = agg(load(spark, SF_DIR, "events"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
