@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Reproduce the SCALE.md 10x stress runs.
+
+Builds scaled copies of the sf0.1 fixtures under /tmp (documents 10x
+with offset doc_ids, or lineitem+orders 10x with offset orderkeys) and
+times a set of registered queries against them with the noop sink.
+
+Usage:
+    python tools/stress.py docs    # 50k documents  (dedup/text stress)
+    python tools/stress.py facts   # 6M lineitem    (join stress)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+DOCS_QUERIES = [
+    "text_dedup_minhash", "text_dedup_simhash", "text_dedup_clusters",
+    "pipeline_corpus_filter", "text_repetition_ratio", "text_rolling_hash",
+]
+FACTS_QUERIES = [
+    "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
+    "q_market_share", "q_nation_profit", "q_sole_late_shipper",
+    "sort_global", "q_forecast_revenue",
+]
+
+
+def build(mode: str) -> str:
+    import duckdb
+
+    out = f"/tmp/stress10_{mode}"
+    os.makedirs(out, exist_ok=True)
+    marker = "documents.parquet" if mode == "docs" else "lineitem.parquet"
+    if not os.path.exists(os.path.join(out, marker)):
+        con = duckdb.connect()
+        scaled = set()
+        if mode == "docs":
+            con.execute(f"""
+              COPY (SELECT doc_id + 100000 * r AS doc_id, text, lang, source, n_chars
+                    FROM '{BASE}/documents.parquet', generate_series(0, 9) g(r))
+              TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+            scaled = {"documents"}
+        else:
+            con.execute(f"""
+              COPY (SELECT l_orderkey + 10000000 * r AS l_orderkey, l_partkey,
+                           l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+                    FROM '{BASE}/lineitem.parquet', generate_series(0, 9) g(r))
+              TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+            con.execute(f"""
+              COPY (SELECT o_orderkey + 10000000 * r AS o_orderkey, o_custkey,
+                           o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+                    FROM '{BASE}/orders.parquet', generate_series(0, 9) g(r))
+              TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+            scaled = {"lineitem", "orders"}
+        for t in ALL_TABLES:
+            if t not in scaled:
+                shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "facts"
+    assert mode in ("docs", "facts"), "mode must be 'docs' or 'facts'"
+    sf_dir = build(mode)
+
+    from am_kinesis_pay_spark.registry import queries
+    from am_kinesis_pay_spark.session import get_session
+
+    spark = get_session(f"stress_{mode}")
+    qs = queries()
+    qs["agg_status_counts"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    names = DOCS_QUERIES if mode == "docs" else FACTS_QUERIES
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        print(f"{time.perf_counter() - t0:7.2f}  {name}")
+
+
+if __name__ == "__main__":
+    main()
