@@ -1,0 +1,204 @@
+"""Corpus-curation operators for training-data pipelines
+(BASELINE.json north-star; complements llm/text.py and llm/dedup.py):
+benchmark decontamination, sliding-window chunking, and target-mixture
+domain sampling.
+
+All three are pure built-in expressions (split / transform / explode /
+window) — no Python in any hot path — and each ships an exact DuckDB
+oracle. Generalizes the reference's record-hygiene behaviors
+(dedup-by-key kinesis-pay.php:515-518, sampling kinesis-pay.php:302-304)
+to corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from am_kinesis_pay_spark.registry import register
+from am_kinesis_pay_spark.tables import load
+
+# Decontamination n-gram width. 13 is the published standard (GPT-3
+# appendix C / PaLM); the synthetic docs are short word soup, so 5 keeps
+# enough grams per doc for the check to be meaningful at sf0.001.
+_DECON_N = 5
+# Deterministic "held-out benchmark" membership: doc_id % 97 == 0.
+_BENCH_MOD = 97
+
+# Sliding chunker: 32-token windows, stride 24 (25% overlap) — the
+# sequence-packing precursor. Every token lands in >= 1 chunk.
+_CHUNK = 32
+_STRIDE = 24
+
+# Target corpus mixture (domain re-balancing): weight * budget docs per
+# language, chosen by a deterministic hash order so reruns are stable.
+_MIX_BUDGET = 200
+_MIX_QUOTA = {"en": 80, "de": 40, "es": 30, "fr": 30, "zh": 20}
+
+
+def _gram5(i):
+    """md5 of the 5-token shingle starting at 0-based offset i."""
+    return F.md5(
+        F.concat_ws(
+            " ", *[F.element_at("t", i + k) for k in range(1, _DECON_N + 1)]
+        )
+    )
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, md5(concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4], t[i+5])) AS g
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - {_DECON_N - 1})) AS i
+        FROM toks WHERE len(t) >= {_DECON_N})
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+), train AS (
+  SELECT * FROM grams WHERE doc_id % {_BENCH_MOD} <> 0
+)
+SELECT train.doc_id,
+  COUNT(*) AS n_grams,
+  CAST(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+  CAST(CASE WHEN SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+       THEN 1 ELSE 0 END AS INT) AS is_contaminated
+FROM train LEFT JOIN bench ON train.g = bench.g
+GROUP BY train.doc_id
+""",
+    tags=("llm", "curation"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram overlap check):
+    flag every training doc sharing any 5-gram with the held-out
+    benchmark slice. Grams are md5'd so the join key is a fixed-width
+    hash, not the raw text — the benchmark gram set is tiny relative to
+    the corpus and is broadcast, so the training side never shuffles;
+    the whole check is scan + map + broadcast-probe + one aggregation
+    at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _DECON_N
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), F.size("t") - _DECON_N), _gram5)
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    hits = train.join(F.broadcast(bench), "g", "left")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias(
+            "n_contaminated"
+        ),
+        F.when(F.sum(F.coalesce(F.col("hit"), F.lit(0))) > 0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_contaminated"),
+    )
+
+
+@register(
+    "text_chunk_sliding",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), starts AS (
+  SELECT doc_id, t,
+    unnest(range(0, greatest(CAST(ceil((len(t) - {_CHUNK}) / {_STRIDE}.0) AS BIGINT) * {_STRIDE}, 0) + 1, {_STRIDE})) AS s
+  FROM toks
+)
+SELECT doc_id,
+  CAST(s // {_STRIDE} AS INT) AS chunk_idx,
+  CAST(s AS BIGINT) AS start_token,
+  CAST(least({_CHUNK}, len(t) - s) AS BIGINT) AS n_chunk_tokens,
+  array_to_string(t[s+1:s+{_CHUNK}], ' ') AS chunk_text
+FROM starts
+""",
+    tags=("llm", "curation"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (training-sequence preparation): split
+    each document into 32-token windows at stride 24; the last window
+    start is pulled back so every token is covered. One generator
+    expression per row — map-only, no shuffle, so chunking streams at
+    scan speed regardless of corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    last_start = F.greatest(
+        F.ceil((F.size("t") - _CHUNK) / F.lit(_STRIDE)).cast("long") * _STRIDE,
+        F.lit(0).cast("long"),
+    )
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), last_start, F.lit(_STRIDE).cast("long"))
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("s") / _STRIDE).cast("int").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_token"),
+        F.least(F.lit(_CHUNK).cast("long"), F.size("t") - F.col("s"))
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.array_join(F.slice("t", (F.col("s") + 1).cast("int"), _CHUNK), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+@register(
+    "sample_mixture",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS INT) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, sample_rank
+FROM ranked
+WHERE sample_rank <= CASE lang
+  WHEN 'en' THEN {_MIX_QUOTA["en"]} WHEN 'de' THEN {_MIX_QUOTA["de"]}
+  WHEN 'es' THEN {_MIX_QUOTA["es"]} WHEN 'fr' THEN {_MIX_QUOTA["fr"]}
+  WHEN 'zh' THEN {_MIX_QUOTA["zh"]} ELSE 0 END
+""",
+    tags=("llm", "curation"),
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture sampling (domain re-balancing for a training mix):
+    draw a per-language quota (weight x budget docs) in deterministic
+    md5-of-id order — a seedable shuffle both engines compute
+    identically. One window shuffle on lang; at 100 TB replace
+    row_number with the per-partition-quota trick (sum counts per lang,
+    then hash-threshold at quota/count) to avoid ranking every row —
+    the quota semantics stay identical."""
+    docs = load(spark, sf_dir, "documents")
+    rank = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    quota_col = (
+        F.when(F.col("lang") == "en", _MIX_QUOTA["en"])
+        .when(F.col("lang") == "de", _MIX_QUOTA["de"])
+        .when(F.col("lang") == "es", _MIX_QUOTA["es"])
+        .when(F.col("lang") == "fr", _MIX_QUOTA["fr"])
+        .when(F.col("lang") == "zh", _MIX_QUOTA["zh"])
+        .otherwise(0)
+    )
+    return (
+        docs.select("doc_id", "lang", rank.alias("sample_rank"))
+        .filter(F.col("sample_rank") <= quota_col)
+    )
