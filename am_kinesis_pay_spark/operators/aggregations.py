@@ -352,3 +352,51 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_discount"), 6).alias("discount_stddev"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "agg_time_rollup",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS s,
+    MIN(value) AS mn, MAX(value) AS mx
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('week', day) AS DATE) AS week_start, event_type,
+  CAST(SUM(n) AS BIGINT) AS n_events,
+  CAST(SUM(s) AS DOUBLE) AS sum_value,
+  MIN(mn) AS min_value,
+  MAX(mx) AS max_value,
+  CAST(SUM(s) AS DOUBLE) / SUM(n) AS avg_value
+FROM daily GROUP BY 1, 2
+""",
+    tags=("agg", "rollup"),
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time-bucket rollup (the hypertable/continuous-
+    aggregate pattern): daily partials per event_type, then the weekly
+    level recomputed FROM the daily partials — sum-of-sums,
+    sum-of-counts, min-of-mins — never from raw rows. This is the
+    mergeability property that makes downsampled retention cheap at
+    100 TB: the weekly (and monthly, ...) levels read the tiny daily
+    aggregate, not the fact table, and every aggregate here is
+    decomposable so partial aggregation applies at both levels."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return daily.groupBy(
+        F.to_date(F.date_trunc("week", "day")).alias("week_start"), "event_type"
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("s").cast("double").alias("sum_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+        (F.sum("s").cast("double") / F.sum("n")).alias("avg_value"),
+    )

@@ -991,3 +991,71 @@ def q_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.s_name
         """
     )
+
+
+@register(
+    "events_funnel_ordered",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT
+  (SELECT COUNT(*) FROM s1) AS n_viewed,
+  (SELECT COUNT(*) FROM s2) AS n_clicked_after,
+  (SELECT COUNT(*) FROM s3) AS n_purchased_after,
+  CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+    / (SELECT COUNT(*) FROM s1) AS full_conversion_rate
+""",
+    tags=("integration", "funnel"),
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase, each step
+    strictly after the previous one's first occurrence) — the classic
+    product-analytics windowFunnel. Each stage is one filtered
+    aggregation joined to the previous stage's (user, first-ts) — three
+    small hash aggregations keyed by user_id; the per-stage frontier is
+    one row per user, so stage state stays tiny however large the raw
+    event volume is, and every join key is the same user_id so one
+    repartition is reused across stages."""
+    ev = load(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_viewed"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_clicked_after"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_purchased_after"))
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(c3)
+        .withColumn(
+            "full_conversion_rate",
+            F.col("n_purchased_after").cast("double") / F.col("n_viewed"),
+        )
+    )

@@ -158,3 +158,31 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return read_csv(spark, out, schema)
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_orderkey % 500 = 0
+""",
+    tags=("source", "orc"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source surfaced end-to-end: a lineitem slice written as ORC
+    and read back through the vectorized ORC reader. Same columnar
+    pushdown/pruning properties as parquet (both go through the
+    FileSourceScanExec path) — the format choice is a storage-layout
+    decision, not a query-semantics one."""
+    import os
+    import tempfile
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 500 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+    out = os.path.join(tempfile.gettempdir(), "akps_orc_source")
+    li.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

@@ -102,3 +102,40 @@ def sink_kv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_origin", F.lit("kept")
     )
     return kept.unionByName(updates.withColumn("row_origin", F.lit("updated")))
+
+
+@register(
+    "sink_partitioned_write",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date, event_id,
+  user_id, event_type
+FROM events
+WHERE CAST(date_trunc('day', ts) AS DATE)
+      BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+""",
+    tags=("sink", "layout"),
+)
+def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB layout contract made executable: write events
+    partitioned by event date (the SCALE.md layout for the stream
+    history), read back with a date-range predicate. The read plans
+    with PartitionFilters — only the three matching date directories
+    are listed and scanned, which is the partition-pruning behavior
+    that keeps time-bounded queries O(days touched) instead of O(table)
+    at scale. tests/test_plans.py pins the pruned-scan shape."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date(F.date_trunc("day", "ts"))
+    )
+    out = os.path.join(tempfile.gettempdir(), "akps_partitioned_events")
+    ev.select("event_id", "user_id", "event_type", "event_date").write.mode(
+        "overwrite"
+    ).partitionBy("event_date").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(
+            F.col("event_date").between(
+                F.lit("2024-01-10").cast("date"), F.lit("2024-01-12").cast("date")
+            )
+        )
+        .select("event_date", "event_id", "user_id", "event_type")
+    )

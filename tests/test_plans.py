@@ -234,3 +234,30 @@ def test_market_share_broadcasts_all_dims(spark):
     plan = plan_of(spark, "q_market_share")
     assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    # sink_partitioned_write reads back a date-partitioned layout with a
+    # 3-day predicate: the filter must land in PartitionFilters (file
+    # listing prunes to 3 directories), not in the row-level data filter
+    plan = plan_of(spark, "sink_partitioned_write")
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "event_date" in m.group(1), plan[:3000]
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    # the benchmark gram set is tiny relative to the training corpus —
+    # the contamination probe must be a broadcast join, never a
+    # shuffled join of the full training gram stream
+    plan = plan_of(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_time_rollup_reaggregates_partials(spark):
+    # two levels of hash aggregation (daily, then weekly from daily
+    # partials) — four HashAggregate nodes total (partial+final each),
+    # and only the events scan feeds them (no join, no extra shuffle)
+    plan = plan_of(spark, "agg_time_rollup")
+    assert plan.count("HashAggregate") >= 4, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
