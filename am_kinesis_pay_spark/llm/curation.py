@@ -202,3 +202,58 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", rank.alias("sample_rank"))
         .filter(F.col("sample_rank") <= quota_col)
     )
+
+
+_PACK_BUDGET = 512  # tokens per training sequence (pack bin)
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, source,
+    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cum_tokens
+  FROM sized
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST((cum_tokens - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+  CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM packed
+""",
+    tags=("llm", "curation"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (training-batch assembly): stream documents in
+    deterministic order within each source shard and assign each to a
+    pack by its running token count — the window-sum formulation of
+    greedy packing, which is how packing actually runs at scale
+    (sequential within a shard, parallel across shards; a global greedy
+    pack would serialize the corpus). One window shuffle partitioned by
+    source — no global ordering anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    packed = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return packed.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / _PACK_BUDGET)
+        .cast("bigint")
+        .alias("pack_id"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+    )

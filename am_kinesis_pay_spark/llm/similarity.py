@@ -425,3 +425,91 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+@register("emb_label_centroids", oracle=None, tags=("llm", "vector"))
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the building block
+    for class prototypes, cluster seeding, and drift monitoring.
+    posexplode → per-(label, dim) mean → re-assemble the vector with an
+    order-preserving sort — fully distributed (no collect), one shuffle
+    keyed by (label, dim) so the reduce side has label_count × dim
+    cells regardless of corpus size. Rows-only driver check: cross-row
+    float means are accumulation-order dependent, so exact SQL-oracle
+    hashing is impossible by construction; numeric parity vs numpy is
+    pinned in tests/test_llm.py instead."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    per_dim = ex.groupBy("label", "pos").agg(
+        F.avg(F.col("x").cast("double")).alias("m"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("c").cast("bigint").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid"),
+    )
+
+
+_KMEANS_K = 10
+_KMEANS_ITERS = 2
+
+
+def _sq_dist(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register("emb_kmeans", oracle=None, tags=("llm", "vector", "iterative"))
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (2 Lloyd iterations, deterministic seeds =
+    vec_id < k) — the iterative-algorithm representative: per
+    iteration, broadcast the k×dim centroid table, assign each vector
+    to its nearest centroid with an argmin over a broadcast join
+    (never a shuffle of the corpus side), then recompute centroids by
+    per-(cluster, dim) mean. Driver state is k vectors per iteration —
+    independent of corpus size — which is exactly how MLlib's KMeans
+    structures the loop. Output: per-cluster size + within-cluster
+    inertia. Rows-only (iterative float means are not SQL-expressible);
+    tests/test_llm.py pins seeds→assignment determinism and that
+    inertia is non-increasing across the iterations."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = (
+        emb.filter(F.col("vec_id") < _KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    assigned = None
+    for _ in range(_KMEANS_ITERS):
+        pairs = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "embedding",
+            "cid",
+            _sq_dist("embedding", "ce").alias("d"),
+        )
+        assigned = pairs.groupBy("vec_id", "embedding").agg(
+            F.min(F.struct("d", "cid")).alias("best")
+        ).select(
+            "vec_id", "embedding", F.col("best.cid").alias("cid"), F.col("best.d").alias("d")
+        )
+        per_dim = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        )
+        cent = per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"].cast("float"),
+            ).alias("ce")
+        )
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(F.sum("d"), 6).alias("inertia"),
+    )

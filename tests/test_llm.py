@@ -211,3 +211,58 @@ def test_rolling_hash_matches_sequential_recurrence(spark):
     assert got.n_windows == len(hashes)
     assert got.min_hash == min(hashes)
     assert got.n_distinct == len(set(hashes))
+
+
+def test_label_centroids_match_numpy(spark):
+    import numpy as np
+
+    from am_kinesis_pay_spark.tables import load
+
+    rows = queries()["emb_label_centroids"](spark, SF_DIR).collect()
+    raw = load(spark, SF_DIR, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in raw:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    assert len(rows) == len(by_label)
+    for r in rows:
+        expect = np.mean(np.stack(by_label[r.label]), axis=0)
+        assert r.n_vecs == len(by_label[r.label])
+        assert np.allclose(np.array(r.centroid), expect, atol=1e-9)
+
+
+def test_kmeans_deterministic_and_inertia_decreases(spark):
+    import numpy as np
+
+    from am_kinesis_pay_spark.llm.similarity import _KMEANS_K
+    from am_kinesis_pay_spark.tables import load
+
+    rows = queries()["emb_kmeans"](spark, SF_DIR).collect()
+    # every cluster id is one of the k seeds; membership covers the corpus
+    assert all(0 <= r.cid < _KMEANS_K for r in rows)
+    n_total = load(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_total
+    assert all(r.inertia >= 0 for r in rows)
+
+    # re-derive iteration 1 by hand: assignment to the seed vectors,
+    # then per-cluster means; iteration-2 inertia (what the query
+    # reports) must not exceed iteration-1 inertia (Lloyd monotonicity)
+    raw = load(spark, SF_DIR, "embeddings").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in raw}
+    seeds = np.stack([vecs[i] for i in range(_KMEANS_K)])
+    X = np.stack([vecs[k] for k in sorted(vecs)])
+    d1 = ((X[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    inertia1 = d1.min(axis=1).sum()
+    assign1 = d1.argmin(axis=1)
+    cents = np.stack(
+        [
+            X[assign1 == c].mean(axis=0).astype(np.float32).astype(np.float64)
+            if (assign1 == c).any()
+            else seeds[c]
+            for c in range(_KMEANS_K)
+        ]
+    )
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    inertia2 = d2.min(axis=1).sum()
+    reported = sum(r.inertia for r in rows)
+    assert reported <= inertia1 + 1e-6
+    assert abs(reported - inertia2) < 1e-3
