@@ -257,3 +257,111 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pack_id"),
         F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
     )
+
+
+_RAG_QUERIES = 10
+_RAG_TOPK = 3
+
+
+@register(
+    "pipeline_retrieval_corpus",
+    oracle=f"""
+WITH cand AS (
+  SELECT d.doc_id, d.lang, e.embedding,
+    ROW_NUMBER() OVER (
+      PARTITION BY md5(lower(trim(d.text))) ORDER BY d.doc_id
+    ) AS rn,
+    length(d.text) - length(replace(d.text, ' ', '')) + 1 AS n_tokens,
+    CAST(length(d.text) AS DOUBLE)
+      / (length(d.text) - length(replace(d.text, ' ', '')) + 1) AS avg_token_len
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), kept AS (
+  SELECT doc_id, lang, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM cand
+  WHERE rn = 1 AND n_tokens BETWEEN 20 AND 1000
+    AND avg_token_len BETWEEN 3.0 AND 12.0
+), q AS (
+  SELECT vec_id AS query_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings WHERE vec_id < {_RAG_QUERIES}
+), scored AS (
+  SELECT q.query_id, k.doc_id, k.lang,
+    round(list_sum(list_transform(list_zip(q.embedding, k.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.nrm * k.nrm), 6) AS cosine
+  FROM q JOIN kept k ON k.doc_id <> q.query_id
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, doc_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, lang, cosine, rank
+FROM ranked WHERE rank <= {_RAG_TOPK}
+""",
+    tags=("llm", "curation", "integration"),
+)
+def pipeline_retrieval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed retrieval-corpus build — the cross-modal training-data
+    path: join text to its embedding row (1:1 on id), exact-dedup on
+    normalized text, gate on quality, then serve exact cosine top-3 per
+    query from the surviving corpus. The text-side hygiene (dedup
+    window + quality filter) runs BEFORE any vector math, so the
+    expensive similarity stage only sees clean rows; the query side is
+    broadcast so the corpus never shuffles for scoring. One window on
+    the text hash + one on query_id — same shuffle budget as the
+    single-modality pipelines."""
+    from pyspark.sql import Window as W
+
+    from am_kinesis_pay_spark.llm.similarity import _dot
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    n_tokens = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    cand = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "embedding",
+            F.row_number()
+            .over(W.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id"))
+            .alias("rn"),
+            n_tokens.alias("n_tokens"),
+            (F.length("text").cast("double") / n_tokens).alias("avg_token_len"),
+        )
+    )
+    kept = cand.filter(
+        (F.col("rn") == 1)
+        & F.col("n_tokens").between(20, 1000)
+        & F.col("avg_token_len").between(3.0, 12.0)
+    ).select(
+        "doc_id",
+        "lang",
+        "embedding",
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+    )
+    q = (
+        emb.filter(F.col("vec_id") < _RAG_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+        )
+        .withColumn("qn", F.sqrt(_dot("qe", "qe")))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(kept, F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            "lang",
+            F.round(_dot("qe", "embedding") / (F.col("qn") * F.col("nrm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _RAG_TOPK)
+    )

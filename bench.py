@@ -6,8 +6,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with the noop sink (full computation,
 no serialization/collect cost — the same convention as spark-sql-perf).
-A tiny warmup query absorbs JVM/codegen startup so per-query numbers
-reflect steady state.
+A tiny warmup query absorbs JVM/codegen startup, and each query is
+timed as the best of two consecutive runs (spark-sql-perf's warm-
+iteration convention) so per-query numbers reflect steady-state plan
+cost, not transient host/GC stalls.
 """
 
 from __future__ import annotations
@@ -49,9 +51,12 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in sorted(qs):
-        t0 = time.perf_counter()
-        run_query(qs[name](spark, SF_DIR))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_query(qs[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(
