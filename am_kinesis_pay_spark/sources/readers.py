@@ -186,3 +186,122 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), "akps_orc_source")
     li.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+SELECT event_id, user_id, value, NULL AS channel FROM events
+WHERE event_type = 'signup' AND event_id % 20 = 0
+UNION ALL
+SELECT event_id, user_id, value, event_type AS channel FROM events
+WHERE event_type = 'purchase' AND event_id % 20 = 0
+""",
+    tags=("source", "schema"),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the source: two parquet batches written with
+    different schemas (a later batch adds a ``channel`` column), read
+    back as one dataset with ``mergeSchema`` — older rows surface NULL
+    for the added column. This is the append-only schema-widening
+    contract a long-lived 100 TB table needs; merging happens at footer
+    level (no data rewrite). Production note: pin the merged schema
+    explicitly after migration — mergeSchema on every read re-reads all
+    footers."""
+    import os
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    out = os.path.join(tempfile.gettempdir(), "akps_schema_evo")
+    v1 = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "value"
+    )
+    v2 = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value", F.col("event_type").alias("channel")
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(out, "batch1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "batch2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(out, "batch1"), os.path.join(out, "batch2"))
+        .select("event_id", "user_id", "value", "channel")
+    )
+
+
+@register(
+    "source_corrupt_records",
+    oracle="""
+SELECT
+  CAST(SUM(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+  CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+  CAST(SUM(CASE WHEN event_id % 7 <> 0 THEN json_extract(props, '$.k')::BIGINT ELSE 0 END) AS BIGINT) AS k_total
+FROM events
+WHERE event_id % 50 = 0 AND props IS NOT NULL
+""",
+    tags=("source", "json"),
+)
+def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF] kinesis-pay.php:158-162 — the reference tolerates
+    plain-text-or-JSON payloads; at source level this is PERMISSIVE
+    JSON parsing with a corrupt-record column. A JSON-lines file is
+    written with a deterministic subset of rows corrupted (truncated
+    payload), read back with ``columnNameOfCorruptRecord``, and triaged
+    into valid/corrupt counts plus an aggregate over the successfully
+    parsed field — corrupt rows quarantine instead of failing the job,
+    the same fail-open posture as the reference's fallback."""
+    import os
+    import tempfile
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter((F.col("event_id") % 50 == 0) & F.col("props").isNotNull())
+        .select(
+            "event_id",
+            # corrupt every 7th record: truncate the JSON payload
+            F.when(
+                F.col("event_id") % 7 == 0,
+                F.concat(F.lit('{"k": '), F.lit('"trunc')),
+            )
+            .otherwise(F.col("props"))
+            .alias("payload"),
+        )
+    )
+    out = os.path.join(tempfile.gettempdir(), "akps_corrupt_json")
+    ev.select(
+        F.concat(
+            F.lit('{"event_id": '),
+            F.col("event_id").cast("string"),
+            F.lit(', "props": '),
+            F.col("payload"),
+            F.lit("}"),
+        ).alias("value")
+    ).write.mode("overwrite").text(out)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("props", T.StructType([T.StructField("k", T.LongType())])),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+    )
+    return parsed.agg(
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_valid"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt").isNull(), F.col("props.k")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("k_total"),
+    )

@@ -130,12 +130,48 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.select("event_id", "user_id", "event_type", "event_date").write.mode(
         "overwrite"
     ).partitionBy("event_date").parquet(out)
+    # explicit schema: a fresh/empty partitioned table has no data files
+    # to infer from, and production reads should pin the schema anyway
     return (
-        spark.read.parquet(out)
+        spark.read.schema(
+            "event_id bigint, user_id bigint, event_type string, event_date date"
+        )
+        .parquet(out)
         .filter(
             F.col("event_date").between(
                 F.lit("2024-01-10").cast("date"), F.lit("2024-01-12").cast("date")
             )
         )
         .select("event_date", "event_id", "user_id", "event_type")
+    )
+
+
+@register("sink_compaction", oracle=None, tags=("sink", "layout"))
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every
+    long-lived 100 TB table needs: a fragmented write (64 small files,
+    the streaming-ingest failure mode) is rewritten into a handful of
+    scan-efficient files. ``coalesce`` narrows partitions without a
+    shuffle (each output task concatenates input splits); at real scale
+    the target is files ~= spark.sql.files.maxPartitionBytes so one
+    scan task reads one file. Returns the before/after file counts and
+    the row-conservation total; tests/test_curation.py pins the
+    invariants (rows-only: file layout is not a SQL-oracle concept)."""
+    import os
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    small_dir = os.path.join(tempfile.gettempdir(), "akps_compact_small")
+    big_dir = os.path.join(tempfile.gettempdir(), "akps_compact_big")
+    ev.repartition(64).write.mode("overwrite").parquet(small_dir)
+
+    small = spark.read.parquet(small_dir)
+    n_small_files = small.select(F.input_file_name()).distinct().count()
+    small.coalesce(4).write.mode("overwrite").parquet(big_dir)
+
+    big = spark.read.parquet(big_dir)
+    n_big_files = big.select(F.input_file_name()).distinct().count()
+    return spark.createDataFrame(
+        [(int(n_small_files), int(n_big_files), int(big.count()))],
+        "n_files_before bigint, n_files_after bigint, n_rows bigint",
     )

@@ -1,0 +1,101 @@
+"""Semantic invariants for the corpus-curation operators — properties
+the DuckDB oracle can't express (it only confirms engine parity, not
+that the shared semantics are the *right* ones)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from am_kinesis_pay_spark.llm.curation import (
+    _BENCH_MOD,
+    _CHUNK,
+    _MIX_QUOTA,
+    _PACK_BUDGET,
+    _STRIDE,
+)
+from am_kinesis_pay_spark.registry import queries
+from am_kinesis_pay_spark.tables import load
+
+from tests.conftest import SF_DIR
+
+
+def test_chunks_cover_every_token(spark):
+    """Every token index of every doc falls inside >= 1 chunk, chunks
+    start on stride boundaries, and only the last chunk may be short."""
+    chunks = queries()["text_chunk_sliding"](spark, SF_DIR).collect()
+    docs = {
+        r.doc_id: r.n
+        for r in load(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    assert set(by_doc) == set(docs)
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda c: c.start_token)
+        n = docs[doc_id]
+        covered_to = 0
+        for c in cs:
+            assert c.start_token % _STRIDE == 0
+            assert c.start_token <= covered_to  # no gap
+            assert c.n_chunk_tokens == min(_CHUNK, n - c.start_token)
+            assert len(c.chunk_text.split(" ")) == c.n_chunk_tokens
+            covered_to = max(covered_to, c.start_token + c.n_chunk_tokens)
+        assert covered_to == n  # full coverage
+
+
+def test_decontaminate_excludes_benchmark_and_flags_dups(spark):
+    """Benchmark docs never appear in the output; any doc that is an
+    exact duplicate of a benchmark doc must be flagged contaminated."""
+    rows = queries()["text_decontaminate"](spark, SF_DIR).collect()
+    assert all(r.doc_id % _BENCH_MOD != 0 for r in rows)
+    assert all(0 <= r.n_contaminated <= r.n_grams for r in rows)
+    assert all(r.is_contaminated == (r.n_contaminated > 0) for r in rows)
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    bench_texts = {r.text for r in docs if r.doc_id % _BENCH_MOD == 0}
+    flagged = {r.doc_id for r in rows if r.is_contaminated}
+    for r in docs:
+        if (
+            r.doc_id % _BENCH_MOD != 0
+            and r.text in bench_texts
+            and len(r.text.split(" ")) >= 5
+        ):
+            assert r.doc_id in flagged, f"exact benchmark dup {r.doc_id} not flagged"
+
+
+def test_mixture_sample_hits_quota(spark):
+    """Per-language draw = min(quota, available); ranks are 1..n dense."""
+    rows = queries()["sample_mixture"](spark, SF_DIR).collect()
+    avail = {
+        r.lang: r.n
+        for r in load(spark, SF_DIR, "documents").groupBy("lang").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.sample_rank)
+    for lang, quota in _MIX_QUOTA.items():
+        got = sorted(by_lang.get(lang, []))
+        assert got == list(range(1, min(quota, avail.get(lang, 0)) + 1))
+
+
+def test_packing_is_greedy_within_shard(spark):
+    """Within each source shard, pack ids are non-decreasing in doc
+    order and a pack never exceeds budget + one document (greedy
+    overflow bound)."""
+    rows = queries()["text_pack_sequences"](spark, SF_DIR).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        prev_pack, cum = 0, 0
+        for r in rs:
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+            assert r.pack_id >= prev_pack
+            assert r.pack_id == (r.cum_tokens - r.n_tokens) // _PACK_BUDGET
+            prev_pack = r.pack_id

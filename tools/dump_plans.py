@@ -13,7 +13,7 @@ from am_kinesis_pay_spark.registry import queries
 NAMES = [
     "agg_pricing_summary", "join_asof_rate", "join_broadcast_dim",
     "join_range_theta", "q_shipping_priority", "text_dedup_minhash",
-    "sort_limit",
+    "sort_limit", "text_decontaminate", "agg_time_rollup",
 ]
 
 if __name__ == "__main__":
