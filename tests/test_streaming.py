@@ -405,3 +405,50 @@ def test_stream_window_percentile_sketch_equals_batch_sketch(spark, stream_dir):
     )
     want = agg(load(spark, SF_DIR, "events"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_daily_rollup_matches_batch_weekly(spark, stream_dir):
+    """The hierarchical rollup run the way production would: the DAILY
+    level is maintained incrementally by the stream (one streaming
+    aggregation), and the WEEKLY level is computed at read time from
+    the streamed daily partials — it must equal the all-batch
+    agg_time_rollup over the same events."""
+    from am_kinesis_pay_spark.functions.compat import dec
+
+    daily = (
+        events_stream(spark, stream_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    sink = run_to_completion(daily, "daily_rollup_sink", "complete")
+    weekly = (
+        sink.select(
+            F.to_date(F.date_trunc("week", F.col("w.start"))).alias("week_start"),
+            "event_type",
+            "n",
+            "s",
+            "mn",
+            "mx",
+        )
+        .groupBy("week_start", "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("s").cast("double").alias("sum_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+            (F.sum("s").cast("double") / F.sum("n")).alias("avg_value"),
+        )
+    )
+    got = sorted(
+        (tuple(r) for r in weekly.collect()), key=lambda t: (str(t[0]), t[1])
+    )
+    want = sorted(
+        (tuple(r) for r in queries()["agg_time_rollup"](spark, SF_DIR).collect()),
+        key=lambda t: (str(t[0]), t[1]),
+    )
+    assert got == want
