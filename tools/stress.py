@@ -6,8 +6,10 @@ with offset doc_ids, or lineitem+orders 10x with offset orderkeys) and
 times a set of registered queries against them with the noop sink.
 
 Usage:
-    python tools/stress.py docs    # 50k documents  (dedup/text stress)
-    python tools/stress.py facts   # 6M lineitem    (join stress)
+    python tools/stress.py docs      # 50k documents  (dedup/text stress)
+    python tools/stress.py facts     # 6M lineitem    (join stress)
+    python tools/stress.py curation  # 50k docs + 20k vecs + 1M events
+                                     # (curation/rollup/funnel stress)
 """
 
 from __future__ import annotations
@@ -34,6 +36,11 @@ FACTS_QUERIES = [
     "q_market_share", "q_nation_profit", "q_sole_late_shipper",
     "sort_global", "q_forecast_revenue",
 ]
+CURATION_QUERIES = [
+    "text_decontaminate", "text_chunk_sliding", "text_pack_sequences",
+    "sample_mixture", "pipeline_retrieval_corpus", "emb_kmeans",
+    "emb_label_centroids", "agg_time_rollup", "events_funnel_ordered",
+]
 
 
 def build(mode: str) -> str:
@@ -51,6 +58,23 @@ def build(mode: str) -> str:
                     FROM '{BASE}/documents.parquet', generate_series(0, 9) g(r))
               TO '{out}/documents.parquet' (FORMAT PARQUET)""")
             scaled = {"documents"}
+        elif mode == "curation":
+            con.execute(f"""
+              COPY (SELECT doc_id + 100000 * r AS doc_id, text, lang, source, n_chars
+                    FROM '{BASE}/documents.parquet', generate_series(0, 9) g(r))
+              TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+            # same offset as documents so the 1:1 doc_id=vec_id join
+            # survives the scale-up
+            con.execute(f"""
+              COPY (SELECT vec_id + 100000 * r AS vec_id, embedding, label
+                    FROM '{BASE}/embeddings.parquet', generate_series(0, 9) g(r))
+              TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+            con.execute(f"""
+              COPY (SELECT event_id + 1000000 * r AS event_id, ts, user_id + 100 * r AS user_id,
+                           event_type, value, props
+                    FROM '{BASE}/events.parquet', generate_series(0, 9) g(r))
+              TO '{out}/events.parquet' (FORMAT PARQUET)""")
+            scaled = {"documents", "embeddings", "events"}
         else:
             con.execute(f"""
               COPY (SELECT l_orderkey + 10000000 * r AS l_orderkey, l_partkey,
@@ -72,7 +96,7 @@ def build(mode: str) -> str:
 
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "facts"
-    assert mode in ("docs", "facts"), "mode must be 'docs' or 'facts'"
+    assert mode in ("docs", "facts", "curation"), "mode must be docs|facts|curation"
     sf_dir = build(mode)
 
     from am_kinesis_pay_spark.registry import queries
@@ -83,7 +107,7 @@ def main() -> None:
     qs["agg_status_counts"](spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
-    names = DOCS_QUERIES if mode == "docs" else FACTS_QUERIES
+    names = {"docs": DOCS_QUERIES, "facts": FACTS_QUERIES, "curation": CURATION_QUERIES}[mode]
     for name in names:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
