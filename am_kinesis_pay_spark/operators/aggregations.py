@@ -400,3 +400,40 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mx").alias("max_value"),
         (F.sum("s").cast("double") / F.sum("n")).alias("avg_value"),
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+WITH counts AS (
+  SELECT c_mktsegment, n_nationkey AS nation, COUNT(*) AS c
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY c_mktsegment, n_nationkey
+)
+SELECT c_mktsegment,
+  arg_min(nation, -c * 100 + nation) AS modal_nation,
+  MAX(c) AS modal_count
+FROM counts GROUP BY c_mktsegment
+""",
+    tags=("agg",),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value, ties broken by lowest
+    value) — engine-native MODE() is tie-nondeterministic in both
+    engines, so the portable formulation is count-then-argmax with an
+    explicit scalar tie-break key (-count*100 + value; valid while
+    value < 100, i.e. the 25 nation keys). Two hash aggregations, both
+    with partial combine."""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    counts = (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_mktsegment", F.col("n_nationkey").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("c_mktsegment").agg(
+        F.min_by("nation", -F.col("c") * 100 + F.col("nation")).alias(
+            "modal_nation"
+        ),
+        F.max("c").alias("modal_count"),
+    )

@@ -93,3 +93,29 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     )
+
+
+@register(
+    "sort_limit_offset",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+""",
+    tags=("sort",),
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: ORDER BY ... LIMIT k OFFSET n with a deterministic
+    total order (price, key tie-break). Spark plans offset+limit as a
+    single TakeOrderedAndProject-style collect of the first n+k rows —
+    fine for page-sized n; deep pagination at 100 TB should switch to
+    keyset pagination (WHERE (price, key) < last-seen), which is the
+    same plan as lookup_by_secure_id."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .offset(40)
+        .limit(20)
+    )

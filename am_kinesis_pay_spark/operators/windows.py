@@ -332,3 +332,30 @@ def win_ntile_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
     )
+
+
+@register(
+    "win_dist_ranks",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+  round(percent_rank() OVER w, 9) AS pct_rank,
+  round(cume_dist() OVER w, 9) AS cum_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+    tags=("window",),
+)
+def win_dist_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional ranks (percent_rank / cume_dist) per segment —
+    the remaining members of the ranking-function family beyond
+    rank/dense_rank/ntile. Deterministic total order via the
+    (acctbal, custkey) tie-break; one window shuffle on the segment
+    key, identical formula both engines so the doubles hash-match
+    after a 9-dp round."""
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cum_dist"),
+    )
