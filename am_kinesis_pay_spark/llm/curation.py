@@ -365,3 +365,177 @@ def pipeline_retrieval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _RAG_TOPK)
     )
+
+
+@register(
+    "pipeline_training_set",
+    oracle=f"""
+WITH quality AS (
+  SELECT doc_id, lang, text,
+    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+  FROM documents
+  WHERE length(text) - length(replace(text, ' ', '')) + 1 BETWEEN 20 AND 1000
+    AND CAST(length(text) AS DOUBLE)
+        / (length(text) - length(replace(text, ' ', '')) + 1) BETWEEN 3.0 AND 12.0
+), grams AS (
+  SELECT doc_id, md5(concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4], t[i+5])) AS g
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - {_DECON_N - 1})) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= {_DECON_N})
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+), contaminated AS (
+  SELECT DISTINCT grams.doc_id FROM grams JOIN bench ON grams.g = bench.g
+  WHERE grams.doc_id % {_BENCH_MOD} <> 0
+), clean AS (
+  SELECT q.* FROM quality q
+  WHERE q.doc_id % {_BENCH_MOD} <> 0
+    AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+), deduped AS (
+  SELECT doc_id, lang, n_tokens,
+    ROW_NUMBER() OVER (
+      PARTITION BY md5(lower(trim(text))) ORDER BY doc_id
+    ) AS rn
+  FROM clean
+), mixed AS (
+  SELECT doc_id, lang, n_tokens,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS lang_rank
+  FROM deduped WHERE rn = 1
+), sampled AS (
+  SELECT doc_id, lang, n_tokens FROM mixed
+  WHERE lang_rank <= CASE lang
+    WHEN 'en' THEN {_MIX_QUOTA["en"]} WHEN 'de' THEN {_MIX_QUOTA["de"]}
+    WHEN 'es' THEN {_MIX_QUOTA["es"]} WHEN 'fr' THEN {_MIX_QUOTA["fr"]}
+    WHEN 'zh' THEN {_MIX_QUOTA["zh"]} ELSE 0 END
+), chunked AS (
+  SELECT doc_id, lang,
+    CAST(least({_CHUNK}, n_tokens - s) AS BIGINT) AS chunk_tokens
+  FROM (SELECT doc_id, lang, n_tokens,
+          unnest(range(0, greatest(CAST(ceil((n_tokens - {_CHUNK}) / {_STRIDE}.0) AS BIGINT) * {_STRIDE}, 0) + 1, {_STRIDE})) AS s
+        FROM sampled)
+), packed AS (
+  SELECT lang, chunk_tokens,
+    SUM(chunk_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id, chunk_tokens
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cum
+  FROM chunked
+)
+SELECT lang,
+  CAST((cum - chunk_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(chunk_tokens) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY lang, (cum - chunk_tokens) // {_PACK_BUDGET}
+""",
+    tags=("llm", "curation", "integration"),
+)
+def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-to-training-set build as ONE Catalyst plan (the
+    C4/Dolma pipeline shape): quality gate -> benchmark decontamination
+    (anti-join against the broadcast gram set) -> exact dedup ->
+    target-mixture draw -> sliding-window chunking -> per-lang sequence
+    packing -> pack-level token accounting. Stage order is the cost
+    order: the cheap per-row gate runs first so later (wider) stages see
+    fewer rows, and the three lang-partitioned windows (mixture rank,
+    packing cumsum) reuse one Exchange. The only corpus-wide shuffles
+    are the dedup hash window and the lang windows — the decontamination
+    probe stays broadcast exactly as in text_decontaminate."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    n_tokens_e = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    quality = docs.select(
+        "doc_id", "lang", "text", n_tokens_e.alias("n_tokens")
+    ).filter(
+        F.col("n_tokens").between(20, 1000)
+        & ((F.length("text").cast("double") / F.col("n_tokens")).between(3.0, 12.0))
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _DECON_N
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), F.size("t") - _DECON_N), _gram5)
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % _BENCH_MOD == 0).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = quality.filter(F.col("doc_id") % _BENCH_MOD != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    deduped = clean.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+        ),
+    ).filter(F.col("rn") == 1)
+    mixed = deduped.withColumn(
+        "lang_rank",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        ),
+    )
+    quota_col = (
+        F.when(F.col("lang") == "en", _MIX_QUOTA["en"])
+        .when(F.col("lang") == "de", _MIX_QUOTA["de"])
+        .when(F.col("lang") == "es", _MIX_QUOTA["es"])
+        .when(F.col("lang") == "fr", _MIX_QUOTA["fr"])
+        .when(F.col("lang") == "zh", _MIX_QUOTA["zh"])
+        .otherwise(0)
+    )
+    sampled = mixed.filter(F.col("lang_rank") <= quota_col).select(
+        "doc_id", "lang", "n_tokens"
+    )
+    last_start = F.greatest(
+        F.ceil((F.col("n_tokens") - _CHUNK) / F.lit(_STRIDE)).cast("long")
+        * _STRIDE,
+        F.lit(0).cast("long"),
+    )
+    chunked = sampled.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), last_start, F.lit(_STRIDE).cast("long")
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.least(F.lit(_CHUNK).cast("long"), F.col("n_tokens") - F.col("s"))
+        .cast("bigint")
+        .alias("chunk_tokens"),
+    )
+    packed = chunked.withColumn(
+        "cum",
+        F.sum("chunk_tokens").over(
+            W.partitionBy("lang")
+            .orderBy("doc_id", "chunk_tokens")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    pack_id = F.floor((F.col("cum") - F.col("chunk_tokens")) / _PACK_BUDGET).cast(
+        "bigint"
+    )
+    return (
+        packed.select("lang", pack_id.alias("pack_id"), "chunk_tokens")
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("chunk_tokens").cast("bigint").alias("pack_tokens"),
+        )
+    )

@@ -261,3 +261,15 @@ def test_time_rollup_reaggregates_partials(spark):
     plan = plan_of(spark, "agg_time_rollup")
     assert plan.count("HashAggregate") >= 4, plan[:3000]
     assert "Join" not in plan, plan[:3000]
+
+
+def test_training_set_pipeline_shuffle_budget(spark):
+    # the end-to-end corpus build: decontamination stays a broadcast
+    # anti-join (never SMJ), and the whole 6-stage pipeline fits in <=5
+    # data Exchanges — the mixture-rank and packing windows share the
+    # lang partitioning, and the final pack aggregation rides it too
+    plan = plan_of(spark, "pipeline_training_set")
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchanges <= 5, f"{n_exchanges} exchanges\n" + plan[:3000]
