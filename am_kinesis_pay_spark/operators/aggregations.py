@@ -437,3 +437,52 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("c").alias("modal_count"),
     )
+
+
+@register(
+    "agg_profile_table",
+    oracle="""
+SELECT 'o_custkey' AS col_name,
+  COUNT(*) - COUNT(o_custkey) AS n_nulls,
+  COUNT(DISTINCT o_custkey) AS n_distinct,
+  CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+  CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+  COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+  MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+  COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+  MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+""",
+    tags=("agg", "stats"),
+)
+def agg_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics profiling (the ANALYZE TABLE surface a CBO
+    feeds on): null count, exact distinct count, min/max per column,
+    emitted in long form. One pass per column here for oracle clarity;
+    the production form computes all columns in ONE scan with
+    count_distinct/min/max side by side (Spark does exactly that for
+    ANALYZE ... COMPUTE STATISTICS FOR COLUMNS) and swaps the exact
+    distinct for HLL++ at 100 TB (agg_approx_distinct is that path)."""
+    o = load(spark, sf_dir, "orders")
+
+    def stats(col: str):
+        c = F.col(col)
+        return o.agg(
+            F.lit(col).alias("col_name"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_value"),
+            F.max(c).cast("string").alias("max_value"),
+        )
+
+    return (
+        stats("o_custkey")
+        .unionByName(stats("o_orderstatus"))
+        .unionByName(stats("o_orderpriority"))
+    )

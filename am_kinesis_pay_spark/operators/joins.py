@@ -283,3 +283,26 @@ def join_self_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "join_shuffled_hash",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'F'
+""",
+    tags=("join", "strategy"),
+)
+def join_shuffled_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third join strategy made explicit: SHUFFLE_HASH hint forces
+    a ShuffledHashJoin (plan-asserted) — the right choice when both
+    sides are too big to broadcast but one side's per-partition build
+    set fits in memory, beating sort-merge by skipping both sorts.
+    At 100 TB this is the fact⋈mid-size-dim sweet spot; the hint is
+    how you pin it when AQE's stats miss."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )

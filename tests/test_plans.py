@@ -273,3 +273,11 @@ def test_training_set_pipeline_shuffle_budget(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
     n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
     assert n_exchanges <= 5, f"{n_exchanges} exchanges\n" + plan[:3000]
+
+
+def test_shuffled_hash_join_strategy(spark):
+    # the SHUFFLE_HASH hint must yield a ShuffledHashJoin — neither a
+    # broadcast (hint overrides size-based selection) nor a sort-merge
+    plan = plan_of(spark, "join_shuffled_hash")
+    assert "ShuffledHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
