@@ -99,3 +99,60 @@ def test_packing_is_greedy_within_shard(spark):
             assert r.pack_id >= prev_pack
             assert r.pack_id == (r.cum_tokens - r.n_tokens) // _PACK_BUDGET
             prev_pack = r.pack_id
+
+
+# -- pure-formula property tests (no Spark; exhaustive over doc sizes) --
+
+
+def _chunk_starts(n: int, chunk: int, stride: int) -> list[int]:
+    """Python mirror of the start-index expression both engines run."""
+    import math
+
+    last = max(math.ceil((n - chunk) / stride) * stride, 0)
+    return list(range(0, last + 1, stride))
+
+
+def test_chunk_start_formula_properties():
+    from hypothesis import given, strategies as st
+
+    @given(st.integers(min_value=1, max_value=5000))
+    def check(n):
+        starts = _chunk_starts(n, _CHUNK, _STRIDE)
+        # every token covered, first chunk at 0, starts strictly increase
+        assert starts[0] == 0
+        assert all(b - a == _STRIDE for a, b in zip(starts, starts[1:]))
+        assert starts[-1] + _CHUNK >= n  # tail covered
+        if len(starts) > 1:
+            # no fully-redundant final window
+            assert starts[-1] < n
+            assert starts[-2] + _CHUNK < n
+        # chunk count is the minimal count for full coverage
+        import math
+
+        expected = 1 + max(math.ceil((n - _CHUNK) / _STRIDE), 0)
+        assert len(starts) == expected
+
+    check()
+
+
+def test_pack_id_formula_properties():
+    from hypothesis import given, strategies as st
+
+    @given(st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=200))
+    def check(tokens):
+        cum = 0
+        prev_pack = 0
+        packs: dict[int, int] = {}
+        for t in tokens:
+            pack = cum // _PACK_BUDGET  # = (cum_after - t) // budget
+            cum += t
+            assert pack >= prev_pack  # monotone
+            prev_pack = pack
+            packs[pack] = packs.get(pack, 0) + t
+        # greedy bound: a pack only overflows by the doc that crossed it
+        for pack, total in packs.items():
+            assert total <= _PACK_BUDGET + max(tokens)
+        # packs are dense 0..max
+        assert sorted(packs) == list(range(max(packs) + 1))
+
+    check()
