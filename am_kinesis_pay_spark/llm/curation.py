@@ -539,3 +539,51 @@ def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_tokens").cast("bigint").alias("pack_tokens"),
         )
     )
+
+
+_ED_BLOCK_CHARS = 32  # blocking prefix
+_ED_MAX_DIST = 40     # max edit distance to call a near-dup
+
+
+@register(
+    "text_dedup_editdist",
+    oracle=f"""
+WITH blocked AS (
+  SELECT doc_id, text, substr(text, 1, {_ED_BLOCK_CHARS}) AS blk
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  levenshtein(a.text, b.text) AS edit_dist
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= {_ED_MAX_DIST}
+""",
+    tags=("llm", "curation", "dedup"),
+)
+def text_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection, the character-level member of
+    the dedup family (exact / MinHash / SimHash / n-gram / cosine /
+    edit-distance): block on a text prefix so Levenshtein — O(n*m) per
+    pair — only ever runs inside a block, never across the corpus. The
+    same blocking discipline as the LSH dedups: the quadratic kernel is
+    confined to candidate sets. Both engines implement classic
+    Levenshtein, so the distances are oracle-exact."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, _ED_BLOCK_CHARS).alias("blk")
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"), "blk"
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= _ED_MAX_DIST)
+    )
