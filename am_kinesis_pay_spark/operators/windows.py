@@ -359,3 +359,59 @@ def win_dist_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cum_dist"),
     )
+
+
+@register(
+    "win_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN ts - COALESCE(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            ts - INTERVAL 1 HOUR)
+              > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT event_id, user_id,
+  CAST(SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS session_id
+FROM flagged
+""",
+    tags=("window", "session"),
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization (the assignment counterpart of the
+    session_window aggregate): lag the per-user event time, flag gaps
+    over 30 minutes, and turn the flags into session ids with a running
+    sum. Both windows share the user_id partitioning and (ts, event_id)
+    order, so Catalyst plans ONE Exchange + ONE Sort for the pair —
+    sessionizing is exactly as expensive as one window pass however
+    large the event history. The first event seeds a synthetic 1-hour
+    gap so session ids start at 1 in both engines."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("ts").cast("long")
+            - F.coalesce(
+                F.lag("ts").over(w).cast("long"),
+                F.col("ts").cast("long") - 3600,
+            )
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("session_id"),
+    )
