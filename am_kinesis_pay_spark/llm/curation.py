@@ -1,11 +1,13 @@
 """Corpus-curation operators for training-data pipelines
 (BASELINE.json north-star; complements llm/text.py and llm/dedup.py):
-benchmark decontamination, sliding-window chunking, and target-mixture
-domain sampling.
+benchmark decontamination, sliding-window chunking, target-mixture
+domain sampling, sequence packing, edit-distance near-dup, the
+cross-modal retrieval-corpus build, and the full corpus-to-training-set
+pipeline composed as one plan.
 
-All three are pure built-in expressions (split / transform / explode /
-window) — no Python in any hot path — and each ships an exact DuckDB
-oracle. Generalizes the reference's record-hygiene behaviors
+All pure built-in expressions (split / transform / explode / window /
+levenshtein) — no Python in any hot path — and each ships an exact
+DuckDB oracle. Generalizes the reference's record-hygiene behaviors
 (dedup-by-key kinesis-pay.php:515-518, sampling kinesis-pay.php:302-304)
 to corpus scale.
 """
