@@ -486,3 +486,47 @@ def agg_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stats("o_orderstatus"))
         .unionByName(stats("o_orderpriority"))
     )
+
+
+@register(
+    "agg_skew_profile",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+), total AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS n_keys FROM counts
+)
+SELECT user_id, c AS n_rows,
+  round(CAST(c AS DOUBLE) / t, 6) AS share,
+  round(CAST(c AS DOUBLE) * n_keys / t, 6) AS skew_factor
+FROM counts, total
+ORDER BY c DESC, user_id
+LIMIT 10
+""",
+    tags=("agg", "diagnostics"),
+)
+def agg_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiling — the diagnosis that picks between plain
+    shuffle, AQE skew-join, and salting (SCALE.md): per-key row counts,
+    each hot key's share of the table, and its skew factor (share ×
+    key count; 1.0 = perfectly uniform). Top-10 by count. The per-key
+    count is one partial-aggregated shuffle; the totals join is a
+    1-row broadcast."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(
+        F.sum("c").cast("bigint").alias("t"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            F.col("c").alias("n_rows"),
+            F.round(F.col("c").cast("double") / F.col("t"), 6).alias("share"),
+            F.round(
+                F.col("c").cast("double") * F.col("n_keys") / F.col("t"), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("n_rows").desc(), "user_id")
+        .limit(10)
+    )

@@ -415,3 +415,68 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("session_id"),
     )
+
+
+@register(
+    "win_out_of_order_profile",
+    oracle="""
+WITH lateness AS (
+  SELECT event_id,
+    GREATEST(
+      COALESCE(MAX(epoch(CAST(ts AS TIMESTAMP))) OVER (
+        PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ) - epoch(CAST(ts AS TIMESTAMP)), 0), 0) AS late_s
+  FROM events
+)
+SELECT
+  CASE WHEN late_s = 0 THEN 'in-order'
+       WHEN late_s <= 60 THEN '<=1min'
+       WHEN late_s <= 600 THEN '<=10min'
+       ELSE '>10min' END AS lateness_bucket,
+  COUNT(*) AS n_events,
+  CAST(MAX(late_s) AS BIGINT) AS max_late_s
+FROM lateness
+GROUP BY 1
+""",
+    tags=("window", "streaming", "diagnostics"),
+)
+def win_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profiling — the measurement that justifies a
+    watermark setting: per event, lateness = (running max event-time so
+    far in arrival order) - (own event-time), bucketed into a
+    histogram. Arrival order = event_id (the ingest sequence). A
+    watermark of X covers exactly the events in buckets <= X, so this
+    query IS the empirical basis for `withWatermark` (SURVEY §2.9
+    stream_watermark_expiry). One window shuffle on user_id + one tiny
+    aggregation."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    late = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.greatest(
+            F.coalesce(
+                F.max(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long"),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+        ).alias("late_s"),
+    )
+    return (
+        late.select(
+            F.when(F.col("late_s") == 0, "in-order")
+            .when(F.col("late_s") <= 60, "<=1min")
+            .when(F.col("late_s") <= 600, "<=10min")
+            .otherwise(">10min")
+            .alias("lateness_bucket"),
+            "late_s",
+        )
+        .groupBy("lateness_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("late_s").cast("bigint").alias("max_late_s"),
+        )
+    )
