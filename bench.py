@@ -59,6 +59,13 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    from am_kinesis_pay_spark.registry import REGISTRY
+
+    families: dict[str, float] = {}
+    for name, sec in times.items():
+        tags = REGISTRY[name].tags
+        fam = tags[0] if tags else "other"
+        families[fam] = round(families.get(fam, 0.0) + sec, 3)
     print(
         json.dumps(
             {
@@ -66,6 +73,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "families": families,
                 "sf": _sf_from_dir(SF_DIR),
                 "n_queries": len(times),
             }
