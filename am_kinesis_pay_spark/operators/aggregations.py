@@ -530,3 +530,48 @@ def agg_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "user_id")
         .limit(10)
     )
+
+
+@register(
+    "agg_profile_single_pass",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+  COUNT(*) - COUNT(o_custkey) AS custkey_nulls,
+  COUNT(DISTINCT o_custkey) AS custkey_distinct,
+  CAST(MIN(o_custkey) AS BIGINT) AS custkey_min,
+  CAST(MAX(o_custkey) AS BIGINT) AS custkey_max,
+  COUNT(DISTINCT o_orderstatus) AS status_distinct,
+  MIN(o_orderstatus) AS status_min,
+  MAX(o_orderstatus) AS status_max,
+  COUNT(DISTINCT o_orderpriority) AS priority_distinct,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+  MIN(o_totalprice) AS price_min,
+  MAX(o_totalprice) AS price_max
+FROM orders
+""",
+    tags=("agg", "stats"),
+)
+def agg_profile_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of agg_profile_table: ALL column statistics
+    in ONE scan — one wide aggregation row instead of one pass per
+    column. This is how ANALYZE TABLE ... FOR COLUMNS executes: a
+    single partial+final hash aggregation, so profiling a 100 TB table
+    costs exactly one read however many columns are profiled. (The
+    multi-distinct here expands internally; with many columns swap
+    exact distinct for HLL++ sketches so the expansion stays flat.)"""
+    o = load(spark, sf_dir, "orders")
+    c = F.col("o_custkey")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count(c)).alias("custkey_nulls"),
+        F.countDistinct(c).alias("custkey_distinct"),
+        F.min(c).cast("bigint").alias("custkey_min"),
+        F.max(c).cast("bigint").alias("custkey_max"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.min("o_orderstatus").alias("status_min"),
+        F.max("o_orderstatus").alias("status_max"),
+        F.countDistinct("o_orderpriority").alias("priority_distinct"),
+        dsum("o_totalprice").alias("price_sum"),
+        F.min("o_totalprice").alias("price_min"),
+        F.max("o_totalprice").alias("price_max"),
+    )
