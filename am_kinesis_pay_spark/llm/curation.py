@@ -555,10 +555,13 @@ WITH blocked AS (
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  levenshtein(a.text, b.text) AS edit_dist
+  CASE WHEN a.text = b.text THEN 0
+       ELSE levenshtein(a.text, b.text) END AS edit_dist
 FROM blocked a JOIN blocked b
   ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE levenshtein(a.text, b.text) <= {_ED_MAX_DIST}
+     AND abs(length(a.text) - length(b.text)) <= {_ED_MAX_DIST}
+WHERE CASE WHEN a.text = b.text THEN 0
+       ELSE levenshtein(a.text, b.text) END <= {_ED_MAX_DIST}
 """,
     tags=("llm", "curation", "dedup"),
 )
@@ -566,26 +569,47 @@ def text_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup detection, the character-level member of
     the dedup family (exact / MinHash / SimHash / n-gram / cosine /
     edit-distance): block on a text prefix so Levenshtein — O(n*m) per
-    pair — only ever runs inside a block, never across the corpus. The
-    same blocking discipline as the LSH dedups: the quadratic kernel is
-    confined to candidate sets. Both engines implement classic
-    Levenshtein, so the distances are oracle-exact."""
+    pair — only ever runs inside a block, never across the corpus.
+    Three kernel guards keep hot blocks cheap (the 10x replication
+    stress degraded the naive form ~400x, tools/stress.py):
+    (1) equal texts short-circuit to distance 0 without the kernel —
+    exact dups are the common case in a hot block; (2) the length-band
+    bound |len(a)-len(b)| > d implies dist > d, pruning before the
+    kernel; (3) Spark's banded levenshtein(l, r, threshold) computes
+    O(d*n) instead of O(n*m), returning -1 above threshold (filtered
+    out; the oracle filters the same pairs by full distance).
+    Distances for surviving pairs are oracle-exact."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "text", F.substring("text", 1, _ED_BLOCK_CHARS).alias("blk")
     )
     a = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"), "blk"
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"),
+        F.col("blk").alias("blk_a"),
     )
     b = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"), "blk"
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"),
+        F.col("blk").alias("blk_b"),
     )
+    dist = F.when(F.col("ta") == F.col("tb"), F.lit(0)).otherwise(
+        F.levenshtein("ta", "tb", _ED_MAX_DIST)
+    )
+    # The kernel must NOT run inside the join: a filter on `dist`
+    # references both sides, so Catalyst would merge it into the join
+    # condition and evaluate Levenshtein in the (single-task at local
+    # row-group parallelism, size-coalesced by AQE) join stage. The
+    # explicit repartition gives the CPU-dense projection real
+    # parallelism, and the (doc_a, doc_b) aggregation is a barrier the
+    # threshold filter cannot be pushed back through — measured 15x on
+    # the 10x stress (73 s -> 4.7 s, tools/stress.py curation).
+    pairs = a.join(
+        b,
+        (F.col("blk_a") == F.col("blk_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (F.abs(F.length("ta") - F.length("tb")) <= _ED_MAX_DIST),
+    ).repartition(64, "doc_a")
+    scored = pairs.select("doc_a", "doc_b", dist.alias("edit_dist"))
     return (
-        a.join(b, "blk")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("ta", "tb").alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") <= _ED_MAX_DIST)
+        scored.groupBy("doc_a", "doc_b")
+        .agg(F.min("edit_dist").alias("edit_dist"))
+        .filter(F.col("edit_dist").between(0, _ED_MAX_DIST))
     )

@@ -396,10 +396,10 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.when(
-            F.col("ts").cast("long")
+            F.col("ts").cast("timestamp").cast("long")
             - F.coalesce(
-                F.lag("ts").over(w).cast("long"),
-                F.col("ts").cast("long") - 3600,
+                F.lag("ts").over(w).cast("timestamp").cast("long"),
+                F.col("ts").cast("timestamp").cast("long") - 3600,
             )
             > 1800,
             1,
@@ -459,7 +459,7 @@ def win_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.greatest(
             F.coalesce(
-                F.max(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long"),
+                F.max(F.col("ts").cast("timestamp").cast("long")).over(w) - F.col("ts").cast("timestamp").cast("long"),
                 F.lit(0).cast("long"),
             ),
             F.lit(0).cast("long"),

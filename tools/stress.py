@@ -38,8 +38,10 @@ FACTS_QUERIES = [
 ]
 CURATION_QUERIES = [
     "text_decontaminate", "text_chunk_sliding", "text_pack_sequences",
-    "sample_mixture", "pipeline_retrieval_corpus", "emb_kmeans",
-    "emb_label_centroids", "agg_time_rollup", "events_funnel_ordered",
+    "sample_mixture", "pipeline_retrieval_corpus", "pipeline_training_set",
+    "emb_kmeans", "emb_label_centroids", "agg_time_rollup",
+    "events_funnel_ordered", "text_dedup_editdist", "win_sessionize",
+    "win_out_of_order_profile", "agg_skew_profile",
 ]
 
 
