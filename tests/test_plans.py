@@ -281,3 +281,17 @@ def test_shuffled_hash_join_strategy(spark):
     plan = plan_of(spark, "join_shuffled_hash")
     assert "ShuffledHashJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_editdist_kernel_stays_out_of_join(spark):
+    # the Levenshtein kernel must be a post-shuffle projection, never a
+    # join condition: Catalyst merging the distance filter into the
+    # join serializes the kernel into the byte-sized join stage
+    # (SCALE.md expression-level lessons; 73s -> 2.3s at the 10x stress)
+    plan = plan_of(spark, "text_dedup_editdist")
+    m = re.search(r"Join condition: (.*)", plan)
+    joins = re.findall(r"Join condition: (.*)", plan)
+    assert joins, plan[:2000]
+    for cond in joins:
+        assert "levenshtein" not in cond.lower(), cond
+    assert m and "levenshtein" in plan.lower(), "kernel missing entirely"
