@@ -524,3 +524,105 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(rolling, out_schema)
+
+
+@register(
+    "text_bigram_vocab",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pairs AS (
+  SELECT concat(t[i+1], ' ', t[i+2]) AS bigram
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+)
+SELECT bigram, COUNT(*) AS freq
+FROM pairs
+GROUP BY bigram
+ORDER BY freq DESC, bigram
+LIMIT 20
+""",
+    tags=("llm", "text", "vocab"),
+)
+def text_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction, one merge step of BPE/WordPiece:
+    count every adjacent token pair corpus-wide and take the top
+    candidates — the highest-frequency pair is exactly what a BPE step
+    would merge next. Map-side combine absorbs the head of the Zipf
+    distribution before the shuffle; the top-k is a
+    TakeOrderedAndProject. Iterating = re-tokenize with the merged
+    vocab and rerun (same plan per step)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i + 1), F.element_at("t", i + 2)
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        pairs.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "text_unigram_nll",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, COUNT(*) AS c FROM toks WHERE token <> '' GROUP BY token
+), total AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab
+), scored AS (
+  SELECT t.doc_id,
+    CAST(round(-ln(v.c / total.n), 6) AS DECIMAL(18,6)) AS nll
+  FROM toks t JOIN vocab v ON t.token = v.token, total
+  WHERE t.token <> ''
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll
+FROM scored GROUP BY doc_id
+""",
+    tags=("llm", "text", "quality"),
+)
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring (the CCNet/perplexity-filter
+    shape, at unigram order): score every document by its average
+    negative log-likelihood under the corpus unigram distribution —
+    high avg_nll = rare-token-heavy = boilerplate/noise candidates.
+    Two aggregations plus one broadcast join of the vocabulary (bounded
+    by distinct tokens, tiny relative to the corpus). Per-token logs
+    are rounded to 6 dp then summed in exact DECIMAL so the cross-row
+    accumulation is order-independent — the same convention as every
+    float aggregate in this repo (functions/compat.py); ln() agrees
+    across engines within ulps, absorbed by the rounding."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        toks.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("c") / F.col("n")), 6)
+            .cast("decimal(18,6)")
+            .alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        (F.sum("nll").cast("double") / F.count(F.lit(1))).alias("avg_nll"),
+    )
