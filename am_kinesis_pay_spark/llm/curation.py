@@ -613,3 +613,66 @@ def text_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("edit_dist").alias("edit_dist"))
         .filter(F.col("edit_dist").between(0, _ED_MAX_DIST))
     )
+
+
+_SPAN_N = 8  # tokens per span for cross-doc repetition detection
+
+
+@register(
+    "text_repeated_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), spans AS (
+  SELECT doc_id,
+    md5(concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7], t[i+8])) AS h
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - {_SPAN_N - 1})) AS i
+        FROM toks WHERE len(t) >= {_SPAN_N})
+)
+SELECT h AS span_hash,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM spans
+GROUP BY h
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+    tags=("llm", "curation", "dedup"),
+)
+def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection — the primitive behind
+    exact-substring dedup (Lee et al.'s suffix-array pass) and
+    boilerplate stripping: hash every 8-token span, keep spans that
+    occur in >= 2 distinct documents. One shingle generator + one hash
+    aggregation with map-side combine; the HAVING filter runs post-agg
+    so only the (tiny) repeated tail survives. At 100 TB this is the
+    span-level complement of MinHash: MinHash finds near-dup DOCUMENTS,
+    this finds shared SUBSTRINGS (headers, footers, license blocks)
+    inside otherwise-distinct documents."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _SPAN_N
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - _SPAN_N),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at("t", i + k) for k in range(1, _SPAN_N + 1)],
+                    )
+                ),
+            )
+        ).alias("h"),
+    )
+    return (
+        spans.groupBy(F.col("h").alias("span_hash"))
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
