@@ -1059,3 +1059,115 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_purchased_after").cast("double") / F.col("n_viewed"),
         )
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+    CAST(date_trunc('week', e.ts) AS DATE) AS active_week
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_week, active_week,
+  CAST(COUNT(*) AS BIGINT) AS n_active_users,
+  CAST((active_week - cohort_week) / 7 AS BIGINT) AS weeks_since_cohort
+FROM activity
+GROUP BY cohort_week, active_week
+""",
+    tags=("integration", "retention"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the standard product-analytics view:
+    users bucketed by first-seen week, counted per week they remain
+    active. First-seen is one per-user aggregation (tiny frontier, like
+    the funnel); the cohort join is on user_id so it reuses the same
+    shuffle key; the distinct collapses to (user, week) before the
+    final count, so the matrix aggregation sees at most
+    users × active-weeks rows regardless of raw event volume."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.to_date(F.date_trunc("week", "ts")).alias("active_week"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "active_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_users"),
+        (F.datediff("active_week", "cohort_week") / 7)
+        .cast("bigint")
+        .alias("weeks_since_cohort"),
+    )
+
+
+@register(
+    "events_gapfill_daily",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS s
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+         CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1 FROM events
+), calendar AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), grid AS (
+  SELECT c.day, t.event_type
+  FROM calendar c, (SELECT DISTINCT event_type FROM events) t
+)
+SELECT g.day, g.event_type,
+  CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+  CAST(COALESCE(d.s, 0) AS DOUBLE) AS sum_value,
+  CAST(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+FROM grid g LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
+""",
+    tags=("integration", "timeseries"),
+)
+def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series (the time_bucket_gapfill counterpart to
+    agg_time_rollup): densify the (day x event_type) grid from the
+    observed time bounds, zero-filling days with no events and flagging
+    them. The calendar is generated from a 1-row bounds aggregate
+    (sequence + explode — rows created engine-side, never collected)
+    and the grid side is tiny (days x types), so it broadcasts against
+    the daily aggregate; the fact table is read once."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+    )
+    bounds = ev.agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("d1"),
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = calendar.crossJoin(types)
+    return (
+        F.broadcast(grid)
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+        )
+    )
