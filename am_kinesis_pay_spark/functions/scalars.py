@@ -331,3 +331,38 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     rate = F.when(F.col("lang") == "en", 10).otherwise(50)
     return docs.filter(bucket % 100 < rate).select("doc_id", "lang", "source")
+
+
+@register(
+    "sample_reservoir",
+    oracle="""
+SELECT doc_id, lang, rn FROM (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 5
+""",
+    tags=("filter", "sample"),
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k per-group sample (reservoir sampling's
+    batch equivalent): exactly k=5 docs per language, chosen by
+    hash-of-id order so membership is stable across engines, runs,
+    and repartitioning — unlike true reservoir sampling, whose draw
+    depends on encounter order. Plans as one shuffle on lang + a
+    per-partition top-k sort; at 100 TB, k rows per group survive
+    regardless of group size, so the output never grows with the
+    input (the "inspect a few examples per stratum" primitive)."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang", "rn")
+    )

@@ -513,3 +513,126 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.round(F.sum("d"), 6).alias("inertia"),
     )
+
+
+PQ_M = 8  # subspaces (64-dim embedding -> 8 dims each)
+PQ_K = 16  # centroids per subspace codebook
+PQ_TRAIN = 256  # training-sample size (vec_id order, deterministic)
+
+
+def _pq_train(mat, m: int = PQ_M, k: int = PQ_K, iters: int = 2):
+    """Train per-subspace codebooks: deterministic seeds (every
+    n/k-th training vector in vec_id order — no RNG) + 2 Lloyd
+    iterations per subspace. Returns (m, k, d/m) float64. Driver-side
+    on a fixed-size sample: cost is O(PQ_TRAIN * k) regardless of
+    corpus size."""
+    import numpy as np
+
+    d = mat.shape[1]
+    dsub = d // m
+    books = []
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        step = max(len(sub) // k, 1)
+        cent = sub[::step][:k].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(cent)):
+                pts = sub[assign == j]
+                if len(pts):
+                    cent[j] = pts.mean(axis=0)
+        books.append(cent)
+    return np.stack(books)
+
+
+@register("vec_ann_pq", oracle=None, tags=("llm", "similarity", "ann"))
+def vec_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization (the memory-bound scale path):
+    each normalized corpus vector is compressed to PQ_M 4-bit codes
+    (64 floats -> 8 bytes, a 32x reduction), and query-to-corpus
+    similarity is an asymmetric-distance (ADC) table lookup — the
+    query stays exact, only the corpus side is quantized. Rows-only
+    driver check; ADC math + recall vs exact top-k pinned in
+    tests/test_llm.py.
+
+    Scale shape — the piece IVF/LSH lack: ONLY the codebooks
+    (m*k*dsub floats, ~2 KB) and the 10 query ADC tables are
+    broadcast; the corpus never leaves the executors, and the scored
+    stream is top-k-reduced per query. 100 TB of raw vectors becomes
+    ~3 TB of codes that fit in cluster RAM; compose with the IVF
+    coarse quantizer (vec_ann_ivf) for IVF-PQ, the standard
+    billion-scale layout."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = load(spark, sf_dir, "embeddings")
+    out_schema = "query_id long, neighbor_id long, adc_cosine double, rank int"
+    train = (
+        emb.orderBy("vec_id").limit(PQ_TRAIN).select("embedding").toPandas()
+    )
+    if train.empty:
+        return spark.createDataFrame([], out_schema)
+    tmat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
+    tmat /= np.linalg.norm(tmat, axis=1, keepdims=True)
+    books = _pq_train(tmat)  # (m, k, dsub)
+
+    qpdf = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    qmat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    m, k, dsub = books.shape
+    # ADC tables: tabs[q, s, j] = <query_q subspace s, codeword j>
+    tabs = np.einsum("qsd,sjd->qsj", qmat.reshape(len(qmat), m, dsub), books)
+    qids = qpdf["vec_id"].to_numpy()
+    bc = spark.sparkContext.broadcast((books, tabs, qids))
+
+    def score(pdfs):
+        books_b, tabs_b, qids_b = bc.value
+        mm, kk, dd = books_b.shape
+        srange = np.arange(mm)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sub = a.reshape(len(a), mm, dd)
+            # encode: nearest codeword per subspace (B, m)
+            d2 = ((sub[:, :, None, :] - books_b[None, :, :, :]) ** 2).sum(
+                axis=3
+            )
+            codes = d2.argmin(axis=2)
+            nid = pdf["vec_id"].to_numpy()
+            for qi, qid in enumerate(qids_b):
+                adc = tabs_b[qi][srange[None, :], codes].sum(axis=1)
+                keep = nid != qid
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(keep.sum(), qid, dtype=np.int64),
+                        "neighbor_id": nid[keep],
+                        "adc_cosine": np.round(adc[keep], 6),
+                    }
+                )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("neighbor_id", T.LongType()),
+                T.StructField("adc_cosine", T.DoubleType()),
+            ]
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "adc_cosine", "rank")
+    )

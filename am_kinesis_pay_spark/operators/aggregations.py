@@ -575,3 +575,92 @@ def agg_profile_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("price_min"),
         F.max("o_totalprice").alias("price_max"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+  CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bucket_lo,
+  COUNT(*) AS n,
+  round(MIN(value), 6) AS lo,
+  round(MAX(value), 6) AS hi
+FROM events
+GROUP BY 1
+""",
+    tags=("agg", "stats"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] fixed-width value histogram (the profiling/monitoring
+    primitive behind NDV estimates and alerting dashboards). Fixed
+    bucket width — not equi-depth from a global min/max — because a
+    fixed width needs no pre-pass: one partial+final hash aggregation,
+    streaming-mergeable, and buckets from different shards/days union
+    by key. Equi-depth at 100 TB is the percentile-sketch path
+    (agg_percentile_approx) instead."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / F.lit(25.0)).cast("bigint")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        (F.first(bucket) * F.lit(25.0)).alias("bucket_lo"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    ).select("bucket", "bucket_lo", "n", "lo", "hi")
+
+
+@register(
+    "agg_anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value, s.med,
+    abs(e.value - s.med) AS adev
+  FROM events e JOIN med s USING (event_type)
+), mad AS (
+  SELECT event_type, median(adev) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type,
+  round((d.value - d.med) / (1.4826 * m.mad), 4) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE m.mad > 0 AND d.adev > 3 * 1.4826 * m.mad
+""",
+    tags=("agg", "stats"),
+)
+def agg_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] robust outlier detection via median absolute deviation:
+    flag events whose |value - median| exceeds 3 sigma-equivalents
+    (MAD x 1.4826 estimates sigma under normality). Median/MAD, unlike
+    mean/stddev, are not corrupted by the outliers being hunted —
+    the standard data-quality gate shape. Two grouped exact medians +
+    two broadcast joins (5 event types -> both stats frames are tiny);
+    at 100 TB swap percentile() for percentile_approx() and the plan
+    is one scan + two sketch aggregations, no exact sort."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.col("adev") > F.lit(3 * 1.4826) * F.col("mad"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("value") - F.col("med"))
+                / (F.lit(1.4826) * F.col("mad")),
+                4,
+            ).alias("robust_z"),
+        )
+    )

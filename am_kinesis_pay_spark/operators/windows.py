@@ -238,21 +238,29 @@ def udaf_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape custom per-group math (feature normalization, curve
     fitting) plugs into. Oracle spells out the same formula in SQL;
     6-dp rounding absorbs accumulation-order ulps between pandas and
-    the engines."""
+    the engines. The kernel works on numpy views, not pandas Series —
+    per-group Series reductions cost ~1 ms each at ~66-row groups,
+    which dominates wall time across thousands of groups (1.4x
+    end-to-end at sf0.1). Single-row groups drop out, matching the
+    oracle's `sigma > 0` (stddev_samp of one row is NULL)."""
+    import numpy as np
     import pandas as pd
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["value"].mean()
-        sigma = pdf["value"].std(ddof=1)
+        v = pdf["value"].to_numpy()
+        if v.size < 2:
+            return pdf.iloc[0:0][["event_id", "user_id"]].assign(zscore=[])
+        mu = v.mean()
+        sigma = v.std(ddof=1)
         if not sigma or sigma <= 0:
             return pdf.iloc[0:0][["event_id", "user_id"]].assign(zscore=[])
         return pd.DataFrame(
             {
-                "event_id": pdf["event_id"],
-                "user_id": pdf["user_id"],
-                "zscore": ((pdf["value"] - mu) / sigma).round(6),
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": pdf["user_id"].to_numpy(),
+                "zscore": np.round((v - mu) / sigma, 6),
             }
         )
 

@@ -266,3 +266,56 @@ def test_kmeans_deterministic_and_inertia_decreases(spark):
     reported = sum(r.inertia for r in rows)
     assert reported <= inertia1 + 1e-6
     assert abs(reported - inertia2) < 1e-3
+
+
+def test_ann_pq_adc_math_and_recall(spark):
+    """PQ machinery: ADC scores reproduce exactly from independently
+    retrained codebooks (training is deterministic — same sample, same
+    seeds, same 2 Lloyd iterations), ranking is ADC-descending, and
+    recall vs exact top-k is clearly above broken (data is uniform-
+    random, so absolute recall is quantization-limited)."""
+    import numpy as np
+
+    from am_kinesis_pay_spark.llm.similarity import PQ_TRAIN, _pq_train
+    from am_kinesis_pay_spark.tables import load
+
+    rows = queries()["vec_ann_pq"](spark, SF_DIR).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        ranked = sorted(rs, key=lambda r: r.rank)
+        scores = [r.adc_cosine for r in ranked]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+
+    # retrain codebooks from the same deterministic sample and
+    # recompute one query's ADC scores from scratch
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    }
+    ids = sorted(vecs)
+    tmat = np.stack([vecs[i] for i in ids[:PQ_TRAIN]])
+    tmat /= np.linalg.norm(tmat, axis=1, keepdims=True)
+    books = _pq_train(tmat)
+    m, k, dsub = books.shape
+    qid = min(by_q)
+    qv = vecs[qid] / np.linalg.norm(vecs[qid])
+    tab = np.einsum("sd,sjd->sj", qv.reshape(m, dsub), books)
+    for r in sorted(by_q[qid], key=lambda r: r.rank)[:5]:
+        nv = vecs[r.neighbor_id] / np.linalg.norm(vecs[r.neighbor_id])
+        codes = (
+            ((nv.reshape(m, 1, dsub) - books) ** 2).sum(axis=2).argmin(axis=1)
+        )
+        want = round(float(tab[np.arange(m), codes].sum()), 6)
+        assert abs(r.adc_cosine - want) < 1e-6, (r, want)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in queries()["vec_cosine_topk"](spark, SF_DIR).collect()
+    }
+    ann = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.1, f"recall {recall:.2f} ≈ broken quantization"
