@@ -306,3 +306,109 @@ def join_shuffled_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_totalprice", "c_name"
     )
+
+
+@register(
+    "join_dpp",
+    oracle="""
+WITH hot AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS event_date
+  FROM events WHERE event_type = 'purchase' AND value > 330
+)
+SELECT h.event_date, COUNT(*) AS n_events,
+  COUNT(DISTINCT e.user_id) AS n_users
+FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date, user_id
+      FROM events) e
+JOIN hot h USING (event_date)
+GROUP BY h.event_date
+""",
+    tags=("join", "layout"),
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] dynamic partition pruning — the runtime counterpart of
+    the static pruning in sink_partitioned_write: the fact table is
+    partitioned by event date on disk, the "hot days" dimension is
+    derived from a scan (so no static filter on the fact side is
+    possible), and Catalyst injects a dynamicpruning# subquery into
+    the fact scan's PartitionFilters — only the matching date
+    directories are read. At 100 TB this is the difference between
+    scanning 3 days and scanning the whole stream history whenever
+    the driving filter lives on the other side of a join.
+    tests/test_plans.py pins the dynamicpruning plan shape."""
+    import os
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("event_date"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "akps_dpp_events")
+    fact.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    part_fact = spark.read.schema(
+        "event_id bigint, user_id bigint, event_date date"
+    ).parquet(out)
+    hot = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 330))
+        .select(F.to_date(F.date_trunc("day", "ts")).alias("event_date"))
+        .distinct()
+    )
+    return (
+        part_fact.join(F.broadcast(hot), "event_date")
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+SELECT o.o_orderpriority,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] hand-salted skew join — the manual fallback when AQE's
+    skew-join split cannot help (e.g. a single hot key inside one
+    shuffle block, or a build side that must replicate): the probe
+    side gets a salt in [0, S) so one hot key spreads across S
+    reducers, the build side is replicated S times via explode, and
+    the join key becomes (key, salt). Correctness is salt-invariant —
+    the oracle is the UNSALTED join. S=8 here; at 100 TB, S is sized
+    to the observed hot-key share (agg_skew_profile measures it) and
+    only the skewed keys need salting (split the input, salt the hot
+    slice, union). The cost is deliberate: build side x S replication
+    buys even reducer fan-out."""
+    S = 8
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(S)).alias(
+            "salt"
+        ),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("salt"),
+    ).withColumn("salt", F.col("salt").cast("bigint"))
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )

@@ -295,3 +295,21 @@ def test_editdist_kernel_stays_out_of_join(spark):
     for cond in joins:
         assert "levenshtein" not in cond.lower(), cond
     assert m and "levenshtein" in plan.lower(), "kernel missing entirely"
+
+
+def test_dpp_injects_runtime_partition_filter(spark):
+    # join_dpp: the hot-days dimension is derived from a scan, so no
+    # static partition filter exists — Catalyst must inject a
+    # dynamicpruning subquery into the partitioned fact scan, pruning
+    # date directories at runtime from the broadcast join's build side
+    plan = plan_of(spark, "join_dpp")
+    assert "dynamicpruning" in plan, plan[:3000]
+
+
+def test_skew_salted_join_has_no_extra_shuffle(spark):
+    # the salted join must still be ONE join on (key, salt): salting
+    # adds a projected column and an explode, never a second Exchange
+    # chain or a nested-loop fallback
+    plan = plan_of(spark, "join_skew_salted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
