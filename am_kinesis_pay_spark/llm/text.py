@@ -273,30 +273,32 @@ GROUP BY doc_id
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: hash every 3-token shingle (the
     rolling window), keep the minimum — the 1-fingerprint degenerate
-    case of MOSS winnowing, shared machinery with MinHash (dedup.py)."""
+    case of MOSS winnowing, shared machinery with MinHash (dedup.py).
+    Both reductions are per-document, so the shingle stream never
+    leaves its row: array_min / array_distinct on the transform()
+    output keep the whole query map-only (zero Exchange — asserted in
+    test_plans.py), where an explode + groupBy(doc_id) would shuffle
+    every shingle hash only to regroup them by the row they came
+    from."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 3
     )
-    shingles = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - 3),
-                lambda i: F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.element_at("t", i + 1),
-                        F.element_at("t", i + 2),
-                        F.element_at("t", i + 3),
-                    )
-                ),
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 3),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at("t", i + 1),
+                F.element_at("t", i + 2),
+                F.element_at("t", i + 3),
             )
-        ).alias("h"),
+        ),
     )
-    return shingles.groupBy("doc_id").agg(
-        F.min("h").alias("winnow_min"),
-        F.countDistinct("h").alias("n_shingles"),
+    return toks.select(
+        "doc_id",
+        F.array_min(sh).alias("winnow_min"),
+        F.size(F.array_distinct(sh)).cast("bigint").alias("n_shingles"),
     )
 
 

@@ -313,3 +313,10 @@ def test_skew_salted_join_has_no_extra_shuffle(spark):
     plan = plan_of(spark, "join_skew_salted")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_fingerprint_is_map_only(spark):
+    # per-document reductions over the shingle array must not explode
+    # into a shuffle: the whole fingerprint pass is one scan
+    plan = plan_of(spark, "text_winnow_fingerprint")
+    assert "Exchange" not in plan, plan[:3000]
