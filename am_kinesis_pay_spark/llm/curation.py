@@ -676,3 +676,98 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "text_classifier_score",
+    oracle="""
+SELECT doc_id,
+  round(1.0 / (1.0 + exp(-(
+    list_sum(list_transform(string_split(text, ' '), t ->
+      (CAST(('0x' || substr(md5(t), 1, 4)) AS INTEGER) % 200 - 100)
+        / 100.0))
+    / len(string_split(text, ' '))))), 6) AS quality_prob
+FROM documents
+WHERE len(string_split(text, ' ')) >= 1
+""",
+    tags=("llm", "curation"),
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (the fastText-classifier gate in
+    CCNet/C4-style pipelines): a linear bag-of-words model — one
+    weight per token, mean-pooled, squashed by a sigmoid. Weights here
+    are a deterministic hash of the token (a stand-in for trained
+    parameters; both engines derive the identical table, which is what
+    the oracle checks). The real-pipeline shape is identical: weights
+    live in a broadcast map or are inlined as an expression, scoring
+    is transform() + aggregate() INSIDE the row — map-only, zero
+    shuffle, linear scale-out. Swap the hash expression for a
+    broadcast-joined weight table when the vocabulary is learned."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    weight = (
+        lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long") % 200
+            - 100
+        )
+        / 100.0
+    )
+    logit = F.aggregate(
+        F.transform(toks, weight), F.lit(0.0), lambda s, x: s + x
+    ) / F.size(toks)
+    return docs.filter(F.size(toks) >= 1).select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
+            "quality_prob"
+        ),
+    )
+
+
+@register(
+    "sample_temperature",
+    oracle="""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), dist AS (
+  SELECT lang, n_docs,
+    CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS p,
+    pow(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 0.5) AS p_alpha
+  FROM counts
+)
+SELECT lang, n_docs,
+  round(p, 6) AS p,
+  round(p_alpha / SUM(p_alpha) OVER (), 6) AS q,
+  round((p_alpha / SUM(p_alpha) OVER ()) / p, 6) AS upweight
+FROM dist
+""",
+    tags=("llm", "sample"),
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual
+    rebalancing rule from mBERT/XLM-R: q_l ∝ p_l^α, α=0.5): languages
+    are resampled toward the tempered distribution, upweighting the
+    tail without flattening the head. Two tiny aggregations over an
+    already-aggregated 5-row frame — the per-lang counts are the only
+    scan of the corpus; everything downstream is O(#languages). The
+    companion draw is sample_mixture (quota by hash order) with these
+    q values as the targets."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    dist = counts.select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("p"),
+        F.pow(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 0.5
+        ).alias("p_alpha"),
+    )
+    return dist.select(
+        "lang",
+        "n_docs",
+        F.round("p", 6).alias("p"),
+        F.round(F.col("p_alpha") / F.sum("p_alpha").over(w), 6).alias("q"),
+        F.round(
+            (F.col("p_alpha") / F.sum("p_alpha").over(w)) / F.col("p"), 6
+        ).alias("upweight"),
+    )
