@@ -452,3 +452,30 @@ def test_stream_daily_rollup_matches_batch_weekly(spark, stream_dir):
         key=lambda t: (str(t[0]), t[1]),
     )
     assert got == want
+
+
+def test_stream_complete_topk_equals_batch(spark, stream_dir):
+    """Maintained top-k (complete output mode): the incremental
+    per-user spend aggregation, re-ranked after the final micro-batch,
+    must equal the batch top-10. This is the live-leaderboard shape —
+    state is one row per user (bounded by cardinality, not stream
+    length); the rank is computed on read, never maintained in state."""
+    stream = (
+        events_stream(spark, stream_dir)
+        .groupBy("user_id")
+        .agg(dsum("value").alias("total_value"), F.count(F.lit(1)).alias("n"))
+    )
+    got = run_to_completion(stream, f"topk_{uuid.uuid4().hex[:6]}", "complete")
+    top = got.orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    ).limit(10)
+    from am_kinesis_pay_spark.tables import load
+
+    want = (
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(dsum("value").alias("total_value"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+    assert list(map(tuple, top.collect())) == list(map(tuple, want.collect()))

@@ -30,6 +30,7 @@ ALL_TABLES = [
 DOCS_QUERIES = [
     "text_dedup_minhash", "text_dedup_simhash", "text_dedup_clusters",
     "pipeline_corpus_filter", "text_repetition_ratio", "text_rolling_hash",
+    "text_winnow_fingerprint", "text_classifier_score",
 ]
 FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
@@ -41,7 +42,8 @@ CURATION_QUERIES = [
     "sample_mixture", "pipeline_retrieval_corpus", "pipeline_training_set",
     "emb_kmeans", "emb_label_centroids", "agg_time_rollup",
     "events_funnel_ordered", "text_dedup_editdist", "win_sessionize",
-    "win_out_of_order_profile", "agg_skew_profile",
+    "win_out_of_order_profile", "agg_skew_profile", "sample_temperature",
+    "vec_ann_pq", "agg_anomaly_mad",
 ]
 
 
