@@ -26,7 +26,7 @@ brute-force block for the LSH-bucketed variant in similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from am_kinesis_pay_spark.registry import REGISTRY, register
 from am_kinesis_pay_spark.tables import load
@@ -495,3 +495,54 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
     edges.unpersist()
     return labels
+
+
+@register(
+    "text_dedup_incremental",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, md5(lower(trim(text))) AS text_key,
+    doc_id % 10 = 0 AS is_new
+  FROM documents
+), corpus AS (
+  SELECT DISTINCT text_key FROM hashed WHERE NOT is_new
+), fresh AS (
+  SELECT h.doc_id, h.text_key
+  FROM hashed h
+  WHERE h.is_new AND NOT EXISTS (
+    SELECT 1 FROM corpus c WHERE c.text_key = h.text_key)
+)
+SELECT doc_id, text_key FROM (
+  SELECT doc_id, text_key,
+    ROW_NUMBER() OVER (PARTITION BY text_key ORDER BY doc_id) AS rn
+  FROM fresh) t
+WHERE rn = 1
+""",
+    tags=("llm", "dedup"),
+)
+def text_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the shape every continuously-crawled
+    corpus runs daily: an incoming batch (docs with doc_id % 10 == 0
+    stand in for today's crawl) is deduplicated (1) against the
+    existing corpus via LEFT ANTI join on the normalized content hash,
+    then (2) within itself (first doc_id wins per hash). Only the
+    batch shuffles at batch size; the corpus side contributes one
+    DISTINCT hash projection — at 100 TB that projection is the
+    persisted hash index of the corpus (narrow, bucketed by hash), so
+    daily ingest cost is O(batch + index probe), never O(corpus
+    rescan). Generalizes the reference's duplicate-payment guard
+    (kinesis-pay.php:515-518) from one key to content identity."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("text_key")
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_keys = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "text_key"
+    ).distinct()
+    fresh = batch.join(corpus_keys, "text_key", "left_anti")
+    w = W.partitionBy("text_key").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text_key")
+    )
