@@ -366,3 +366,42 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "lang", "rn")
     )
+
+
+@register(
+    "fn_variant_ops",
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(MIN(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(MAX(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE CAST(props ->> 'k' AS BIGINT) IS NOT NULL
+GROUP BY event_type
+""",
+    tags=("scalar", "json"),
+)
+def fn_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse the JSON side-bag
+    ONCE into a binary variant, then do typed point extractions —
+    unlike get_json_object (fn_json_ops), which re-parses the string
+    per extraction. try_parse_json / try_variant_get reproduce the
+    reference's fail-open treatment of non-JSON payloads
+    (kinesis-pay.php:158-162): malformed rows become NULL and drop at
+    the filter, never error. At 100 TB the single-parse shape halves
+    scan CPU whenever two or more fields are extracted, and variant
+    columns shred to parquet for pushdown in newer table formats."""
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
