@@ -488,3 +488,49 @@ def win_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("late_s").cast("bigint").alias("max_late_s"),
         )
     )
+
+
+@register(
+    "win_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n,
+  round(CAST(COUNT(*) AS DOUBLE)
+    / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6) AS p
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+    tags=("window", "stats"),
+)
+def win_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix
+    (lag over each user's timeline, then count and row-normalize
+    per source state) — the empirical Markov chain behind funnel
+    diagnostics and next-event prediction baselines, and the
+    generalization of the reference's pending→terminal transition
+    detection (W3, kinesis-pay.php:239-249) from one payment to the
+    whole population. One shuffle for the per-user lag, one for the
+    5x5 count aggregation; the normalizing window runs on the
+    25-row transition frame, so cost is O(events) + O(states^2)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    norm = W.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(norm), 6
+        ).alias("p"),
+    )

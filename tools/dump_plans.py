@@ -14,6 +14,8 @@ NAMES = [
     "agg_pricing_summary", "join_asof_rate", "join_broadcast_dim",
     "join_range_theta", "q_shipping_priority", "text_dedup_minhash",
     "sort_limit", "text_decontaminate", "agg_time_rollup",
+    "join_dpp", "join_skew_salted", "text_winnow_fingerprint",
+    "text_classifier_score", "text_dedup_incremental",
 ]
 
 if __name__ == "__main__":
