@@ -636,3 +636,61 @@ def vec_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "adc_cosine", "rank")
     )
+
+
+PCA_ITERS = 2  # power-iteration rounds (deterministic all-ones start)
+
+
+@register("emb_pca_power", oracle=None, tags=("llm", "similarity", "pca"))
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by distributed power iteration — the
+    dimensionality-reduction primitive (whitening, drift detection,
+    spectral init) done Spark-shaped: each round is (1) a map-only
+    per-row centered projection d_i = (x_i - mu)·v via zip_with +
+    aggregate, (2) one posexplode shuffle keyed by dimension summing
+    (x_ij - mu_j)·d_i. Only DIM-sized reductions (the mean, and v
+    between rounds) ever reach the driver — never rows, so the pattern
+    is corpus-size-independent: 100 TB of vectors costs ITERS scans +
+    ITERS dim-keyed shuffles whose reduce side is DIM cells. Rows-only
+    check: cross-row float sums are accumulation-order dependent;
+    numpy parity + variance-capture monotonicity pinned in
+    tests/test_llm.py."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "x"))
+    mu_rows = (
+        ex.groupBy("pos").agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    if not mu_rows:
+        return spark.createDataFrame(
+            [], "pos int, loading double, mean double"
+        )
+    mu = [r.m for r in sorted(mu_rows, key=lambda r: r.pos)]
+    dim = len(mu)
+    v = [1.0 / math.sqrt(dim)] * dim
+
+    def arr(vals):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    for _ in range(PCA_ITERS):
+        centered = F.zip_with("embedding", arr(mu), lambda x, m: x - m)
+        dot = F.aggregate(
+            F.zip_with(centered, arr(v), lambda c, w: c * w),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        s_rows = (
+            emb.select(centered.alias("c"), dot.alias("d"))
+            .select(F.posexplode("c").alias("pos", "cx"), "d")
+            .groupBy("pos")
+            .agg(F.sum(F.col("cx") * F.col("d")).alias("s"))
+            .collect()
+        )
+        s = [r.s for r in sorted(s_rows, key=lambda r: r.pos)]
+        norm = math.sqrt(sum(x * x for x in s)) or 1.0
+        v = [x / norm for x in s]
+
+    out = [(i, round(v[i], 8), round(mu[i], 8)) for i in range(dim)]
+    return spark.createDataFrame(out, "pos int, loading double, mean double")

@@ -9,7 +9,7 @@ document count. No Python UDFs in any hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from am_kinesis_pay_spark.registry import register
 from am_kinesis_pay_spark.tables import load
@@ -627,4 +627,70 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         (F.sum("nll").cast("double") / F.count(F.lit(1))).alias("avg_nll"),
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, t.term, COUNT(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tf)
+  GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored) t
+WHERE rnk <= 3
+""",
+    tags=("llm", "text"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: term frequency per document x
+    smoothed inverse document frequency (ln((1+N)/(1+df))), top 3
+    terms per document — the classic relevance weighting under every
+    bag-of-words retrieval/labeling baseline. Plan shape: one
+    explode+count for TF, one re-aggregation of the (already small)
+    per-doc-term frame for DF, a broadcast of the DF table's term
+    column back onto TF, and a per-doc top-k window. N arrives as a
+    1-row broadcast cross join, never a collect. At 100 TB the DF
+    table is vocabulary-sized (millions, not trillions) so the join
+    stays broadcast; term-partitioned DF is the fallback."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
     )

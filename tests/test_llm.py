@@ -319,3 +319,41 @@ def test_ann_pq_adc_math_and_recall(spark):
     ann = {(r.query_id, r.neighbor_id) for r in rows}
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.1, f"recall {recall:.2f} ≈ broken quantization"
+
+
+def test_pca_power_matches_numpy_and_captures_variance(spark):
+    """Distributed power iteration reproduces the numpy reference
+    (same deterministic start, same round count) and the resulting
+    component captures at least as much variance as the start vector
+    — the monotonicity that makes power iteration converge."""
+    import numpy as np
+
+    from am_kinesis_pay_spark.llm.similarity import PCA_ITERS
+    from am_kinesis_pay_spark.tables import load
+
+    rows = queries()["emb_pca_power"](spark, SF_DIR).collect()
+    assert rows
+    got = np.array([r.loading for r in sorted(rows, key=lambda r: r.pos)])
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-6
+
+    mat = np.stack(
+        [
+            np.array(r.embedding, dtype=np.float64)
+            for r in load(spark, SF_DIR, "embeddings").collect()
+        ]
+    )
+    mu = mat.mean(axis=0)
+    c = mat - mu
+    v = np.ones(mat.shape[1]) / np.sqrt(mat.shape[1])
+    v0 = v.copy()
+    for _ in range(PCA_ITERS):
+        s = c.T @ (c @ v)
+        v = s / np.linalg.norm(s)
+    assert np.abs(got - v).max() < 1e-6
+
+    def captured(u):
+        return float(u @ (c.T @ (c @ u)))
+
+    assert captured(got) >= captured(v0) - 1e-9
+    mu_got = np.array([r.mean for r in sorted(rows, key=lambda r: r.pos)])
+    assert np.abs(mu_got - mu).max() < 1e-6
