@@ -1,0 +1,45 @@
+"""Engine-wide plan hygiene sweep: NO registered query may plan a
+CartesianProduct, and BroadcastNestedLoopJoin is allowed only where a
+deliberately tiny broadcast side makes it the right plan (scalar
+subquery results, the ≤10-row ANN query set). Everything else must be
+a hash/sort-merge join — the property that decides whether a query
+survives a 100× scale-up, enforced for the WHOLE surface instead of
+per-query spot checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from am_kinesis_pay_spark.registry import queries
+
+from tests.conftest import SF_DIR
+
+# Each entry's NLJ side is O(1) rows by construction:
+#   scalar aggregates cross-joined back (corpus size, global totals),
+#   the ≤10-row ANN query set joined with a != predicate, or the
+#   gapfill date spine.
+_NLJ_ALLOWED = {
+    "agg_skew_profile",
+    "emb_kmeans",
+    "events_funnel_ordered",
+    "events_gapfill_daily",
+    "pipeline_retrieval_corpus",
+    "q_dormant_balances",
+    "text_tfidf_topterms",
+    "text_unigram_nll",
+    "vec_cosine_topk",
+    "vec_knn_label",
+}
+
+
+@pytest.mark.parametrize("name", sorted(queries().keys()))
+def test_no_accidental_cross_product(spark, name):
+    df = queries()[name](spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in _NLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans an unexpected nested-loop join"
+        )
