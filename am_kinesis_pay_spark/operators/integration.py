@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from am_kinesis_pay_spark.functions.compat import dsum
+
 
 from am_kinesis_pay_spark.registry import register
 from am_kinesis_pay_spark.tables import load
@@ -1170,4 +1172,67 @@ def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
             F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
         )
+    )
+
+
+@register(
+    "ts_user_similarity",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+), q AS (
+  SELECT d, v AS qv FROM daily WHERE user_id = 1
+), sims AS (
+  SELECT o.user_id,
+    round(corr(o.v, q.qv), 6) AS sim,
+    COUNT(*) AS n_days
+  FROM daily o JOIN q USING (d)
+  WHERE o.user_id <> 1
+  GROUP BY o.user_id
+  HAVING COUNT(*) >= 10 AND corr(o.v, q.qv) IS NOT NULL
+)
+SELECT user_id, sim, n_days FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY sim DESC, user_id) AS rnk
+  FROM sims) t
+WHERE rnk <= 10
+""",
+    tags=("integration", "timeseries"),
+)
+def ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the streaming-similarity workload
+    from PAPERS.md's EDBT-2019 entry, batch form): each user's daily
+    spend series is correlated against a query user's series on the
+    days both were active; the 10 most-correlated users win. Plan
+    shape: one grouped aggregation builds every series in parallel,
+    the query user's ~30-row series broadcasts back onto it, and
+    corr() reduces per candidate — comparing the query against ALL
+    users costs one shuffle + one broadcast regardless of user count.
+    The exact-decimal daily sums make corr's inputs engine-identical;
+    6-dp rounding absorbs the remaining accumulation-order ulps."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(dsum("value").alias("v"))
+    q = daily.filter(F.col("user_id") == 1).select(
+        "d", F.col("v").alias("qv")
+    )
+    sims = (
+        daily.filter(F.col("user_id") != 1)
+        .join(F.broadcast(q), "d")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.corr("v", "qv"), 6).alias("sim"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .filter((F.col("n_days") >= 10) & F.col("sim").isNotNull())
+    )
+    # top-k via orderBy+limit, NOT a global row_number window: this
+    # plans TakeOrderedAndProject (per-partition heaps, no single-task
+    # sort), which holds however many candidate users exist
+    return (
+        sims.orderBy(F.desc("sim"), F.asc("user_id"))
+        .limit(10)
+        .select("user_id", "sim", "n_days")
     )
