@@ -664,3 +664,55 @@ def agg_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle="""
+WITH b AS (
+  SELECT quantile_cont(value, 0.25) AS b1,
+    quantile_cont(value, 0.50) AS b2,
+    quantile_cont(value, 0.75) AS b3
+  FROM events
+)
+SELECT CASE WHEN value <= b1 THEN 1 WHEN value <= b2 THEN 2
+            WHEN value <= b3 THEN 3 ELSE 4 END AS bucket,
+  COUNT(*) AS n,
+  round(MIN(value), 6) AS lo,
+  round(MAX(value), 6) AS hi
+FROM events CROSS JOIN b
+GROUP BY 1
+""",
+    tags=("agg", "stats"),
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram — the two-pass counterpart of
+    agg_histogram's one-pass fixed-width form: pass 1 computes the
+    quartile boundaries, pass 2 buckets every row against them (a
+    1-row broadcast). Equi-depth is what optimizers want for
+    selectivity estimation (equal mass per bucket regardless of value
+    skew) and what it costs is exactly this extra pass + the loss of
+    mergeability. At 100 TB pass 1 becomes percentile_approx (KLL
+    sketch, mergeable) and the bucket error is the sketch epsilon."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr("percentile(value, 0.25)").alias("b1"),
+        F.expr("percentile(value, 0.50)").alias("b2"),
+        F.expr("percentile(value, 0.75)").alias("b3"),
+    )
+    v = F.col("value")
+    bucket = (
+        F.when(v <= F.col("b1"), 1)
+        .when(v <= F.col("b2"), 2)
+        .when(v <= F.col("b3"), 3)
+        .otherwise(4)
+    )
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
