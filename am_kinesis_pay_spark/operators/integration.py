@@ -1236,3 +1236,91 @@ def ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("user_id", "sim", "n_days")
     )
+
+
+@register(
+    "graph_pagerank",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+        FROM events WHERE event_type = 'purchase' AND value > 250) a
+  JOIN (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+        FROM events WHERE event_type = 'purchase' AND value > 250) b
+    USING (d)
+  WHERE a.user_id <> b.user_id
+), deg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), n AS (
+  SELECT COUNT(DISTINCT src) AS n_nodes FROM edges
+), r1 AS (
+  SELECT e.dst AS user_id,
+    0.15 / n.n_nodes + 0.85 * SUM((1.0 / n.n_nodes) / d.outdeg) AS rank
+  FROM edges e JOIN deg d USING (src) CROSS JOIN n
+  GROUP BY e.dst, n.n_nodes
+), r2 AS (
+  SELECT e.dst AS user_id,
+    0.15 / n.n_nodes + 0.85 * SUM(r.rank / d.outdeg) AS rank
+  FROM edges e JOIN deg d USING (src) JOIN r1 r ON r.user_id = e.src
+  CROSS JOIN n
+  GROUP BY e.dst, n.n_nodes
+)
+SELECT user_id, round(rank, 9) AS pagerank FROM r2
+""",
+    tags=("integration", "graph"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 fixed iterations, damping 0.85) over the
+    co-purchase graph — users linked when they bought on the same day.
+    The canonical iterative-graph workload: each round is one join of
+    the edge list against the current rank vector plus one aggregation
+    by destination. The rank frame is node-sized (broadcast here;
+    partition-aligned with the edge list's src key at 100 TB so each
+    round is ONE shuffle), and the undirected co-occurrence
+    construction leaves no dangling nodes, so mass only moves along
+    edges. Fixed iteration count keeps it SQL-expressible for the
+    oracle; production convergence loops the same two operators with
+    localCheckpoint every round (the text_dedup_clusters discipline)."""
+    ev = load(spark, sf_dir, "events")
+    active = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 250))
+        .select(
+            F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+        )
+        .distinct()
+    )
+    b = active.select(F.col("d"), F.col("user_id").alias("dst"))
+    edges = (
+        active.select("d", F.col("user_id").alias("src"))
+        .join(b, "d")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = edges.select("src").distinct().agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        "src", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    ed = edges.join(deg, "src")
+    for _ in range(2):
+        contrib = ed.join(F.broadcast(ranks), "src").select(
+            F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("c")
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("dst").alias("src"),
+                (
+                    F.lit(0.15) / F.col("n_nodes")
+                    + F.lit(0.85) * F.col("mass")
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("src").alias("user_id"), F.round("rank", 9).alias("pagerank")
+    )

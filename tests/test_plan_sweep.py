@@ -24,6 +24,7 @@ _NLJ_ALLOWED = {
     "emb_kmeans",
     "events_funnel_ordered",
     "events_gapfill_daily",
+    "graph_pagerank",
     "pipeline_retrieval_corpus",
     "q_dormant_balances",
     "text_tfidf_topterms",
