@@ -47,4 +47,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Spark round-trips a TIMESTAMP_LTZ write back as TIMESTAMP_NTZ when
+    # the footer lacks isAdjustedToUTC (inferTimestampNTZ path). Queries
+    # use unix_millis()/window() which require TIMESTAMP, so normalize
+    # every NTZ column to the session-zone TIMESTAMP flavor here — one
+    # timestamp type engine-wide, whichever writer produced the file.
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
