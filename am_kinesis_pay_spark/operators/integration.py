@@ -1324,3 +1324,51 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("src").alias("user_id"), F.round("rank", 9).alias("pagerank")
     )
+
+
+_REACH_EDGES_SQL = """
+    SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+    FROM (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+          FROM {events} WHERE event_type = 'purchase' AND value > 150) a
+    JOIN (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+          FROM {events} WHERE event_type = 'purchase' AND value > 150) b
+      USING (d)
+    WHERE a.user_id <> b.user_id
+"""
+
+_REACH_SQL = """
+WITH RECURSIVE reach(node, depth) AS (
+  SELECT (SELECT MIN(src) FROM ({edges}) s) AS node, 0 AS depth
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r
+  JOIN ({edges}) e ON e.src = r.node
+  WHERE r.depth < 2
+)
+SELECT node, MIN(depth) AS min_depth
+FROM reach
+GROUP BY node
+"""
+
+
+@register(
+    "graph_reachability",
+    oracle=_REACH_SQL.format(edges=_REACH_EDGES_SQL.format(events="events")),
+    tags=("integration", "graph"),
+)
+def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability (≤ 2 hops, min depth per node) from the
+    smallest-id node of the co-purchase graph, written as a Spark 4
+    recursive CTE (`WITH RECURSIVE`) — the same SQL text runs on the
+    DuckDB oracle. The recursive member is one equi-join of the
+    current frontier against the edge list per iteration; the depth
+    guard bounds iterations, and the final GROUP BY collapses repeated
+    visits to the first (minimum) depth. At 100 TB the edge list would
+    be bucketed by src so each frontier expansion is a shuffle-free
+    join; the frontier itself stays node-bounded. Generalizes the
+    iterative min-label propagation of text_dedup_clusters to
+    arbitrary-depth graph traversal in declarative form."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_v_reach")
+    return spark.sql(
+        _REACH_SQL.format(edges=_REACH_EDGES_SQL.format(events="events_v_reach"))
+    )

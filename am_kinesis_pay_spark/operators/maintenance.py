@@ -1,0 +1,326 @@
+"""Warehouse-maintenance operators: SCD Type-2 dimension builds,
+data-quality expectation suites, distributed heavy-hitter detection,
+and deterministic dataset splits.
+
+These generalize the reference's state-tracking and validation
+surfaces — the per-payment status history (kinesis-pay.php:239-249)
+becomes a slowly-changing dimension; the conjunctive validation chain
+(kinesis-pay.php:520-537) becomes a declarative expectation suite run
+as ONE pass per table.
+
+Scale notes (100 TB):
+- SCD2 build: one shuffle on the entity key + two in-partition window
+  passes; no self-join. At rest the dimension is MERGE-maintained
+  incrementally; this operator is the full-rebuild / backfill path.
+- dq_expectations: all per-row rules for a table fold into a single
+  conditional-aggregate scan (one pass, map-side partials); only the
+  referential rule needs a join, and its build side is key-only.
+- agg_heavy_hitters: per-partition Misra-Gries candidate generation
+  (bounded state, one pass) → exact verification of the candidate set
+  only. The candidate frame is ≤ capacity × partitions rows no matter
+  how large the input — the two-phase shape that works when a full
+  groupBy on the key would shuffle 100 TB.
+- sample_train_split: pure map + tiny aggregate; split membership is a
+  deterministic hash of the key, so it is reproducible across engines,
+  runs, repartitioning, and backfills (never TABLESAMPLE/rand()).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from am_kinesis_pay_spark.registry import register
+from am_kinesis_pay_spark.tables import load
+
+
+@register(
+    "dim_scd2_build",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_id, ts, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id,
+       event_type AS status,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+FROM changes
+""",
+    tags=("agg", "maintenance"),
+)
+def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: collapse each user's event stream to
+    its status *changes* and emit [valid_from, valid_to) intervals with
+    an is_current flag — the change-data-capture shape of the
+    reference's per-payment status history (pending→processed…,
+    kinesis-pay.php:239-249) applied warehouse-wide.
+
+    Both windows share one partitioning (user_id) and one sort
+    (ts, event_id), so the whole build is a single Exchange + Sort
+    followed by two in-partition passes — no self-join, no second
+    shuffle. (ts, event_id) ordering makes tie-breaks deterministic.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+WITH scan_rules AS (
+  SELECT * FROM (
+    SELECT 'lineitem' AS table_name, 'quantity_in_range' AS rule,
+           SUM(CASE WHEN l_quantity <= 0 OR l_quantity > 60 THEN 1 ELSE 0 END) AS n_violations,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'discount_in_unit_interval',
+           SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', 'custkey_not_null',
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'totalprice_positive',
+           SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'events', 'event_type_in_domain',
+           SUM(CASE WHEN event_type NOT IN ('view','click','purchase','refund','poll') THEN 1 ELSE 0 END),
+           COUNT(*)
+    FROM events
+  )
+),
+pk_rule AS (
+  SELECT 'orders' AS table_name, 'orderkey_unique' AS rule,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+         COUNT(*) AS n_rows
+  FROM orders
+),
+fk_rule AS (
+  SELECT 'lineitem' AS table_name, 'orderkey_references_orders' AS rule,
+         CAST(COUNT(*) AS BIGINT) AS n_violations,
+         (SELECT COUNT(*) FROM lineitem) AS n_rows
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+)
+SELECT table_name, rule, CAST(n_violations AS BIGINT) AS n_violations,
+       n_rows, (n_violations = 0) AS passed
+FROM (SELECT * FROM scan_rules UNION ALL SELECT * FROM pk_rule UNION ALL SELECT * FROM fk_rule)
+""",
+    tags=("agg", "maintenance"),
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite — the reference's
+    conjunctive validation chain (source ∧ status ∧ terms,
+    kinesis-pay.php:520-537) generalized to a per-table rule report
+    (rule, violations, row count, pass flag).
+
+    Engineering shape: all row-local rules for one table fold into a
+    SINGLE conditional-aggregate scan (one pass, map-side partials);
+    the uniqueness rule rides the same scan via COUNT - COUNT(DISTINCT);
+    only the referential rule needs a join, and it is a key-only
+    left-anti count. Report size = #rules, independent of input size.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    li_scan = li.agg(
+        cnt((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 60)).alias(
+            "quantity_in_range"
+        ),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "discount_in_unit_interval"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ord_scan = orders.agg(
+        cnt(F.col("o_custkey").isNull()).alias("custkey_not_null"),
+        cnt(F.col("o_totalprice") <= 0).alias("totalprice_positive"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long").alias(
+            "orderkey_unique"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ev_scan = ev.agg(
+        cnt(
+            ~F.col("event_type").isin("view", "click", "purchase", "refund", "poll")
+        ).alias("event_type_in_domain"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    li_total = li.count()
+    orphans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(
+            F.lit("lineitem").alias("table_name"),
+            F.lit("orderkey_references_orders").alias("rule"),
+            "n_violations",
+            F.lit(li_total).alias("n_rows"),
+        )
+    )
+
+    def unpivot(scan: DataFrame, table: str, rules: list[str]) -> DataFrame:
+        stack = F.expr(
+            "stack({n}, {args}) AS (rule, n_violations)".format(
+                n=len(rules),
+                args=", ".join(f"'{r}', {r}" for r in rules),
+            )
+        )
+        return scan.select(
+            F.lit(table).alias("table_name"), stack, F.col("n_rows")
+        ).select("table_name", "rule", "n_violations", "n_rows")
+
+    report = (
+        unpivot(li_scan, "lineitem", ["quantity_in_range", "discount_in_unit_interval"])
+        .unionByName(
+            unpivot(
+                ord_scan,
+                "orders",
+                ["custkey_not_null", "totalprice_positive", "orderkey_unique"],
+            )
+        )
+        .unionByName(unpivot(ev_scan, "events", ["event_type_in_domain"]))
+        .unionByName(orphans)
+    )
+    return report.withColumn("passed", F.col("n_violations") == 0)
+
+
+_MG_CAPACITY = 512
+
+
+def _misra_gries_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Misra-Gries summary of one partition's l_suppkey stream with
+    capacity k: any item whose partition count exceeds n_part/k keeps a
+    counter, so the union over partitions is a guaranteed superset of
+    the global > n_total/k heavy hitters (MG merge property)."""
+    counters: dict[int, int] = {}
+    for pdf in it:
+        for key in pdf["l_suppkey"].to_numpy():
+            key = int(key)
+            if key in counters:
+                counters[key] += 1
+            elif len(counters) < _MG_CAPACITY:
+                counters[key] = 1
+            else:
+                dead = [k for k in counters if counters[k] == 1]
+                for k in counters:
+                    counters[k] -= 1
+                for k in dead:
+                    del counters[k]
+    yield pd.DataFrame({"candidate": list(counters.keys()) or []}, dtype="int64")
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle="""
+SELECT l_suppkey, COUNT(*) AS n_occurrences
+FROM lineitem
+GROUP BY l_suppkey
+HAVING COUNT(*) * 128 > (SELECT COUNT(*) FROM lineitem)
+""",
+    tags=("agg", "maintenance"),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items (support > 1/512) via the two-phase distributed
+    heavy-hitter algorithm (support > 1/128 on l_suppkey):
+    per-partition Misra-Gries candidate
+    generation (bounded memory, ONE pass) → exact count verification of
+    the candidate set only. Exactness: MG guarantees every global heavy
+    hitter survives in at least one partition summary, and verification
+    re-counts candidates exactly — so the result equals the naive
+    full groupBy + HAVING (the oracle), while the shuffled key set is
+    ≤ capacity × partitions rows regardless of input size. The same
+    candidate+verify shape backs `pcount % 10`-style telemetry rollups
+    (kinesis-pay.php:302-304) when the key domain is unbounded."""
+    li = load(spark, sf_dir, "lineitem")
+    candidates = (
+        li.select("l_suppkey")
+        .mapInPandas(_misra_gries_partition, "candidate long")
+        .distinct()
+    )
+    total = li.count()
+    return (
+        li.join(
+            F.broadcast(candidates), li.l_suppkey == candidates.candidate, "left_semi"
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * 128 > F.lit(total))
+    )
+
+
+@register(
+    "sample_train_split",
+    oracle="""
+WITH tagged AS (
+  SELECT doc_id, n_chars,
+    CASE
+      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90 THEN 'train'
+      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 95 THEN 'validation'
+      ELSE 'test'
+    END AS split
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM tagged
+GROUP BY split
+""",
+    tags=("agg", "sample", "maintenance"),
+)
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/validation/test split by key hash —
+    the reproducible-experiment split: membership is a pure function of
+    doc_id (md5 prefix mod 100, the filter_hash_sample mechanism), so
+    it is stable across engines, runs, cluster sizes, and incremental
+    backfills, and never leaks rows between splits. Map-only tag + a
+    3-group aggregate; at 100 TB the tag column is also the partition
+    column of the written layout so each split reads its own files."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "validation")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
