@@ -771,3 +771,56 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_alpha") / F.sum("p_alpha").over(w)) / F.col("p"), 6
         ).alias("upweight"),
     )
+
+
+@register(
+    "sample_balanced_classes",
+    oracle="""
+WITH counts AS (
+  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+),
+m AS (SELECT MIN(n) AS min_n FROM counts),
+ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS rn
+  FROM embeddings
+)
+SELECT r.label, COUNT(*) AS n_sampled,
+       CAST(SUM(r.vec_id) AS BIGINT) AS id_checksum
+FROM ranked r CROSS JOIN m
+WHERE r.rn <= m.min_n
+GROUP BY r.label
+""",
+    tags=("llm", "sample"),
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-count rows, chosen in deterministic hash order (md5 of
+    the key — the filter_hash_sample mechanism, so the draw is stable
+    across engines/runs/cluster sizes and never biased by storage
+    order). The class-imbalance corrector for classifier training
+    sets; output size = n_labels × min_count by construction. One
+    window shuffle on label + a broadcast 1-row min; the checksum
+    column pins the exact membership (not just the size) against the
+    oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.agg(F.min("n").alias("min_n"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = emb.select("vec_id", "label").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(min_n))
+        .filter(F.col("rn") <= F.col("min_n"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("vec_id").cast("long").alias("id_checksum"),
+        )
+    )

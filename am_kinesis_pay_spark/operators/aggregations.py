@@ -716,3 +716,64 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("hi"),
         )
     )
+
+
+@register("agg_hll_partitioned", tags=("agg", "sketch"))
+def agg_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct-count rollup: per-day HLL sketches of
+    user_id per event_type, merged across days with hll_union_agg and
+    estimated once — the agg_time_rollup continuous-aggregate property
+    applied to COUNT DISTINCT, which plain partial counts cannot give
+    (distincts don't add). At 100 TB the daily sketch table is the ONLY
+    thing any rollup window rescans: each sketch is ~KB regardless of
+    day volume, merging is associative/commutative, and the estimate is
+    identical to sketching the raw union directly (pinned in
+    test_engine.py). Rows-only: DuckDB's HLL is a different sketch, so
+    no cross-engine oracle exists — the engine-internal merge≡direct
+    equality is the check instead."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_distinct_users"
+            )
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "sketch"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct count via bitmaps — the companion to
+    agg_hll_partitioned's approximate path: bitmap_bucket_number
+    partitions the key domain into disjoint 32k-bit buckets, each
+    (group, bucket) builds a bitmap partial, OR-merge collapses
+    partials, and the total is the SUM of per-bucket popcounts. Unlike
+    COUNT(DISTINCT) partials (not addable) this state merges
+    associatively — the same property that lets a daily rollup table
+    answer weekly distincts exactly. Cost: state ∝ key-domain density
+    (4 KB per occupied bucket), the right trade when keys are dense
+    ints; HLL is the sparse/unbounded-domain fallback. The oracle is
+    plain COUNT(DISTINCT): bitmaps are exact, so the engines agree."""
+    ev = load(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct_users"))
+    )

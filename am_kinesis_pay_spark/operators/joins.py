@@ -412,3 +412,130 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("revenue"),
         )
     )
+
+
+@register(
+    "join_bloom_runtime",
+    oracle="""
+SELECT l.l_returnflag,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_returnflag
+""",
+    tags=("join", "runtime-filter"),
+)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] runtime Bloom-filter join pruning — the shuffle-join
+    counterpart of join_dpp's partition pruning: the selective filter
+    lives on the orders side, so Catalyst (InjectRuntimeFilter) builds
+    a Bloom filter over the filtered orders keys and applies
+    `might_contain` to the lineitem side BEFORE its shuffle. At 100 TB
+    this cuts the probe-side shuffle by the filter's selectivity when
+    neither side broadcasts — exactly the case (fact ⋈ fact with a
+    selective dim-like predicate) where DPP can't help because the
+    pruning column isn't a partition column.
+
+    The rule only fires when the creation side is not broadcastable,
+    so the tuned confs are applied for THIS computation and restored:
+    the result is materialized eagerly under them (the join_dpp temp-
+    write pattern) and returned as a scan, keeping the session confs
+    clean for every other query. tests/test_plans.py asserts the
+    might_contain injection on the live plan."""
+    import os
+    import tempfile
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    out = os.path.join(tempfile.gettempdir(), "akps_bloom_join")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum("l_extendedprice").alias("revenue"),
+            )
+        )
+        j.write.mode("overwrite").parquet(out)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return spark.read.parquet(out)
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+WITH ticks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+),
+lookups AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+  CASE WHEN l.ts - t.ts <= INTERVAL 1 DAY THEN t.value END AS rate
+FROM lookups l
+ASOF LEFT JOIN ticks t
+  ON l.user_id = t.user_id AND l.ts >= t.ts
+""",
+    tags=("join", "asof"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: the latest at-or-before
+    tick counts only if it is at most 1 day old — the production form
+    of the reference's best-bid lookup (kinesis-pay.php:468-485): a
+    quote that stale is no quote (NULL), not a price. Same single
+    shuffle + running last(ignorenulls) plan as join_asof_rate; the
+    matched tick's timestamp rides along in the same window pass so
+    the staleness gate is a post-window projection, not a re-join."""
+    ev = load(spark, sf_dir, "events")
+    ticks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("tick_value"),
+        F.col("ts").alias("tick_ts"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    lookups = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("tick_value"),
+        F.lit(None).cast("timestamp").alias("tick_ts"),
+        "event_id",
+    )
+    unioned = ticks.unionByName(lookups)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.col("event_id").isNotNull().cast("int"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fresh = F.col("matched_ts") >= F.col("ts") - F.expr("INTERVAL 1 DAY")
+    return (
+        unioned.withColumn("rate_raw", F.last("tick_value", ignorenulls=True).over(w))
+        .withColumn("matched_ts", F.last("tick_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(fresh, F.col("rate_raw")).alias("rate"),
+        )
+    )

@@ -324,3 +324,132 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+WITH changelog AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'refund' THEN 'D' ELSE 'U' END AS op,
+         value, ts, event_id
+  FROM events
+  WHERE event_type IN ('purchase', 'refund')
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM changelog
+)
+SELECT user_id, value AS current_value, ts AS updated_at
+FROM ranked
+WHERE rn = 1 AND op = 'U'
+""",
+    tags=("agg", "maintenance", "cdc"),
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changelog (upserts + deletes) to produce the current
+    snapshot: last-writer-wins per key by (ts, event_id), keys whose
+    final operation is a delete disappear. This is the engine-level
+    MERGE a Delta/Iceberg sink performs for sink_kv_upsert, expressed
+    as a pure query — purchases upsert a user's value, refunds delete
+    it (the reference's invoice KV bag mutation + cancellation paths,
+    kinesis-pay.php:176,509 and :245-249).
+
+    ONE window shuffle on the key; at 100 TB the changelog is
+    date-partitioned, the snapshot is the previous day's result, and
+    the same query runs over (snapshot-as-upserts UNION day's changes)
+    — incremental cost O(daily changes + touched keys)."""
+    ev = load(spark, sf_dir, "events")
+    changelog = ev.filter(F.col("event_type").isin("purchase", "refund")).select(
+        "user_id",
+        F.when(F.col("event_type") == "refund", "D").otherwise("U").alias("op"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        changelog.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("value").alias("current_value"),
+            F.col("ts").alias("updated_at"),
+        )
+    )
+
+
+@register(
+    "dim_scd2_point_in_time",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_id, ts, event_type FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+dim AS (
+  SELECT user_id, event_type AS status, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM changes
+)
+SELECT d.status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders o
+JOIN dim d
+  ON o.o_custkey = d.user_id
+ AND o.o_orderdate >= d.valid_from
+ AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+GROUP BY d.status
+""",
+    tags=("join", "maintenance"),
+)
+def dim_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) join against the SCD2 dimension:
+    each order picks the dimension row whose [valid_from, valid_to)
+    interval covers the order date — the query shape SCD2 exists to
+    serve (what WAS the customer's status when they ordered?). The
+    interval predicate is bounded by the equi key (user), so Catalyst
+    plans an equi-join with the range as a residual filter — within-key
+    interval counts are small by construction (a user's status history),
+    no nested-loop blowup. At 100 TB both sides hash on the same key;
+    with the dimension bucketed the shuffle is one-sided. Consumes the
+    same change-collapse as dim_scd2_build (one window pass)."""
+    from am_kinesis_pay_spark.functions.compat import dsum
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    dim = changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            dim,
+            (orders.o_custkey == dim.user_id)
+            & (orders.o_orderdate >= dim.valid_from)
+            & (dim.valid_to.isNull() | (orders.o_orderdate < dim.valid_to)),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+    )

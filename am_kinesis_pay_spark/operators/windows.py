@@ -534,3 +534,59 @@ def win_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(norm), 6
         ).alias("p"),
     )
+
+
+@register(
+    "win_gaps_islands",
+    oracle="""
+WITH active_days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS island_key
+  FROM active_days
+),
+streaks AS (
+  SELECT user_id, island_key, COUNT(*) AS streak_days,
+         MIN(d) AS streak_start
+  FROM islands
+  GROUP BY user_id, island_key
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(streak_days) AS BIGINT) AS longest_streak,
+       MIN(streak_start) AS first_active
+FROM streaks
+GROUP BY user_id
+""",
+    tags=("window",),
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks via
+    the classic date-minus-row_number island key (consecutive days
+    share one key; any gap starts a new island). Generalizes the
+    reference's poll-continuity question — "is the browser still
+    polling every 10 s or did the loop break?" (kinesis-pay.php:263,
+    264-268) — to activity-streak analytics. One window shuffle on
+    user_id, then two hash aggregations that reuse the same
+    partitioning; the distinct-days pre-step bounds window input to
+    (users × days), not raw events."""
+    ev = load(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    islands = active.withColumn(
+        "island_key", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island_key").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("d").alias("streak_start"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_days").alias("longest_streak"),
+        F.min("streak_start").alias("first_active"),
+    )

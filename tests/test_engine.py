@@ -67,3 +67,35 @@ def test_histogram_merges_across_shards(spark):
         for r in queries()["agg_histogram"](spark, SF_DIR).collect()
     }
     assert merged == direct
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """agg_hll_partitioned: merging per-day HLL sketches must give the
+    SAME estimate as sketching the raw stream directly (HLL union is
+    lossless w.r.t. the sketch state), and land within the sketch's
+    error envelope of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from am_kinesis_pay_spark.registry import queries
+    from am_kinesis_pay_spark.tables import load
+
+    merged = {
+        r.event_type: r.approx_distinct_users
+        for r in queries()["agg_hll_partitioned"](spark, SF_DIR).collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    direct = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert merged == direct
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, est in merged.items():
+        assert abs(est - exact[et]) <= max(2, 0.05 * exact[et]), (et, est, exact[et])

@@ -27,6 +27,7 @@ _NLJ_ALLOWED = {
     "graph_pagerank",
     "pipeline_retrieval_corpus",
     "q_dormant_balances",
+    "sample_balanced_classes",
     "text_tfidf_topterms",
     "text_unigram_nll",
     "vec_cosine_topk",

@@ -320,3 +320,42 @@ def test_winnow_fingerprint_is_map_only(spark):
     # into a shuffle: the whole fingerprint pass is one scan
     plan = plan_of(spark, "text_winnow_fingerprint")
     assert "Exchange" not in plan, plan[:3000]
+
+
+def test_bloom_filter_injected_on_probe_side(spark):
+    # join_bloom_runtime: with the creation side non-broadcastable, the
+    # InjectRuntimeFilter rule must build a Bloom filter over the
+    # filtered orders keys and guard the lineitem side with
+    # might_contain BEFORE its shuffle
+    from pyspark.sql import functions as F
+    from am_kinesis_pay_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load(spark, SF_DIR, "lineitem")
+        orders = load(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt[:3000]
+        assert "bloom_filter_agg" in opt, opt[:3000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -479,3 +479,164 @@ def test_stream_complete_topk_equals_batch(spark, stream_dir):
         .limit(10)
     )
     assert list(map(tuple, top.collect())) == list(map(tuple, want.collect()))
+
+
+def test_tws_state_machine_matches_applyinpandas_form(spark, tmp_path_factory):
+    """The transformWithStateInPandas implementation (Spark 4 API,
+    RocksDB state store, first-class timers) must produce exactly the
+    applyInPandasWithState implementation's decisions on the
+    FIXTURES.md §B edge fixture — two state backends, one contract."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's Python worker protocol needs protobuf, "
+        "absent from this image (same gate as the Kinesis connector jar)",
+    )
+    from am_kinesis_pay_spark.streaming.tws_state_machine import (
+        ROCKSDB_PROVIDER,
+        payment_state_machine_tws,
+    )
+
+    d = _stage_payment_fixture(spark, str(tmp_path_factory.mktemp("payfix_tws")))
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = events_stream(spark, d)
+        out = run_to_completion(
+            payment_state_machine_tws(stream, watermark="1 minute"),
+            f"tws_{uuid.uuid4().hex[:6]}",
+            "append",
+        )
+        rows = {r.user_id: (r.final_state, r.decided_at) for r in out.collect()}
+        assert out.count() == len(rows)  # exactly-once per payment
+        assert rows[1][0] == "processed" and rows[1][1] == _ts(3)
+        assert rows[2][0] == "rejected" and rows[2][1] == _ts(2)
+        assert rows[3][0] == "expired" and rows[3][1] == _ts(10)
+        assert rows[5] == ("processed", _ts(0))  # first purchase only
+        assert rows[6][0] == "expired"  # terminal arrived after deadline
+        assert rows[99][0] == "processed"  # sentinel decides itself
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+        shutil.rmtree(d, ignore_errors=True)
+
+
+class _StubValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _StubHandle:
+    def __init__(self):
+        self.state = _StubValueState()
+        self.timers = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.state
+
+    def registerTimer(self, ts_ms):
+        self.timers.append(ts_ms)
+
+
+class _StubTimerValues:
+    def __init__(self, wm_ms):
+        self._wm = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self._wm
+
+    def getCurrentProcessingTimeInMs(self):
+        return 0
+
+
+def test_tws_processor_semantics_via_stub_handle():
+    """Drive PaymentStateProcessor's handler methods directly (no
+    streaming runtime — the protobuf-gated piece) and assert the same
+    decision table the applyInPandasWithState golden test pins:
+    first-terminal-wins, exactly-once, timer-armed expiry, and the
+    watermark-past-deadline immediate-expiry path."""
+    import pandas as pd
+
+    from am_kinesis_pay_spark.streaming.tws_state_machine import (
+        PaymentStateProcessor,
+    )
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([_ts(r[1]) for r in rows]),
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [1.0] * len(rows),
+                "props": [None] * len(rows),
+            }
+        )
+
+    def run_key(uid, batches, wm_ms_seq, fire_timers_at_end_wm=None):
+        p = PaymentStateProcessor()
+        h = _StubHandle()
+        p.init(h)
+        out = []
+        for rows, wm in zip(batches, wm_ms_seq):
+            out += list(
+                p.handleInputRows((uid,), iter([batch(rows)]), _StubTimerValues(wm))
+            )
+        if fire_timers_at_end_wm is not None:
+            for t in list(h.timers):
+                if t <= fire_timers_at_end_wm:
+                    out += list(
+                        p.handleExpiredTimer(
+                            (uid,), _StubTimerValues(fire_timers_at_end_wm), None
+                        )
+                    )
+        return out, h
+
+    # terminal within deadline on the second batch → processed at its ts
+    out, _ = run_key(
+        1, [[(1, 0, 1, "view")], [(10, 3, 1, "purchase")]], [0, 0]
+    )
+    assert len(out) == 1
+    assert out[0]["final_state"][0] == "processed"
+    assert out[0]["decided_at"][0] == pd.Timestamp(_ts(3))
+
+    # error → rejected; later purchase must NOT re-fire (exactly-once)
+    out, _ = run_key(
+        2,
+        [[(2, 0, 2, "view")], [(11, 2, 2, "error")], [(12, 3, 2, "purchase")]],
+        [0, 0, 0],
+    )
+    assert [o["final_state"][0] for o in out] == ["rejected"]
+
+    # no terminal → timer armed at deadline; firing it emits expired
+    out, h = run_key(
+        3, [[(3, 0, 3, "view")]], [0], fire_timers_at_end_wm=10**15
+    )
+    assert len(h.timers) == 1
+    assert [o["final_state"][0] for o in out] == ["expired"]
+    assert out[0]["decided_at"][0] == pd.Timestamp(_ts(10))
+
+    # watermark already past deadline on arrival → immediate expired
+    out, h = run_key(6, [[(6, 0, 6, "view")]], [10**15])
+    assert [o["final_state"][0] for o in out] == ["expired"]
+    assert h.timers == []
+
+    # terminal after the deadline → ignored as decision input
+    out, h = run_key(
+        7, [[(7, 0, 7, "view")], [(14, 11, 7, "purchase")]], [0, 0],
+        fire_timers_at_end_wm=10**15,
+    )
+    assert [o["final_state"][0] for o in out] == ["expired"]
