@@ -405,3 +405,56 @@ def fn_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "fn_collation_group",
+    oracle="""
+WITH mixed AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+              ELSE event_type END AS et_mixed,
+         value
+  FROM events
+)
+SELECT lower(et_mixed) AS event_type_ci,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM mixed
+GROUP BY lower(et_mixed)
+""",
+    tags=("scalar", "collation"),
+)
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: grouping under UTF8_LCASE treats 'CLICK'
+    and 'click' as ONE key at the comparison level — no lower()
+    rewrite of the data, and unlike the rewrite the collation also
+    drives comparisons/joins/sort order engine-wide. Input case is
+    deterministically mixed (even ids uppercased) to make the
+    case-insensitive semantics observable; the projected key is
+    canonicalized with lower() so output values are engine-portable
+    (the DuckDB oracle groups by lower() — same partition of rows).
+    At scale a LCASE-collated column beats lower()-wrapping because
+    the collation participates in pushdown and avoids materializing a
+    second string."""
+    ev = load(spark, sf_dir, "events")
+    mixed = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("et_mixed"),
+        "value",
+    )
+    ci = F.collate(F.col("et_mixed"), "UTF8_LCASE")
+    return (
+        mixed.groupBy(ci.alias("et_ci"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.lower(F.col("et_ci")).alias("event_type_ci"),
+            "n_events",
+            "sum_value",
+        )
+    )

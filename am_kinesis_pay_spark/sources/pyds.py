@@ -1,0 +1,158 @@
+"""Custom Python data source (Spark 4 DataSource API): the reference's
+browser status-poll loop as a first-class Spark source.
+
+The reference generates its event stream with a JS `setInterval` poll
+every 10 s carrying a monotone counter, until a terminal status or the
+630 s failsafe (~63 polls) ends the loop (kinesis-pay.php:231-236,263,
+264-268). `kpay_polls` synthesizes exactly that surface,
+deterministically (seeded by payment id — no RNG state), as:
+
+- a BATCH source: the full poll history, split into payment-range
+  input partitions (scales out like any scan; no driver materialization
+  — each task generates only its payment range), and
+- a STREAMING source: micro-batch = one 10 s poll round across all
+  payments; offsets are just the round number, so the stream is
+  replayable from any checkpoint and batch ≡ stream by construction.
+
+This is the engine's extension-surface demonstration: where the
+reference's "custom source" is PHP glue around HTTP polling
+(kinesis-pay.php:286-352), ours is ~100 lines against the documented
+DataSource API, and the SAME generator serves batch and streaming —
+the Structured Streaming unification property.
+
+Schema: payment_id, poll_seq, ts, status — the §1.1 #4 stream shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta, timezone
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SCHEMA = "payment_id bigint, poll_seq int, ts timestamp, status string"
+POLL_INTERVAL_S = 10  # kinesis-pay.php:263
+MAX_POLLS = 63  # 630 s failsafe / 10 s cadence (kinesis-pay.php:264-268)
+BASE = datetime(2024, 3, 1, 12, 0, 0)  # naive UTC wall clock (session tz)
+
+
+def _decision(payment_id: int) -> tuple[str, int]:
+    """Deterministic outcome for a payment: (terminal_status,
+    terminal_poll_seq). Seeded by id only — any executor, any retry,
+    any engine computes the same stream. ~70% processed, ~15% rejected,
+    ~15% expired (expired = no terminal before the failsafe)."""
+    h = int.from_bytes(
+        hashlib.sha256(str(payment_id).encode()).digest()[:8], "big"
+    )
+    bucket = h % 100
+    if bucket < 70:
+        return "processed", 1 + (h // 100) % (MAX_POLLS - 1)
+    if bucket < 85:
+        return "rejected", 1 + (h // 100) % (MAX_POLLS - 1)
+    return "expired", MAX_POLLS  # never decided in-loop; loop runs out
+
+
+def _payment_rows(payment_id: int, lo_seq: int, hi_seq: int):
+    """Poll rows for one payment with poll_seq in [lo_seq, hi_seq):
+    'pending' until the terminal poll, the terminal status once, then
+    the browser stops polling (no further rows)."""
+    status, t_seq = _decision(payment_id)
+    created = BASE + timedelta(seconds=payment_id % 60)
+    last = min(hi_seq, t_seq + 1 if status != "expired" else MAX_POLLS)
+    for seq in range(lo_seq, last):
+        ts = created + timedelta(seconds=POLL_INTERVAL_S * seq)
+        if status != "expired" and seq == t_seq:
+            yield (payment_id, seq, ts, status)
+        else:
+            yield (payment_id, seq, ts, "pending")
+
+
+class _PaymentRange(InputPartition):
+    def __init__(self, lo: int, hi: int, lo_seq: int, hi_seq: int):
+        self.lo, self.hi = lo, hi
+        self.lo_seq, self.hi_seq = lo_seq, hi_seq
+
+
+class KPayPollBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("num_payments", 100))
+        self.parts = int(options.get("partitions", 4))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        step = max(1, (self.n + self.parts - 1) // self.parts)
+        return [
+            _PaymentRange(lo, min(lo + step, self.n), 0, MAX_POLLS)
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _PaymentRange) -> Iterator[tuple]:
+        for pid in range(partition.lo, partition.hi):
+            yield from _payment_rows(pid, partition.lo_seq, partition.hi_seq)
+
+
+class KPayPollStreamReader(DataSourceStreamReader):
+    """Micro-batch = a range of poll rounds; the offset dict is just
+    {'seq': next_round}. Deterministic generation makes every offset
+    range replayable — checkpoint recovery re-reads identical rows."""
+
+    def __init__(self, options):
+        self.n = int(options.get("num_payments", 100))
+        self.parts = int(options.get("partitions", 4))
+        self.rounds_per_batch = int(options.get("rounds_per_batch", 8))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(MAX_POLLS, self._latest + self.rounds_per_batch)
+        return {"seq": self._latest}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        step = max(1, (self.n + self.parts - 1) // self.parts)
+        return [
+            _PaymentRange(lo, min(lo + step, self.n), start["seq"], end["seq"])
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _PaymentRange) -> Iterator[tuple]:
+        for pid in range(partition.lo, partition.hi):
+            yield from _payment_rows(pid, partition.lo_seq, partition.hi_seq)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class KPayPollDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kpay_polls"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return KPayPollBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return KPayPollStreamReader(self.options)
+
+
+def register_kpay_source(spark) -> None:
+    """Idempotent registration of the custom source."""
+    spark.dataSource.register(KPayPollDataSource)
+
+
+def expected_rows(num_payments: int) -> list[tuple]:
+    """Pure-Python mirror of the full batch output — the test oracle
+    (no Spark involved)."""
+    out = []
+    for pid in range(num_payments):
+        out.extend(_payment_rows(pid, 0, MAX_POLLS))
+    return out

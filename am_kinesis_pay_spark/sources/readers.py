@@ -305,3 +305,38 @@ def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("k_total"),
     )
+
+
+@register("source_python_ds", tags=("source", "streaming"))
+def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 API): the reference's 10 s
+    status-poll loop synthesized as a first-class `kpay_polls` source
+    (sources/pyds.py — batch AND streaming from one deterministic
+    generator; kinesis-pay.php:231-236,263-268). This query reads the
+    batch form and rolls the poll history up to one row per payment:
+    polls observed, final status, decision poll. Rows-only: the data
+    is source-generated, not a fixture table, so no DuckDB view exists
+    — tests/test_pyds.py pins content against a pure-Python mirror and
+    batch ≡ stream equality instead."""
+    from am_kinesis_pay_spark.sources.pyds import register_kpay_source
+
+    register_kpay_source(spark)
+    polls = (
+        spark.read.format("kpay_polls")
+        .option("num_payments", 200)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        polls.groupBy("payment_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_polls"),
+            F.max_by("status", "poll_seq").alias("final_status"),
+            F.max("poll_seq").alias("last_seq"),
+        )
+        .groupBy("final_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_payments"),
+            F.avg("n_polls").alias("avg_polls"),
+        )
+    )

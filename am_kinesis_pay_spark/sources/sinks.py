@@ -175,3 +175,67 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n_small_files), int(n_big_files), int(big.count()))],
         "n_files_before bigint, n_files_after bigint, n_rows bigint",
     )
+
+
+@register(
+    "sink_partition_overwrite",
+    oracle="""
+WITH days AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date,
+         CASE WHEN CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-11'
+              THEN value * 2 ELSE value END AS v
+  FROM events
+  WHERE CAST(date_trunc('day', ts) AS DATE)
+        BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+)
+SELECT event_date, COUNT(*) AS n_events,
+       CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM days
+GROUP BY event_date
+""",
+    tags=("sink", "layout"),
+)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent backfill via DYNAMIC partition overwrite: re-running
+    one day's job replaces exactly that day's directory and leaves
+    every other partition untouched — the property that makes daily
+    pipelines retryable at 100 TB (static overwrite mode would wipe
+    the whole table; append mode would duplicate the day). Here: write
+    3 days, then 'backfill' the middle day with corrected (doubled)
+    values under partitionOverwriteMode=dynamic; the read-back
+    aggregate proves day 2 was replaced and days 1/3 survived. The
+    oracle computes the same correction declaratively."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date(F.date_trunc("day", "ts"))
+    )
+    window = ev.filter(
+        F.col("event_date").between(
+            F.lit("2024-01-10").cast("date"), F.lit("2024-01-12").cast("date")
+        )
+    ).select("event_id", "value", "event_date")
+    out = os.path.join(tempfile.gettempdir(), "akps_dynamic_overwrite")
+    window.write.mode("overwrite").partitionBy("event_date").parquet(out)
+
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected = window.filter(
+            F.col("event_date") == F.lit("2024-01-11").cast("date")
+        ).withColumn("value", F.col("value") * 2)
+        # mode=overwrite + dynamic: only partitions present in
+        # `corrected` (the one day) are replaced
+        corrected.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    return (
+        spark.read.schema("event_id bigint, value double, event_date date")
+        .parquet(out)
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -640,3 +640,57 @@ def test_tws_processor_semantics_via_stub_handle():
         fire_timers_at_end_wm=10**15,
     )
     assert [o["final_state"][0] for o in out] == ["expired"]
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, stream_dir):
+    """Stream-stream LEFT OUTER join: clicks with no purchase within
+    5 minutes must ALSO emit (NULL-extended) — but only once their
+    join window fully closes under the watermark. Matched pairs must
+    equal the batch join exactly; unmatched clicks must be a subset of
+    the batch anti side (clicks whose window closed), and every
+    batch-matched click must never appear NULL-extended."""
+    ev = events_stream(spark, stream_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts"),
+                F.col("event_id").alias("a_id"))
+        .withWatermark("a_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+                F.col("event_id").alias("b_id"))
+        .withWatermark("b_ts", "1 hour")
+    )
+    cond = (
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    joined = clicks.join(purchases, cond, "leftOuter").select("a_id", "b_id")
+    got = run_to_completion(joined, f"sslo_{uuid.uuid4().hex[:6]}", "append")
+
+    from am_kinesis_pay_spark.tables import load
+
+    ev_b = load(spark, SF_DIR, "events")
+    a = ev_b.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("a_id"))
+    b = ev_b.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_id"))
+    want_matched = sorted(
+        map(tuple, a.join(b, cond).select("a_id", "b_id").collect())
+    )
+    want_all_clicks = {r.a_id for r in a.select("a_id").collect()}
+    matched_clicks = {p[0] for p in want_matched}
+
+    got_rows = [tuple(r) for r in got.collect()]
+    got_matched = sorted(p for p in got_rows if p[1] is not None)
+    got_null = {p[0] for p in got_rows if p[1] is None}
+
+    assert got_matched == want_matched
+    # NULL-extension only for genuinely unmatched clicks…
+    assert got_null <= (want_all_clicks - matched_clicks)
+    # …and the vast majority of closed windows did emit it
+    assert len(got_null) > 0

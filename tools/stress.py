@@ -10,6 +10,8 @@ Usage:
     python tools/stress.py facts     # 6M lineitem    (join stress)
     python tools/stress.py curation  # 50k docs + 20k vecs + 1M events
                                      # (curation/rollup/funnel stress)
+    python tools/stress.py maint     # same 10x build; the maintenance /
+                                     # runtime-filter / sketch operators
 """
 
 from __future__ import annotations
@@ -36,6 +38,13 @@ FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
     "q_market_share", "q_nation_profit", "q_sole_late_shipper",
     "sort_global", "q_forecast_revenue",
+]
+MAINT_QUERIES = [
+    "dim_scd2_build", "dim_scd2_point_in_time", "stream_cdc_apply",
+    "win_gaps_islands", "agg_hll_partitioned", "agg_bitmap_distinct",
+    "agg_heavy_hitters", "join_bloom_runtime", "graph_reachability",
+    "dq_expectations", "sample_balanced_classes", "join_asof_tolerance",
+    "sample_train_split", "sink_partition_overwrite", "fn_collation_group",
 ]
 CURATION_QUERIES = [
     "text_decontaminate", "text_chunk_sliding", "text_pack_sequences",
@@ -100,8 +109,10 @@ def build(mode: str) -> str:
 
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "facts"
-    assert mode in ("docs", "facts", "curation"), "mode must be docs|facts|curation"
-    sf_dir = build(mode)
+    assert mode in ("docs", "facts", "curation", "maint"), (
+        "mode must be docs|facts|curation|maint"
+    )
+    sf_dir = build("curation" if mode == "maint" else mode)
 
     from am_kinesis_pay_spark.registry import queries
     from am_kinesis_pay_spark.session import get_session
@@ -111,7 +122,12 @@ def main() -> None:
     qs["agg_status_counts"](spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
-    names = {"docs": DOCS_QUERIES, "facts": FACTS_QUERIES, "curation": CURATION_QUERIES}[mode]
+    names = {
+        "docs": DOCS_QUERIES,
+        "facts": FACTS_QUERIES,
+        "curation": CURATION_QUERIES,
+        "maint": MAINT_QUERIES,
+    }[mode]
     for name in names:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
