@@ -16,6 +16,9 @@ NAMES = [
     "sort_limit", "text_decontaminate", "agg_time_rollup",
     "join_dpp", "join_skew_salted", "text_winnow_fingerprint",
     "text_classifier_score", "text_dedup_incremental",
+    "dim_scd2_build", "agg_heavy_hitters", "stream_cdc_apply",
+    "dim_scd2_point_in_time", "agg_bitmap_distinct", "win_gaps_islands",
+    "graph_reachability",
 ]
 
 if __name__ == "__main__":
