@@ -458,3 +458,52 @@ def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "fn_sql_udf",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(abs(90) / 100.0 AS DECIMAL(8,4)), 2) AS DOUBLE) AS adjusted,
+  CAST(round(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(abs(90) / 100.0 AS DECIMAL(8,4)), 2) AS DECIMAL(18,2)) / CAST(0.012345 AS DECIMAL(10,6)), 5) AS DOUBLE) AS metal_amount
+FROM lineitem
+WHERE l_linenumber = 1
+""",
+    tags=("scalar", "udf"),
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN): the reference's
+    price-adjustment arithmetic (abs(pct)/100 x total, round half-up
+    2dp — kinesis-pay.php:137-140) and metal-amount conversion
+    (5dp, :147-148) packaged as named, reusable SQL functions. Unlike
+    Python UDFs these inline into the Catalyst plan (no serialization
+    boundary, codegen-compatible, pushdown-transparent) — the right
+    extension mechanism for scalar logic at 100 TB; the catalog entry
+    replaces the reference's copy-pasted arithmetic. The oracle inlines
+    the same expressions."""
+    # arithmetic in exact DECIMAL, DOUBLE only at the boundary — the
+    # compat.py convention, INSIDE the function body. The pct multiplier
+    # is pre-divided and cast to DECIMAL(8,4): decimal x decimal is
+    # exact in both engines, while decimal / decimal goes through
+    # DOUBLE in DuckDB and hits .xx5 edges differently than Spark's
+    # exact decimal division.
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION kpay_adjust(total DOUBLE, pct DOUBLE) "
+        "RETURNS DOUBLE RETURN CAST(round(CAST(total AS DECIMAL(18,2)) "
+        "* CAST(abs(pct) / 100.0 AS DECIMAL(8,4)), 2) AS DOUBLE)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION kpay_metal(amount DOUBLE, rate DOUBLE) "
+        "RETURNS DOUBLE RETURN CAST(round(CAST(amount AS DECIMAL(18,2)) "
+        "/ CAST(rate AS DECIMAL(10,6)), 5) AS DOUBLE)"
+    )
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_vudf")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               kpay_adjust(l_extendedprice, 90) AS adjusted,
+               kpay_metal(kpay_adjust(l_extendedprice, 90), 0.012345) AS metal_amount
+        FROM lineitem_vudf
+        WHERE l_linenumber = 1
+        """
+    )

@@ -777,3 +777,40 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_bucket.groupBy("event_type")
         .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct_users"))
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+SELECT l_returnflag,
+  COUNT(*) AS n_total,
+  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+  COUNT(*) FILTER (WHERE l_quantity >= 30) AS n_bulk,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_revenue
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregates: several differently-filtered
+    aggregates from ONE scan and ONE hash-aggregate pass — the
+    declarative form of A7's when().otherwise() conditional aggregation
+    (kinesis-pay.php:507-508), and the idiom that replaces N self-joins
+    of per-condition subqueries. The Spark side runs the same SQL text
+    via spark.sql; Catalyst folds every FILTER into conditional partial
+    aggregates (map-side combine intact — one shuffle of the 3 group
+    keys regardless of filter count)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_vfc")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+          COUNT(*) AS n_total,
+          COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+          COUNT(*) FILTER (WHERE l_quantity >= 30) AS n_bulk,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+               FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_revenue
+        FROM lineitem_vfc
+        GROUP BY l_returnflag
+        """
+    )

@@ -1372,3 +1372,60 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _REACH_SQL.format(edges=_REACH_EDGES_SQL.format(events="events_v_reach"))
     )
+
+
+@register(
+    "events_anomaly_rate_spike",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE)
+),
+stats AS (
+  SELECT d, n,
+    avg(n) OVER w AS trail_avg,
+    stddev_samp(n) OVER w AS trail_sd,
+    COUNT(*) OVER w AS trail_n
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT d, n, round(trail_avg, 6) AS trail_avg,
+       (n > trail_avg + 3 * trail_sd) AS is_spike
+FROM stats
+WHERE trail_n = 7
+""",
+    tags=("integration", "anomaly"),
+)
+def events_anomaly_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate spike detection: each day's volume vs a TRAILING
+    window of the previous 7 days (frame ends at 1 PRECEDING — today
+    must not contaminate its own baseline); spike = mean + 3σ breach.
+    The monitoring companion to agg_anomaly_mad (values) and
+    win_out_of_order_profile (lateness): this one watches throughput —
+    the reference's poll-cadence health question (is something
+    hammering /status?, kinesis-pay.php:263,302-304) asked of the
+    whole pipeline. Daily pre-aggregation first, so the window runs
+    over days, not events; the global ORDER BY window is safe because
+    its input is O(days)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    stats = daily.select(
+        "d",
+        "n",
+        F.avg("n").over(w).alias("trail_avg"),
+        F.stddev_samp("n").over(w).alias("trail_sd"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    )
+    return stats.filter(F.col("trail_n") == 7).select(
+        "d",
+        "n",
+        F.round("trail_avg", 6).alias("trail_avg"),
+        (F.col("n") > F.col("trail_avg") + 3 * F.col("trail_sd")).alias(
+            "is_spike"
+        ),
+    )

@@ -590,3 +590,58 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_days").alias("longest_streak"),
         F.min("streak_start").alias("first_active"),
     )
+
+
+@register(
+    "win_range_interval",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+)
+SELECT user_id, d, day_value,
+  CAST(SUM(CAST(day_value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY d
+    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS trailing_7d
+FROM daily
+""",
+    tags=("window",),
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user trailing-7-day purchase total
+    over a daily series — the frame is defined by the ORDER-BY VALUE
+    (calendar distance), not row position, so gaps in the series are
+    handled correctly (a missing day still ages out of the window).
+    W5's numeric rangeBetween generalized to intervals; same SQL text
+    shape on both engines. One shuffle on user_id; the daily pre-
+    aggregation bounds window input to users x days at any event
+    volume."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("day_value")
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("d").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "user_id",
+        "d",
+        "day_value",
+        F.sum(F.col("day_value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d"),
+    )

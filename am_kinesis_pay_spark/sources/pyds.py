@@ -10,9 +10,10 @@ deterministically (seeded by payment id — no RNG state), as:
 - a BATCH source: the full poll history, split into payment-range
   input partitions (scales out like any scan; no driver materialization
   — each task generates only its payment range), and
-- a STREAMING source: micro-batch = one 10 s poll round across all
-  payments; offsets are just the round number, so the stream is
-  replayable from any checkpoint and batch ≡ stream by construction.
+- a STREAMING source: micro-batch = a range of poll rounds; offsets
+  are just round numbers over a deterministic generator, so any
+  [start, end) replays identically — checkpoint recovery is exact and
+  batch ≡ stream by construction.
 
 This is the engine's extension-surface demonstration: where the
 reference's "custom source" is PHP glue around HTTP polling
@@ -32,8 +33,8 @@ from typing import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 SCHEMA = "payment_id bigint, poll_seq int, ts timestamp, status string"
@@ -96,34 +97,46 @@ class KPayPollBatchReader(DataSourceReader):
             yield from _payment_rows(pid, partition.lo_seq, partition.hi_seq)
 
 
-class KPayPollStreamReader(DataSourceStreamReader):
+class KPayPollStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch = a range of poll rounds; the offset dict is just
-    {'seq': next_round}. Deterministic generation makes every offset
-    range replayable — checkpoint recovery re-reads identical rows."""
+    {'seq': next_round}. SimpleDataSourceStreamReader is the right
+    restart contract for a source whose availability is generator-
+    driven: ``read(start)`` receives the AUTHORITATIVE checkpointed
+    offset every batch and returns (rows, next_offset), so a restarted
+    query resumes exactly where the checkpoint says — there is no
+    reader-side offset counter to regress (the full
+    DataSourceStreamReader's ``latestOffset`` has no view of the
+    checkpoint and can replan backwards after restart; observed as
+    duplicate rounds before this switch). ``readBetweenOffsets``
+    serves replay of in-flight batches deterministically. Trade-off:
+    rows for a fresh batch surface via the driver (Spark prefetches) —
+    right-sized for a 10 s-cadence poll relay; the executor-parallel
+    partitioned path is the batch reader above."""
 
     def __init__(self, options):
         self.n = int(options.get("num_payments", 100))
-        self.parts = int(options.get("partitions", 4))
         self.rounds_per_batch = int(options.get("rounds_per_batch", 8))
-        self._latest = 0
 
     def initialOffset(self) -> dict:
         return {"seq": 0}
 
-    def latestOffset(self) -> dict:
-        self._latest = min(MAX_POLLS, self._latest + self.rounds_per_batch)
-        return {"seq": self._latest}
+    def _rows(self, lo_seq: int, hi_seq: int) -> Iterator[tuple]:
+        # materialized list iterator, not a generator: Spark's prefetch
+        # cache copy.copy()s the iterator for replay between read() and
+        # commit() (datasource_internal caching), and generators don't
+        # copy. Bounded by rounds_per_batch x payments per batch.
+        out = []
+        for pid in range(self.n):
+            out.extend(_payment_rows(pid, lo_seq, hi_seq))
+        return iter(out)
 
-    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        step = max(1, (self.n + self.parts - 1) // self.parts)
-        return [
-            _PaymentRange(lo, min(lo + step, self.n), start["seq"], end["seq"])
-            for lo in range(0, self.n, step)
-        ]
+    def read(self, start: dict):
+        lo = start["seq"]
+        hi = min(MAX_POLLS, lo + self.rounds_per_batch)
+        return self._rows(lo, hi), {"seq": hi}
 
-    def read(self, partition: _PaymentRange) -> Iterator[tuple]:
-        for pid in range(partition.lo, partition.hi):
-            yield from _payment_rows(pid, partition.lo_seq, partition.hi_seq)
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._rows(start["seq"], end["seq"])
 
     def commit(self, end: dict) -> None:
         pass
@@ -140,7 +153,7 @@ class KPayPollDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return KPayPollBatchReader(self.options)
 
-    def streamReader(self, schema) -> DataSourceStreamReader:
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return KPayPollStreamReader(self.options)
 
 

@@ -239,3 +239,27 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+def write_parquet_observed(df: DataFrame, path: str) -> dict:
+    """Write with in-flight metrics (`Observation` API): row count and
+    null-key count are collected DURING the write — no second scan of
+    the data to answer "what did that job just write?". This is the
+    operational form of dq_expectations for sinks: at 100 TB a
+    verification pass costs as much as the job, an observation is
+    free (metrics accumulate on executors per task and merge on the
+    driver). Returns the metrics dict; the audit-log write path
+    (kinesis-pay.php:446-462) would attach these to the job record."""
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    first = df.columns[0]
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col(first).isNull(), 1).otherwise(0)).alias(
+            "n_null_first_col"
+        ),
+    )
+    observed.write.mode("overwrite").parquet(path)
+    return obs.get

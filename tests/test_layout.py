@@ -24,3 +24,18 @@ def test_schema_evolution_nulls_only_on_old_batch(spark):
     assert all((r.channel is None) or (r.channel == "purchase") for r in rows)
     assert any(r.channel is None for r in rows)
     assert any(r.channel == "purchase" for r in rows)
+
+
+def test_observed_write_metrics_without_second_scan(spark, tmp_path):
+    """write_parquet_observed: the metrics returned by the Observation
+    must equal what a (deliberately paid) verification scan finds."""
+    from am_kinesis_pay_spark.sources.sinks import write_parquet_observed
+    from am_kinesis_pay_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    df = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    out = str(tmp_path / "observed")
+    metrics = write_parquet_observed(df, out)
+    back = spark.read.parquet(out)
+    assert metrics["n_rows"] == back.count()
+    assert metrics["n_null_first_col"] == back.filter("o_orderkey IS NULL").count()

@@ -95,3 +95,51 @@ def test_stream_equals_batch(spark):
     assert got == want
     # and it really was incremental: ceil(63/16) = 4 non-empty batches
     assert q.lastProgress["batchId"] >= 3
+
+
+def test_stream_checkpoint_recovery_resumes_offsets(spark, tmp_path):
+    """Replayable-offset claim made executable: stop the stream after
+    the first micro-batches, restart from the checkpoint, and the final
+    sink holds every row exactly once — the poll-round offsets resume
+    where they stopped instead of re-emitting or skipping."""
+    register_kpay_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out_name = f"pydsr_{uuid.uuid4().hex[:6]}"
+
+    def start(query_name):
+        stream = (
+            spark.readStream.format("kpay_polls")
+            .option("num_payments", 40)
+            .option("partitions", 2)
+            .option("rounds_per_batch", 8)
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName(query_name)
+            .start()
+        )
+
+    # phase 1: a few micro-batches, then stop mid-stream
+    q1 = start(out_name + "_a")
+    while (q1.lastProgress or {}).get("batchId", -1) < 2:
+        q1.awaitTermination(1)
+    q1.stop()
+
+    # phase 2: restart from the checkpoint, drain fully
+    q2 = start(out_name + "_b")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("payment_id", "poll_seq", "ts", "status")
+        .collect()
+    )
+    assert got == sorted(expected_rows(40))

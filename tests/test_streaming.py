@@ -694,3 +694,42 @@ def test_stream_stream_left_outer_join_matches_batch(spark, stream_dir):
     assert got_null <= (want_all_clicks - matched_clicks)
     # …and the vast majority of closed windows did emit it
     assert len(got_null) > 0
+
+
+def test_rocksdb_state_store_tumbling_equals_batch(spark, stream_dir):
+    """The production state-store backend: the SAME windowed streaming
+    aggregation run under RocksDBStateStoreProvider (JVM-side — no
+    protobuf needed, unlike the Python TWS API) must equal the batch
+    result. At 100 TB RocksDB is the backend that keeps windowed/dedup/
+    join state off-heap and incrementally checkpointed (changelog),
+    instead of HDFSBackedStateStore's in-memory maps."""
+    from am_kinesis_pay_spark.streaming.tws_state_machine import ROCKSDB_PROVIDER
+
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = (
+            events_stream(spark, stream_dir)
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        got = run_to_completion(stream, f"rdb_{uuid.uuid4().hex[:6]}", "complete")
+        want = queries()["stream_tumbling_count"](spark, SF_DIR)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
