@@ -263,3 +263,61 @@ def write_parquet_observed(df: DataFrame, path: str) -> dict:
     )
     observed.write.mode("overwrite").parquet(path)
     return obs.get
+
+
+@register(
+    "sink_bucketed_join",
+    oracle="""
+SELECT o.o_orderpriority,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    tags=("sink", "layout", "join"),
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE.md bucketing claim as an executable query: both fact
+    tables written bucketBy(8, orderkey) + sortBy, then joined — the
+    sort-merge join consumes bucket files directly with NO Exchange on
+    either side (asserted in test_plans.py's bucketed test; this entry
+    additionally value-checks the result against the plain join). At
+    100 TB this is the difference between shuffling both fact tables
+    per join and shuffling neither, amortized across every query that
+    joins on the bucket key. Bucket count is cluster-sized (x1024 at
+    the design point, 8 here); bucket pruning also serves point lookups
+    on the key."""
+    import shutil
+
+    base = os.path.join(tempfile.gettempdir(), "akps_bucketed")
+    spark.sql("DROP TABLE IF EXISTS akps_orders_b")
+    spark.sql("DROP TABLE IF EXISTS akps_lineitem_b")
+    shutil.rmtree(base, ignore_errors=True)
+    for tbl, key, name in (
+        ("orders", "o_orderkey", "akps_orders_b"),
+        ("lineitem", "l_orderkey", "akps_lineitem_b"),
+    ):
+        (
+            load(spark, sf_dir, tbl)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, tbl))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return (
+        spark.table("akps_lineitem_b")
+        .hint("merge")
+        .join(
+            spark.table("akps_orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )

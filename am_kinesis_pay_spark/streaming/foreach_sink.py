@@ -22,10 +22,21 @@ class IdempotentKeyedSink:
     contract kinesis-pay.php:515-518). Redelivered micro-batches are
     no-ops."""
 
-    def __init__(self, spark: SparkSession, path: str, key_cols: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        order_col: str | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.key_cols = key_cols
+        # optional deterministic within-batch tie-break: keep the row
+        # with the smallest order_col per key instead of an arbitrary
+        # dropDuplicates survivor — required when replays must be
+        # byte-identical (the corpus-ingest contract)
+        self.order_col = order_col
 
     def _exists(self) -> bool:
         return os.path.exists(self.path)
@@ -34,7 +45,17 @@ class IdempotentKeyedSink:
         return self.spark.read.parquet(self.path)
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df = batch_df.dropDuplicates(self.key_cols)
+        if self.order_col is not None:
+            from pyspark.sql import Window, functions as F
+
+            w = Window.partitionBy(*self.key_cols).orderBy(self.order_col)
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            batch_df = batch_df.dropDuplicates(self.key_cols)
         if self._exists():
             current = self.read()
             fresh = batch_df.join(

@@ -733,3 +733,58 @@ def test_rocksdb_state_store_tumbling_equals_batch(spark, stream_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+
+
+def test_streaming_corpus_ingest_matches_sequential_dedup(
+    spark, tmp_path_factory
+):
+    """Incremental corpus build as a stream: documents arrive in
+    ordered micro-batches, the foreachBatch sink keeps the FIRST doc
+    per content hash (across batches via the anti-join, within a batch
+    via the deterministic doc_id tie-break) — the streaming form of
+    text_dedup_incremental's daily-ingest contract. The final corpus
+    must equal a sequential driver-side replay of the same batches."""
+    base = str(tmp_path_factory.mktemp("corpus_ingest"))
+    data_dir = os.path.join(base, "in")
+    from am_kinesis_pay_spark.tables import load
+
+    full = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", F.md5(F.lower(F.trim("text"))).alias("text_key"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    # 4 ordered arrival batches by doc_id range
+    n = len(full)
+    chunks = [full[i * n // 4 : (i + 1) * n // 4] for i in range(4)]
+    schema = "doc_id bigint, text_key string"
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(
+            [(r.doc_id, r.text_key) for r in chunk], schema
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(data_dir, f"batch_{i:04d}")
+        )
+
+    from am_kinesis_pay_spark.streaming.foreach_sink import IdempotentKeyedSink
+
+    sink = IdempotentKeyedSink(
+        spark, os.path.join(base, "corpus"), ["text_key"], order_col="doc_id"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+    )
+    q = sink.attach(stream, os.path.join(base, "ckpt")).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted((r.text_key, r.doc_id) for r in sink.read().collect())
+    # sequential replay: first doc_id wins per content hash, in batch
+    # order then doc order — which over ordered chunks is plain doc order
+    seen: dict[str, int] = {}
+    for r in full:
+        seen.setdefault(r.text_key, r.doc_id)
+    want = sorted((k, v) for k, v in seen.items())
+    assert got == want
