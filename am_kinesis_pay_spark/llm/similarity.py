@@ -694,3 +694,122 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = [(i, round(v[i], 8), round(mu[i], 8)) for i in range(dim)]
     return spark.createDataFrame(out, "pos int, loading double, mean double")
+
+
+_MRL_DIM = 16  # retained prefix dims (of 64) — 4x compression
+
+_MRL_ORACLE = f"""
+WITH pref AS (
+  SELECT vec_id, embedding[1:{_MRL_DIM}] AS e FROM embeddings
+),
+full_v AS (
+  SELECT vec_id, embedding AS e FROM embeddings
+),
+rank_of AS (
+  SELECT 'full' AS kind, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY round(
+        list_sum(list_transform(list_zip(q.e, c.e),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        DESC, c.vec_id
+    ) AS rank
+  FROM full_v q JOIN full_v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  UNION ALL
+  SELECT 'pref', q.vec_id, c.vec_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY round(
+        list_sum(list_transform(list_zip(q.e, c.e),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        DESC, c.vec_id
+    ) AS rank
+  FROM pref q JOIN pref c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+topk AS (SELECT * FROM rank_of WHERE rank <= {TOP_K})
+SELECT f.query_id,
+  COUNT(p.neighbor_id) AS n_overlap,
+  CAST(COUNT(p.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM (SELECT * FROM topk WHERE kind = 'full') f
+LEFT JOIN (SELECT * FROM topk WHERE kind = 'pref') p
+  ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+GROUP BY f.query_id
+"""
+
+
+@register("vec_matryoshka_recall", oracle=_MRL_ORACLE, tags=("llm", "similarity"))
+def vec_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation audit: top-k neighbors
+    computed on the FIRST 16 of 64 dims (4x cheaper dot products, 4x
+    smaller index) versus the full-dimension ground truth, reported as
+    recall@k per query. This is the measurement that decides whether a
+    prefix-truncated index is good enough before committing to it at
+    corpus scale — the same two-tier shape as vec_ann_pq (cheap scan,
+    exact semantics audited). Both rankings share the broadcast-query /
+    streamed-corpus plan of vec_cosine_topk; the recall join runs on
+    the k x |Q| toplists only. On this synthetic corpus recall is LOW
+    (~0-0.2) and that is the correct finding: random embeddings have
+    no information concentrated in prefix dims — truncation is only
+    safe for Matryoshka-trained models, and this audit is the gate
+    that tells you which case you are in."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def topk(df: DataFrame, col):
+        n = df.select(
+            "vec_id",
+            col.alias("e"),
+        ).withColumn("nrm", F.sqrt(_dot("e", "e")))
+        q = n.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+        c = n.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cn"),
+        )
+        scored = (
+            F.broadcast(q)
+            .join(c, F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6).alias(
+                    "cos"
+                ),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk(emb, F.col("embedding"))
+    pref = topk(emb, F.slice("embedding", 1, _MRL_DIM)).withColumnRenamed(
+        "neighbor_id", "p_neighbor_id"
+    )
+    return (
+        full.join(
+            pref,
+            (full.query_id == pref.query_id)
+            & (F.col("neighbor_id") == F.col("p_neighbor_id")),
+            "left",
+        )
+        .drop(pref.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("p_neighbor_id").alias("n_overlap"),
+            (F.count("p_neighbor_id").cast("double") / TOP_K).alias(
+                "recall_at_k"
+            ),
+        )
+    )

@@ -76,6 +76,9 @@ def main() -> None:
                 "families": families,
                 "sf": _sf_from_dir(SF_DIR),
                 "n_queries": len(times),
+                # coverage grows round over round; normalize so totals
+                # stay comparable across rounds
+                "sec_per_query": round(total / max(1, len(times)), 4),
             }
         )
     )

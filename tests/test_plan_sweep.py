@@ -31,6 +31,7 @@ _NLJ_ALLOWED = {
     "text_tfidf_topterms",
     "text_unigram_nll",
     "vec_cosine_topk",
+    "vec_matryoshka_recall",
     "vec_knn_label",
 }
 
