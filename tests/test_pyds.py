@@ -143,3 +143,61 @@ def test_stream_checkpoint_recovery_resumes_offsets(spark, tmp_path):
         .collect()
     )
     assert got == sorted(expected_rows(40))
+
+
+def test_custom_source_drives_state_machine_end_to_end(spark):
+    """Full pipeline composition: the custom Python source streams poll
+    rounds → the applyInPandasWithState payment state machine decides
+    terminals → decisions must equal the generator's own deterministic
+    outcome table. Source, stateful operator, and oracle never share
+    code paths (generator tuples vs Arrow state machine), so agreement
+    pins the whole chain."""
+    from am_kinesis_pay_spark.sources.pyds import _decision
+    from am_kinesis_pay_spark.streaming.runner import run_to_completion
+    from am_kinesis_pay_spark.streaming.state_machine import (
+        payment_state_machine,
+    )
+    from pyspark.sql import functions as F
+
+    register_kpay_source(spark)
+    n = 60
+    polls = (
+        spark.readStream.format("kpay_polls")
+        .option("num_payments", n)
+        .option("rounds_per_batch", 16)
+        .load()
+    )
+    # adapt the poll schema to the state machine's event contract:
+    # processed/rejected are the terminal events, pending polls are
+    # neutral 'view' events that only establish creation time
+    events = polls.select(
+        F.col("payment_id").alias("user_id"),
+        F.col("ts"),
+        F.when(F.col("status") == "processed", "purchase")
+        .when(F.col("status") == "rejected", "error")
+        .otherwise("view")
+        .alias("event_type"),
+    )
+    out = run_to_completion(
+        payment_state_machine(events, watermark="1 minute"),
+        f"pydssm_{uuid.uuid4().hex[:6]}",
+        "append",
+    )
+    got = {r.user_id: r.final_state for r in out.collect()}
+
+    want = {}
+    for pid in range(n):
+        status, t_seq = _decision(pid)
+        # a terminal poll within the 10-min deadline (60 rounds at
+        # 10 s) decides; later terminals leave the payment to expire
+        if status != "expired" and t_seq * 10 <= 600:
+            want[pid] = "processed" if status == "processed" else "rejected"
+        else:
+            want[pid] = "expired"
+    # every decided payment must match; expiries need the watermark to
+    # pass their deadline — the last poll round plus slack covers most
+    decided = {k: v for k, v in got.items()}
+    for pid, state in decided.items():
+        assert state == want[pid], (pid, state, want[pid])
+    terminal_pids = {p for p, wv in want.items() if wv != "expired"}
+    assert terminal_pids <= set(got), "all in-deadline terminals must emit"
