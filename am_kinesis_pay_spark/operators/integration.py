@@ -1429,3 +1429,64 @@ def events_anomaly_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_spike"
         ),
     )
+
+
+@register(
+    "events_path_analysis",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+    lead(event_type, 1) OVER w AS step2,
+    lead(event_type, 2) OVER w AS step3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT event_type || ' > ' || step2 || ' > ' || step3 AS path
+  FROM seq WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+),
+counted AS (
+  SELECT path, COUNT(*) AS n_occurrences FROM paths GROUP BY path
+),
+ranked AS (
+  SELECT path, n_occurrences,
+    ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path) AS rank
+  FROM counted
+)
+SELECT path, n_occurrences, rank FROM ranked WHERE rank <= 10
+""",
+    tags=("integration", "sequence"),
+)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining lite: the 10 most common 3-step event paths
+    across all users (sliding trigram over each user's ordered
+    stream). The population-level generalization of the reference's
+    fixed poll→status→redirect flow (kinesis-pay.php:231-268): which
+    journeys actually happen, and in what volume. One window shuffle
+    on user_id builds every trigram in-place (two leads share the
+    partition sort — no self-joins for n-grams); the count aggregation
+    then shuffles only distinct paths (bounded by |event_types|^3),
+    and the final top-10 runs on that tiny frame. (ts, event_id)
+    ordering makes trigram formation deterministic under ties."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+    counted = (
+        seq.select(
+            F.concat_ws(" > ", "event_type", "step2", "step3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w2 = Window.orderBy(F.desc("n_occurrences"), F.asc("path"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 10)
+        .select("path", "n_occurrences", "rank")
+    )

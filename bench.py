@@ -50,13 +50,18 @@ def main() -> None:
     run_query(qs["agg_status_counts"](spark, SF_DIR))
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(qs):
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            run_query(qs[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run_query(qs[name](spark, SF_DIR))
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 — one bad query must not
+            # take down the whole bench run; record and continue
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(times.values()), 3)
     from am_kinesis_pay_spark.registry import REGISTRY
@@ -76,6 +81,7 @@ def main() -> None:
                 "families": families,
                 "sf": _sf_from_dir(SF_DIR),
                 "n_queries": len(times),
+                "errors": errors,
                 # coverage grows round over round; normalize so totals
                 # stay comparable across rounds
                 "sec_per_query": round(total / max(1, len(times)), 4),
