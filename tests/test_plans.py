@@ -359,3 +359,66 @@ def test_bloom_filter_injected_on_probe_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_coalesces_shuffle_partitions_at_runtime(spark):
+    # static plans request spark.sql.shuffle.partitions=32; for a tiny
+    # grouped output AQE must coalesce the exchange read at runtime —
+    # the knob that lets one config serve sf0.001 and 100 TB
+    from am_kinesis_pay_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    df = (
+        load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()  # materialize so the adaptive plan is final
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in executed, executed[:2000]
+    assert "coalesced" in executed, executed[:2000]
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    # hand-built 90%-one-key skew: AQE's skew-join handling must mark
+    # the sort-merge join as skew=true (split oversized partitions)
+    # instead of letting one straggler task carry 90% of the rows
+    import pyspark.sql.functions as SF
+
+    n = 400_000
+    skewed = spark.range(n).select(
+        SF.when(SF.col("id") % 10 != 0, SF.lit(7)).otherwise(SF.col("id")).alias("k"),
+        SF.col("id").alias("payload"),
+    )
+    other = spark.range(50_000).select(
+        SF.col("id").alias("k"), SF.lit(1).alias("tag")
+    )
+    skewed.write.mode("overwrite").parquet(str(tmp_path / "skewed"))
+    other.write.mode("overwrite").parquet(str(tmp_path / "other"))
+    a = spark.read.parquet(str(tmp_path / "skewed"))
+    b = spark.read.parquet(str(tmp_path / "other"))
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    # thresholds sized for test data (defaults target multi-GB partitions)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        j = a.join(b, "k").select(SF.sum("payload").alias("s"))
+        j.collect()
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed[:3000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
