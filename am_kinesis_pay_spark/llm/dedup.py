@@ -453,11 +453,23 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark iterative-algorithm discipline). Oracle: recursive-CTE
     transitive closure with min-label per node."""
     pairs = REGISTRY["text_dedup_minhash"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    # symmetrize via ONE explode, not a union of two selects — a union
+    # would traverse the whole MinHash pipeline twice on first
+    # materialization (each branch re-evaluates its lineage)
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
