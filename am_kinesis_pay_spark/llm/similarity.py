@@ -813,3 +813,42 @@ def vec_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "emb_label_centroids_long",
+    oracle="""
+WITH flat AS (
+  SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+  round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+        / COUNT(*), 9) AS mean_component
+FROM flat
+GROUP BY label, i
+""",
+    tags=("llm", "vectors"),
+)
+def emb_label_centroids_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid in TALL form (label, dim, mean component) —
+    the fully oracle-checked companion to emb_label_centroids' array
+    output (rows-only): component means go through exact DECIMAL sums
+    (compat.py convention), so both engines agree bit-for-bit despite
+    float accumulation-order differences. Same plan shape: posexplode
+    → one hash aggregation on (label, dim); the reduce side is
+    labels x dims rows regardless of corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("x").cast("double").cast("decimal(38,18)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_component")
+        )
+    )
