@@ -261,7 +261,7 @@ def filter_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
   CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10.0) AS BIGINT) AS code_class,
   event_id % 10 AS poll_mod,
-  CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS int_div
+  CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS BIGINT) AS int_div
 FROM events
 """,
     tags=("scalar",),
@@ -338,9 +338,9 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id, lang, rn FROM (
   SELECT doc_id, lang,
-    ROW_NUMBER() OVER (
+    CAST(ROW_NUMBER() OVER (
       PARTITION BY lang
-      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
   FROM documents) t
 WHERE rn <= 5
 """,

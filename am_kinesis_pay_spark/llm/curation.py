@@ -555,8 +555,8 @@ WITH blocked AS (
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  CASE WHEN a.text = b.text THEN 0
-       ELSE levenshtein(a.text, b.text) END AS edit_dist
+  CAST(CASE WHEN a.text = b.text THEN 0
+       ELSE levenshtein(a.text, b.text) END AS INT) AS edit_dist
 FROM blocked a JOIN blocked b
   ON a.blk = b.blk AND a.doc_id < b.doc_id
      AND abs(length(a.text) - length(b.text)) <= {_ED_MAX_DIST}

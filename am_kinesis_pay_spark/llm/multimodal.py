@@ -40,7 +40,7 @@ except ImportError:
     oracle="""
 SELECT doc_id,
   encode(text) AS payload,
-  octet_length(encode(text)) AS n_bytes,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
   md5(text) AS checksum,
   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
        WHEN doc_id % 3 = 1 THEN 'audio/wav'

@@ -50,8 +50,8 @@ WITH norms AS (
           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.nrm * c.nrm), 6) AS cosine
   FROM norms q JOIN norms c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
 ), ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-            ORDER BY cosine DESC, neighbor_id) AS rank
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
   FROM scored
 )
 SELECT query_id, neighbor_id, neighbor_label, cosine, rank
@@ -112,8 +112,8 @@ WITH norms AS (
           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.nrm * c.nrm), 6) AS cosine
   FROM norms q JOIN norms c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
 ), ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-            ORDER BY cosine DESC, neighbor_id) AS rank
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
   FROM scored
 ), votes AS (
   SELECT query_id, true_label, neighbor_label, COUNT(*) AS n_votes

@@ -59,8 +59,8 @@ def text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_stats",
     oracle="""
 SELECT doc_id,
-  length(text) AS n_chars_computed,
-  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens_ws,
+  CAST(length(text) AS INT) AS n_chars_computed,
+  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_tokens_ws,
   CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS nonspace_ratio,
   CAST(ceil((length(text) - length(replace(text, ' ', '')) + 1) * 1.3) AS BIGINT) AS est_bpe_tokens
 FROM documents
@@ -92,7 +92,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH tok AS (
   SELECT doc_id, lang, n_chars,
-    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_tokens,
     length(text) AS len_text,
     length(text) - length(replace(replace(replace(text, 'the', ''), 'a', ''), 'and', '')) AS stop_chars
   FROM documents
@@ -192,7 +192,8 @@ SELECT doc_id, lang AS labeled_lang,
   CASE WHEN en_hits >= de_hits AND en_hits > 0 THEN 'en'
        WHEN de_hits > 0 THEN 'de'
        ELSE 'unknown' END AS predicted_lang,
-  en_hits, de_hits, n_tokens
+  CAST(en_hits AS BIGINT) AS en_hits, CAST(de_hits AS BIGINT) AS de_hits,
+  n_tokens
 FROM scores
 """,
     tags=("llm", "text"),
@@ -647,8 +648,8 @@ scored AS (
   FROM tf JOIN df USING (term) CROSS JOIN n
 )
 SELECT doc_id, term, tfidf, rnk FROM (
-  SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rnk
   FROM scored) t
 WHERE rnk <= 3
 """,

@@ -581,7 +581,7 @@ def agg_profile_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_histogram",
     oracle="""
 SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
-  CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bucket_lo,
+  CAST(CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS DOUBLE) AS bucket_lo,
   COUNT(*) AS n,
   round(MIN(value), 6) AS lo,
   round(MAX(value), 6) AS hi

@@ -376,10 +376,10 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_priority_shipping",
     oracle="""
 SELECT l.l_linestatus,
-  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-       THEN 1 ELSE 0 END) AS high_priority_lines,
-  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-       THEN 1 ELSE 0 END) AS low_priority_lines
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1450,7 +1450,7 @@ counted AS (
 ),
 ranked AS (
   SELECT path, n_occurrences,
-    ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path) AS rank
+    CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path) AS INT) AS rank
   FROM counted
 )
 SELECT path, n_occurrences, rank FROM ranked WHERE rank <= 10

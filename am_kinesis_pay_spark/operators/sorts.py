@@ -42,8 +42,8 @@ def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_nationkey, c_custkey, c_acctbal, rn
 FROM (
   SELECT c_nationkey, c_custkey, c_acctbal,
-    ROW_NUMBER() OVER (PARTITION BY c_nationkey
-                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
   FROM customer
 )
 WHERE rn <= 3

@@ -19,7 +19,7 @@ from am_kinesis_pay_spark.tables import load
     "win_poll_seq",
     oracle="""
 SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS poll_seq
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS INT) AS poll_seq
 FROM events
 """,
     tags=("window",),
@@ -44,8 +44,8 @@ WITH spend AS (
   GROUP BY c.c_nationkey, c.c_custkey
 )
 SELECT c_nationkey, c_custkey, total_spend,
-  RANK() OVER (PARTITION BY c_nationkey ORDER BY total_spend DESC, c_custkey) AS spend_rank,
-  DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY total_spend DESC, c_custkey) AS spend_dense_rank
+  CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY total_spend DESC, c_custkey) AS INT) AS spend_rank,
+  CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY total_spend DESC, c_custkey) AS INT) AS spend_dense_rank
 FROM spend
 """,
     tags=("window",),

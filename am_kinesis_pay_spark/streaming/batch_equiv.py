@@ -216,7 +216,7 @@ def stream_dedup_payment(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, poll_seq
 FROM (
   SELECT user_id, ts,
-    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS poll_seq
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS INT) AS poll_seq
   FROM events
 )
 WHERE poll_seq % 10 = 0
