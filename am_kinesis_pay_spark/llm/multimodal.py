@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -95,11 +96,9 @@ def _fake_features(payload: bytes) -> list[float]:
     shaped like a real embedding head."""
     if not payload:
         return [0.0] * _N_BINS
-    bins = [0] * _N_BINS
-    for byte in payload:
-        bins[byte % _N_BINS] += 1
-    total = float(len(payload))
-    return [b / total for b in bins]
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    bins = np.bincount(arr % _N_BINS, minlength=_N_BINS)
+    return (bins / float(len(payload))).tolist()
 
 
 def extract_features(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

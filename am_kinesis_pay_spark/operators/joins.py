@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from am_kinesis_pay_spark.functions.compat import dsum
+from am_kinesis_pay_spark.paths import scratch_path, scratch_table
 from am_kinesis_pay_spark.registry import register
 from am_kinesis_pay_spark.tables import load
 
@@ -344,7 +345,7 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.to_date(F.date_trunc("day", "ts")).alias("event_date"),
     )
-    out = os.path.join(tempfile.gettempdir(), "akps_dpp_events")
+    out = scratch_path(spark, "akps_dpp_events")
     fact.write.mode("overwrite").partitionBy("event_date").parquet(out)
     part_fact = spark.read.schema(
         "event_id bigint, user_id bigint, event_date date"
@@ -451,11 +452,14 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
             "spark.sql.autoBroadcastJoinThreshold"
         ),
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ),
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         ),
     }
-    out = os.path.join(tempfile.gettempdir(), "akps_bloom_join")
+    out = scratch_path(spark, "akps_bloom_join")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
@@ -507,18 +511,24 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched tick's timestamp rides along in the same window pass so
     the staleness gate is a post-window projection, not a re-join."""
     ev = load(spark, sf_dir, "events")
+    # One struct per tick so value and timestamp always travel together
+    # through a single last(ignorenulls) — two independent windows could
+    # pair an old value with a newer timestamp if a tick ever carried a
+    # NULL value. Lookup rows carry a NULL struct (a struct of NULLs is
+    # NOT null and would be picked up by ignorenulls).
+    tick_t = "struct<tick_ts:timestamp,tick_value:double>"
     ticks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         "ts",
-        F.col("value").alias("tick_value"),
-        F.col("ts").alias("tick_ts"),
+        F.struct(
+            F.col("ts").alias("tick_ts"), F.col("value").alias("tick_value")
+        ).alias("tick"),
         F.lit(None).cast("bigint").alias("event_id"),
     )
     lookups = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         "ts",
-        F.lit(None).cast("double").alias("tick_value"),
-        F.lit(None).cast("timestamp").alias("tick_ts"),
+        F.lit(None).cast(tick_t).alias("tick"),
         "event_id",
     )
     unioned = ticks.unionByName(lookups)
@@ -527,15 +537,14 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", F.col("event_id").isNotNull().cast("int"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    fresh = F.col("matched_ts") >= F.col("ts") - F.expr("INTERVAL 1 DAY")
+    fresh = F.col("matched.tick_ts") >= F.col("ts") - F.expr("INTERVAL 1 DAY")
     return (
-        unioned.withColumn("rate_raw", F.last("tick_value", ignorenulls=True).over(w))
-        .withColumn("matched_ts", F.last("tick_ts", ignorenulls=True).over(w))
+        unioned.withColumn("matched", F.last("tick", ignorenulls=True).over(w))
         .filter(F.col("event_id").isNotNull())
         .select(
             "event_id",
             "user_id",
             "ts",
-            F.when(fresh, F.col("rate_raw")).alias("rate"),
+            F.when(fresh, F.col("matched.tick_value")).alias("rate"),
         )
     )

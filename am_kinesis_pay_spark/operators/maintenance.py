@@ -251,11 +251,12 @@ HAVING COUNT(*) * 128 > (SELECT COUNT(*) FROM lineitem)
     tags=("agg", "maintenance"),
 )
 def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent-items (support > 1/512) via the two-phase distributed
-    heavy-hitter algorithm (support > 1/128 on l_suppkey):
-    per-partition Misra-Gries candidate
-    generation (bounded memory, ONE pass) → exact count verification of
-    the candidate set only. Exactness: MG guarantees every global heavy
+    """Frequent-items on l_suppkey via the two-phase distributed
+    heavy-hitter algorithm: per-partition Misra-Gries candidate
+    generation with capacity 512 (every key with support > 1/513 is
+    guaranteed to survive some partition summary; bounded memory, ONE
+    pass) → exact count verification of the candidate set only, at the
+    1/128 support threshold. Exactness: MG guarantees every global heavy
     hitter survives in at least one partition summary, and verification
     re-counts candidates exactly — so the result equals the naive
     full groupBy + HAVING (the oracle), while the shuffled key set is

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from am_kinesis_pay_spark.paths import scratch_path, scratch_table
 from am_kinesis_pay_spark.registry import register
 from am_kinesis_pay_spark.tables import load
 
@@ -79,7 +80,7 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("event_type") == "signup") & (F.col("event_id") % 10 == 0))
         .select("event_id", "user_id", "event_type", "value")
     )
-    out = os.path.join(tempfile.gettempdir(), "akps_json_source")
+    out = scratch_path(spark, "akps_json_source")
     ev.write.mode("overwrite").json(out)
     schema = T.StructType(
         [
@@ -147,7 +148,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("o_totalprice"),
         )
     )
-    out = os.path.join(tempfile.gettempdir(), "akps_csv_source")
+    out = scratch_path(spark, "akps_csv_source")
     o.write.mode("overwrite").option("header", "true").csv(out)
     schema = T.StructType(
         [
@@ -183,7 +184,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_orderkey") % 500 == 0)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     )
-    out = os.path.join(tempfile.gettempdir(), "akps_orc_source")
+    out = scratch_path(spark, "akps_orc_source")
     li.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
 
@@ -212,7 +213,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
-    out = os.path.join(tempfile.gettempdir(), "akps_schema_evo")
+    out = scratch_path(spark, "akps_schema_evo")
     v1 = ev.filter(F.col("event_type") == "signup").select(
         "event_id", "user_id", "value"
     )
@@ -266,7 +267,7 @@ def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("payload"),
         )
     )
-    out = os.path.join(tempfile.gettempdir(), "akps_corrupt_json")
+    out = scratch_path(spark, "akps_corrupt_json")
     ev.select(
         F.concat(
             F.lit('{"event_id": '),

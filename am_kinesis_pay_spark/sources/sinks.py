@@ -20,6 +20,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from am_kinesis_pay_spark.paths import scratch_path, scratch_table
 from am_kinesis_pay_spark.registry import register
 from am_kinesis_pay_spark.tables import load
 
@@ -51,7 +52,7 @@ def sink_audit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     resp = ev.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", F.lit("response").alias("log_kind")
     )
-    out = os.path.join(tempfile.gettempdir(), "akps_audit_log")
+    out = scratch_path(spark, "akps_audit_log")
     req.unionByName(resp).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
 
@@ -126,7 +127,7 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").withColumn(
         "event_date", F.to_date(F.date_trunc("day", "ts"))
     )
-    out = os.path.join(tempfile.gettempdir(), "akps_partitioned_events")
+    out = scratch_path(spark, "akps_partitioned_events")
     ev.select("event_id", "user_id", "event_type", "event_date").write.mode(
         "overwrite"
     ).partitionBy("event_date").parquet(out)
@@ -161,8 +162,8 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
-    small_dir = os.path.join(tempfile.gettempdir(), "akps_compact_small")
-    big_dir = os.path.join(tempfile.gettempdir(), "akps_compact_big")
+    small_dir = scratch_path(spark, "akps_compact_small")
+    big_dir = scratch_path(spark, "akps_compact_big")
     ev.repartition(64).write.mode("overwrite").parquet(small_dir)
 
     small = spark.read.parquet(small_dir)
@@ -213,7 +214,7 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("2024-01-10").cast("date"), F.lit("2024-01-12").cast("date")
         )
     ).select("event_id", "value", "event_date")
-    out = os.path.join(tempfile.gettempdir(), "akps_dynamic_overwrite")
+    out = scratch_path(spark, "akps_dynamic_overwrite")
     window.write.mode("overwrite").partitionBy("event_date").parquet(out)
 
     saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
@@ -290,13 +291,15 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the key."""
     import shutil
 
-    base = os.path.join(tempfile.gettempdir(), "akps_bucketed")
-    spark.sql("DROP TABLE IF EXISTS akps_orders_b")
-    spark.sql("DROP TABLE IF EXISTS akps_lineitem_b")
+    base = scratch_path(spark, "akps_bucketed")
+    orders_b = scratch_table(spark, "akps_orders_b")
+    lineitem_b = scratch_table(spark, "akps_lineitem_b")
+    spark.sql(f"DROP TABLE IF EXISTS {orders_b}")
+    spark.sql(f"DROP TABLE IF EXISTS {lineitem_b}")
     shutil.rmtree(base, ignore_errors=True)
     for tbl, key, name in (
-        ("orders", "o_orderkey", "akps_orders_b"),
-        ("lineitem", "l_orderkey", "akps_lineitem_b"),
+        ("orders", "o_orderkey", orders_b),
+        ("lineitem", "l_orderkey", lineitem_b),
     ):
         (
             load(spark, sf_dir, tbl)
@@ -307,10 +310,10 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .saveAsTable(name)
         )
     return (
-        spark.table("akps_lineitem_b")
+        spark.table(lineitem_b)
         .hint("merge")
         .join(
-            spark.table("akps_orders_b"),
+            spark.table(orders_b),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_orderpriority")
