@@ -26,6 +26,8 @@ brute-force block for the LSH-bucketed variant in similarity.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from am_kinesis_pay_spark.registry import REGISTRY, register
@@ -355,19 +357,34 @@ WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
 """
 
 
+# Build-side tile size for emb_dedup_cosine: bounds what the driver
+# ever materializes (8192 × 64 dims × 8 B ≈ 4 MB per tile). Env
+# override lets tests force the multi-tile path at tiny SF.
+_COSINE_TILE_ROWS = int(os.environ.get("AKPS_COSINE_TILE_ROWS", "8192"))
+
+
 @register("emb_dedup_cosine", oracle=_COSINE_DEDUP_ORACLE, tags=("llm", "dedup"))
 def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: all pairs above cosine 0.45 (the synthetic
     embeddings are uniform-random, so 0.45 marks the far tail — real
-    corpora would use ~0.9), as a blocked
-    matrix product — normalize the corpus once, broadcast it, and let
-    each Arrow batch do one numpy matmul against the broadcast block
-    (vectorized BLAS, ~50× faster than a per-pair fold over array
-    columns). This is the block-nested-loop-with-vectorized-kernel
-    shape: at 100 TB the corpus is tiled into bounded blocks and each
-    (partition × block) product runs exactly this kernel; one block
-    suffices at test scale. Cosine rounded to 6 dp absorbs summation-
-    order divergence vs the sequential-fold oracle."""
+    corpora would use ~0.9), as a TILED blocked matrix product.
+
+    The corpus is split into hash-mod tiles of ≤~_COSINE_TILE_ROWS
+    rows (vec_id % n_tiles — uniform regardless of id distribution);
+    each tile is collected (bounded: ~4 MB), broadcast, and matmul'd
+    against every Arrow batch of the full corpus (vectorized BLAS,
+    ~50× faster than a per-pair fold over array columns); per-tile
+    results union. The driver never holds more than one tile — the
+    round-1 full-corpus toPandas() is gone. Each unordered pair lands
+    exactly once: probe row a meets build row b only in the single
+    tile containing b, masked to a < b. Exact all-pairs is inherently
+    O(n²) compute — n_tiles probe passes over the corpus is that cost
+    made explicit; the LSH/SimHash entries are the subquadratic path.
+    Cosine rounded to 6 dp absorbs summation-order divergence vs the
+    sequential-fold oracle. Multi-tile parity vs the oracle is pinned
+    in tests/test_llm.py (AKPS_COSINE_TILE_ROWS)."""
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -380,35 +397,53 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("cosine", T.DoubleType()),
         ]
     )
-    corpus = emb.select("vec_id", "embedding").toPandas()
-    if corpus.empty:
+    n = emb.count()
+    if n == 0:
         return spark.createDataFrame([], out_schema)
-    ids = corpus["vec_id"].to_numpy()
-    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat_n))
+    n_tiles = max(1, math.ceil(n / _COSINE_TILE_ROWS))
+    probe = emb.select("vec_id", "embedding")
 
-    def block_pairs(pdfs):
-        ids_b, mat_b = bc.value
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            a_ids = pdf["vec_id"].to_numpy()
-            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a_n @ mat_b.T
-            # upper triangle only (vec_a < vec_b), threshold pre-round
-            mask = (sims >= 0.45) & (a_ids[:, None] < ids_b[None, :])
-            ai, bi = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": ids_b[bi],
-                    "cosine": np.round(sims[ai, bi], 6),
-                }
-            )
+    def tile_kernel(bc):
+        def block_pairs(pdfs):
+            ids_b, mat_b = bc.value
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                a_ids = pdf["vec_id"].to_numpy()
+                a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
+                sims = a_n @ mat_b.T
+                # upper triangle only (vec_a < vec_b), threshold pre-round
+                mask = (sims >= 0.45) & (a_ids[:, None] < ids_b[None, :])
+                ai, bi = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": a_ids[ai],
+                        "vec_b": ids_b[bi],
+                        "cosine": np.round(sims[ai, bi], 6),
+                    }
+                )
 
-    return emb.select("vec_id", "embedding").mapInPandas(block_pairs, out_schema)
+        return block_pairs
+
+    parts = []
+    for t in range(n_tiles):
+        tile = probe.filter(
+            F.pmod(F.col("vec_id"), F.lit(n_tiles)) == t
+        ).toPandas()
+        if tile.empty:
+            continue
+        ids_t = tile["vec_id"].to_numpy()
+        mat_t = np.stack(tile["embedding"].to_numpy()).astype(np.float64)
+        mat_t = mat_t / np.linalg.norm(mat_t, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((ids_t, mat_t))
+        parts.append(probe.mapInPandas(tile_kernel(bc), out_schema))
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # Splice the MinHash pipeline in as CTEs: its final SELECT becomes the

@@ -193,35 +193,39 @@ IVF_NPROBE = 4  # cells searched per query
 @register("vec_ann_ivf", oracle=None, tags=("llm", "similarity", "ann"))
 def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF (inverted-file index): a deterministic coarse
-    quantizer (every n/K-th vector by vec_id is a centroid — no RNG),
-    each corpus vector assigned to its nearest centroid cell, queries
-    probe their IVF_NPROBE nearest cells and re-rank exactly inside
-    them. Rows-only driver check; numeric correctness + recall pinned
-    in tests/test_llm.py.
+    quantizer (the IVF_K corpus vectors with the smallest
+    md5(vec_id) — a hash-order uniform sample, no RNG), each corpus
+    vector assigned to its nearest centroid cell, queries probe their
+    IVF_NPROBE nearest cells and re-rank exactly inside them.
+    Rows-only driver check; numeric correctness + recall pinned in
+    tests/test_llm.py.
 
-    Scale shape: the centroid table is tiny and broadcast; assignment
-    is one map pass (blocked matmul); the probe join shuffles only
-    (query, cell) pairs — candidates are |corpus| × nprobe / K on
-    average, an 4/16 = 25% scan here and arbitrarily sharper with
-    larger K at real scale."""
+    Scale shape: ONLY the K centroids ever touch the driver —
+    selected by a distributed top-K (each scan task keeps at most K
+    candidates), collected as K×dim floats, and broadcast. Assignment
+    is one map pass over the corpus (blocked matmul vs the K
+    centroids); the probe join shuffles only (query, cell) pairs —
+    candidates are |corpus| × nprobe / K on average, a 4/16 = 25%
+    scan here and arbitrarily sharper with larger K at real scale.
+    No O(corpus) materialization anywhere."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     emb = load(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding").toPandas()
-    if corpus.empty:
+    cent_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(IVF_K)
+        .collect()
+    )
+    if not cent_rows:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
-    corpus = corpus.sort_values("vec_id").reset_index(drop=True)
-    ids = corpus["vec_id"].to_numpy()
-    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    # deterministic centroids: every n/K-th vector in vec_id order
-    step = max(len(ids) // IVF_K, 1)
-    cent = mat_n[::step][:IVF_K]
-    bc = spark.sparkContext.broadcast((ids, mat_n, cent))
+    cent_raw = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent_rows])
+    cent = cent_raw / np.linalg.norm(cent_raw, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(cent)
 
     assign_schema = T.StructType(
         [
@@ -231,7 +235,7 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(pdfs):
-        _, _, cent_b = bc.value
+        cent_b = bc.value
         for pdf in pdfs:
             if pdf.empty:
                 continue
@@ -254,7 +258,7 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def probes(pdfs):
-        _, _, cent_b = bc.value
+        cent_b = bc.value
         for pdf in pdfs:
             if pdf.empty:
                 continue

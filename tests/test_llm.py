@@ -357,3 +357,16 @@ def test_pca_power_matches_numpy_and_captures_variance(spark):
     assert captured(got) >= captured(v0) - 1e-9
     mu_got = np.array([r.mean for r in sorted(rows, key=lambda r: r.pos)])
     assert np.abs(mu_got - mu).max() < 1e-6
+
+
+def test_emb_dedup_cosine_multi_tile_parity(spark, ducks, monkeypatch):
+    """Force the tiled path (many small build-side tiles) and require
+    exact oracle parity — proves tiling neither drops nor duplicates
+    pairs. The default tile size covers the whole test corpus in one
+    tile, so without this the multi-tile branch would go untested."""
+    from am_kinesis_pay_spark.llm import dedup
+
+    from tests.conftest import compare_query
+
+    monkeypatch.setattr(dedup, "_COSINE_TILE_ROWS", 7)
+    compare_query(spark, ducks, "emb_dedup_cosine", SF_DIR)
