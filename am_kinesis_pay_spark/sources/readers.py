@@ -12,6 +12,8 @@ runtime.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from am_kinesis_pay_spark.paths import scratch_path, scratch_table
@@ -27,32 +29,69 @@ def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+# Maven coordinate of the Structured Streaming Kinesis connector
+# (awslabs spark-sql-kinesis-connector, format name "aws-kinesis").
+# Overridable because the artifact id tracks the Spark/Scala version.
+KINESIS_CONNECTOR_PACKAGE = os.environ.get(
+    "AKPS_KINESIS_PACKAGE",
+    "software.amazon.kinesis:spark-streaming-sql-kinesis-connector_2.13:1.0.0",
+)
+
+
+def kinesis_submit_conf(package: str | None = None) -> dict[str, str]:
+    """The spark-submit recipe that makes ``kinesis_stream`` runnable:
+
+        spark-submit --packages <KINESIS_CONNECTOR_PACKAGE> job.py
+
+    or equivalently each key below on ``SparkSession.builder.config``.
+    Kept as data (not applied here) because ``spark.jars.packages``
+    only takes effect at JVM launch — a live session can't add it."""
+    return {"spark.jars.packages": package or KINESIS_CONNECTOR_PACKAGE}
+
+
+def kinesis_connector_available(spark: SparkSession) -> bool:
+    """True when the "aws-kinesis" DataSource is registered on the
+    classpath. Probed via source lookup (not Class.forName) so any
+    connector exposing the format name qualifies, regardless of its
+    provider class path."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "aws-kinesis", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
 def kinesis_stream(
     spark: SparkSession,
     stream_name: str,
     region: str = "us-east-1",
     endpoint: str | None = None,
 ) -> DataFrame:
-    """Production source for the status-poll stream. Requires the
-    Kinesis connector on the classpath; raises a clear error here
-    instead of an opaque ClassNotFound at start()."""
-    try:
-        reader = (
-            spark.readStream.format("aws-kinesis")
-            .option("kinesis.streamName", stream_name)
-            .option("kinesis.region", region)
-            .option("kinesis.consumerType", "GetRecords")
-            .option("kinesis.startingposition", "TRIM_HORIZON")
-        )
-        if endpoint:
-            reader = reader.option("kinesis.endpointUrl", endpoint)
-        return reader.load()
-    except Exception as exc:  # pragma: no cover - no connector jar in image
+    """Production source for the status-poll stream
+    (kinesis-pay.php:231-263's poll loop as a readStream). Launch the
+    session with ``kinesis_submit_conf()`` applied; against localstack
+    or another emulator, pass its URL as ``endpoint``. Raises a clear
+    error when the connector jar is absent instead of an opaque
+    ClassNotFound at start()."""
+    if not kinesis_connector_available(spark):
         raise NotImplementedError(
-            "Kinesis connector jar not on classpath in this image; use "
-            "streaming.runner.events_stream (file replay) in tests. "
-            f"Underlying error: {exc}"
-        ) from exc
+            "Kinesis connector jar not on classpath; launch via "
+            f"spark-submit --packages {KINESIS_CONNECTOR_PACKAGE} "
+            "(see kinesis_submit_conf()). Tests use "
+            "streaming.runner.events_stream (file replay) instead."
+        )
+    reader = (
+        spark.readStream.format("aws-kinesis")
+        .option("kinesis.streamName", stream_name)
+        .option("kinesis.region", region)
+        .option("kinesis.consumerType", "GetRecords")
+        .option("kinesis.startingPosition", "TRIM_HORIZON")
+    )
+    if endpoint:
+        reader = reader.option("kinesis.endpointUrl", endpoint)
+    return reader.load()
 
 
 @register(

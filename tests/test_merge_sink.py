@@ -1,0 +1,83 @@
+"""Exactly-once MERGE upsert under replay (streaming/foreach_sink.py
+MergeKeyedSink) — the lakehouse-MERGE contract emulated on parquet:
+
+- last-writer-wins by version, per key
+- redelivered epoch (marker present) is a no-op
+- crash between snapshot write and marker (marker deleted here) is
+  repaired by redelivery without duplicating or losing rows
+- a real readStream → foreachBatch run lands the same state as the
+  batch-applied merges
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+
+from am_kinesis_pay_spark.streaming.foreach_sink import MergeKeyedSink
+
+
+def _rows(sink):
+    return sorted(
+        (r.k, r.val, r.version) for r in sink.read().collect()
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame([Row(k=k, val=v, version=ver) for k, v, ver in rows])
+
+
+def test_merge_upsert_exactly_once_under_replay(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("merge_sink"))
+    sink = MergeKeyedSink(spark, path, key_cols=["k"], version_col="version")
+
+    b1 = _batch(spark, [(1, "a", 10), (2, "b", 10), (2, "b2", 11)])
+    sink.process_batch(b1, epoch_id=0)
+    # within-batch winner: key 2 keeps its highest-version row
+    assert _rows(sink) == [(1, "a", 10), (2, "b2", 11)]
+
+    # redelivery of the SAME epoch: marker short-circuit, state frozen
+    sink.process_batch(_batch(spark, [(1, "poison", 99)]), epoch_id=0)
+    assert _rows(sink) == [(1, "a", 10), (2, "b2", 11)]
+
+    # epoch 1: update key 1 (newer version wins), stale update to key 2
+    # loses (version 5 < 11), key 3 inserts
+    b2 = _batch(spark, [(1, "a2", 20), (2, "stale", 5), (3, "c", 7)])
+    sink.process_batch(b2, epoch_id=1)
+    after_e1 = [(1, "a2", 20), (2, "b2", 11), (3, "c", 7)]
+    assert _rows(sink) == after_e1
+
+    # crash between snapshot and marker: delete the marker and redeliver
+    os.remove(sink._marker(1))
+    assert sink.last_committed_epoch() == 0  # readers still see epoch 0
+    sink.process_batch(b2, epoch_id=1)
+    assert _rows(sink) == after_e1
+    assert sink.committed(1)
+
+
+def test_merge_sink_streaming_end_to_end(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("merge_stream")
+    src = str(base / "src")
+    path = str(base / "table")
+    ckpt = str(base / "ckpt")
+
+    # two source files -> (usually) separate micro-batches; availableNow
+    # drains them all either way, and MERGE semantics don't depend on
+    # the batch boundaries because versions are monotone per key
+    _batch(spark, [(1, "a", 10), (2, "b", 10)]).write.mode(
+        "append"
+    ).parquet(src)
+    _batch(spark, [(1, "a2", 20), (3, "c", 7)]).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema("k bigint, val string, version bigint").parquet(src)
+    sink = MergeKeyedSink(spark, path, key_cols=["k"], version_col="version")
+    q = (
+        sink.attach(stream, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rows(sink) == [(1, "a2", 20), (2, "b", 10), (3, "c", 7)]
