@@ -190,15 +190,70 @@ IVF_K = 16  # coarse-quantizer cells
 IVF_NPROBE = 4  # cells searched per query
 
 
-@register("vec_ann_ivf", oracle=None, tags=("llm", "similarity", "ann"))
+_IVF_ORACLE = """
+WITH ordered AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {IVF_K}
+), cent AS (
+  SELECT embedding AS cemb,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm,
+    CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell
+  FROM ordered
+), norms AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), cellsims AS (
+  SELECT n.vec_id, c.cell,
+    round(list_sum(list_transform(list_zip(n.embedding, c.cemb),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * c.cnrm), 6) AS csim
+  FROM norms n CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS arn
+    FROM cellsims) t
+  WHERE arn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS prn
+    FROM cellsims WHERE vec_id < {N_QUERIES}) t
+  WHERE prn <= {IVF_NPROBE}
+), cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.nrm * c.nrm), 6) AS cosine
+  FROM cand
+  JOIN norms q ON q.vec_id = cand.query_id
+  JOIN norms c ON c.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+""".format(
+    IVF_K=IVF_K, N_QUERIES=N_QUERIES, IVF_NPROBE=IVF_NPROBE, TOP_K=TOP_K
+)
+
+
+@register("vec_ann_ivf", oracle=_IVF_ORACLE, tags=("llm", "similarity", "ann"))
 def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF (inverted-file index): a deterministic coarse
     quantizer (the IVF_K corpus vectors with the smallest
     md5(vec_id) — a hash-order uniform sample, no RNG), each corpus
     vector assigned to its nearest centroid cell, queries probe their
     IVF_NPROBE nearest cells and re-rank exactly inside them.
-    Rows-only driver check; numeric correctness + recall pinned in
-    tests/test_llm.py.
+    Fully oracle-checked: the quantizer, assignment, probe, and
+    re-rank stages are all replicated in DuckDB SQL; centroid sims
+    round to 6 dp BEFORE argmax/top-nprobe (ties → lowest cell) so
+    both engines pick identical cells.
 
     Scale shape: ONLY the K centroids ever touch the driver —
     selected by a distributed top-K (each scan task keeps at most K
@@ -241,7 +296,10 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
-            cells = (a_n @ cent_b.T).argmax(axis=1)
+            # round to 6 dp BEFORE argmax (ties -> lowest cell) so the
+            # picked cell is bit-identical to the SQL oracle's
+            sims = np.round(a_n @ cent_b.T, 6)
+            cells = sims.argmax(axis=1)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "cell": cells.astype("int32")}
             )
@@ -264,8 +322,10 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a_n @ cent_b.T
-            top = np.argsort(-sims, axis=1)[:, :IVF_NPROBE]
+            # same 6 dp pre-round; stable sort breaks ties by lowest
+            # cell, matching ORDER BY csim DESC, cell in the oracle
+            sims = np.round(a_n @ cent_b.T, 6)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :IVF_NPROBE]
             qids = np.repeat(pdf["vec_id"].to_numpy(), IVF_NPROBE)
             yield pd.DataFrame(
                 {"query_id": qids, "cell": top.ravel().astype("int32")}
@@ -368,12 +428,69 @@ def _get_sig_udf():
     return udf
 
 
-@register("vec_ann_lsh", oracle=None, tags=("llm", "similarity", "ann"))
+def _lsh_oracle() -> str:
+    """DuckDB replica of the full LSH pipeline. The md5-derived plane
+    weights are baked in as literal lists (repr() round-trips float64
+    exactly), so signature bits, bands, candidate generation, and the
+    exact re-rank are all oracle-checked — the sketch is deterministic
+    BY CONSTRUCTION, which is what makes an exact cross-engine check
+    possible at all (cf. the HLL entries, where it is not)."""
+    planes = ",\n    ".join(
+        "({p}, [{w}])".format(
+            p=p, w=", ".join(repr(x) for x in row)
+        )
+        for p, row in enumerate(_plane_weights())
+    )
+    return """
+WITH planes (p, wts) AS (
+  VALUES
+    {planes}
+), norms AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), dots AS (
+  SELECT n.vec_id, pl.p,
+    list_sum(list_transform(list_zip(n.embedding, pl.wts),
+          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS d
+  FROM norms n CROSS JOIN planes pl
+), sigs AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS sig
+  FROM dots GROUP BY vec_id
+), banded AS (
+  SELECT vec_id, 'b' || CAST(i AS VARCHAR) || ':'
+    || CAST((sig >> (4 * i)) & 15 AS VARCHAR) AS band
+  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) bands
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded q JOIN banded c USING (band)
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (q.nrm * c.nrm), 6) AS cosine
+  FROM cand
+  JOIN norms q ON q.vec_id = cand.query_id
+  JOIN norms c ON c.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+""".format(planes=planes, N_QUERIES=N_QUERIES, TOP_K=TOP_K)
+
+
+@register("vec_ann_lsh", oracle=_lsh_oracle(), tags=("llm", "similarity", "ann"))
 def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via sign-LSH: 16-bit signatures, candidates = corpus vectors
-    sharing either 8-bit half of the query signature (2 bands → recall
-    boost), exact cosine re-rank within candidates only. Rows-only
-    driver check; recall@k vs the exact baseline is asserted in
+    """ANN via sign-LSH: 16-bit signatures from md5-derived planes,
+    candidates = corpus vectors sharing any 4-bit band with the query,
+    exact cosine re-rank within candidates only. Fully oracle-checked:
+    the plane weights are embedded in the DuckDB oracle as literals,
+    so signatures, bands, and the re-rank replicate exactly (sign
+    flips would need |dot| within float ulp of 0 — not observed at
+    any SF). Recall@k vs the exact baseline is asserted in
     tests/test_llm.py. At 100 TB: signatures are one map pass, the
     band join shuffles signatures not vectors, and re-rank touches only
     bucket-mates."""
