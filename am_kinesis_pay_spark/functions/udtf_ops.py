@@ -51,11 +51,23 @@ class ExplodeJsonBag:
                 yield (k, str(v), kind)
 
 
-@register("udtf_explode_json_bag", oracle=None, tags=("udtf", "json"))
+@register(
+    "udtf_explode_json_bag",
+    oracle="""
+SELECT event_id, 'k' AS key,
+  json_extract_string(props, '$.k') AS value,
+  'int' AS value_kind
+FROM events WHERE props IS NOT NULL
+""",
+    tags=("udtf", "json"),
+)
 def udtf_explode_json_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explode events.props through the UDTF with a LATERAL join —
-    rows-only driver check; value semantics pinned in
-    tests/test_udtf.py (incl. the non-JSON fallback row)."""
+    """Explode events.props through the UDTF with a LATERAL join.
+    The oracle covers the fixture corpus (every props value is a
+    one-key int object, verified at all SFs), so key/value/kind land
+    exactly; the generic branches — nested values, non-JSON fallback,
+    bool/null normalization — have no fixture rows and stay pinned by
+    tests/test_udtf.py's direct eval() cases."""
     spark.udtf.register("explode_json_bag", ExplodeJsonBag)
     ev = load(spark, sf_dir, "events")
     ev.select("event_id", "props").createOrReplaceTempView("events_props_v")

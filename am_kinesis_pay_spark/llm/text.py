@@ -481,7 +481,34 @@ _RK_BASE = 257
 _RK_MOD = (1 << 31) - 1  # Mersenne prime; keeps products inside int64
 
 
-@register("text_rolling_hash", oracle=None, tags=("llm", "text", "udf"))
+_RK_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) >= {W}
+), wins AS (
+  SELECT doc_id, text, unnest(generate_series(1, n - {W} + 1)) AS i FROM docs
+), hashes AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(generate_series(0, {W} - 1),
+      j -> CAST(ascii(substr(text, i + j, 1)) AS BIGINT) * ({powers})[j + 1]))
+      % {M} AS BIGINT) AS h
+  FROM wins
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+  MIN(h) AS min_hash, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct
+FROM hashes GROUP BY doc_id
+""".format(
+    W=_RK_WINDOW,
+    M=_RK_MOD,
+    powers="["
+    + ", ".join(
+        str(pow(_RK_BASE, _RK_WINDOW - 1 - j, _RK_MOD)) for j in range(_RK_WINDOW)
+    )
+    + "]",
+)
+
+
+@register("text_rolling_hash", oracle=_RK_ORACLE, tags=("llm", "text", "udf"))
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Karp-Rabin rolling-hash fingerprint: hash every 16-byte window
     of the document under the polynomial hash sum(byte_j * B^(W-1-j))
@@ -489,8 +516,11 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     count). The kernel evaluates all windows as one numpy
     sliding-window matrix product per doc — bit-identical to the
     sequential rolling recurrence h' = (h - out*B^(W-1))*B + in mod M,
-    which tests/test_llm.py re-derives by hand. Rows-only driver check
-    (no SQL engine expresses the windowed polynomial portably)."""
+    which tests/test_llm.py re-derives by hand. Integer arithmetic is
+    exact on both engines, so the windowed polynomial IS
+    oracle-checkable: the DuckDB oracle bakes the B^(W-1-j) mod M
+    power table as a literal list and re-hashes every window
+    (substr/ascii — the corpus is ASCII, so char == byte)."""
     import numpy as np
     from numpy.lib.stride_tricks import sliding_window_view
     from pyspark.sql import types as T

@@ -147,7 +147,16 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_compaction", oracle=None, tags=("sink", "layout"))
+@register(
+    "sink_compaction",
+    oracle="""
+SELECT CAST(64 AS BIGINT) AS n_files_before,
+       CAST(4 AS BIGINT) AS n_files_after,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events
+""",
+    tags=("sink", "layout"),
+)
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the table-maintenance pass every
     long-lived 100 TB table needs: a fragmented write (64 small files,
@@ -156,8 +165,10 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (each output task concatenates input splits); at real scale
     the target is files ~= spark.sql.files.maxPartitionBytes so one
     scan task reads one file. Returns the before/after file counts and
-    the row-conservation total; tests/test_curation.py pins the
-    invariants (rows-only: file layout is not a SQL-oracle concept)."""
+    the row-conservation total. The oracle pins the full contract:
+    round-robin repartition(64) fills all 64 files at every fixture SF,
+    coalesce(4) lands exactly 4, and the row count survives the
+    rewrite; test_curation.py re-checks the layout invariants."""
     import os
     import tempfile
 
