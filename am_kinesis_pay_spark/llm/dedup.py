@@ -20,8 +20,9 @@ Scale notes (100 TB): the only all-pairs product is within LSH buckets
 are one shuffle per stage on doc_id; the bucket join shuffles on
 (band, band_value), where hot buckets (boilerplate docs) are the skew
 risk — AQE skew-join handles moderate cases, salting the band value is
-the escape hatch. Embedding near-dup at scale swaps the bounded
-brute-force block for the LSH-bucketed variant in similarity.py.
+the escape hatch. Embedding near-dup ships both forms: the tiled exact
+all-pairs baseline (emb_dedup_cosine) and the subquadratic LSH-blocked
+variant (emb_dedup_cosine_lsh), both oracle-checked.
 """
 
 from __future__ import annotations
@@ -342,6 +343,89 @@ def text_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAIN_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, source, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
+  FROM (SELECT doc_id, source, t, unnest(range(0, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a
+  JOIN shingles b ON a.source = b.source AND a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+  round(CAST(c.n_common AS DOUBLE) / sa.n, 6) AS contain_a,
+  round(CAST(c.n_common AS DOUBLE) / sb.n, 6) AS contain_b
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(c.n_common AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.5
+"""
+
+
+@register("text_dedup_containment", oracle=_CONTAIN_ORACLE, tags=("llm", "dedup"))
+def text_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: C(A,B) = |shingles(A) ∩
+    shingles(B)| / |shingles(A)| — catches a document EMBEDDED in a
+    longer one (quote farms, boilerplate wrappers, concatenated
+    crawls), which symmetric Jaccard under-scores because the union is
+    dominated by the longer doc. Pairs qualify when the smaller side is
+    >= 50% contained; both directions are reported so the caller can
+    tell subset from overlap. Same blocked shingle join as
+    text_dedup_ngram (candidates share source + a 3-token shingle), so
+    the same scale shape: no global all-pairs, shuffle keyed on
+    (source, shingle)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i + 1),
+                    F.element_at("t", i + 2),
+                    F.element_at("t", i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "source", "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "source", "shingle")
+    common = (
+        a.join(b, ["source", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = common.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a"
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b"
+    )
+    nc = F.col("n_common").cast("double")
+    return (
+        j.filter(nc / F.least("n_a", "n_b") >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(nc / F.col("n_a"), 6).alias("contain_a"),
+            F.round(nc / F.col("n_b"), 6).alias("contain_b"),
+        )
+    )
+
+
 _COSINE_DEDUP_ORACLE = """
 WITH norms AS (
   SELECT vec_id, embedding,
@@ -444,6 +528,86 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _emb_lsh_dedup_oracle() -> str:
+    from am_kinesis_pay_spark.llm.similarity import sig_sql_ctes
+
+    return (
+        "WITH "
+        + sig_sql_ctes()
+        + """, cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b USING (band)
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT cand.vec_a, cand.vec_b,
+    round(list_sum(list_transform(list_zip(na.embedding, nb.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (na.nrm * nb.nrm), 6) AS cosine
+  FROM cand
+  JOIN norms na ON na.vec_id = cand.vec_a
+  JOIN norms nb ON nb.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.45
+"""
+    )
+
+
+@register(
+    "emb_dedup_cosine_lsh",
+    oracle=_emb_lsh_dedup_oracle(),
+    tags=("llm", "dedup", "ann"),
+)
+def emb_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, SUBQUADRATIC form: candidate pairs come only
+    from shared sign-LSH bands (4x4-bit bands of the 16-bit signature),
+    then exact cosine verify >= 0.45 inside candidates — the 100 TB
+    path that `emb_dedup_cosine`'s docstring promises (its tiled
+    all-pairs product is the exact baseline; this trades its O(n²)
+    compute for band-bucket joins at band-dependent recall, pinned vs
+    the exact pair set in tests/test_llm.py). Fully oracle-checked:
+    the DuckDB oracle rebuilds signatures from the baked plane weights
+    and replicates candidates + verification. No broadcast, no driver
+    materialization — signatures are one map pass, candidates shuffle
+    on the band key exactly like text_dedup_minhash's LSH bucket join."""
+    from am_kinesis_pay_spark.llm.similarity import (
+        _dot,
+        _lsh_signature,
+        _norms,
+        lsh_band_cols,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    norms = _norms(emb).withColumn("sig", _lsh_signature())
+    banded = norms.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(F.array(*lsh_band_cols())).alias("band"),
+    )
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "band",
+    )
+    b = banded.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "band",
+    )
+    cand = (
+        a.join(b, "band")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "ea", "na", "eb", "nb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
+    return (
+        cand.select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+    )
 
 
 # Splice the MinHash pipeline in as CTEs: its final SELECT becomes the

@@ -391,6 +391,20 @@ def _plane_weights() -> list[list[float]]:
     ]
 
 
+def lsh_band_cols(sig_col: str = "sig") -> list:
+    """The 4x4-bit band keys of a 16-bit signature, as tagged strings
+    ('b{i}:{value}') so different bands can never collide in a join."""
+    return [
+        F.concat(
+            F.lit(f"b{i}:"),
+            F.shiftright(F.col(sig_col), 4 * i)
+            .bitwiseAND(F.lit(0xF))
+            .cast("string"),
+        )
+        for i in range(4)
+    ]
+
+
 def _lsh_signature(emb_col: str = "embedding") -> F.Column:
     """Random-hyperplane signature: bit p = sign of dot(embedding,
     plane_p). One Arrow-batched matmul against the 16×64 plane matrix —
@@ -428,6 +442,45 @@ def _get_sig_udf():
     return udf
 
 
+def _planes_values_sql() -> str:
+    """The 16x64 plane weights as a SQL VALUES body — repr() round-trips
+    float64 exactly, so DuckDB parses bit-identical doubles. Shared by
+    every oracle that replicates the sign-LSH sketch."""
+    return ",\n    ".join(
+        "({p}, [{w}])".format(p=p, w=", ".join(repr(x) for x in row))
+        for p, row in enumerate(_plane_weights())
+    )
+
+
+_SIG_SQL_CTES = """planes (p, wts) AS (
+  VALUES
+    {planes}
+), norms AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), dots AS (
+  SELECT n.vec_id, pl.p,
+    list_sum(list_transform(list_zip(n.embedding, pl.wts),
+          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS d
+  FROM norms n CROSS JOIN planes pl
+), sigs AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS sig
+  FROM dots GROUP BY vec_id
+), banded AS (
+  SELECT vec_id, 'b' || CAST(i AS VARCHAR) || ':'
+    || CAST((sig >> (4 * i)) & 15 AS VARCHAR) AS band
+  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) bands
+)"""
+
+
+def sig_sql_ctes() -> str:
+    """Signature/band CTE block (planes→norms→dots→sigs→banded) for
+    DuckDB oracles of sign-LSH pipelines."""
+    return _SIG_SQL_CTES.format(planes=_planes_values_sql())
+
+
 def _lsh_oracle() -> str:
     """DuckDB replica of the full LSH pipeline. The md5-derived plane
     weights are baked in as literal lists (repr() round-trips float64
@@ -435,12 +488,7 @@ def _lsh_oracle() -> str:
     exact re-rank are all oracle-checked — the sketch is deterministic
     BY CONSTRUCTION, which is what makes an exact cross-engine check
     possible at all (cf. the HLL entries, where it is not)."""
-    planes = ",\n    ".join(
-        "({p}, [{w}])".format(
-            p=p, w=", ".join(repr(x) for x in row)
-        )
-        for p, row in enumerate(_plane_weights())
-    )
+    planes = _planes_values_sql()
     return """
 WITH planes (p, wts) AS (
   VALUES
@@ -499,15 +547,7 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 bands of 4 bits: a candidate shares ANY band with the query.
     # Narrower bands trade precision for recall — the right side of the
     # tradeoff when the re-rank step is exact anyway.
-    band_cols = [
-        F.concat(
-            F.lit(f"b{i}:"),
-            F.shiftright(F.col("sig"), 4 * i)
-            .bitwiseAND(F.lit(0xF))
-            .cast("string"),
-        )
-        for i in range(4)
-    ]
+    band_cols = lsh_band_cols()
     banded = norms.select(
         "vec_id",
         "label",

@@ -370,3 +370,20 @@ def test_emb_dedup_cosine_multi_tile_parity(spark, ducks, monkeypatch):
 
     monkeypatch.setattr(dedup, "_COSINE_TILE_ROWS", 7)
     compare_query(spark, ducks, "emb_dedup_cosine", SF_DIR)
+
+
+def test_emb_dedup_cosine_lsh_subset_of_exact(spark):
+    """LSH-blocked near-dup pairs must be a subset of the exact
+    all-pairs result (no false positives — verification is exact), with
+    usable recall on the fixture corpus."""
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in queries()["emb_dedup_cosine"](spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in queries()["emb_dedup_cosine_lsh"](spark, SF_DIR).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.2, f"recall {len(lsh)/len(exact):.2f}"
