@@ -1255,17 +1255,24 @@ WITH edges AS (
   SELECT COUNT(DISTINCT src) AS n_nodes FROM edges
 ), r1 AS (
   SELECT e.dst AS user_id,
-    0.15 / n.n_nodes + 0.85 * SUM((1.0 / n.n_nodes) / d.outdeg) AS rank
+    (150000000000000000 // n.n_nodes)
+      + 17 * (CAST(SUM((1000000000000000000 // n.n_nodes) // d.outdeg)
+              AS BIGINT) // 20)
+      + (17 * (CAST(SUM((1000000000000000000 // n.n_nodes) // d.outdeg)
+              AS BIGINT) % 20)) // 20 AS rank_fp
   FROM edges e JOIN deg d USING (src) CROSS JOIN n
   GROUP BY e.dst, n.n_nodes
 ), r2 AS (
   SELECT e.dst AS user_id,
-    0.15 / n.n_nodes + 0.85 * SUM(r.rank / d.outdeg) AS rank
+    (150000000000000000 // n.n_nodes)
+      + 17 * (CAST(SUM(r.rank_fp // d.outdeg) AS BIGINT) // 20)
+      + (17 * (CAST(SUM(r.rank_fp // d.outdeg) AS BIGINT) % 20)) // 20
+      AS rank_fp
   FROM edges e JOIN deg d USING (src) JOIN r1 r ON r.user_id = e.src
   CROSS JOIN n
   GROUP BY e.dst, n.n_nodes
 )
-SELECT user_id, round(rank, 9) AS pagerank FROM r2
+SELECT user_id, CAST(rank_fp AS BIGINT) AS pagerank_fp FROM r2
 """,
     tags=("integration", "graph"),
 )
@@ -1280,7 +1287,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction leaves no dangling nodes, so mass only moves along
     edges. Fixed iteration count keeps it SQL-expressible for the
     oracle; production convergence loops the same two operators with
-    localCheckpoint every round (the text_dedup_clusters discipline)."""
+    localCheckpoint every round (the text_dedup_clusters discipline).
+
+    Arithmetic is FIXED-POINT: ranks are integers in 1e-18 units, all
+    steps are integer div/mod (damping 0.85 = x*17 div 20, split as
+    17*(m div 20) + (17*(m mod 20)) div 20 to stay inside int64).
+    Floating-point PageRank is not reproducible across engines — at
+    sf0.1 five symmetric users' true ranks sit EXACTLY on the round(9)
+    midpoint (0.0081934375), so ulp-level reduction-order noise flips
+    the 9th digit; integer fixed-point makes every intermediate exact
+    and order-independent on any engine, at <1e-15 relative error vs
+    the real-valued recurrence. Output is the fixed-point integer
+    (pagerank_fp; divide by 1e18 for display)."""
     ev = load(spark, sf_dir, "events")
     active = (
         ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 250))
@@ -1301,13 +1319,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = edges.select("src").distinct().agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+    # fixed-point: ranks in 1e-18 units, integer ops only (see docstring)
     ranks = deg.crossJoin(F.broadcast(n)).select(
-        "src", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+        "src", F.expr("1000000000000000000L div n_nodes").alias("rank_fp")
     )
     ed = edges.join(deg, "src")
     for _ in range(2):
         contrib = ed.join(F.broadcast(ranks), "src").select(
-            F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("c")
+            F.col("dst"), F.expr("rank_fp div outdeg").alias("c")
         )
         ranks = (
             contrib.groupBy("dst")
@@ -1315,14 +1334,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(n))
             .select(
                 F.col("dst").alias("src"),
-                (
-                    F.lit(0.15) / F.col("n_nodes")
-                    + F.lit(0.85) * F.col("mass")
-                ).alias("rank"),
+                F.expr(
+                    "150000000000000000L div n_nodes"
+                    " + 17L * (mass div 20)"
+                    " + (17L * (mass % 20)) div 20"
+                ).alias("rank_fp"),
             )
         )
     return ranks.select(
-        F.col("src").alias("user_id"), F.round("rank", 9).alias("pagerank")
+        F.col("src").alias("user_id"), F.col("rank_fp").alias("pagerank_fp")
     )
 
 
