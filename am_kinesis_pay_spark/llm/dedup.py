@@ -639,32 +639,22 @@ GROUP BY doc_id
 )
 
 
-@register("text_dedup_clusters", oracle=_CLUSTER_ORACLE, tags=("llm", "dedup", "iterative"))
-def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the MinHash near-dup graph — the
-    iterative-algorithm surface (keep one doc per duplicate CLUSTER,
-    not per pair; pairs alone under-deduplicate transitive chains
-    A≈B≈C). Spark side: label propagation — every node starts as its
-    own label, each round adopts the min label among itself and its
-    neighbors, loop until fixpoint. Convergence ≤ graph diameter
-    rounds; each round is one join + one aggregation, and every
-    iteration localCheckpoints to cut the growing lineage (the standard
-    Spark iterative-algorithm discipline). Oracle: recursive-CTE
-    transitive closure with min-label per node."""
-    pairs = REGISTRY["text_dedup_minhash"].fn(spark, sf_dir).select("doc_a", "doc_b")
+def _min_label_components(pairs: DataFrame, a: str, b: str, id_col: str) -> DataFrame:
+    """Connected components by min-label propagation over an undirected
+    pair list: every node starts as its own label, each round adopts
+    the min label among itself and its neighbors, loop to fixpoint.
+    Convergence ≤ graph diameter rounds; each round is one join + one
+    aggregation, every iteration localCheckpoints to cut the growing
+    lineage (the standard Spark iterative-algorithm discipline)."""
     # symmetrize via ONE explode, not a union of two selects — a union
-    # would traverse the whole MinHash pipeline twice on first
+    # would traverse the whole candidate pipeline twice on first
     # materialization (each branch re-evaluates its lineage)
     edges = (
         pairs.select(
             F.explode(
                 F.array(
-                    F.struct(
-                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-                    ),
-                    F.struct(
-                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-                    ),
+                    F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                    F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
                 )
             ).alias("e")
         )
@@ -672,21 +662,21 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "cluster_id", F.col("doc_id")
+    labels = edges.select(F.col("src").alias(id_col)).distinct().withColumn(
+        "cluster_id", F.col(id_col)
     )
     for it in range(20):  # diameter bound; tiny graphs converge in 2-3
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("doc_id"))
+            edges.join(labels, edges.dst == labels[id_col])
+            .groupBy(F.col("src").alias(id_col))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
         # carry the previous label through the checkpoint so change
         # detection is a filter on the materialized frame, not a join
         updated = (
-            labels.join(neighbor_min, "doc_id", "left")
+            labels.join(neighbor_min, id_col, "left")
             .select(
-                "doc_id",
+                id_col,
                 F.col("cluster_id").alias("prev_id"),
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
@@ -694,7 +684,7 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        labels = updated.select("doc_id", "cluster_id")
+        labels = updated.select(id_col, "cluster_id")
         # round 0 always changes when any edge exists — skip the check
         if it > 0:
             changed = (
@@ -706,6 +696,63 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
     edges.unpersist()
     return labels
+
+
+@register("text_dedup_clusters", oracle=_CLUSTER_ORACLE, tags=("llm", "dedup", "iterative"))
+def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup graph — the
+    iterative-algorithm surface (keep one doc per duplicate CLUSTER,
+    not per pair; pairs alone under-deduplicate transitive chains
+    A≈B≈C). Label propagation via _min_label_components; oracle:
+    recursive-CTE transitive closure with min-label per node."""
+    pairs = REGISTRY["text_dedup_minhash"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_components(pairs, "doc_a", "doc_b", "doc_id")
+
+
+def _emb_cluster_oracle() -> str:
+    base = _emb_lsh_dedup_oracle().strip()
+    ctes, _ = base.split("\nSELECT vec_a, vec_b, cosine FROM scored", 1)
+    return (
+        "WITH RECURSIVE "
+        + ctes[len("WITH ") :]
+        + """, pairs AS (
+  SELECT vec_a, vec_b FROM scored WHERE cosine >= 0.45
+), edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS vec_id FROM edges
+), reach(vec_id, other) AS (
+  SELECT vec_id, vec_id FROM nodes
+  UNION
+  SELECT r.vec_id, e.dst FROM reach r JOIN edges e ON e.src = r.other
+)
+SELECT vec_id, MIN(other) AS cluster_id
+FROM reach
+GROUP BY vec_id
+"""
+    )
+
+
+@register(
+    "emb_dedup_clusters",
+    oracle=_emb_cluster_oracle(),
+    tags=("llm", "dedup", "iterative", "ann"),
+)
+def emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH-blocked embedding near-dup
+    graph (emb_dedup_cosine_lsh pairs) — keep one vector per duplicate
+    CLUSTER: semantic near-dups chain transitively (A≈B≈C with
+    cos(A,C) below threshold), so pair-level dedup under-removes
+    exactly like its text twin. Same min-label propagation loop as
+    text_dedup_clusters, same recursive-CTE oracle shape over the
+    sign-LSH candidate SQL — every stage of candidate generation,
+    verification, and clustering is exact on both engines."""
+    pairs = REGISTRY["emb_dedup_cosine_lsh"].fn(spark, sf_dir).select(
+        "vec_a", "vec_b"
+    )
+    return _min_label_components(pairs, "vec_a", "vec_b", "vec_id")
 
 
 @register(
