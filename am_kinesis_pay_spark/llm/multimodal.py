@@ -119,11 +119,33 @@ def extract_features(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register("mm_decode_features", oracle=None, tags=("llm", "multimodal", "udf"))
+_FEATURES_ORACLE = f"""
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+       ELSE 'video/mp4' END AS mime,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  list_transform(generate_series(0, {_N_BINS - 1}),
+    b -> CAST(len(list_filter(string_split(text, ''),
+                c -> ascii(c) % {_N_BINS} = b)) AS DOUBLE)
+         / length(text)) AS features
+FROM documents
+"""
+
+
+@register(
+    "mm_decode_features",
+    oracle=_FEATURES_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over the binary column via mapInPandas
-    (Arrow batches). Rows-only driver check; determinism and batch
-    shape pinned in tests/test_llm.py."""
+    (Arrow batches). The deterministic stand-in kernel (16-bin byte
+    histogram / length) is fully oracle-checked — each bin share is a
+    single integer-over-integer float division, identical on both
+    engines; determinism and batch shape also pinned in
+    tests/test_llm.py. A real codec kernel would drop back to
+    rows-only (decoder output is library-specific)."""
     binary = mm_binary_ingest_impl(spark, sf_dir)
     return binary.mapInPandas(extract_features, _FEATURE_SCHEMA)
 
@@ -170,11 +192,33 @@ def sample_frames(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-@register("mm_frame_sample", oracle=None, tags=("llm", "multimodal", "udf"))
+_FRAME_ORACLE = f"""
+WITH vids AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+  WHERE doc_id % 3 = 2
+), frames AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+    CAST(LEAST(i * GREATEST((n - {_FRAME_SIZE}) // {_N_FRAMES - 1}, 1),
+               GREATEST(n - {_FRAME_SIZE}, 0)) AS INT) AS frame_offset,
+    text
+  FROM vids CROSS JOIN (SELECT unnest(generate_series(0, {_N_FRAMES - 1})) AS i) t
+)
+SELECT doc_id, frame_idx, frame_offset,
+  encode(substr(text, frame_offset + 1, {_FRAME_SIZE})) AS frame
+FROM frames
+"""
+
+
+@register(
+    "mm_frame_sample", oracle=_FRAME_ORACLE, tags=("llm", "multimodal", "udf")
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling over binary payloads (video/mp4 rows
     only): mapInPandas explode into (doc_id, frame_idx, frame) rows.
-    Rows-only driver check; shape pinned in tests/test_llm.py."""
+    Fully oracle-checked: stride/offset arithmetic is integer and the
+    byte windows are substr slices of the ASCII payload, so DuckDB
+    reproduces every frame bit-for-bit; shape also pinned in
+    tests/test_llm.py."""
     binary = mm_binary_ingest_impl(spark, sf_dir).filter(
         F.col("mime") == "video/mp4"
     )
@@ -212,17 +256,50 @@ def audio_window_rms(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 seg = samples[w * _AUDIO_WIN : (w + 1) * _AUDIO_WIN]
                 out["doc_id"].append(doc_id)
                 out["window_idx"].append(w)
-                out["rms"].append(round(float(np.sqrt(np.mean(seg**2))), 6))
-                out["peak"].append(round(float(np.abs(seg).max()), 6))
+                # raw, UNROUNDED doubles on purpose: every term is a
+                # dyadic rational (k²/2^14), so the window sum is exact
+                # in float64 regardless of order and sqrt is IEEE
+                # correctly-rounded — bit-identical on any engine.
+                # Rounding would ADD divergence (peak = m/128 lands
+                # exactly on 6 dp midpoints, where Python half-even
+                # and SQL half-away disagree).
+                out["rms"].append(float(np.sqrt(np.mean(seg**2))))
+                out["peak"].append(float(np.abs(seg).max()))
         yield pd.DataFrame(out)
 
 
-@register("mm_audio_rms", oracle=None, tags=("llm", "multimodal", "udf"))
+_AUDIO_RMS_ORACLE = f"""
+WITH wavs AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE doc_id % 3 = 1 AND length(text) >= {_AUDIO_WIN}
+), wins AS (
+  SELECT doc_id, text,
+    unnest(generate_series(0, n // {_AUDIO_WIN} - 1)) AS w
+  FROM wavs
+), samples AS (
+  SELECT doc_id, CAST(w AS INT) AS window_idx,
+    list_transform(generate_series(0, {_AUDIO_WIN} - 1),
+      j -> (ascii(substr(text, w * {_AUDIO_WIN} + j + 1, 1)) - 128.0) / 128.0
+    ) AS s
+  FROM wins
+)
+SELECT doc_id, window_idx,
+  sqrt(list_sum(list_transform(s, x -> x * x)) / {_AUDIO_WIN}.0) AS rms,
+  list_max(list_transform(s, x -> abs(x))) AS peak
+FROM samples
+"""
+
+
+@register(
+    "mm_audio_rms", oracle=_AUDIO_RMS_ORACLE, tags=("llm", "multimodal", "udf")
+)
 def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed RMS/peak over 'audio' payloads (audio/wav rows):
-    mapInPandas explode into one row per analysis window. Rows-only
-    driver check; determinism and window math pinned in
-    tests/test_llm.py."""
+    mapInPandas explode into one row per analysis window. Fully
+    oracle-checked — the 8-bit-PCM window math is exact float64 (see
+    kernel comment), so DuckDB re-derives identical doubles from the
+    same text bytes (ASCII corpus: char == byte); window math also
+    re-derived by hand in tests/test_llm.py."""
     binary = mm_binary_ingest_impl(spark, sf_dir).filter(
         F.col("mime") == "audio/wav"
     )
@@ -271,21 +348,67 @@ def resize_images(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 _OUT_SIDE, crop // _OUT_SIDE, _OUT_SIDE, crop // _OUT_SIDE
             )
             thumb = blocks.mean(axis=(1, 3))
+            # half-UP quantization (floor(x+0.5)), not numpy's
+            # half-even .round(): block means land exactly on .5
+            # midpoints (integer sums over non-power-of-2 block sizes),
+            # and floor(x+0.5) is the form SQL engines reproduce
+            # bit-for-bit. mean_px is the mean of the QUANTIZED bytes
+            # (integer sum / 64 — exact in float64), not of the raw
+            # block means, so it needs no rounding either.
+            q = np.floor(thumb + 0.5).astype(np.uint8)
             out["doc_id"].append(doc_id)
             out["src_side"].append(side)
             out["out_side"].append(_OUT_SIDE)
-            out["pixels"].append(thumb.round().astype(np.uint8).tobytes())
-            out["mean_px"].append(round(float(thumb.mean()), 6))
+            out["pixels"].append(q.tobytes())
+            out["mean_px"].append(float(q.astype(np.float64).mean()))
         yield pd.DataFrame(out)
 
 
-@register("mm_image_resize", oracle=None, tags=("llm", "multimodal", "udf"))
+_RESIZE_ORACLE = f"""
+WITH imgs AS (
+  SELECT doc_id, text,
+    CAST(floor(sqrt(octet_length(encode(text)))) AS INT) AS side
+  FROM documents WHERE doc_id % 3 = 0
+), ok AS (
+  SELECT doc_id, text, side,
+    (side - side % {_OUT_SIDE}) // {_OUT_SIDE} AS bs
+  FROM imgs WHERE side >= {_OUT_SIDE}
+), blocks AS (
+  SELECT doc_id, side, bs, br.b AS br, bc.b AS bc,
+    list_sum(flatten(list_transform(generate_series(0, bs - 1), i ->
+      list_transform(generate_series(0, bs - 1), j ->
+        CAST(ascii(substr(text,
+          (br.b * bs + i) * side + bc.b * bs + j + 1, 1)) AS DOUBLE)))))
+      / (bs * bs) AS m
+  FROM ok,
+    (SELECT unnest(generate_series(0, {_OUT_SIDE - 1})) AS b) br,
+    (SELECT unnest(generate_series(0, {_OUT_SIDE - 1})) AS b) bc
+), quant AS (
+  SELECT doc_id, side, br, bc, CAST(floor(m + 0.5) AS BIGINT) AS q
+  FROM blocks
+)
+SELECT doc_id, CAST(side AS INT) AS src_side,
+  CAST({_OUT_SIDE} AS INT) AS out_side,
+  unhex(string_agg(lpad(to_hex(q), 2, '0'), '' ORDER BY br, bc)) AS pixels,
+  CAST(SUM(q) AS DOUBLE) / {_OUT_SIDE * _OUT_SIDE} AS mean_px
+FROM quant
+GROUP BY doc_id, side
+"""
+
+
+@register(
+    "mm_image_resize", oracle=_RESIZE_ORACLE, tags=("llm", "multimodal", "udf")
+)
 def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail resize over 'image' payloads (image/png rows):
-    mapInPandas box-filter downsample to a fixed 8x8 grid. Rows-only
-    driver check; block-average math recomputed by hand in
-    tests/test_llm.py. Map-only — blobs never shuffle; at scale the
-    kernel is GPU/codec-swappable per Arrow batch."""
+    mapInPandas box-filter downsample to a fixed 8x8 grid. Fully
+    oracle-checked: the DuckDB oracle re-derives every block mean from
+    the same bytes (integer sums are exact in float64, the final
+    division is a single op), quantizes with the same floor(x+0.5),
+    and reassembles the thumbnail blob via hex/unhex. Shape + block
+    math also recomputed by hand in tests/test_llm.py. Map-only —
+    blobs never shuffle; at scale the kernel is GPU/codec-swappable
+    per Arrow batch."""
     binary = mm_binary_ingest_impl(spark, sf_dir).filter(
         F.col("mime") == "image/png"
     )

@@ -180,7 +180,7 @@ def test_image_resize_shapes_and_block_math(spark):
     blocks = img[:crop, :crop].reshape(
         _OUT_SIDE, crop // _OUT_SIDE, _OUT_SIDE, crop // _OUT_SIDE
     )
-    want = blocks.mean(axis=(1, 3)).round().astype(np.uint8).tobytes()
+    want = np.floor(blocks.mean(axis=(1, 3)) + 0.5).astype(np.uint8).tobytes()
     assert bytes(r0.pixels) == want
 
 
