@@ -33,6 +33,7 @@ DOCS_QUERIES = [
     "text_dedup_minhash", "text_dedup_simhash", "text_dedup_clusters",
     "pipeline_corpus_filter", "text_repetition_ratio", "text_rolling_hash",
     "text_winnow_fingerprint", "text_classifier_score",
+    "text_dedup_containment",
 ]
 FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
@@ -53,6 +54,8 @@ CURATION_QUERIES = [
     "events_funnel_ordered", "text_dedup_editdist", "win_sessionize",
     "win_out_of_order_profile", "agg_skew_profile", "sample_temperature",
     "vec_ann_pq", "agg_anomaly_mad",
+    "emb_dedup_cosine", "emb_dedup_cosine_lsh", "emb_dedup_clusters",
+    "vec_ann_ivf",
 ]
 
 
