@@ -559,17 +559,25 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.45
     tags=("llm", "dedup", "ann"),
 )
 def emb_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup, SUBQUADRATIC form: candidate pairs come only
+    """Embedding near-dup, LSH-blocked form: candidate pairs come only
     from shared sign-LSH bands (4x4-bit bands of the 16-bit signature),
-    then exact cosine verify >= 0.45 inside candidates — the 100 TB
-    path that `emb_dedup_cosine`'s docstring promises (its tiled
-    all-pairs product is the exact baseline; this trades its O(n²)
-    compute for band-bucket joins at band-dependent recall, pinned vs
-    the exact pair set in tests/test_llm.py). Fully oracle-checked:
-    the DuckDB oracle rebuilds signatures from the baked plane weights
-    and replicates candidates + verification. No broadcast, no driver
-    materialization — signatures are one map pass, candidates shuffle
-    on the band key exactly like text_dedup_minhash's LSH bucket join."""
+    then exact cosine verify >= 0.45 inside candidates. Fully
+    oracle-checked: the DuckDB oracle rebuilds signatures from the
+    baked plane weights and replicates candidates + verification. No
+    broadcast, no driver materialization — signatures are one map
+    pass, candidates shuffle on the band key exactly like
+    text_dedup_minhash's LSH bucket join.
+
+    BAND-WIDTH TRADEOFF (the 100 TB knob): a b-bit band splits each
+    band's bucket space 2^b ways, so expected within-bucket pair work
+    is n²/2^b per band — band bits must GROW with corpus size (and
+    recall per band is p^b, p = 1 - acos(θ)/π). The fixture threshold
+    0.45 on uniform-random data gives p≈0.65, forcing shallow 4-bit
+    bands (recall pinned ≥0.2 in tests) whose 16-value space is
+    quadratic-in-n at scale. Production near-dup thresholds (θ≈0.9,
+    p≈0.86) support 8-16-bit bands from 32-64 planes: buckets stay
+    O(n/2^b) with recall recovered by adding bands. Same planes, same
+    oracle construction — only the constants change."""
     from am_kinesis_pay_spark.llm.similarity import (
         _dot,
         _lsh_signature,

@@ -54,8 +54,14 @@ CURATION_QUERIES = [
     "events_funnel_ordered", "text_dedup_editdist", "win_sessionize",
     "win_out_of_order_profile", "agg_skew_profile", "sample_temperature",
     "vec_ann_pq", "agg_anomaly_mad",
-    "emb_dedup_cosine", "emb_dedup_cosine_lsh", "emb_dedup_clusters",
-    "vec_ann_ivf",
+    "emb_dedup_cosine", "vec_ann_ivf",
+    # NOT here: emb_dedup_cosine_lsh / emb_dedup_clusters /
+    # text_dedup_containment. The 10x fixture replicates identical
+    # texts/vectors, so every replica shares every band/shingle and
+    # within-bucket pairs grow ~100x — minutes, not seconds. That is a
+    # property of the degenerate replicated data + the fixture's low
+    # 0.45 threshold (which forces 4-bit bands), not of the operators;
+    # see the band-width tradeoff note in llm/dedup.py and SCALE.md.
 ]
 
 
