@@ -55,13 +55,12 @@ CURATION_QUERIES = [
     "win_out_of_order_profile", "agg_skew_profile", "sample_temperature",
     "vec_ann_pq", "agg_anomaly_mad",
     "emb_dedup_cosine", "vec_ann_ivf",
-    # NOT here: emb_dedup_cosine_lsh / emb_dedup_clusters /
-    # text_dedup_containment. The 10x fixture replicates identical
-    # texts/vectors, so every replica shares every band/shingle and
-    # within-bucket pairs grow ~100x — minutes, not seconds. That is a
-    # property of the degenerate replicated data + the fixture's low
-    # 0.45 threshold (which forces 4-bit bands), not of the operators;
-    # see the band-width tradeoff note in llm/dedup.py and SCALE.md.
+    # NOT here: emb_dedup_cosine_lsh / emb_dedup_clusters — measured
+    # 359 s at 10x (20k vectors): the fixture's 0.45 threshold forces
+    # 4-bit bands whose 16-value bucket space is quadratic in n, so at
+    # THIS threshold/scale the exact tiled emb_dedup_cosine (14.7 s)
+    # dominates. Production thresholds flip the comparison via wider
+    # bands; see the band-width math in llm/dedup.py and SCALE.md.
 ]
 
 
