@@ -347,17 +347,57 @@ def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("source_python_ds", tags=("source", "streaming"))
+_PYDS_N_PAYMENTS = 200
+_PYDS_HEX_POWERS = "[" + ", ".join(str(16 ** (16 - j)) for j in range(1, 17)) + "]"
+
+# Regenerate the kpay_polls stream in SQL: the source's decision
+# function is sha256-seeded (pyds._decision), and DuckDB's sha256
+# produces the same hex digest, so h = the first 16 hex chars folded
+# back into an integer (HUGEINT — the 8-byte value exceeds int64).
+_PYDS_ORACLE = f"""
+WITH ids AS (
+  SELECT unnest(generate_series(0, {_PYDS_N_PAYMENTS - 1})) AS payment_id
+), hashed AS (
+  SELECT payment_id,
+    list_sum(list_transform(generate_series(1, 16),
+      j -> CAST(strpos('0123456789abcdef',
+              substr(sha256(CAST(payment_id AS VARCHAR)), j, 1)) - 1
+           AS HUGEINT) * ({_PYDS_HEX_POWERS})[j])) AS h
+  FROM ids
+), decided AS (
+  SELECT payment_id, h % 100 AS bucket,
+    1 + (h // 100) % 62 AS t_seq
+  FROM hashed
+), per_payment AS (
+  SELECT payment_id,
+    CASE WHEN bucket < 70 THEN 'processed'
+         WHEN bucket < 85 THEN 'rejected'
+         ELSE 'pending' END AS final_status,
+    CASE WHEN bucket < 85 THEN t_seq + 1 ELSE 63 END AS n_polls
+  FROM decided
+)
+SELECT final_status, COUNT(*) AS n_payments,
+  CAST(SUM(n_polls) AS DOUBLE) / COUNT(*) AS avg_polls
+FROM per_payment
+GROUP BY final_status
+"""
+
+
+@register("source_python_ds", oracle=_PYDS_ORACLE, tags=("source", "streaming"))
 def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python DataSource (Spark 4 API): the reference's 10 s
     status-poll loop synthesized as a first-class `kpay_polls` source
     (sources/pyds.py — batch AND streaming from one deterministic
     generator; kinesis-pay.php:231-236,263-268). This query reads the
     batch form and rolls the poll history up to one row per payment:
-    polls observed, final status, decision poll. Rows-only: the data
-    is source-generated, not a fixture table, so no DuckDB view exists
-    — tests/test_pyds.py pins content against a pure-Python mirror and
-    batch ≡ stream equality instead."""
+    polls observed, final status, decision poll. Fully oracle-checked
+    even though no fixture table exists: the generator is sha256-seeded,
+    so the DuckDB oracle REGENERATES the stream in SQL (hex-digit fold
+    of the digest into the same 64-bit seed, same decision thresholds,
+    same poll-count arithmetic). A payment that expires never writes a
+    terminal row, so its max-seq status is 'pending' — mirrored in the
+    oracle's CASE. tests/test_pyds.py additionally pins full row-level
+    content against a pure-Python mirror and batch ≡ stream equality."""
     from am_kinesis_pay_spark.sources.pyds import register_kpay_source
 
     register_kpay_source(spark)
