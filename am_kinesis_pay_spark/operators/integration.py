@@ -1112,6 +1112,83 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_conversion_lag",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS conv_ts,
+    MIN(s.signup_ts) AS signup_ts
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s.signup_ts
+  GROUP BY e.user_id
+), conv AS (
+  SELECT (epoch_us(conv_ts) - epoch_us(signup_ts)) // 86400000000
+    AS days_to_convert
+  FROM c
+), histo AS (
+  SELECT CAST(days_to_convert AS BIGINT) AS days_to_convert,
+    CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM conv GROUP BY 1
+), unconv AS (
+  SELECT CAST(-1 AS BIGINT) AS days_to_convert,
+    CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM s WHERE user_id NOT IN (SELECT user_id FROM c)
+)
+SELECT * FROM histo
+UNION ALL
+SELECT * FROM unconv WHERE n_users > 0
+""",
+    tags=("integration", "retention"),
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion histogram — signup to first subsequent
+    purchase, bucketed by whole days, with never-converted users as
+    the -1 bucket. The lag is integer microsecond arithmetic
+    (unix_micros diff, integer div) so the histogram keys are exact on
+    both engines. Plan shape: two per-user aggregations sharing the
+    user_id shuffle key + one broadcast-sized anti join for the
+    unconverted bucket — event volume only ever crosses the wire
+    keyed by user_id."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("conv_ts"),
+            F.min("signup_ts").alias("signup_ts"),
+        )
+    )
+    histo = (
+        c.select(
+            F.expr(
+                "(unix_micros(conv_ts) - unix_micros(signup_ts))"
+                " div 86400000000"
+            ).alias("days_to_convert")
+        )
+        .groupBy("days_to_convert")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    unconv = (
+        s.join(c.select("user_id"), "user_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.lit(-1).cast("bigint").alias("days_to_convert"), "n_users"
+        )
+        .filter(F.col("n_users") > 0)
+    )
+    return histo.unionByName(unconv)
+
+
+@register(
     "events_gapfill_daily",
     oracle="""
 WITH daily AS (
