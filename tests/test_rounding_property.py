@@ -46,3 +46,27 @@ def test_duckdb_decimal_multiply_round_exact(x: Decimal, pct: Decimal):
     ).fetchone()[0]
     want = (x * pct).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
     assert Decimal(str(got)).quantize(Decimal("0.01")) == want, (x, pct, got, want)
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.integers(min_value=0, max_value=2 * 10**18))
+def test_fixed_point_damping_decomposition(mass: int):
+    """graph_pagerank damps in int64-safe split form: 17*(m div 20) +
+    (17*(m mod 20)) div 20 must equal the direct (17*m) div 20 for
+    every non-negative mass (m = 20q+r → 17m = 340q+17r → div 20 =
+    17q + (17r div 20)); the split never exceeds ~1.7e18 < 2^63."""
+    assert 17 * (mass // 20) + (17 * (mass % 20)) // 20 == (17 * mass) // 20
+    assert 17 * (mass // 20) + (17 * (mass % 20)) // 20 < 2**63
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=2 * 10**18))
+def test_fixed_point_damping_matches_engines(mass: int):
+    """The same split form evaluates identically in DuckDB integer
+    arithmetic (the oracle's expression)."""
+    got = con.execute(
+        "SELECT 17 * (CAST(? AS BIGINT) // 20)"
+        " + (17 * (CAST(? AS BIGINT) % 20)) // 20",
+        [mass, mass],
+    ).fetchone()[0]
+    assert got == (17 * mass) // 20
