@@ -1,0 +1,104 @@
+"""Optional-dependency shims (import-try gated, no installs).
+
+``ensure_protobuf()`` makes ``google.protobuf`` importable on images
+that ship no pip-installed protobuf but DO carry a canonical
+pure-Python runtime elsewhere on disk: the Google Cloud SDK's App
+Engine platform bundles protobuf (6.32 here) in the standard
+``google/protobuf`` namespace-package layout. Spark 4's
+``transformWithStateInPandas`` Python worker needs that runtime to
+decode its state-server protocol (pyspark/sql/streaming/proto/
+StateMessage_pb2.py — gencode pinned to protoc 6.33).
+
+Two things make the skew safe to bridge:
+
+* ``google`` is a namespace package, so appending the SDK platform dir
+  to ``sys.path`` resolves ``google.protobuf`` with zero shimming.
+* protobuf's own gencode validator exposes an official escape hatch —
+  the ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK=true`` env var
+  (google/protobuf/runtime_version.py) — for exactly this
+  gencode-newer-than-runtime minor-version skew. The serialized
+  FileDescriptorProto the gencode carries is wire-stable across minors.
+
+Ordering constraint: this must run BEFORE the SparkSession's JVM
+launches. TWS state processors execute in forked Python worker
+processes whose ``sys.path`` is rebuilt from the ``PYTHONPATH`` env
+var the JVM inherited — so both the path and the version-check flag
+must be in ``os.environ`` at JVM spawn time, not merely in the
+driver's ``sys.path``. am_kinesis_pay_spark.session calls this at
+import time to guarantee that.
+
+Reference semantics unaffected: this only unlocks executing the
+Spark-4 state-machine backend (kinesis-pay.php:239-268 semantics,
+already golden-tested via applyInPandasWithState) on its successor
+API. No protobuf -> everything still works except TWS execution, and
+``tws_available()`` reports False.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+# Known locations of a canonical pure-python `google/protobuf` runtime.
+# First hit wins; SPARK_GRAFT_PROTOBUF_DIR overrides for other images.
+_PROTOBUF_RUNTIME_DIRS = (
+    os.environ.get("SPARK_GRAFT_PROTOBUF_DIR"),
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+_checked = False
+_available = False
+
+
+def _runtime_ok(base: str) -> bool:
+    """A usable runtime = canonical layout AND new enough to carry
+    runtime_version.py (>=5.27), i.e. it understands the disable flag
+    and the builder API the Spark gencode uses."""
+    pb = os.path.join(base, "google", "protobuf")
+    return os.path.isfile(os.path.join(pb, "__init__.py")) and os.path.isfile(
+        os.path.join(pb, "runtime_version.py")
+    )
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable; True if it is (or became so).
+
+    Idempotent; cheap after the first call. Never raises: images with
+    neither pip protobuf nor a bundled runtime just get False (and the
+    TWS golden test importorskips as before).
+    """
+    global _checked, _available
+    if _checked:
+        return _available
+    _checked = True
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        _available = True
+        return True
+    except ImportError:
+        pass
+
+    for base in _PROTOBUF_RUNTIME_DIRS:
+        if not base or not _runtime_ok(base):
+            continue
+        # Env first: forked Spark Python workers rebuild sys.path from
+        # PYTHONPATH and re-run the gencode's version validator there.
+        os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+        existing = os.environ.get("PYTHONPATH", "")
+        if base not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                base + os.pathsep + existing if existing else base
+            )
+        if base not in sys.path:
+            sys.path.append(base)
+        try:
+            import google.protobuf  # noqa: F401
+
+            _available = True
+        except ImportError:  # layout lied; undo nothing, try next dir
+            continue
+        return True
+
+    return False

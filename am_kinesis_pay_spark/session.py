@@ -13,6 +13,13 @@ import os
 
 from pyspark.sql import SparkSession
 
+from am_kinesis_pay_spark.compat import ensure_protobuf
+
+# Must run before the JVM spawns: TWS Python workers inherit
+# PYTHONPATH + the protobuf version-check flag through the env
+# (see compat.py). No-op when protobuf is pip-installed or absent.
+ensure_protobuf()
+
 
 def get_session(app_name: str = "am_kinesis_pay_spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

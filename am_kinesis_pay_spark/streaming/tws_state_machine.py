@@ -133,13 +133,12 @@ def payment_state_machine_tws(
 
 
 def tws_available() -> bool:
-    """transformWithState's Python worker speaks a protobuf protocol;
-    this image ships no `protobuf`, so the API is present but cannot
-    execute here (same gating situation as the Kinesis connector jar).
-    The golden test (tests/test_streaming.py) importorskips on this."""
-    try:
-        import google.protobuf  # noqa: F401
+    """transformWithState's Python worker speaks a protobuf protocol.
+    This image ships no pip `protobuf`, but compat.ensure_protobuf()
+    can wire in the Cloud SDK's bundled pure-python runtime (canonical
+    google/ namespace layout) — see compat.py for the full ordering and
+    version-skew story. False only when no runtime exists anywhere, in
+    which case the golden test (tests/test_streaming.py) skips."""
+    from am_kinesis_pay_spark.compat import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()

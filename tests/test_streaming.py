@@ -486,15 +486,18 @@ def test_tws_state_machine_matches_applyinpandas_form(spark, tmp_path_factory):
     RocksDB state store, first-class timers) must produce exactly the
     applyInPandasWithState implementation's decisions on the
     FIXTURES.md §B edge fixture — two state backends, one contract."""
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithState's Python worker protocol needs protobuf, "
-        "absent from this image (same gate as the Kinesis connector jar)",
-    )
     from am_kinesis_pay_spark.streaming.tws_state_machine import (
         ROCKSDB_PROVIDER,
         payment_state_machine_tws,
+        tws_available,
     )
+
+    if not tws_available():
+        pytest.skip(
+            "transformWithState's Python worker protocol needs a protobuf "
+            "runtime; none pip-installed and no bundled runtime found "
+            "(see am_kinesis_pay_spark/compat.py)"
+        )
 
     d = _stage_payment_fixture(spark, str(tmp_path_factory.mktemp("payfix_tws")))
     saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
