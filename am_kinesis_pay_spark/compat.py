@@ -86,6 +86,17 @@ def ensure_protobuf() -> bool:
         # Env first: forked Spark Python workers rebuild sys.path from
         # PYTHONPATH and re-run the gencode's version validator there.
         os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+        # The SDK dir is typically root-owned, so Python cannot drop
+        # .pyc files next to the sources — every fresh worker would
+        # re-PARSE the whole protobuf package (seconds each, per state
+        # partition, per micro-batch). Redirect bytecode to a writable
+        # cache so only the first worker ever pays the parse.
+        os.environ.setdefault(
+            "PYTHONPYCACHEPREFIX",
+            os.path.join(
+                os.environ.get("TMPDIR", "/tmp"), "akps_pycache"
+            ),
+        )
         existing = os.environ.get("PYTHONPATH", "")
         if base not in existing.split(os.pathsep):
             os.environ["PYTHONPATH"] = (

@@ -40,6 +40,14 @@ def get_session(app_name: str = "am_kinesis_pay_spark") -> SparkSession:
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as LONG and convert in tables.load().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4.1's async checkpoint-file checksum writer can park
+        # RocksDB commit tasks forever when many state partitions
+        # finish at once in a single local JVM (observed with the TWS
+        # queries at 32 partitions: tasks stuck in
+        # ChecksumCancellableFSDataOutputStream.close awaiting a
+        # checksum future). It guards DFS checkpoint integrity, which
+        # local-dir checkpoints don't need; keep default on clusters.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -79,19 +79,50 @@ def events_stream(
 
 
 def run_to_completion(
-    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    available_now: bool = False,
 ) -> DataFrame:
     """Start a memory-sink query, drain every staged file, stop, and
-    return the sink contents as a batch DataFrame."""
+    return the sink contents as a batch DataFrame.
+
+    ``available_now=True`` is REQUIRED for processing-time stateful
+    queries (TTL'd/timered transformWithState in processingtime mode):
+    those never go idle — timers and TTL are re-evaluated every
+    trigger, so the engine runs empty micro-batches back-to-back
+    forever and neither ``processAllAvailable`` nor (measured: 100+
+    empty batches after the 8 staged files) AvailableNow
+    self-termination ever fires. Instead we watch the query progress
+    and stop once the staged data has drained: at least one data batch
+    seen, then 2 consecutive zero-input batches (the file source
+    lists all files up front, so no empty batch can interleave between
+    data batches)."""
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    writer = stream_df.writeStream.outputMode(output_mode)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.format("memory").queryName(query_name).start()
     try:
-        q.processAllAvailable()
+        if available_now:
+            import time as _time
+
+            batches: dict[int, int] = {}
+            deadline = _time.time() + 600
+            while q.isActive and _time.time() < deadline:
+                _time.sleep(0.3)
+                for p in q.recentProgress:
+                    batches[p["batchId"]] = p["numInputRows"]
+                ordered = [batches[b] for b in sorted(batches)]
+                if (
+                    sum(ordered) > 0
+                    and len(ordered) >= 2
+                    and ordered[-1] == 0
+                    and ordered[-2] == 0
+                ):
+                    break
+        else:
+            q.processAllAvailable()
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")

@@ -377,6 +377,53 @@ def test_streaming_seq_counter_equals_batch_row_number(spark, stream_dir):
     assert got_rows == want_rows
 
 
+def test_tws_poll_throttle_equals_batch_modulus(spark, stream_dir):
+    """The transformWithState throttle counter (ValueState + state TTL,
+    processing-time mode) over the ordered replay must equal the batch
+    row_number-modulus form (stream_poll_throttle_log) exactly — the
+    successor-API counterpart of the seq_counter golden test, and the
+    first executed demonstration of TTL'd state (idle payment counters
+    GC'd by the store, watermark-independent)."""
+    from am_kinesis_pay_spark.streaming.tws_state_machine import (
+        ROCKSDB_PROVIDER,
+        tws_available,
+    )
+    from am_kinesis_pay_spark.streaming.tws_throttle import poll_throttle_tws
+
+    if not tws_available():
+        pytest.skip(
+            "transformWithState's Python worker protocol needs a protobuf "
+            "runtime (see am_kinesis_pay_spark/compat.py)"
+        )
+
+    # TWS needs multi-column-family state → RocksDB provider required.
+    # 8 state partitions, not 32: each partition boots a Python worker
+    # per micro-batch for the stateful processor, and 15 keys don't
+    # need 32-way state parallelism in a test.
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        got = run_to_completion(
+            poll_throttle_tws(events_stream(spark, stream_dir)),
+            f"thr_{uuid.uuid4().hex[:6]}",
+            "append",
+            available_now=True,
+        )
+        got_rows = sorted((r.user_id, r.ts, r.poll_seq) for r in got.collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+    want = queries()["stream_poll_throttle_log"](spark, SF_DIR)
+    want_rows = sorted((r.user_id, r.ts, r.poll_seq) for r in want.collect())
+    assert got_rows == want_rows
+    assert got_rows  # throttle must actually emit at this SF
+
+
 def test_stream_window_percentile_sketch_equals_batch_sketch(spark, stream_dir):
     """The mergeable percentile_approx sketch must give the SAME answer
     incrementally (partial sketches merged across micro-batches) as in
@@ -501,7 +548,10 @@ def test_tws_state_machine_matches_applyinpandas_form(spark, tmp_path_factory):
 
     d = _stage_payment_fixture(spark, str(tmp_path_factory.mktemp("payfix_tws")))
     saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    # 8 state partitions: see test_tws_poll_throttle_equals_batch_modulus
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         stream = events_stream(spark, d)
         out = run_to_completion(
@@ -518,6 +568,7 @@ def test_tws_state_machine_matches_applyinpandas_form(spark, tmp_path_factory):
         assert rows[6][0] == "expired"  # terminal arrived after deadline
         assert rows[99][0] == "processed"  # sentinel decides itself
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         if saved is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
