@@ -824,3 +824,111 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vec_id").cast("long").alias("id_checksum"),
         )
     )
+
+
+# DSIR importance resampling: hashed-unigram bucket count (256 buckets
+# via the first 2 md5 hex chars — string keys, bit-identical across
+# engines) and the selection budget.
+_DSIR_B = 256
+_DSIR_K = 100
+
+
+@register(
+    "sample_importance",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), t2 AS (
+  SELECT doc_id, lang, substr(md5(token), 1, 2) AS b
+  FROM toks WHERE token <> ''
+), tgt AS (
+  SELECT b, COUNT(*) AS ct FROM t2 WHERE lang = 'en' GROUP BY b
+), src AS (
+  SELECT b, COUNT(*) AS cs FROM t2 GROUP BY b
+), nt AS (SELECT CAST(SUM(ct) AS DOUBLE) AS n FROM tgt),
+ns AS (SELECT CAST(SUM(cs) AS DOUBLE) AS n FROM src),
+w AS (
+  SELECT s.b,
+    CAST(round(ln(
+      ((COALESCE(t.ct, 0) + 1) / (nt.n + {_DSIR_B}.0))
+      / ((s.cs + 1) / (ns.n + {_DSIR_B}.0))
+    ), 6) AS DECIMAL(18,6)) AS lw
+  FROM src s LEFT JOIN tgt t USING (b), nt, ns
+), scored AS (
+  SELECT d.doc_id, d.lang,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    round(CAST(SUM(w.lw) AS DOUBLE) / COUNT(*), 6) AS avg_logw
+  FROM t2 d JOIN w ON d.b = w.b GROUP BY d.doc_id, d.lang
+)
+SELECT doc_id, lang, n_tokens, avg_logw
+FROM scored ORDER BY avg_logw DESC, doc_id LIMIT {_DSIR_K}
+""",
+    tags=("llm", "sample"),
+)
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): pick the {_DSIR_K} documents whose hashed-unigram feature
+    distribution looks most like a target domain (here: the corpus's
+    English documents) relative to the raw source distribution.
+
+    Per 2-hex-char md5 bucket b (B={_DSIR_B}): Laplace-smoothed
+    p_target(b)/p_source(b); a document's importance is its mean
+    per-token round(ln ratio, 6), summed in exact DECIMAL so the
+    accumulation is order-independent (the text_unigram_nll
+    convention). Selection is deterministic: total order
+    (avg_logw DESC, doc_id), top-{_DSIR_K}.
+
+    Scale shape: the bucket weight table is exactly B={_DSIR_B} rows —
+    broadcast — so scoring is one map-side join plus one groupBy(doc)
+    shuffle, and the final top-K is TakeOrderedAndProject (per-
+    partition heaps + driver merge of K rows, never a global sort).
+    100 TB corpus ⇒ the only O(corpus) stages are the two token
+    aggregations, both map-side-combined on 256 keys. Generalizes the
+    reference's deterministic sampling (kinesis-pay.php:302-304) from
+    modulus to learned importance."""
+    docs = load(spark, sf_dir, "documents")
+    t2 = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", "lang", F.substring(F.md5("token"), 1, 2).alias("b"))
+    )
+    tgt = t2.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    src = t2.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    nt = tgt.agg(F.sum("ct").cast("double").alias("nt"))
+    ns = src.agg(F.sum("cs").cast("double").alias("ns"))
+    w = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        / (F.col("nt") + float(_DSIR_B))
+                    )
+                    / ((F.col("cs") + 1) / (F.col("ns") + float(_DSIR_B)))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lw"),
+        )
+    )
+    scored = (
+        t2.join(F.broadcast(w), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("lw").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logw"),
+        )
+    )
+    return scored.orderBy(F.desc("avg_logw"), "doc_id").limit(_DSIR_K)

@@ -28,6 +28,7 @@ _NLJ_ALLOWED = {
     "pipeline_retrieval_corpus",
     "q_dormant_balances",
     "sample_balanced_classes",
+    "sample_importance",
     "text_tfidf_topterms",
     "text_unigram_nll",
     "vec_cosine_topk",
