@@ -1,0 +1,302 @@
+"""Real container codecs for the multimodal path (no codec libraries
+needed): RIFF/WAVE PCM audio and uncompressed 24-bit BMP images, each
+with a writer and a validating parser in pure numpy.
+
+llm/multimodal.py's feature kernels deliberately stub the decode step
+because this image ships no PIL/librosa — but uncompressed CONTAINER
+formats need no codec library at all, only correct header/chunk
+parsing. This module upgrades the stub honestly: WAV and BMP decode
+for REAL (magic numbers, chunk walking, row padding, bottom-up row
+order, channel order), while compressed codecs (PNG/JPEG/MP4) remain
+gated behind USE_REAL_CODECS exactly as before.
+
+The `mm_codec_roundtrip` operator proves the decoders end-to-end
+inside a Spark plan: synthesize genuine WAV/BMP blobs from document
+bytes in one mapInPandas stage, decode them with the real parsers,
+and emit header-derived metadata plus an md5 over the DECODED
+samples/pixels. Because encode→decode must reproduce the source bytes
+bit-for-bit (incl. undoing BMP's 4-byte row padding and BGR order),
+the md5 only matches DuckDB's md5 over the same source prefix if the
+parser actually walks the format — which is what the oracle checks.
+Deterministically corrupted blobs (doc_id % 31 == 0: magic overwritten)
+must route to a quarantine row, not crash the job — the error-routing
+pattern a 100 TB media pipeline needs (decode failures are data, not
+exceptions).
+
+Scale shape: map-only over Arrow batches, blobs never enter a shuffle
+key, output is fixed-width metadata — identical plumbing to the other
+mm_* kernels (SCALE.md multimodal note applies unchanged).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from am_kinesis_pay_spark.registry import register
+from am_kinesis_pay_spark.llm.multimodal import mm_binary_ingest_impl
+
+WAV_SAMPLE_RATE = 8000
+
+
+# --- RIFF/WAVE (PCM) ---------------------------------------------------
+
+
+def encode_wav(
+    pcm: np.ndarray, sample_rate: int = WAV_SAMPLE_RATE, channels: int = 1
+) -> bytes:
+    """Minimal canonical RIFF/WAVE writer: fmt chunk (PCM) + data
+    chunk. 8-bit PCM is unsigned by spec; 16-bit is signed LE."""
+    pcm = np.asarray(pcm)
+    if pcm.dtype == np.uint8:
+        bits = 8
+    elif pcm.dtype == np.int16:
+        bits = 16
+    else:
+        raise ValueError(f"unsupported PCM dtype {pcm.dtype}")
+    data = pcm.tobytes()
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # wFormatTag = PCM
+        channels,
+        sample_rate,
+        sample_rate * block_align,  # byte rate
+        block_align,
+        bits,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(blob: bytes) -> tuple[dict, np.ndarray]:
+    """Validating RIFF chunk walker. Returns (header metadata, samples).
+    Raises ValueError on malformed input — callers route, not crash."""
+    if len(blob) < 12 or blob[0:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    if riff_size != len(blob) - 8:
+        raise ValueError("RIFF size field disagrees with stream length")
+    pos, fmt_meta, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", blob, pos + 4)
+        payload = blob[pos + 8 : pos + 8 + csize]
+        if len(payload) != csize:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            tag, channels, rate, _brate, _align, bits = struct.unpack_from(
+                "<HHIIHH", payload, 0
+            )
+            if tag != 1:
+                raise ValueError(f"not PCM (wFormatTag={tag})")
+            fmt_meta = {"channels": channels, "sample_rate": rate, "bits": bits}
+        elif cid == b"data":
+            data = payload
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt_meta is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    dtype = np.uint8 if fmt_meta["bits"] == 8 else np.dtype("<i2")
+    samples = np.frombuffer(data, dtype=dtype)
+    fmt_meta["n_samples"] = len(samples) // fmt_meta["channels"]
+    return fmt_meta, samples
+
+
+# --- BMP (uncompressed 24-bit, BITMAPINFOHEADER) -----------------------
+
+
+def encode_bmp(gray: np.ndarray) -> bytes:
+    """Canonical uncompressed 24-bit BMP from an HxW uint8 grayscale
+    array: BGR triplets (equal channels), rows bottom-up, each row
+    padded to a 4-byte boundary — the format as real writers emit it."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    rows = []
+    for r in range(h - 1, -1, -1):  # bottom-up
+        bgr = np.repeat(gray[r], 3).tobytes()
+        rows.append(bgr + b"\x00" * pad)
+    pixel_data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40,  # biSize (BITMAPINFOHEADER)
+        w,
+        h,  # positive height = bottom-up
+        1,  # planes
+        24,  # bpp
+        0,  # BI_RGB (uncompressed)
+        len(pixel_data),
+        2835,
+        2835,  # 72 DPI
+        0,
+        0,
+    )
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_data), 0, 0, offset)
+    return header + info + pixel_data
+
+
+def decode_bmp(blob: bytes) -> tuple[dict, np.ndarray]:
+    """Validating BMP parser for the uncompressed 24-bit form. Undoes
+    row padding, bottom-up order, and channel replication; returns
+    (metadata, HxW uint8 grayscale). Raises ValueError on anything
+    malformed or unsupported."""
+    if len(blob) < 54 or blob[0:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    _, fsize, _, _, offset = struct.unpack_from("<2sIHHI", blob, 0)
+    if fsize != len(blob):
+        raise ValueError("BMP size field disagrees with stream length")
+    bisize, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+    if bisize != 40 or planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError("unsupported BMP variant")
+    if w <= 0 or h <= 0:
+        raise ValueError("top-down/degenerate BMP not supported here")
+    row_raw = w * 3
+    stride = row_raw + ((-row_raw) % 4)
+    if offset + stride * h > len(blob):
+        raise ValueError("truncated pixel array")
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)[:, :row_raw]
+    bgr = rows.reshape(h, w, 3)[::-1]  # undo bottom-up
+    if not (bgr[..., 0] == bgr[..., 1]).all() or not (
+        bgr[..., 1] == bgr[..., 2]
+    ).all():
+        # color images are fine to parse; this pipeline stores gray
+        raise ValueError("expected grayscale-replicated channels")
+    return {"width": w, "height": h, "bits": bpp}, bgr[..., 0].copy()
+
+
+# --- Spark operator ----------------------------------------------------
+
+_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("payload_md5", T.StringType()),
+    ]
+)
+
+_CORRUPT_MOD = 31
+
+
+def codec_roundtrip(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode each blob into its REAL container (wav for audio rows,
+    bmp for image rows), corrupt the magic of every doc_id % 31 == 0
+    blob, then decode with the validating parsers. payload_md5 hashes
+    the DECODED samples/pixels — equal to the source bytes' md5 only
+    if the parser truly reverses the container layout."""
+    for pdf in pdfs:
+        out = {k.name: [] for k in _ROUNDTRIP_SCHEMA.fields}
+
+        def emit(doc_id, container, width, height, rate, n, md5hex):
+            out["doc_id"].append(doc_id)
+            out["container"].append(container)
+            out["width"].append(width)
+            out["height"].append(height)
+            out["sample_rate"].append(rate)
+            out["n_samples"].append(n)
+            out["payload_md5"].append(md5hex)
+
+        for doc_id, mime, payload in zip(
+            pdf["doc_id"], pdf["mime"], pdf["payload"]
+        ):
+            raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+            if mime == "audio/wav":
+                blob = encode_wav(raw)
+            elif mime == "image/png":  # stand-in image bytes -> real BMP
+                side = int(len(raw) ** 0.5)
+                if side < 1:
+                    continue
+                blob = encode_bmp(raw[: side * side].reshape(side, side))
+            else:
+                continue  # compressed video stays behind USE_REAL_CODECS
+            if doc_id % _CORRUPT_MOD == 0:
+                blob = b"XX" + blob[2:]
+            try:
+                if mime == "audio/wav":
+                    meta, samples = decode_wav(blob)
+                    emit(
+                        doc_id,
+                        "wav",
+                        None,
+                        None,
+                        meta["sample_rate"],
+                        meta["n_samples"],
+                        hashlib.md5(samples.tobytes()).hexdigest(),
+                    )
+                else:
+                    meta, gray = decode_bmp(blob)
+                    emit(
+                        doc_id,
+                        "bmp",
+                        meta["width"],
+                        meta["height"],
+                        None,
+                        None,
+                        hashlib.md5(gray.tobytes()).hexdigest(),
+                    )
+            except ValueError:
+                emit(doc_id, "corrupt", None, None, None, None, None)
+        yield pd.DataFrame(out)
+
+
+_ROUNDTRIP_ORACLE = f"""
+WITH blobs AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+    CASE WHEN doc_id % 3 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime
+  FROM documents WHERE doc_id % 3 IN (0, 1)
+), sized AS (
+  SELECT *, CAST(floor(sqrt(n)) AS INT) AS side FROM blobs
+)
+SELECT doc_id,
+  CASE WHEN doc_id % {_CORRUPT_MOD} = 0 THEN 'corrupt'
+       WHEN mime = 'audio/wav' THEN 'wav' ELSE 'bmp' END AS container,
+  CASE WHEN doc_id % {_CORRUPT_MOD} <> 0 AND mime = 'image/png'
+       THEN side END AS width,
+  CASE WHEN doc_id % {_CORRUPT_MOD} <> 0 AND mime = 'image/png'
+       THEN side END AS height,
+  CASE WHEN doc_id % {_CORRUPT_MOD} <> 0 AND mime = 'audio/wav'
+       THEN {WAV_SAMPLE_RATE} END AS sample_rate,
+  CASE WHEN doc_id % {_CORRUPT_MOD} <> 0 AND mime = 'audio/wav'
+       THEN n END AS n_samples,
+  CASE WHEN doc_id % {_CORRUPT_MOD} = 0 THEN NULL
+       WHEN mime = 'audio/wav' THEN md5(text)
+       ELSE md5(substr(text, 1, side * side)) END AS payload_md5
+FROM sized
+WHERE NOT (mime = 'image/png' AND side < 1)
+"""
+
+
+@register(
+    "mm_codec_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
+def mm_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-container decode proof: wrap each audio/image payload in a
+    genuine WAV/BMP (writers above), decode with the validating
+    parsers, and emit header metadata + an md5 over the decoded
+    samples/pixels. Oracle-exact because decode(encode(bytes)) must be
+    bit-identical to the source prefix (DuckDB hashes the same bytes
+    directly; ASCII corpus: char == byte), header fields are
+    deterministic arithmetic, and corrupted-magic rows (doc_id % 31)
+    must surface as quarantine rows — decode failures are data. Video
+    rows are excluded: MP4 needs real compressed codecs, still gated
+    behind USE_REAL_CODECS in llm/multimodal.py."""
+    binary = mm_binary_ingest_impl(spark, sf_dir).filter(
+        F.col("mime").isin("audio/wav", "image/png")
+    )
+    return binary.mapInPandas(codec_roundtrip, _ROUNDTRIP_SCHEMA)

@@ -2,12 +2,17 @@
 opaque BINARY columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` operators.
 
-The container has no image/audio codecs, so the decode kernel is
-STUBBED (deterministic byte-level fake behind an import-try —
-``_decode_image`` raises NotImplementedError if someone flips
-``USE_REAL_CODECS`` without PIL present). Everything Spark-side is
-real and tested: binary schema, metadata struct, batch iteration
-shape, per-partition processing, frame-sampling explode.
+The container has no image/audio codec LIBRARIES, so the compressed-
+format decode kernel is STUBBED (deterministic byte-level fake behind
+an import-try — ``_decode_image`` raises NotImplementedError if
+someone flips ``USE_REAL_CODECS`` without PIL present). Uncompressed
+CONTAINER formats need no library, though: llm/codecs.py ships real
+validating RIFF/WAVE-PCM and 24-bit-BMP parsers (pure numpy) and the
+oracle-checked ``mm_codec_roundtrip`` operator that exercises them
+end-to-end, including corrupt-blob quarantine routing. Everything
+Spark-side here is real and tested: binary schema, metadata struct,
+batch iteration shape, per-partition processing, frame-sampling
+explode.
 
 Scale notes: binary payloads ride the Arrow stream in bounded batches
 (``spark.sql.execution.arrow.maxRecordsPerBatch``); feature extraction

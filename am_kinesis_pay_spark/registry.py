@@ -62,6 +62,7 @@ def _load_all() -> None:
     from am_kinesis_pay_spark.sources import readers, sinks  # noqa: F401
     from am_kinesis_pay_spark.streaming import batch_equiv  # noqa: F401
     from am_kinesis_pay_spark.llm import (  # noqa: F401
+        codecs,
         curation,
         dedup,
         multimodal,

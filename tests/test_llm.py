@@ -387,3 +387,77 @@ def test_emb_dedup_cosine_lsh_subset_of_exact(spark):
     assert lsh <= exact
     if exact:
         assert len(lsh) / len(exact) >= 0.2, f"recall {len(lsh)/len(exact):.2f}"
+
+
+def test_codec_wav_bmp_roundtrip_and_validation():
+    """Real-container codecs (llm/codecs.py): encode→decode is
+    bit-exact for 8/16-bit PCM WAV and 24-bit grayscale BMP (incl.
+    undoing row padding + bottom-up order), header metadata is parsed
+    from the stream, and every malformed-stream class raises
+    ValueError rather than returning garbage."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from am_kinesis_pay_spark.llm.codecs import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    pcm8 = np.arange(256, dtype=np.uint8)
+    meta, got = decode_wav(encode_wav(pcm8))
+    assert (got == pcm8).all()
+    assert meta == {
+        "channels": 1,
+        "sample_rate": 8000,
+        "bits": 8,
+        "n_samples": 256,
+    }
+
+    pcm16 = (np.arange(999) * 2731 % 32768).astype(np.int16)
+    meta, got = decode_wav(encode_wav(pcm16, sample_rate=44100))
+    assert (got == pcm16).all()
+    assert meta["bits"] == 16 and meta["sample_rate"] == 44100
+
+    # widths 5..9 cross every 4-byte row-padding case (pad 1,0,3,2,1)
+    for w in range(5, 10):
+        img = (np.arange(4 * w, dtype=np.uint32) * 37 % 256).astype(
+            np.uint8
+        ).reshape(4, w)
+        meta, got = decode_bmp(encode_bmp(img))
+        assert (got == img).all()
+        assert meta == {"width": w, "height": 4, "bits": 24}
+
+    wav = encode_wav(pcm8)
+    bmp = encode_bmp(np.zeros((8, 8), np.uint8))
+    for decode, bad in (
+        (decode_wav, b"XX" + wav[2:]),  # wrong magic
+        (decode_wav, wav[:-4]),  # truncated data chunk
+        (decode_wav, wav[:4] + struct.pack("<I", 7) + wav[8:]),  # size lie
+        (decode_bmp, b"XX" + bmp[2:]),
+        (decode_bmp, bmp[:-8]),
+        (decode_bmp, bmp[:2] + struct.pack("<I", 7) + bmp[6:]),
+    ):
+        with _pytest.raises(ValueError):
+            decode(bad)
+
+
+def test_codec_corruption_rate_and_containers(spark):
+    """mm_codec_roundtrip end-to-end: exactly the doc_id % 31 rows are
+    quarantined, every surviving wav row carries the header-derived
+    sample metadata, and bmp dimensions match the square crop rule."""
+    rows = queries()["mm_codec_roundtrip"](spark, SF_DIR).collect()
+    assert rows
+    by_container = {}
+    for r in rows:
+        by_container.setdefault(r.container, []).append(r)
+    assert set(by_container) == {"wav", "bmp", "corrupt"}
+    for r in by_container["corrupt"]:
+        assert r.doc_id % 31 == 0 and r.payload_md5 is None
+    for r in by_container["wav"]:
+        assert r.sample_rate == 8000 and r.n_samples > 0 and r.width is None
+    for r in by_container["bmp"]:
+        assert r.width == r.height and r.width >= 1 and r.sample_rate is None
