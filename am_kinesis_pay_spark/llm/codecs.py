@@ -271,7 +271,7 @@ SELECT doc_id,
   CASE WHEN doc_id % {_CORRUPT_MOD} <> 0 AND mime = 'audio/wav'
        THEN {WAV_SAMPLE_RATE} END AS sample_rate,
   CASE WHEN doc_id % {_CORRUPT_MOD} <> 0 AND mime = 'audio/wav'
-       THEN n END AS n_samples,
+       THEN CAST(n AS INTEGER) END AS n_samples,
   CASE WHEN doc_id % {_CORRUPT_MOD} = 0 THEN NULL
        WHEN mime = 'audio/wav' THEN md5(text)
        ELSE md5(substr(text, 1, side * side)) END AS payload_md5

@@ -932,3 +932,48 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("avg_logw"), "doc_id").limit(_DSIR_K)
+
+
+# Shard count for the deterministic training-export shuffle.
+_SHARDS = 8
+
+
+@register(
+    "sample_shard_shuffle",
+    oracle="""
+WITH ordered AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) - 1 AS seq
+  FROM documents
+)
+SELECT doc_id,
+  CAST(seq % 8 AS BIGINT) AS shard,
+  CAST(seq // 8 AS BIGINT) AS pos
+FROM ordered
+""",
+    tags=("llm", "sample", "curation"),
+)
+def sample_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data export: order the
+    corpus by md5(doc_id) (a reproducible pseudo-random permutation —
+    same everywhere, every run, any cluster size), then deal rows
+    round-robin into fixed shards with an in-shard position. This is
+    the step that turns a curated corpus into shuffled training shards
+    without a seed file: shard/pos are pure functions of the corpus
+    membership, so adding a doc changes only positions after its hash.
+    Generalizes the reference's mt_rand sampling (kinesis-pay.php:302)
+    into a reproducible form. Scale: the ORDER BY is a Spark
+    range-partitioned sort (sample boundaries, no single-machine
+    sort); row_number over the global order is the only total-order
+    dependency, and the written layout partitions by shard so each
+    training reader streams one file set sequentially."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    seq = F.row_number().over(w) - 1
+    return docs.select(
+        "doc_id",
+        (seq % _SHARDS).cast("long").alias("shard"),
+        F.floor(seq / _SHARDS).cast("long").alias("pos"),
+    )

@@ -812,3 +812,73 @@ def text_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "text_key")
     )
+
+
+# Reuse the cluster oracle's recursive CTEs: demote its terminal SELECT
+# into a `comp` CTE, then rank within clusters (COALESCE labels
+# singleton docs with their own id).
+_KEEP_BEST_ORACLE = _CLUSTER_ORACLE.replace(
+    "SELECT doc_id, MIN(other) AS cluster_id\nFROM reach\nGROUP BY doc_id",
+    """comp AS (
+  SELECT doc_id, MIN(other) AS cluster_id FROM reach GROUP BY doc_id
+), labeled AS (
+  SELECT d.doc_id,
+    COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+    d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+), ranked AS (
+  SELECT doc_id, cluster_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+    ) AS rn,
+    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM labeled
+)
+SELECT doc_id, cluster_id, rn = 1 AS is_kept,
+  CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked""",
+).replace(")\ncomp AS (", "),\ncomp AS (", 1)
+
+
+@register(
+    "text_dedup_keep_best",
+    oracle=_KEEP_BEST_ORACLE,
+    tags=("llm", "dedup", "iterative"),
+)
+def text_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level keep-best selection — the decision step after
+    near-dup clustering: every document gets its MinHash cluster label
+    (singletons label themselves), and within each cluster the
+    highest-quality member survives (longest n_chars, doc_id as the
+    deterministic tiebreak — the proxy for 'prefer the canonical
+    source copy' in a multi-source crawl). Emits the full corpus with
+    (cluster_id, is_kept, cluster_size) so downstream stages can
+    either filter is_kept or soft-weight by cluster_size. Plan: the
+    label-propagation result (small: only docs that appear in a
+    near-dup pair) LEFT-joins the corpus — at 100 TB the cluster map
+    broadcasts, the corpus never reshuffles for the label join, and
+    the keep-best window shuffles once on cluster_id, where
+    cluster-size skew is bounded by the dedup threshold itself."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comp = REGISTRY["text_dedup_clusters"].fn(spark, sf_dir)
+    labeled = docs.join(
+        F.broadcast(comp.withColumnRenamed("cluster_id", "cl")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("cl", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        labeled.select(
+            "doc_id",
+            "cluster_id",
+            (F.row_number().over(w) == 1).alias("is_kept"),
+            F.count(F.lit(1))
+            .over(W.partitionBy("cluster_id"))
+            .cast("long")
+            .alias("cluster_size"),
+        )
+    )

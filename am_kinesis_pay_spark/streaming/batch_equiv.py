@@ -349,3 +349,66 @@ def stream_window_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT a.event_id AS click_id,
+  b.event_id AS purchase_id,
+  a.user_id AS user_id,
+  CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS lag_sec
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+""",
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] stream-stream interval join, batch specification: each
+    click attributed to every purchase by the same user within the next
+    5 minutes (the reference's payment-created -> status-callback
+    correlation, kinesis-pay.php:231-263, as a two-stream join). The
+    incremental form joins two watermarked readStreams on the same
+    equi + time-band condition (tests/test_streaming.py::
+    test_stream_stream_join_matches_batch replays exactly this plan);
+    the watermark plus the closed 5-minute band bounds both state
+    stores, so at 100 TB/day each side retains only ~watermark+band
+    of rows keyed by user_id — state is O(rate x window), not O(
+    history). Batch plan: two pushed-down scans of one file, a single
+    shuffle on user_id each side into a sort-merge join; the band
+    predicate rides the join as a secondary condition, never a
+    cross-product."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 5 MINUTES")
+            ),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+            ).alias("lag_sec"),
+        )
+    )

@@ -156,3 +156,52 @@ def test_pack_id_formula_properties():
         assert sorted(packs) == list(range(max(packs) + 1))
 
     check()
+
+
+def test_shard_shuffle_is_a_balanced_permutation(spark):
+    """Round-robin dealing over the md5 order: shard sizes differ by at
+    most 1, every (shard, pos) slot is unique, and the mapping is a
+    permutation of the corpus (no doc lost or duplicated)."""
+    from am_kinesis_pay_spark.registry import queries
+    from am_kinesis_pay_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    out = queries()["sample_shard_shuffle"](spark, SF_DIR)
+    rows = out.collect()
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    assert len({(r.shard, r.pos) for r in rows}) == n_docs
+    sizes = {}
+    for r in rows:
+        sizes[r.shard] = sizes.get(r.shard, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # stability: deleting no docs, the same corpus yields the same deal
+    again = queries()["sample_shard_shuffle"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_keep_best_selects_one_longest_doc_per_cluster(spark):
+    """Exactly one kept doc per cluster; the kept doc has the cluster's
+    max n_chars; cluster sizes sum back to the corpus size."""
+    from am_kinesis_pay_spark.registry import queries
+    from am_kinesis_pay_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    out = queries()["text_dedup_keep_best"](spark, SF_DIR)
+    rows = out.collect()
+    docs = {
+        r.doc_id: r.n_chars
+        for r in load(spark, SF_DIR, "documents").select(
+            "doc_id", "n_chars"
+        ).collect()
+    }
+    assert len(rows) == len(docs)
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m.is_kept]
+        assert len(kept) == 1, f"cluster {cid}: {len(kept)} kept"
+        assert docs[kept[0].doc_id] == max(docs[m.doc_id] for m in members)
+        assert all(m.cluster_size == len(members) for m in members)

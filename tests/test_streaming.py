@@ -295,21 +295,10 @@ def test_stream_stream_join_matches_batch(spark, stream_dir):
     ).select("a_id", "b_id")
     got = run_to_completion(joined, f"ssj_{uuid.uuid4().hex[:6]}", "append")
 
-    from am_kinesis_pay_spark.tables import load
-
-    ev_b = load(spark, SF_DIR, "events")
-    a = ev_b.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts"),
-        F.col("event_id").alias("a_id"))
-    b = ev_b.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
-        F.col("event_id").alias("b_id"))
-    want = a.join(
-        b,
-        (F.col("a_user") == F.col("b_user"))
-        & (F.col("b_ts") > F.col("a_ts"))
-        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
-    ).select("a_id", "b_id")
+    # the registered (oracle-checked) batch form IS the specification
+    want = queries()["stream_stream_join"](spark, SF_DIR).select(
+        F.col("click_id").alias("a_id"), F.col("purchase_id").alias("b_id")
+    )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
