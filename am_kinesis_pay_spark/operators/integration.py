@@ -1587,3 +1587,83 @@ def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("path", "n_occurrences", "rank")
     )
+
+
+# Triangle-count graph: same co-purchase construction as graph_pagerank
+# but a lower value threshold so the smallest SF still has a triangle.
+_TRI_THR = 120
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+WITH a AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+  FROM events WHERE event_type = 'purchase' AND value > {_TRI_THR}
+), e AS (
+  SELECT DISTINCT x.user_id AS s, y.user_id AS t
+  FROM a x JOIN a y USING (d)
+  WHERE x.user_id < y.user_id
+), tri AS (
+  SELECT e1.s AS na, e1.t AS nb, e2.t AS nc
+  FROM e e1
+  JOIN e e2 ON e2.s = e1.t
+  JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t
+), corners AS (
+  SELECT unnest([na, nb, nc]) AS user_id FROM tri
+)
+SELECT user_id, COUNT(*) AS n_triangles
+FROM corners
+GROUP BY user_id
+""",
+    tags=("integration", "graph"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph (users
+    linked when both bought >$120 items on the same day) — the
+    clustering-coefficient / community-density primitive, and the
+    canonical test of whether a graph operator avoids the naive
+    wedge explosion. Edges are ORIENTED low-id -> high-id so every
+    triangle {{a<b<c}} is enumerated exactly once as the wedge
+    (a->b, b->c) closed by the edge (a->c); each closed wedge then
+    credits all three corners via one explode + count. Plan: the
+    distinct edge list is built once (one shuffle on day, one on the
+    pair), then two self-equi-joins — Spark broadcasts the edge list
+    when small, sort-merge-joins on the shared key otherwise; never a
+    cross product. At 100 TB the id-orientation is swapped for
+    DEGREE-orientation (orient each edge toward the higher-degree
+    endpoint), which provably bounds generated wedges by
+    sum(min_deg^2) — the Suri-Vassilvitskii MapReduce bound — so hub
+    nodes cannot quadratically explode; the enumeration itself is the
+    same two joins. Generalizes the reference's same-day payment
+    correlation (kinesis-pay.php:231-263) into a relationship-graph
+    metric."""
+    ev = load(spark, sf_dir, "events")
+    active = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > _TRI_THR)
+        )
+        .select(F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id")
+        .distinct()
+    )
+    # persist: the three wedge branches each reference the edge list;
+    # without it the day-join lineage is re-evaluated three times
+    e = (
+        active.select("d", F.col("user_id").alias("s"))
+        .join(active.select("d", F.col("user_id").alias("t")), "d")
+        .filter(F.col("s") < F.col("t"))
+        .select("s", "t")
+        .distinct()
+        .persist()
+    )
+    e1 = e.select(F.col("s").alias("na"), F.col("t").alias("nb"))
+    e2 = e.select(F.col("s").alias("nb"), F.col("t").alias("nc"))
+    e3 = e.select(F.col("s").alias("na"), F.col("t").alias("nc"))
+    tri = e1.join(e2, "nb").join(e3, ["na", "nc"])
+    return (
+        tri.select(
+            F.explode(F.array("na", "nb", "nc")).alias("user_id")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
