@@ -964,16 +964,45 @@ def sample_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     without a seed file: shard/pos are pure functions of the corpus
     membership, so adding a doc changes only positions after its hash.
     Generalizes the reference's mt_rand sampling (kinesis-pay.php:302)
-    into a reproducible form. Scale: the ORDER BY is a Spark
-    range-partitioned sort (sample boundaries, no single-machine
-    sort); row_number over the global order is the only total-order
-    dependency, and the written layout partitions by shard so each
+    into a reproducible form. Scale: a naive global ORDER BY
+    row_number window serializes the corpus into ONE task, so this is
+    the two-pass prefix-sum pattern (win_global_running_total's):
+    (1) bucket rows by the md5's first two hex chars — bucket order
+    IS a prefix of the global (md5, doc_id) order — (2) count per
+    bucket and cumsum the 256-row frame into exclusive offsets,
+    (3) broadcast the offsets and row_number WITHIN each bucket.
+    Wall-clock scales with the largest bucket (~corpus/256, hash-
+    balanced), and the written layout partitions by shard so each
     training reader streams one file set sequentially."""
-    docs = load(spark, sf_dir, "documents")
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    seq = F.row_number().over(w) - 1
-    return docs.select(
-        "doc_id",
-        (seq % _SHARDS).cast("long").alias("shard"),
-        F.floor(seq / _SHARDS).cast("long").alias("pos"),
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    bucketed = docs.withColumn("bkt", F.substring("h", 1, 2))
+    # pass 1: per-bucket counts -> exclusive prefix offsets (256 rows)
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "offset")
+    )
+    # pass 2: within-bucket rank (parallel across buckets) + offset
+    w_bkt = Window.partitionBy("bkt").orderBy("h", "doc_id")
+    seq = F.col("offset") + F.row_number().over(w_bkt) - 1
+    return (
+        bucketed.join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            (seq % _SHARDS).cast("long").alias("shard"),
+            F.floor(seq / _SHARDS).cast("long").alias("pos"),
+        )
     )

@@ -33,7 +33,8 @@ DOCS_QUERIES = [
     "text_dedup_minhash", "text_dedup_simhash", "text_dedup_clusters",
     "pipeline_corpus_filter", "text_repetition_ratio", "text_rolling_hash",
     "text_winnow_fingerprint", "text_classifier_score",
-    "text_dedup_containment",
+    "text_dedup_containment", "text_dedup_keep_best",
+    "sample_shard_shuffle",
 ]
 FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
@@ -46,6 +47,7 @@ MAINT_QUERIES = [
     "agg_heavy_hitters", "join_bloom_runtime", "graph_reachability",
     "dq_expectations", "sample_balanced_classes", "join_asof_tolerance",
     "sample_train_split", "sink_partition_overwrite", "fn_collation_group",
+    "graph_triangle_count", "stream_stream_join",
 ]
 CURATION_QUERIES = [
     "text_decontaminate", "text_chunk_sliding", "text_pack_sequences",
