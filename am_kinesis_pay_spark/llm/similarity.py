@@ -1013,3 +1013,74 @@ def emb_label_centroids_long(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_component")
         )
     )
+
+
+@register(
+    "vec_quantize_int8",
+    oracle="""
+WITH scaled AS (
+  SELECT vec_id, embedding,
+    CAST(list_min(embedding) AS DOUBLE) AS mn,
+    (CAST(list_max(embedding) AS DOUBLE)
+      - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS sc
+  FROM embeddings
+)
+SELECT vec_id,
+  CASE WHEN sc = 0 THEN list_transform(embedding, x -> 0)
+       ELSE list_transform(embedding,
+         x -> CAST(floor((CAST(x AS DOUBLE) - mn) / sc + 0.5) AS INTEGER))
+  END AS codes,
+  round(CASE WHEN sc = 0 THEN 0.0
+       ELSE list_max(list_transform(embedding,
+         x -> abs(mn + floor((CAST(x AS DOUBLE) - mn) / sc + 0.5) * sc
+                  - CAST(x AS DOUBLE))))
+  END, 9) AS max_abs_err
+FROM scaled
+""",
+    tags=("llm", "ann", "quantize"),
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus — the storage/
+    serving compression step beside vec_ann_pq's codebook compression:
+    each vector is rescaled to its own [min, max] range and every
+    component snapped to a 0..255 code (4x smaller than float32, and
+    the form int8-SIMD distance kernels consume). Emits the codes plus
+    the per-vector max reconstruction error so a pipeline can gate on
+    quantization loss. Everything is per-row arithmetic on the vector
+    itself (map-only, zero shuffles, scan-bound at any corpus size);
+    floor(v + 0.5) is used instead of round() so both engines apply
+    the identical IEEE-double op chain — min/max of floats are exact,
+    and every subsequent op is deterministic double arithmetic, which
+    is why even the reconstruction error is oracle-exact to 9 dp.
+    Constant vectors (range 0) take the all-zero code path."""
+    emb = load(spark, sf_dir, "embeddings")
+    mnd = F.array_min("embedding").cast("double")
+    sc = (F.array_max("embedding").cast("double") - mnd) / F.lit(255.0)
+    base = emb.select("vec_id", "embedding", mnd.alias("mn"), sc.alias("sc"))
+
+    def code(x):
+        return F.floor(
+            (x.cast("double") - F.col("mn")) / F.col("sc") + F.lit(0.5)
+        )
+
+    codes = F.when(
+        F.col("sc") == 0,
+        F.transform("embedding", lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform("embedding", lambda x: code(x).cast("int"))
+    )
+    err = F.when(F.col("sc") == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                "embedding",
+                lambda x: F.abs(
+                    F.col("mn") + code(x) * F.col("sc") - x.cast("double")
+                ),
+            )
+        )
+    )
+    return base.select(
+        "vec_id",
+        codes.alias("codes"),
+        F.round(err, 9).alias("max_abs_err"),
+    )
