@@ -548,3 +548,77 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fresh, F.col("matched.tick_value")).alias("rate"),
         )
     )
+
+
+@register(
+    "join_interval_bucketed",
+    oracle="""
+SELECT p.event_id AS promo_id,
+  v.event_id AS view_id,
+  CAST(date_diff('second', p.ts, v.ts) AS BIGINT) AS lag_sec
+FROM (SELECT event_id, ts FROM events
+      WHERE event_type = 'purchase' AND event_id % 97 = 0) p
+JOIN (SELECT event_id, ts FROM events WHERE event_type = 'view') v
+  ON v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts <  p.ts + INTERVAL 1 HOUR
+""",
+    tags=("join", "interval"),
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join with NO equi key — every view that falls
+    inside the ±1 h window around a flagged purchase, across ALL users
+    (the 'views near a big sale' attribution shape the reference's
+    same-user as-of join J7 cannot express). A naive theta join here is
+    a cross product; the scalable form BUCKETIZES time: each promo
+    interval explodes into the hour buckets it covers (≤3 per 2 h
+    interval — cost is interval_length/bucket, chosen so the explosion
+    is a small constant), each view carries its single hour bucket,
+    and the join becomes an EQUI join on the bucket with the exact
+    range predicate as a residual filter. A view's bucket is unique,
+    so every qualifying (promo, view) pair meets in exactly one bucket
+    — no post-join dedup. Plan: both sides shuffle once on the hour
+    bucket (or the small promo side broadcasts); hot buckets are
+    ordinary join skew, handled by AQE's skew split or salting — the
+    cross product never exists at any scale. This is the same
+    bucketize-then-residual trick a production range-join hint
+    implements natively (e.g. Databricks RANGE_JOIN)."""
+    ev = load(spark, sf_dir, "events")
+    promo = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 97 == 0)
+    ).select(
+        F.col("event_id").alias("promo_id"),
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+    )
+    # explode the interval into covered hour buckets; the residual
+    # filter below discards the boundary bucket when e is mid-hour
+    promo_b = promo.select(
+        "promo_id",
+        "p_ts",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s"),
+                F.date_trunc("hour", "e"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bkt"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+        F.date_trunc("hour", "ts").alias("bkt"),
+    )
+    return (
+        promo_b.join(views, "bkt")
+        .filter((F.col("v_ts") >= F.col("s")) & (F.col("v_ts") < F.col("e")))
+        .select(
+            "promo_id",
+            "view_id",
+            (F.unix_timestamp("v_ts") - F.unix_timestamp("p_ts")).alias(
+                "lag_sec"
+            ),
+        )
+    )
