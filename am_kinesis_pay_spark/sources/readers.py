@@ -420,3 +420,73 @@ def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("n_polls").alias("avg_polls"),
         )
     )
+
+
+@register(
+    "source_merge_on_read",
+    oracle="""
+WITH survivors AS (
+  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders
+  WHERE o_orderkey % 13 <> 0 AND o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS p
+  FROM orders
+  WHERE o_orderkey % 17 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+  CAST(SUM(p) AS DOUBLE) AS sum_price
+FROM survivors
+GROUP BY o_orderstatus
+""",
+    tags=("source", "layout"),
+)
+def source_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read scan — the Iceberg-v2 / Delta-DV read path that
+    makes row-level mutation cheap on a 100 TB immutable table: writers
+    append small DELETE files (keys to suppress) and UPDATE files (the
+    new row versions) instead of rewriting data files; every reader
+    reconstructs the current snapshot as
+    base ANTI-JOIN deletes ANTI-JOIN updated-keys UNION-ALL updates.
+    Staged here exactly as a lakehouse would: the base table lands as
+    4 immutable parquet files, a delete file carries the %13 keys, an
+    update file carries the %17 rows re-priced 2x (an update IS a
+    delete + append, and its append supersedes a concurrent delete of
+    the same key). The read-back plan is the scale story: both delta
+    files are orders of magnitude smaller than the base, so they
+    BROADCAST and the base scan never shuffles for the merge —
+    read amplification is O(deltas), and compaction (sink_compaction)
+    folds deltas back into data files when they accumulate. The
+    aggregate output pins row counts AND values so a wrong merge
+    (lost delete, double-applied update) cannot hash-match. Models
+    the reference's KV bag mutation (kinesis-pay.php:176,509) as
+    file-level operations."""
+    base_dir = scratch_path(spark, "akps_mor_base")
+    del_dir = scratch_path(spark, "akps_mor_deletes")
+    upd_dir = scratch_path(spark, "akps_mor_updates")
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+    )
+    orders.repartition(4).write.mode("overwrite").parquet(base_dir)
+    orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey"
+    ).write.mode("overwrite").parquet(del_dir)
+    orders.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+        "p", F.col("p") * 2
+    ).write.mode("overwrite").parquet(upd_dir)
+
+    base = spark.read.parquet(base_dir)
+    deletes = spark.read.parquet(del_dir)
+    updates = spark.read.parquet(upd_dir)
+    merged = (
+        base.join(F.broadcast(deletes), "o_orderkey", "left_anti")
+        .join(
+            F.broadcast(updates.select("o_orderkey")), "o_orderkey", "left_anti"
+        )
+        .unionByName(updates)
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("p").cast("double").alias("sum_price"),
+    )
