@@ -422,3 +422,40 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_quantize_is_shuffle_free(spark):
+    # int8 quantization is pure per-row arithmetic: the plan must be a
+    # scan + project with NO Exchange — scan-bound at any corpus size
+    plan = plan_of(spark, "vec_quantize_int8")
+    assert "Exchange" not in plan, plan[:3000]
+
+
+def test_interval_join_never_cross_products(spark):
+    # the bucketize-then-residual form must keep the no-equi-key
+    # interval overlap an equi join on the hour bucket
+    plan = plan_of(spark, "join_interval_bucketed")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_shard_shuffle_has_no_global_window_partition(spark):
+    # pass 2 ranks WITHIN md5-prefix buckets; the only unpartitioned
+    # window is the 256-row offset cumsum. The big-side window must
+    # carry the bucket partition key.
+    plan = plan_of(spark, "sample_shard_shuffle")
+    import re as _re
+
+    windows = _re.findall(r"Arguments: \[row_number\(\).*?\]", plan)
+    assert any("partitionspec" in w.lower() or "bkt" in w for w in windows), (
+        windows or plan[:3000]
+    )
+
+
+def test_merge_on_read_deltas_broadcast(spark):
+    # both delta files must broadcast: the base scan never shuffles
+    # for the merge itself (the only Exchange is the final aggregate)
+    plan = plan_of(spark, "source_merge_on_read")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
