@@ -725,3 +725,137 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+# BM25 constants (the Robertson/Lucene defaults) and the fixed query —
+# literals so the DuckDB oracle bakes the identical values.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "hash", "window")
+
+
+def _bm25_oracle() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    tf_cols = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    contribs = "\n    + ".join(
+        f"""(CASE WHEN a.tf_{t} > 0 THEN CAST(round(
+        ln(1 + (s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5))
+        * (a.tf_{t} * {k1 + 1.0})
+        / (a.tf_{t} + {k1} * ({1.0 - b} + {b} * (CAST(a.dl AS DOUBLE) / s.avgdl))),
+        6) AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)"""
+        for t in _BM25_TERMS
+    )
+    any_match = " OR ".join(f"a.tf_{t} > 0" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
+    {tf_cols}
+  FROM toks WHERE token <> '' GROUP BY doc_id
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+    {df_cols}
+  FROM agg
+), scored AS (
+  SELECT a.doc_id,
+    {contribs} AS bm25
+  FROM agg a CROSS JOIN stats s
+  WHERE {any_match}
+)
+SELECT doc_id, CAST(bm25 AS DOUBLE) AS bm25, rnk FROM (
+  SELECT doc_id, bm25, CAST(ROW_NUMBER() OVER (
+    ORDER BY bm25 DESC, doc_id) AS INT) AS rnk
+  FROM scored) t
+WHERE rnk <= 10
+"""
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle(), tags=("llm", "text"))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed query — the standard lexical
+    retrieval scorer (Robertson et al.; the Lucene/Elasticsearch
+    default) beside `text_tfidf_topterms`'s feature-extraction form.
+
+    Plan shape: ONE explode+hash-aggregate computes, per document, its
+    length AND the per-query-term term frequencies as FILTER-style
+    conditional aggregates (no per-term join — the query is a literal
+    set, so tf lands as |Q| columns in the same map-side-combined
+    pass). Corpus stats (N, avgdl, per-term df) reduce that frame to a
+    single row, broadcast back via cross join. Per-term contributions
+    are rounded to 6 dp and accumulated in DECIMAL in a fixed textual
+    order, so the cross-engine float chain is exact (repo convention;
+    ln() ulp skew absorbed by the rounding). Top-10 by score is a
+    row_number window over the (pre-filtered to matching docs) frame —
+    at 100 TB swap for TakeOrderedAndProject by ordering+limiting
+    without the rank column, or keep per-partition top-10 pre-pruning.
+    Skew: the explode's shuffle key is doc_id (uniform), never the
+    term, so heavy-hitter terms cost nothing here.
+    """
+    k1, b = _BM25_K1, _BM25_B
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = agg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+
+    def contrib(t: str):
+        idf = F.log(
+            1
+            + (F.col("n_docs") - F.col(f"df_{t}") + 0.5)
+            / (F.col(f"df_{t}") + 0.5)
+        )
+        denom = F.col(f"tf_{t}") + k1 * (
+            (1.0 - b) + b * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        term = F.round(idf * (F.col(f"tf_{t}") * (k1 + 1.0)) / denom, 6)
+        return F.when(F.col(f"tf_{t}") > 0, term.cast("decimal(18,6)")).otherwise(
+            zero
+        )
+
+    any_match = F.lit(False)
+    for t in _BM25_TERMS:
+        any_match = any_match | (F.col(f"tf_{t}") > 0)
+    total = contrib(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        total = total + contrib(t)
+    scored = (
+        agg.crossJoin(F.broadcast(stats))
+        .filter(any_match)
+        .select("doc_id", total.alias("bm25"))
+    )
+    w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("doc_id", F.col("bm25").cast("double").alias("bm25"), "rnk")
+    )

@@ -335,3 +335,223 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_qty"),
         )
     )
+
+
+# Z-order (Morton) clustering: bit-interleave of the two layout
+# dimensions after normalizing EACH into the same 10-bit space from
+# its own data min/max (the value->rank normalization every real
+# z-order writer applies — without it a narrow dimension contributes
+# only low-order bits and the curve degenerates to a linear sort on
+# the wide one). Both layouts cut into 16 equal-count range buckets.
+_Z_BITS = 10
+_Z_SPACE = 1 << _Z_BITS
+_Z_BUCKETS = 16
+# probe -> (min_stat, max_stat, lo, hi) in NORMALIZED coordinates
+# (0..1023 at every SF): a bucket is scanned when its [min, max] for
+# the probed dimension overlaps [lo, hi]. Each probe selects ~1/8 of
+# one dimension and all of the other.
+_Z_PROBES = {
+    "x_range": ("min_x", "max_x", 100, 227),
+    "y_range": ("min_y", "max_y", 256, 383),
+}
+
+
+def _zorder_oracle() -> str:
+    interleave = " + ".join(
+        f"(((xn >> {i}) & 1) << {2 * i}) + (((yn >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    )
+    probes = "\nUNION ALL\n".join(
+        f"""SELECT layout, '{p}' AS probe,
+  CAST({_Z_BUCKETS} AS BIGINT) AS n_buckets,
+  CAST(SUM(CASE WHEN {mx} >= {lo} AND {mn} <= {hi} THEN 1 ELSE 0 END)
+       AS BIGINT) AS buckets_scanned,
+  CAST(SUM(CASE WHEN {mx} >= {lo} AND {mn} <= {hi} THEN n_rows ELSE 0 END)
+       AS BIGINT) AS rows_scanned
+FROM stats GROUP BY layout"""
+        for p, (mn, mx, lo, hi) in _Z_PROBES.items()
+    )
+    return f"""
+WITH base AS (
+  SELECT event_id,
+    CAST(user_id AS BIGINT) AS x,
+    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS y
+  FROM events
+), bounds AS (
+  SELECT MIN(x) AS lo_x, MAX(x) AS hi_x, MIN(y) AS lo_y, MAX(y) AS hi_y
+  FROM base
+), norm AS (
+  SELECT event_id,
+    (x - lo_x) * {_Z_SPACE} // (hi_x - lo_x + 1) AS xn,
+    (y - lo_y) * {_Z_SPACE} // (hi_y - lo_y + 1) AS yn
+  FROM base CROSS JOIN bounds
+), z AS (
+  SELECT event_id, xn, yn, ({interleave}) AS zval FROM norm
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM z),
+zb AS (
+  SELECT xn, yn,
+    (CAST(ROW_NUMBER() OVER (ORDER BY zval, event_id) AS BIGINT) - 1)
+      * {_Z_BUCKETS} // n_total AS bucket
+  FROM z CROSS JOIN nn
+), lb AS (
+  SELECT xn, yn,
+    (CAST(ROW_NUMBER() OVER (ORDER BY xn, event_id) AS BIGINT) - 1)
+      * {_Z_BUCKETS} // n_total AS bucket
+  FROM z CROSS JOIN nn
+), stats AS (
+  SELECT 'zorder' AS layout, bucket,
+    MIN(xn) AS min_x, MAX(xn) AS max_x, MIN(yn) AS min_y, MAX(yn) AS max_y,
+    CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM zb GROUP BY bucket
+  UNION ALL
+  SELECT 'linear_x', bucket,
+    MIN(xn), MAX(xn), MIN(yn), MAX(yn), CAST(COUNT(*) AS BIGINT)
+  FROM lb GROUP BY bucket
+)
+{probes}
+"""
+
+
+@register("sink_zorder_layout", oracle=_zorder_oracle(), tags=("sink", "layout"))
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout (Delta ``OPTIMIZE ZORDER BY`` / Iceberg
+    sort-order semantics, re-expressed): interleave the bits of two
+    query dimensions into a Morton code, range-cut the corpus into
+    equal-count buckets along that code, and write one directory per
+    bucket. The payoff is measured, not asserted: per-bucket min/max
+    stats (the parquet-footer zone-map stand-in) are probed with a
+    range predicate on EACH dimension, and the query returns how many
+    of the 16 buckets a stats-pruning scan must touch under the
+    z-order layout vs a linear ``ORDER BY x`` layout. Linear prunes
+    only its leading column (the y-probe hits every bucket); z-order
+    prunes on either dimension at ~sqrt fan-out — the reason
+    multi-dimension clustering is the default layout move for 100 TB
+    tables probed on more than one key.
+
+    Scale shape: the global rank that feeds the range cut is NOT a
+    one-task window — it is the two-pass prefix-sum pattern
+    (sample_shard_shuffle's): bucket by the Morton code's top bits
+    (bucket order is a prefix of the global order), cumsum the 256-row
+    count frame into offsets, rank within buckets in parallel, add.
+    At 100 TB the equal-count cut runs from a sampled CDF instead
+    (repartitionByRange), trading exactness of bucket sizes for one
+    pass; the stats/pruning arithmetic is unchanged. The z-ordered
+    bucket assignment is physically written (partitioned parquet) and
+    the stats are computed from the read-back, so the layout the
+    numbers describe is the layout on disk."""
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("bigint")
+    base = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("x"),
+        day.alias("y"),
+    )
+    # normalize each dimension into the shared 10-bit space from its own
+    # data min/max — equal bit-width per dimension is what makes the
+    # Morton curve alternate dimensions fairly (the value->rank
+    # normalization every real z-order writer applies); 1-row broadcast,
+    # never a collect
+    bounds = base.agg(
+        F.min("x").alias("lo_x"),
+        F.max("x").alias("hi_x"),
+        F.min("y").alias("lo_y"),
+        F.max("y").alias("hi_y"),
+    )
+    ev = base.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        F.expr(f"(x - lo_x) * {_Z_SPACE} div (hi_x - lo_x + 1)").alias("xn"),
+        F.expr(f"(y - lo_y) * {_Z_SPACE} div (hi_y - lo_y + 1)").alias("yn"),
+    )
+    zval = None
+    for i in range(_Z_BITS):
+        xb = F.shiftleft(
+            F.shiftright(F.col("xn"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        yb = F.shiftleft(
+            F.shiftright(F.col("yn"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        bit = xb + yb
+        zval = bit if zval is None else zval + bit
+    z = ev.withColumn("zval", zval)
+    n_total = z.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+
+    def ranked(df: DataFrame, sort_col: str, bkt_expr) -> DataFrame:
+        """Global (sort_col, event_id) rank via per-prefix-bucket
+        offsets + within-bucket row_number (no one-task window)."""
+        from pyspark.sql import Window as W
+
+        b = df.withColumn("bkt", bkt_expr)
+        offsets = (
+            b.groupBy("bkt")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "offset",
+                F.coalesce(
+                    F.sum("n").over(
+                        W.orderBy("bkt").rowsBetween(
+                            W.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("bkt", "offset")
+        )
+        w = W.partitionBy("bkt").orderBy(sort_col, "event_id")
+        return (
+            b.join(F.broadcast(offsets), "bkt")
+            .withColumn(
+                "seq", F.col("offset") + F.row_number().over(w) - 1
+            )
+            .crossJoin(F.broadcast(n_total))
+            .withColumn(
+                "bucket", F.expr(f"(seq * {_Z_BUCKETS}) div n_total")
+            )
+            .select("xn", "yn", "bucket")
+        )
+
+    zb = ranked(z, "zval", F.shiftright(F.col("zval"), 12))
+    lb = ranked(z, "xn", F.shiftright(F.col("xn"), 2))
+
+    out = scratch_path(spark, "akps_zorder_events")
+    zb.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    zb_disk = spark.read.schema(
+        "xn bigint, yn bigint, bucket bigint"
+    ).parquet(out)
+
+    def stats(df: DataFrame, layout: str) -> DataFrame:
+        return df.groupBy("bucket").agg(
+            F.min("xn").alias("min_x"),
+            F.max("xn").alias("max_x"),
+            F.min("yn").alias("min_y"),
+            F.max("yn").alias("max_y"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        ).withColumn("layout", F.lit(layout))
+
+    st = stats(zb_disk, "zorder").unionByName(stats(lb, "linear_x"))
+    parts = []
+    for probe, (mn, mx, lo, hi) in _Z_PROBES.items():
+        hit = (F.col(mx) >= lo) & (F.col(mn) <= hi)
+        parts.append(
+            st.groupBy("layout")
+            .agg(
+                F.sum(F.when(hit, 1).otherwise(0))
+                .cast("bigint")
+                .alias("buckets_scanned"),
+                F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+                .cast("bigint")
+                .alias("rows_scanned"),
+            )
+            .select(
+                "layout",
+                F.lit(probe).alias("probe"),
+                F.lit(_Z_BUCKETS).cast("bigint").alias("n_buckets"),
+                "buckets_scanned",
+                "rows_scanned",
+            )
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
