@@ -530,28 +530,34 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("layout", F.lit(layout))
 
     st = stats(zb_disk, "zorder").unionByName(stats(lb, "linear_x"))
-    parts = []
-    for probe, (mn, mx, lo, hi) in _Z_PROBES.items():
-        hit = (F.col(mx) >= lo) & (F.col(mn) <= hi)
-        parts.append(
-            st.groupBy("layout")
-            .agg(
-                F.sum(F.when(hit, 1).otherwise(0))
-                .cast("bigint")
-                .alias("buckets_scanned"),
-                F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
-                .cast("bigint")
-                .alias("rows_scanned"),
-            )
-            .select(
-                "layout",
-                F.lit(probe).alias("probe"),
-                F.lit(_Z_BUCKETS).cast("bigint").alias("n_buckets"),
-                "buckets_scanned",
-                "rows_scanned",
-            )
+    # one pass over the 32-row stats frame: each bucket row fans out to
+    # its per-probe hit flag, then a single groupBy — no re-evaluation
+    # of the ranking pipeline per probe
+    probe_structs = [
+        F.struct(
+            F.lit(probe).alias("probe"),
+            ((F.col(mx) >= lo) & (F.col(mn) <= hi)).alias("hit"),
         )
-    res = parts[0]
-    for p in parts[1:]:
-        res = res.unionByName(p)
-    return res
+        for probe, (mn, mx, lo, hi) in _Z_PROBES.items()
+    ]
+    return (
+        st.select(
+            "layout", "n_rows", F.explode(F.array(*probe_structs)).alias("p")
+        )
+        .groupBy("layout", F.col("p.probe").alias("probe"))
+        .agg(
+            F.sum(F.when(F.col("p.hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("buckets_scanned"),
+            F.sum(F.when(F.col("p.hit"), F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+        .select(
+            "layout",
+            "probe",
+            F.lit(_Z_BUCKETS).cast("bigint").alias("n_buckets"),
+            "buckets_scanned",
+            "rows_scanned",
+        )
+    )

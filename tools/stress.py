@@ -34,7 +34,7 @@ DOCS_QUERIES = [
     "pipeline_corpus_filter", "text_repetition_ratio", "text_rolling_hash",
     "text_winnow_fingerprint", "text_classifier_score",
     "text_dedup_containment", "text_dedup_keep_best",
-    "sample_shard_shuffle",
+    "sample_shard_shuffle", "text_bm25_topk",
 ]
 FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
@@ -57,6 +57,7 @@ CURATION_QUERIES = [
     "win_out_of_order_profile", "agg_skew_profile", "sample_temperature",
     "vec_ann_pq", "agg_anomaly_mad",
     "emb_dedup_cosine", "vec_ann_ivf", "sample_importance",
+    "sink_zorder_layout",
     # NOT here: emb_dedup_cosine_lsh / emb_dedup_clusters — measured
     # 359 s at 10x (20k vectors): the fixture's 0.45 threshold forces
     # 4-bit bands whose 16-value bucket space is quadratic in n, so at
