@@ -561,3 +561,169 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_scanned",
         )
     )
+
+
+# Bloom-style skip index: per-bucket membership summaries for a
+# high-cardinality UNSORTED column, probed by point lookups. k hash
+# "positions" per value, each a 4-hex-char md5 slice (16-bit slot
+# space) so DuckDB reproduces the index bit-for-bit.
+_BLOOM_SEEDS = ("b1", "b2", "b3")
+_BLOOM_PROBE_IDS = (3, 77, 777)  # event_ids present at every fixture SF
+_BLOOM_BUCKETS = 16
+
+
+def _bloom_oracle() -> str:
+    def slices(src: str) -> str:
+        return ", ".join(
+            f"substr(md5('{s}:' || {src}), 1, 4)" for s in _BLOOM_SEEDS
+        )
+
+    probe_ids = ", ".join(str(i) for i in _BLOOM_PROBE_IDS)
+    return f"""
+WITH ev AS (
+  SELECT event_id, md5('u:' || CAST(event_id AS VARCHAR)) AS uuid,
+         CAST(event_id % {_BLOOM_BUCKETS} AS BIGINT) AS bucket
+  FROM events
+), bstats AS (
+  SELECT bucket, MIN(uuid) AS min_u, MAX(uuid) AS max_u,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM ev GROUP BY bucket
+), bloom AS (
+  SELECT DISTINCT bucket, pos FROM (
+    SELECT bucket, unnest([{slices('uuid')}]) AS pos FROM ev)
+), probes AS (
+  SELECT event_id AS probe_id, uuid FROM ev WHERE event_id IN ({probe_ids})
+), pslice AS (
+  SELECT DISTINCT probe_id, pos FROM (
+    SELECT probe_id, unnest([{slices('uuid')}]) AS pos FROM probes)
+), pk AS (
+  SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS k FROM pslice GROUP BY probe_id
+), bloom_hits AS (
+  SELECT p.probe_id, b.bucket
+  FROM pslice p JOIN bloom b ON p.pos = b.pos
+  GROUP BY p.probe_id, b.bucket
+  HAVING COUNT(*) = (SELECT k FROM pk WHERE pk.probe_id = p.probe_id)
+), zone_hits AS (
+  SELECT p.probe_id, s.bucket, s.n_rows
+  FROM probes p JOIN bstats s ON p.uuid BETWEEN s.min_u AND s.max_u
+)
+SELECT 'bloom_index' AS method, h.probe_id,
+  CAST({_BLOOM_BUCKETS} AS BIGINT) AS n_buckets,
+  CAST(COUNT(*) AS BIGINT) AS buckets_scanned,
+  CAST(SUM(s.n_rows) AS BIGINT) AS rows_scanned
+FROM bloom_hits h JOIN bstats s USING (bucket) GROUP BY h.probe_id
+UNION ALL
+SELECT 'zone_map', probe_id, CAST({_BLOOM_BUCKETS} AS BIGINT),
+  CAST(COUNT(*) AS BIGINT), CAST(SUM(n_rows) AS BIGINT)
+FROM zone_hits GROUP BY probe_id
+"""
+
+
+@register("sink_bloom_skip_index", oracle=_bloom_oracle(), tags=("sink", "layout"))
+def sink_bloom_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style data-skipping index build + measured point-lookup
+    pruning — the file-skipping move zone maps CANNOT make: on a
+    high-cardinality column uncorrelated with ingest order (here a
+    synthetic request uuid, bucketed round-robin like arrival order),
+    every bucket's [min, max] spans the whole domain, so min/max
+    pruning scans everything. A per-bucket membership summary (the
+    parquet bloom-filter / Delta dataSkipping analog: k md5-slice
+    "positions" per value, distinct (bucket, position) pairs — index
+    size O(distinct values x k), independent of row width) sends a
+    point probe to ~1 bucket + a quantified false-positive tail. The
+    query MATERIALIZES the index to parquet (an index build is a
+    write), reads it back, probes three uuids with both methods, and
+    returns buckets/rows scanned per probe — bloom vs zone map, side
+    by side. No false negatives by construction: a probe's every
+    position is present in its home bucket's index.
+
+    Scale shape: the index build is one explode + distinct (shuffle
+    keyed on (bucket, position), map-side combined); probing
+    broadcasts the k x |probes| position list against the index scan —
+    the big side streams, never the index. The HAVING-all-k-positions
+    check is a count equality per (probe, bucket), robust to a probe's
+    own slice collisions."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.md5(F.concat(F.lit("u:"), F.col("event_id").cast("string"))).alias(
+            "uuid"
+        ),
+        (F.col("event_id") % _BLOOM_BUCKETS).cast("bigint").alias("bucket"),
+    )
+
+    def slice_cols(src):
+        return F.array(
+            *[
+                F.substring(F.md5(F.concat(F.lit(f"{s}:"), src)), 1, 4)
+                for s in _BLOOM_SEEDS
+            ]
+        )
+
+    bstats = ev.groupBy("bucket").agg(
+        F.min("uuid").alias("min_u"),
+        F.max("uuid").alias("max_u"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    bloom = (
+        ev.select("bucket", F.explode(slice_cols(F.col("uuid"))).alias("pos"))
+        .distinct()
+    )
+    idx_path = scratch_path(spark, "akps_bloom_index")
+    bloom.write.mode("overwrite").parquet(idx_path)
+    bloom_disk = spark.read.schema("bucket bigint, pos string").parquet(
+        idx_path
+    )
+
+    probes = ev.filter(
+        F.col("event_id").isin(*_BLOOM_PROBE_IDS)
+    ).select(F.col("event_id").alias("probe_id"), "uuid")
+    pslice = probes.select(
+        "probe_id", F.explode(slice_cols(F.col("uuid"))).alias("pos")
+    ).distinct()
+    pk = pslice.groupBy("probe_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    bloom_hits = (
+        F.broadcast(pslice)
+        .join(bloom_disk, "pos")
+        .groupBy("probe_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .join(F.broadcast(pk), "probe_id")
+        .filter(F.col("n_match") == F.col("k"))
+        .select("probe_id", "bucket")
+    )
+    zone_hits = F.broadcast(probes).join(
+        bstats,
+        F.col("uuid").between(F.col("min_u"), F.col("max_u")),
+    ).select("probe_id", "bucket", "n_rows")
+
+    bloom_counts = (
+        bloom_hits.join(F.broadcast(bstats), "bucket")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("buckets_scanned"),
+            F.sum("n_rows").cast("bigint").alias("rows_scanned"),
+        )
+        .select(
+            F.lit("bloom_index").alias("method"),
+            "probe_id",
+            F.lit(_BLOOM_BUCKETS).cast("bigint").alias("n_buckets"),
+            "buckets_scanned",
+            "rows_scanned",
+        )
+    )
+    zone_counts = (
+        zone_hits.groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("buckets_scanned"),
+            F.sum("n_rows").cast("bigint").alias("rows_scanned"),
+        )
+        .select(
+            F.lit("zone_map").alias("method"),
+            "probe_id",
+            F.lit(_BLOOM_BUCKETS).cast("bigint").alias("n_buckets"),
+            "buckets_scanned",
+            "rows_scanned",
+        )
+    )
+    return bloom_counts.unionByName(zone_counts)
