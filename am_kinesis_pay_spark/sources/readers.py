@@ -490,3 +490,92 @@ def source_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("p").cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "source_time_travel",
+    oracle="""
+WITH base AS (
+  SELECT user_id, arg_min(value, event_id) AS amount_paid,
+         CAST(MIN(event_id) AS BIGINT) AS version
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), upd AS (
+  SELECT user_id, arg_max(value, event_id) AS amount_paid,
+         CAST(MAX(event_id) AS BIGINT) AS version
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), v2 AS (
+  SELECT COALESCE(b.user_id, u.user_id) AS user_id,
+    CASE WHEN u.user_id IS NOT NULL
+          AND (b.version IS NULL OR u.version >= b.version)
+         THEN u.amount_paid ELSE b.amount_paid END AS amount_paid
+  FROM base b FULL JOIN upd u ON b.user_id = u.user_id
+)
+SELECT CAST(1 AS INT) AS as_of_version,
+  CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(CAST(round(amount_paid, 6) AS DECIMAL(18,6))) AS DOUBLE)
+    AS total_amount
+FROM base
+UNION ALL
+SELECT CAST(2 AS INT), CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(CAST(round(amount_paid, 6) AS DECIMAL(18,6))) AS DOUBLE)
+FROM v2
+""",
+    tags=("source", "merge"),
+)
+def source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read over the MERGE sink's commit log — the
+    lakehouse ``VERSION AS OF`` surface (Delta time travel / Iceberg
+    snapshot reads) on plain parquet: two epochs commit through
+    ``MergeKeyedSink`` (epoch 1 = base KV snapshot from 'view' events,
+    epoch 2 = last-writer-wins 'purchase' upserts — the reference's
+    ``data()->set()->update()`` mutation, kinesis-pay.php:176,509),
+    then BOTH versions are read back via ``read_as_of`` and aggregated
+    side by side. The oracle recomputes each snapshot's contents from
+    the raw events, so the round-trip pins that (a) the as-of resolver
+    picks the right committed snapshot and (b) the MERGE semantics
+    (version >= wins, unmatched keys insert) match the declarative
+    spec. Snapshot-dir-plus-marker commits mean an uncommitted write is
+    never readable at any version — the same isolation a table
+    format's transaction log provides. At 100 TB the snapshots are
+    file-skipping MERGE rewrites and the as-of read resolves through
+    the manifest instead of a directory listing; per-row amounts round
+    to 6 dp and accumulate in DECIMAL (repo float convention)."""
+    import shutil
+
+    from am_kinesis_pay_spark.streaming.foreach_sink import MergeKeyedSink
+
+    ev = load(spark, sf_dir, "events")
+    base = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(
+            F.min_by("value", "event_id").alias("amount_paid"),
+            F.min("event_id").cast("bigint").alias("version"),
+        )
+    )
+    upd = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", "event_id").alias("amount_paid"),
+            F.max("event_id").cast("bigint").alias("version"),
+        )
+    )
+    path = scratch_path(spark, "akps_time_travel")
+    shutil.rmtree(path, ignore_errors=True)
+    sink = MergeKeyedSink(spark, path, ["user_id"], "version")
+    sink.process_batch(base, 1)
+    sink.process_batch(upd, 2)
+
+    def snap_agg(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.lit(version).cast("int").alias("as_of_version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.round("amount_paid", 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_amount"),
+        ).select("as_of_version", "n_keys", "total_amount")
+
+    return snap_agg(sink.read_as_of(1), 1).unionByName(
+        snap_agg(sink.read_as_of(2), 2)
+    )

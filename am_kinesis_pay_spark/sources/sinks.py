@@ -473,7 +473,9 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bit = xb + yb
         zval = bit if zval is None else zval + bit
-    z = ev.withColumn("zval", zval)
+    # both layout pipelines (and the count) consume this frame — cache
+    # the one normalized+Morton-coded scan instead of recomputing it
+    z = ev.withColumn("zval", zval).cache()
     n_total = z.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
 
     def ranked(df: DataFrame, sort_col: str, bkt_expr) -> DataFrame:

@@ -152,6 +152,26 @@ class MergeKeyedSink:
             raise FileNotFoundError(f"no committed snapshot under {self.path}")
         return self.spark.read.parquet(self._snapshot_dir(last))
 
+    def read_as_of(self, epoch_id: int) -> DataFrame:
+        """Time-travel read: the highest committed snapshot whose epoch
+        is <= ``epoch_id`` — Delta's ``VERSION AS OF`` / Iceberg's
+        snapshot-id read against this sink's commit log. Uncommitted
+        (markerless) snapshot dirs are invisible here exactly as they
+        are to ``read()``."""
+        if not os.path.isdir(self.commits_dir):
+            raise FileNotFoundError(f"no committed snapshot under {self.path}")
+        epochs = [
+            int(name.split("-", 1)[1])
+            for name in os.listdir(self.commits_dir)
+            if name.startswith("epoch-")
+        ]
+        eligible = [e for e in epochs if e <= epoch_id]
+        if not eligible:
+            raise FileNotFoundError(
+                f"no snapshot at or before epoch {epoch_id} under {self.path}"
+            )
+        return self.spark.read.parquet(self._snapshot_dir(max(eligible)))
+
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import Window, functions as F
 
