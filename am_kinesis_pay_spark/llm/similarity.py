@@ -1236,3 +1236,112 @@ def vec_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "adc_cosine", "rank")
     )
+
+
+_TRIPLET_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, label, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+    c.vec_id AS cand_id, c.label AS cand_label,
+    CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS same_label,
+    round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.nrm * c.nrm), 6) AS cosine
+  FROM norms q JOIN norms c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+), best AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, same_label
+              ORDER BY cosine DESC, cand_id) AS rn
+    FROM scored) t
+  WHERE rn = 1
+)
+SELECT p.anchor_id, p.anchor_label,
+  p.cand_id AS positive_id, p.cosine AS pos_cosine,
+  n.cand_id AS negative_id, n.cand_label AS negative_label,
+  n.cosine AS neg_cosine,
+  round(p.cosine - n.cosine, 6) AS margin
+FROM best p JOIN best n
+  ON p.anchor_id = n.anchor_id AND p.same_label = 1 AND n.same_label = 0
+"""
+
+
+@register("emb_triplet_mine", oracle=_TRIPLET_ORACLE, tags=("llm", "similarity"))
+def emb_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining for metric-learning / contrastive training
+    data (the FaceNet/CLIP batch-construction primitive): for each
+    anchor, the hardest POSITIVE (most-similar same-label vector — the
+    pair the model must keep together) and the hardest NEGATIVE
+    (most-similar different-label vector — the impostor it must push
+    away), plus the margin between them. Anchors whose margin is small
+    or negative are exactly the training triplets worth sampling.
+
+    Plan shape: identical scan economics to ``vec_cosine_topk`` — the
+    bounded anchor set broadcasts, the corpus streams map-side, and
+    BOTH extremes come from ONE window pass partitioned by (anchor,
+    same_label) instead of two separate joins; the final positive x
+    negative pairing joins two 1-row-per-anchor frames. At 100 TB,
+    swap the exact scan for the IVF/PQ candidate generation
+    (vec_ann_ivf_pq) and mine within probed cells — the standard
+    approximate-hard-negative pipeline; cosines round to 6 dp before
+    ranking (repo convention) so both engines pick identical
+    triplets."""
+    emb = load(spark, sf_dir, "embeddings")
+    norms = _norms(emb)
+    q = norms.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = norms.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cand_id",
+            "cand_label",
+            F.when(F.col("cand_label") == F.col("anchor_label"), 1)
+            .otherwise(0)
+            .alias("same_label"),
+            F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("anchor_id", "same_label").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    pos = best.filter(F.col("same_label") == 1).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("cand_id").alias("positive_id"),
+        F.col("cosine").alias("pos_cosine"),
+    )
+    neg = best.filter(F.col("same_label") == 0).select(
+        "anchor_id",
+        F.col("cand_id").alias("negative_id"),
+        F.col("cand_label").alias("negative_label"),
+        F.col("cosine").alias("neg_cosine"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "anchor_label",
+        "positive_id",
+        "pos_cosine",
+        "negative_id",
+        "negative_label",
+        "neg_cosine",
+        F.round(F.col("pos_cosine") - F.col("neg_cosine"), 6).alias("margin"),
+    )

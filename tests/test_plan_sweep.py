@@ -22,6 +22,7 @@ _NLJ_ALLOWED = {
     "agg_histogram_equidepth",
     "agg_skew_profile",
     "emb_kmeans",
+    "emb_triplet_mine",  # ≤10-row anchor set joined with a != predicate
     "events_funnel_ordered",
     "events_gapfill_daily",
     "graph_pagerank",
@@ -29,6 +30,10 @@ _NLJ_ALLOWED = {
     "q_dormant_balances",
     "sample_balanced_classes",
     "sample_importance",
+    "sink_bloom_skip_index",  # ≤3-row probe set, non-equi zone-map check
+    "sink_zorder_layout",  # 1-row bounds + 1-row n_total broadcasts
+    "text_bigram_nll",  # 1-row corpus-token-total broadcast
+    "text_bm25_topk",  # 1-row corpus-stats (N, avgdl, df) broadcast
     "text_tfidf_topterms",
     "text_unigram_nll",
     "vec_cosine_topk",

@@ -57,7 +57,7 @@ CURATION_QUERIES = [
     "win_out_of_order_profile", "agg_skew_profile", "sample_temperature",
     "vec_ann_pq", "agg_anomaly_mad",
     "emb_dedup_cosine", "vec_ann_ivf", "sample_importance",
-    "sink_zorder_layout",
+    "sink_zorder_layout", "emb_triplet_mine", "vec_ann_ivf_pq",
     # NOT here: emb_dedup_cosine_lsh / emb_dedup_clusters — measured
     # 359 s at 10x (20k vectors): the fixture's 0.45 threshold forces
     # 4-bit bands whose 16-value bucket space is quadratic in n, so at
