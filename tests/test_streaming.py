@@ -831,3 +831,118 @@ def test_streaming_corpus_ingest_matches_sequential_dedup(
         seen.setdefault(r.text_key, r.doc_id)
     want = sorted((k, v) for k, v in seen.items())
     assert got == want
+
+
+def _stage_out_of_order_fixture(spark, base_dir: str) -> str:
+    """Two users whose events arrive event-time-SHUFFLED within and
+    across micro-batches, plus a far-future sentinel that pushes the
+    watermark past every real event so the reorder buffer drains."""
+    out = os.path.join(base_dir, f"ooo_{uuid.uuid4().hex[:8]}")
+    batches = [
+        # batch 0: late-minute rows arrive FIRST
+        [
+            (10, _ts(5), 1, "poll", 1.0, None),
+            (11, _ts(3), 1, "poll", 1.0, None),
+            (20, _ts(8), 2, "poll", 1.0, None),
+        ],
+        # batch 1: earlier rows arrive after later ones
+        [
+            (12, _ts(1), 1, "poll", 1.0, None),
+            (13, _ts(8), 1, "poll", 1.0, None),
+            (21, _ts(2), 2, "poll", 1.0, None),
+            (22, _ts(2), 2, "poll", 1.0, None),  # ts tie → event_id order
+        ],
+        # batch 2: an IN-WINDOW straggler (7.5 min > watermark 7 min →
+        # buffered and reordered) and a BELOW-WATERMARK one (2 min ≤
+        # 7 min → dropped by the event-time lateness gate before the
+        # processor ever sees it)
+        [
+            (14, _ts(2), 1, "poll", 1.0, None),
+            (15, _ts(7.5), 1, "poll", 1.0, None),
+        ],
+        # batch 3: sentinel advances the watermark past all real rows
+        [
+            (99, _ts(60 * 24), 99, "poll", 1.0, None),
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [
+                {
+                    "event_id": r[0],
+                    "ts": r[1],
+                    "user_id": r[2],
+                    "event_type": r[3],
+                    "value": r[4],
+                    "props": r[5],
+                }
+                for r in rows
+            ],
+            EVENT_SCHEMA,
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_{i:04d}")
+        )
+    return out
+
+
+def test_tws_reorder_buffer_restores_event_time_order(spark, tmp_path_factory):
+    """The ListState reorder buffer must emit every watermark-final
+    event exactly once, per key, in (ts, event_id) order with a
+    consecutive emit_seq — i.e. the stream output equals the batch
+    sort of the same rows — while the above-watermark sentinel stays
+    buffered. Third TWS operator: ListState + re-armed event-time
+    timers (ValueState and TTL are covered by the state machine and
+    throttle golden tests)."""
+    from am_kinesis_pay_spark.streaming.tws_reorder import reorder_buffer_tws
+    from am_kinesis_pay_spark.streaming.tws_state_machine import (
+        ROCKSDB_PROVIDER,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip(
+            "transformWithState's Python worker protocol needs a protobuf "
+            "runtime (see am_kinesis_pay_spark/compat.py)"
+        )
+
+    d = _stage_out_of_order_fixture(spark, str(tmp_path_factory.mktemp("ooo_tws")))
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_completion(
+            reorder_buffer_tws(events_stream(spark, d), watermark="1 minute"),
+            f"rob_{uuid.uuid4().hex[:6]}",
+            "append",
+        )
+        rows = out.collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+        shutil.rmtree(d, ignore_errors=True)
+
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    # sentinel (above final watermark) must still be buffered, not emitted
+    assert 99 not in by_user
+    # the below-watermark straggler (event 14 at 2 min, arriving when
+    # the watermark was already 7 min) is dropped by the lateness gate
+    # — the reorder guarantee is bounded by the watermark delay
+    assert all(r.event_id != 14 for r in rows)
+    # every in-window event emitted exactly once, in event-time order,
+    # with a consecutive per-key sequence — the batch-sort contract
+    want = {
+        1: [(12, _ts(1)), (11, _ts(3)), (10, _ts(5)), (15, _ts(7.5)), (13, _ts(8))],
+        2: [(21, _ts(2)), (22, _ts(2)), (20, _ts(8))],
+    }
+    assert set(by_user) == set(want)
+    for uid, expect in want.items():
+        got = sorted(by_user[uid], key=lambda r: r.emit_seq)
+        assert [r.emit_seq for r in got] == list(range(1, len(expect) + 1))
+        assert [(r.event_id, r.ts) for r in got] == expect
