@@ -59,7 +59,7 @@ def _load_all() -> None:
         windows,
     )
     from am_kinesis_pay_spark.functions import scalars, signing, udtf_ops  # noqa: F401
-    from am_kinesis_pay_spark.sources import readers, sinks  # noqa: F401
+    from am_kinesis_pay_spark.sources import pyds_writer, readers, sinks  # noqa: F401
     from am_kinesis_pay_spark.streaming import batch_equiv  # noqa: F401
     from am_kinesis_pay_spark.llm import (  # noqa: F401
         codecs,

@@ -201,3 +201,62 @@ def test_custom_source_drives_state_machine_end_to_end(spark):
         assert state == want[pid], (pid, state, want[pid])
     terminal_pids = {p for p, wv in want.items() if wv != "expired"}
     assert terminal_pids <= set(got), "all in-deadline terminals must emit"
+
+
+def test_pyds_writer_abort_leaves_target_invisible(spark, tmp_path):
+    """The custom writer's two-phase commit: a job that fails mid-write
+    must leave NO manifest and NO committed part files — readers see
+    the sink exactly as before the attempt (here: nonexistent). Then a
+    successful append on the same path commits atomically, and a second
+    append MERGES into the manifest instead of clobbering it."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from am_kinesis_pay_spark.sources.pyds_writer import (
+        read_committed,
+        register_audit_sink,
+    )
+
+    register_audit_sink(spark)
+    out = str(tmp_path / "audit_sink")
+
+    ok = spark.range(10).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 7).alias("user_id"),
+        F.lit("user-***0").alias("masked_user"),
+        F.lit("request").alias("log_kind"),
+    )
+
+    # failing job: a row-level exception inside the task
+    @F.udf("long")
+    def boom(v):
+        raise RuntimeError("injected task failure")
+
+    bad = ok.withColumn("user_id", boom("event_id"))
+    with pytest.raises(Exception):
+        bad.write.format("kpay_audit").option("path", out).mode("append").save()
+    assert not os.path.exists(os.path.join(out, "_manifest.json"))
+    assert not any(
+        f.startswith("part-") for f in os.listdir(out)
+    ) if os.path.exists(out) else True
+
+    # successful append: manifest + parts land, read-back is exact
+    ok.write.format("kpay_audit").option("path", out).mode("append").save()
+    got = read_committed(spark, out)
+    assert sorted(r.event_id for r in got.collect()) == list(range(10))
+
+    # second append merges manifests (no clobber)
+    ok.withColumn("event_id", F.col("event_id") + 100).write.format(
+        "kpay_audit"
+    ).option("path", out).mode("append").save()
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["n_rows"] == 20
+    got2 = read_committed(spark, out)
+    assert got2.count() == 20
+    assert sorted(r.event_id for r in got2.collect()) == list(range(10)) + [
+        i + 100 for i in range(10)
+    ]

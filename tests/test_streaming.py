@@ -946,3 +946,58 @@ def test_tws_reorder_buffer_restores_event_time_order(spark, tmp_path_factory):
         got = sorted(by_user[uid], key=lambda r: r.emit_seq)
         assert [r.emit_seq for r in got] == list(range(1, len(expect) + 1))
         assert [(r.event_id, r.ts) for r in got] == expect
+
+
+def test_tws_map_state_counter_changelog_equals_batch_counts(spark, stream_dir):
+    """The MapState per-(user, event_type) running counter must emit a
+    monotone changelog whose LAST value per (user, type) equals the
+    batch groupBy count — update-mode aggregation reconstructed on
+    typed MapState. Fourth TWS operator: completes the typed-state
+    surface (ValueState/ListState/MapState + TTL + timers)."""
+    from am_kinesis_pay_spark.streaming.tws_state_machine import (
+        ROCKSDB_PROVIDER,
+        tws_available,
+    )
+    from am_kinesis_pay_spark.streaming.tws_type_counter import type_counter_tws
+    from am_kinesis_pay_spark.tables import load
+
+    if not tws_available():
+        pytest.skip(
+            "transformWithState's Python worker protocol needs a protobuf "
+            "runtime (see am_kinesis_pay_spark/compat.py)"
+        )
+
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_completion(
+            type_counter_tws(events_stream(spark, stream_dir)),
+            f"tc_{uuid.uuid4().hex[:6]}",
+            "append",
+        )
+        rows = out.collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+
+    # monotone changelog per (user, type): strictly increasing totals
+    seen: dict[tuple, list] = {}
+    for r in rows:
+        seen.setdefault((r.user_id, r.event_type), []).append(r.running_count)
+    for counts in seen.values():
+        assert counts == sorted(set(counts)), counts
+    # final value per (user, type) == the batch aggregate
+    got_final = {k: max(v) for k, v in seen.items()}
+    want = {
+        (r.user_id, r.event_type): r.cnt
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got_final == want
