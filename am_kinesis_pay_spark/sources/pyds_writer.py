@@ -42,6 +42,7 @@ from typing import Iterator, List, Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -180,3 +181,85 @@ def sink_pyds_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path", out
     ).mode("append").save()
     return read_committed(spark, out)
+
+
+class AuditLogStreamWriter(DataSourceStreamWriter):
+    """Streaming form of the audit sink: same per-task staging, but the
+    driver-side commit is PER EPOCH — each micro-batch publishes an
+    ``epoch-<id>.json`` manifest naming its files. Exactly-once comes
+    from manifest idempotence: a redelivered epoch (foreachBatch-style
+    at-least-once replay after a crash) sees its manifest already
+    present and discards the re-staged files instead of double-
+    publishing — the txnVersion=epochId dedup every transactional sink
+    uses, here spelled out in ~15 lines."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kpay_audit_stream writer requires option 'path'")
+
+    def write(self, iterator: Iterator[Row]) -> _StagedFile:
+        return AuditLogWriter({"path": self.path}, False).write(iterator)
+
+    def _epoch_manifest(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"epoch-{batch_id:010d}.json")
+
+    def commit(self, messages: List[Optional[_StagedFile]], batchId: int) -> None:
+        manifest = self._epoch_manifest(batchId)
+        staged = sorted(
+            (m.staged, m.n_rows) for m in messages if m is not None
+        )
+        if os.path.exists(manifest):
+            # redelivered epoch: already published — drop the re-staged
+            # files, publish nothing (exactly-once)
+            for src, _ in staged:
+                if os.path.exists(src):
+                    os.remove(src)
+            return
+        files, total = [], 0
+        for i, (src, n) in enumerate(staged):
+            dst = os.path.join(
+                self.path, f"epoch-{batchId:010d}-part-{i:05d}.jsonl"
+            )
+            os.replace(src, dst)
+            files.append(os.path.basename(dst))
+            total += n
+        with open(manifest, "w") as fh:
+            json.dump({"files": files, "n_rows": total}, fh)
+
+    def abort(self, messages: List[Optional[_StagedFile]], batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class KPayAuditStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kpay_audit_stream"
+
+    def schema(self) -> str:
+        return AUDIT_SCHEMA
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return AuditLogStreamWriter(self.options, overwrite)
+
+
+def register_audit_stream_sink(spark: SparkSession) -> None:
+    spark.dataSource.register(KPayAuditStreamDataSource)
+
+
+def read_stream_committed(spark: SparkSession, path: str) -> DataFrame:
+    """Union of every published epoch manifest's files — the reader
+    view of the streaming sink (uncommitted staging invisible)."""
+    files: list[str] = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.startswith("epoch-") and name.endswith(".json"):
+                with open(os.path.join(path, name)) as fh:
+                    files.extend(
+                        os.path.join(path, f) for f in json.load(fh)["files"]
+                    )
+    if not files:
+        return spark.createDataFrame([], AUDIT_SCHEMA)
+    return spark.read.schema(AUDIT_SCHEMA).json(files)

@@ -260,3 +260,88 @@ def test_pyds_writer_abort_leaves_target_invisible(spark, tmp_path):
     assert sorted(r.event_id for r in got2.collect()) == list(range(10)) + [
         i + 100 for i in range(10)
     ]
+
+
+def test_pyds_stream_writer_epoch_manifests_and_idempotence(spark, tmp_path):
+    """The custom STREAMING writer publishes one manifest per epoch,
+    the union of manifests equals the batch projection exactly, and a
+    redelivered epoch (simulated by re-invoking commit with re-staged
+    files) publishes nothing twice — the txnVersion-style idempotence
+    that makes the sink exactly-once under micro-batch replay."""
+    import json
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from am_kinesis_pay_spark.sources.pyds_writer import (
+        AuditLogStreamWriter,
+        _StagedFile,
+        read_stream_committed,
+        register_audit_stream_sink,
+    )
+    from am_kinesis_pay_spark.streaming.runner import (
+        events_stream,
+        stage_stream_dir,
+    )
+    from am_kinesis_pay_spark.tables import load
+
+    from tests.conftest import SF_DIR
+
+    register_audit_stream_sink(spark)
+    stream_src = stage_stream_dir(
+        spark, SF_DIR, n_files=4, base_dir=str(tmp_path / "src")
+    )
+    out = str(tmp_path / "stream_sink")
+
+    masked = F.concat(
+        F.lit("user-***"), (F.col("user_id") % 10).cast("string")
+    ).alias("masked_user")
+    stream = (
+        events_stream(spark, stream_src)
+        .filter(F.col("event_id") % 20 == 0)
+        .select(
+            "event_id", "user_id", masked, F.lit("request").alias("log_kind")
+        )
+    )
+    q = (
+        stream.writeStream.format("kpay_audit_stream")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    manifests = sorted(
+        f for f in os.listdir(out) if f.startswith("epoch-") and f.endswith(".json")
+    )
+    assert len(manifests) >= 2  # one per non-empty micro-batch
+
+    got = read_stream_committed(spark, out)
+    want = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_id")
+    )
+    assert sorted(r.event_id for r in got.collect()) == sorted(
+        r.event_id for r in want.collect()
+    )
+
+    # redelivery: re-commit an already-published epoch with fresh staged
+    # files — nothing may be published twice, stragglers are cleaned up
+    epoch0 = int(manifests[0].split("-")[1].split(".")[0])
+    before = json.load(open(os.path.join(out, manifests[0])))
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    stray = os.path.join(staging, f"task-{_uuid.uuid4().hex}.jsonl")
+    with open(stray, "w") as fh:
+        fh.write('{"event_id": 1}\n')
+    writer = AuditLogStreamWriter({"path": out}, False)
+    writer.commit([_StagedFile(staged=stray, n_rows=1)], epoch0)
+    after = json.load(open(os.path.join(out, manifests[0])))
+    assert after == before  # manifest unchanged
+    assert not os.path.exists(stray)  # re-staged file discarded
+    assert read_stream_committed(spark, out).count() == got.count()
