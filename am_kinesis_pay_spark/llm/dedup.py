@@ -882,3 +882,176 @@ def text_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_size"),
         )
     )
+
+
+_MINHASH_INC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 10 = 0 AS is_new, string_split(text, ' ') AS t
+  FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, is_new,
+    concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
+  FROM (SELECT doc_id, is_new, t, unnest(range(0, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3)
+), mh AS (
+  SELECT doc_id, is_new, s.seed,
+    MIN(md5(concat(CAST(s.seed AS VARCHAR), ':', shingle))) AS h
+  FROM shingles, generate_series(0, {N_PERM - 1}) AS s(seed)
+  GROUP BY doc_id, is_new, s.seed
+), bands AS (
+  SELECT doc_id, is_new, seed // {BAND_W} AS band,
+    string_agg(h, '|' ORDER BY seed) AS band_val
+  FROM mh GROUP BY doc_id, is_new, seed // {BAND_W}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.is_new AS a_is_new, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND b.is_new
+   AND (NOT a.is_new OR a.doc_id < b.doc_id)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+), verified AS (
+  SELECT c.doc_a, c.a_is_new, c.doc_b,
+    COUNT(*) AS n_common, sa.n AS n_a, sb.n AS n_b
+  FROM cand c
+  JOIN shingles x ON x.doc_id = c.doc_a
+  JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  GROUP BY c.doc_a, c.a_is_new, c.doc_b, sa.n, sb.n
+), near AS (
+  SELECT doc_a, a_is_new, doc_b FROM verified
+  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
+)
+SELECT doc_b AS doc_id,
+  CASE WHEN MIN(CASE WHEN NOT a_is_new THEN doc_a END) IS NOT NULL
+       THEN 'corpus_dup' ELSE 'batch_dup' END AS drop_reason,
+  CAST(COALESCE(MIN(CASE WHEN NOT a_is_new THEN doc_a END),
+                MIN(CASE WHEN a_is_new THEN doc_a END)) AS BIGINT)
+    AS matched_doc
+FROM near GROUP BY doc_b
+"""
+
+
+@register(
+    "text_dedup_minhash_incremental",
+    oracle=_MINHASH_INC_ORACLE,
+    tags=("llm", "dedup"),
+)
+def text_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest — text_dedup_incremental's exact-hash
+    shape upgraded to MinHash/LSH, the production workload of every
+    continuously-crawled corpus: today's batch (doc_id % 10 == 0 stands
+    in) is near-dup-checked (1) against the EXISTING corpus through the
+    persisted LSH band index, then (2) within itself (smaller doc_id
+    wins). Candidates come only from shared band buckets — corpus-side
+    cost is the index probe, never an all-pairs or corpus rescan —
+    then exact-Jaccard verification at 0.5 decides. Returns the batch
+    docs to DROP with the deciding reason ('corpus_dup' beats
+    'batch_dup') and the smallest matching doc as evidence.
+
+    Scale shape: at 100 TB the corpus band index ((band, band_val) ->
+    doc_id, bucketed by band_val) is a persisted table maintained by
+    appending each day's accepted batch; daily cost is O(batch bands +
+    collided candidates). The corpus side here carries only (band_val,
+    doc_id) into the join — signatures and shingle sets stream from
+    the same one-pass aggregation the base pipeline uses
+    (text_dedup_minhash's plan, llm/dedup.py). Within-batch pairs
+    reuse the identical buckets; no second index. Simplification
+    shared with the oracle: a batch doc matching ANY smaller batch doc
+    is dropped (no survivor-chain recomputation — the keep-best
+    cluster form is `text_dedup_keep_best`)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    per_doc = (
+        sh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
+                ).alias(f"h{s}")
+                for s in range(N_PERM)
+            ],
+            F.collect_set("shingle").alias("sh_set"),
+        )
+        .withColumn("is_new", F.col("doc_id") % 10 == 0)
+        .cache()
+    )
+    band_exprs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"h{s}") for s in range(b * BAND_W, (b + 1) * BAND_W)],
+            ).alias("band_val"),
+        )
+        for b in range(N_PERM // BAND_W)
+    ]
+    bands = per_doc.select(
+        "doc_id", "is_new", F.explode(F.array(*band_exprs)).alias("bv")
+    ).select(
+        "doc_id",
+        "is_new",
+        F.col("bv.band").alias("band"),
+        F.col("bv.band_val").alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("is_new").alias("a_is_new"),
+        "band",
+        "band_val",
+    )
+    b = bands.filter("is_new").select(
+        F.col("doc_id").alias("doc_b"), "band", "band_val"
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(~F.col("a_is_new") | (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "a_is_new", "doc_b")
+        .distinct()
+    )
+    sets = per_doc.select("doc_id", "sh_set")
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "a_is_new",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
+            F.size("set_a").alias("n_a"),
+            F.size("set_b").alias("n_b"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    near = verified.filter(jac >= 0.5).select("doc_a", "a_is_new", "doc_b")
+    corpus_match = F.min(
+        F.when(~F.col("a_is_new"), F.col("doc_a"))
+    ).alias("corpus_match")
+    batch_match = F.min(
+        F.when(F.col("a_is_new"), F.col("doc_a"))
+    ).alias("batch_match")
+    return (
+        near.groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(corpus_match, batch_match)
+        .select(
+            "doc_id",
+            F.when(F.col("corpus_match").isNotNull(), "corpus_dup")
+            .otherwise("batch_dup")
+            .alias("drop_reason"),
+            F.coalesce("corpus_match", "batch_match")
+            .cast("bigint")
+            .alias("matched_doc"),
+        )
+    )

@@ -34,7 +34,7 @@ DOCS_QUERIES = [
     "pipeline_corpus_filter", "text_repetition_ratio", "text_rolling_hash",
     "text_winnow_fingerprint", "text_classifier_score",
     "text_dedup_containment", "text_dedup_keep_best",
-    "sample_shard_shuffle", "text_bm25_topk",
+    "sample_shard_shuffle", "text_bm25_topk", "text_dedup_minhash_incremental",
 ]
 FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
