@@ -507,3 +507,62 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_linenumber = 1
         """
     )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+SELECT event_id,
+  CAST(round(CAST(round(value, 3) AS DECIMAL(18,6))
+             / CAST(event_id % 7 AS DECIMAL(18,6)), 6) AS DOUBLE) AS div_safe,
+  CAST(CASE WHEN event_id % 2 = 1 THEN NULL
+            ELSE 9223372036854775807 END AS BIGINT) AS add_safe,
+  CAST(CASE WHEN event_id % 4 >= 2 THEN NULL
+            ELSE 4611686018427387904 * (event_id % 4) END AS BIGINT)
+    AS mul_safe,
+  TRY_CAST(CASE WHEN event_id % 3 = 0 THEN '42' ELSE event_type END AS INT)
+    AS cast_safe
+FROM events
+""",
+    tags=("scalar", "ansi"),
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic — the try_* family that keeps a
+    100 TB batch job from dying on row 3,000,000,001: Spark 4 is
+    ANSI-by-default, so overflow / division-by-zero / bad casts THROW
+    unless the expression opts into NULL-on-error via
+    ``try_add / try_multiply / try_divide / try_cast``. One column per
+    failure class, each with rows on BOTH sides of the error boundary:
+    decimal divide-by-zero (event_id % 7 == 0 -> NULL), bigint
+    overflow in + and * (guarded CASE in the oracle — DuckDB has no
+    try_add, so the oracle states the expected semantics explicitly),
+    and a failing string->int cast (TRY_CAST on both engines). This is
+    the fail-open row-level counterpart of `source_corrupt_records`'s
+    record-level triage: corrupt VALUES degrade to NULL and flow on,
+    exactly the reference's fail-open posture (kinesis-pay.php:158-162)
+    at expression granularity. Map-only; nothing shuffles."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(
+            F.try_divide(
+                F.round("value", 3).cast("decimal(18,6)"),
+                (F.col("event_id") % 7).cast("decimal(18,6)"),
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("div_safe"),
+        F.try_add(
+            F.lit(9223372036854775807).cast("long"),
+            (F.col("event_id") % 2).cast("long"),
+        ).alias("add_safe"),
+        F.try_multiply(
+            F.lit(4611686018427387904).cast("long"),
+            (F.col("event_id") % 4).cast("long"),
+        ).alias("mul_safe"),
+        F.when(F.col("event_id") % 3 == 0, "42")
+        .otherwise(F.col("event_type"))
+        .try_cast("int")
+        .alias("cast_safe"),
+    )

@@ -622,3 +622,40 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM {nation} n,
+LATERAL (
+  SELECT c_name, c_acctbal
+  FROM {customer} c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+) t
+"""
+
+
+@register(
+    "join_lateral_topk",
+    oracle=_LATERAL_SQL.format(nation="nation", customer="customer"),
+    tags=("join", "sql"),
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 4 SQL surface): for each
+    nation, its top-2 customers by balance — the per-row-subquery
+    shape SQL users reach for before they learn window functions, now
+    first-class in both engines, so the SAME SQL text is the oracle.
+    Catalyst decorrelates the LATERAL into a join + per-key ranking
+    rather than executing the subquery once per outer row: the plan is
+    the `topk_per_group` plan, which is the point — declarative
+    LATERAL costs the same as the hand-rewritten window form, and at
+    100 TB both reduce to one shuffle of the big side keyed on the
+    correlation column. Output columns pass through unreduced, so the
+    hash check is exact with no float convention needed."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_v_lat")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v_lat")
+    return spark.sql(
+        _LATERAL_SQL.format(nation="nation_v_lat", customer="customer_v_lat")
+    )
