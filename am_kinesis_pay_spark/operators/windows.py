@@ -645,3 +645,81 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_7d"),
     )
+
+
+@register(
+    "events_attribution_linear",
+    oracle="""
+WITH seq AS (
+  SELECT event_id, user_id, ts, event_type,
+    MIN(CASE WHEN event_type = 'purchase'
+             THEN {'ts': ts, 'event_id': event_id} END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv
+  FROM events
+), touches AS (
+  SELECT user_id, event_type, conv.event_id AS conv_id
+  FROM seq
+  WHERE event_type IN ('view', 'click') AND conv IS NOT NULL
+    AND conv.ts <= ts + INTERVAL 7 DAY
+), credited AS (
+  SELECT event_type,
+    CAST(round(1.0 / COUNT(*) OVER (PARTITION BY user_id, conv_id), 6)
+         AS DECIMAL(18,6)) AS credit
+  FROM touches
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+  CAST(SUM(credit) AS DOUBLE) AS total_credit
+FROM credited GROUP BY event_type
+""",
+    tags=("window", "integration"),
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution, linear model — the marketing-warehouse
+    workload beside the funnel: every view/click "touch" that precedes
+    a user's next purchase within a 7-day lookback shares that
+    conversion's credit equally (1/n per touch); per-channel totals
+    come out as (event_type, touches, credit).
+
+    Plan shape: ONE window pass per user assigns each event its next
+    purchase — a running MIN over a (ts, event_id) struct on the
+    suffix frame, so the "which conversion does this touch belong to"
+    join never materializes as a join at all (the struct min is the
+    same single-Exchange-per-user-partition trick as join_asof_rate,
+    pointed forward). A second window keyed on (user, conversion)
+    sizes each credit split, then one hash aggregate. Credit fractions
+    round to 6 dp and accumulate in DECIMAL (repo float convention) so
+    the cross-engine sum is exact. Alternative models are the same
+    plan with a different credit expression: first/last-touch =
+    row_number()==1 on the same partition, time-decay = pow over the
+    ts gap — the expensive part (conversion assignment) is shared."""
+    ev = load(spark, sf_dir, "events")
+    w_next = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    conv = F.min(
+        F.when(
+            F.col("event_type") == "purchase", F.struct("ts", "event_id")
+        )
+    ).over(w_next)
+    seq = ev.select("event_id", "user_id", "ts", "event_type", conv.alias("conv"))
+    touches = seq.filter(
+        F.col("event_type").isin("view", "click")
+        & F.col("conv").isNotNull()
+        & (F.col("conv.ts") <= F.col("ts") + F.expr("INTERVAL 7 DAY"))
+    ).select(
+        "user_id", "event_type", F.col("conv.event_id").alias("conv_id")
+    )
+    w_conv = W.partitionBy("user_id", "conv_id")
+    credited = touches.select(
+        "event_type",
+        F.round(F.lit(1.0) / F.count(F.lit(1)).over(w_conv), 6)
+        .cast("decimal(18,6)")
+        .alias("credit"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("credit").cast("double").alias("total_credit"),
+    )
