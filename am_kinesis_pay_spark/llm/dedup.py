@@ -587,33 +587,40 @@ def emb_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     norms = _norms(emb).withColumn("sig", _lsh_signature())
+    # candidates carry IDs ONLY through the band join and the pair
+    # dedup — the 64-float embedding payload would otherwise ride
+    # every collided pair through two shuffles (~30x the bytes);
+    # vectors join back in by id once per side AFTER dedup
     banded = norms.select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        F.explode(F.array(*lsh_band_cols())).alias("band"),
+        "vec_id", F.explode(F.array(*lsh_band_cols())).alias("band")
     )
-    a = banded.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-        "band",
-    )
-    b = banded.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-        "band",
-    )
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band")
     cand = (
         a.join(b, "band")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "ea", "na", "eb", "nb")
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    vecs = norms.select("vec_id", "embedding", "nrm")
+    pairs = cand.join(
+        vecs.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        ),
+        "vec_a",
+    ).join(
+        vecs.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "vec_b",
     )
     cos = F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
     return (
-        cand.select("vec_a", "vec_b", cos.alias("cosine"))
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.45)
     )
 

@@ -59,11 +59,13 @@ CURATION_QUERIES = [
     "emb_dedup_cosine", "vec_ann_ivf", "sample_importance",
     "sink_zorder_layout", "emb_triplet_mine", "vec_ann_ivf_pq",
     # NOT here: emb_dedup_cosine_lsh / emb_dedup_clusters — measured
-    # 359 s at 10x (20k vectors): the fixture's 0.45 threshold forces
-    # 4-bit bands whose 16-value bucket space is quadratic in n, so at
-    # THIS threshold/scale the exact tiled emb_dedup_cosine (14.7 s)
-    # dominates. Production thresholds flip the comparison via wider
-    # bands; see the band-width math in llm/dedup.py and SCALE.md.
+    # 69 s / 80 s at 10x (20k vectors) after the ids-only band join
+    # (was 359 s with embeddings riding the candidate shuffles): the
+    # fixture's 0.45 threshold forces 4-bit bands whose 16-value
+    # bucket space is quadratic in n, so at THIS threshold/scale the
+    # exact tiled emb_dedup_cosine (14.7 s) still dominates.
+    # Production thresholds flip the comparison via wider bands; see
+    # the band-width math in llm/dedup.py and SCALE.md.
 ]
 
 
