@@ -963,3 +963,109 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         (F.sum("nll").cast("double") / F.count(F.lit(1))).alias("avg_nll"),
     )
+
+
+@register(
+    "text_collocations_pmi",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), bigrams AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM (
+    SELECT unnest(t) AS w FROM toks) GROUP BY w
+), n_tok AS (
+  SELECT CAST(SUM(cw) AS DOUBLE) AS n FROM uni
+), bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM bigrams GROUP BY w1, w2
+), scored AS (
+  SELECT b.w1, b.w2, b.cb,
+    round(ln((CAST(b.cb AS DOUBLE) * n.n)
+             / (CAST(u1.cw AS DOUBLE) * u2.cw)), 6) AS pmi
+  FROM bi b
+  JOIN uni u1 ON b.w1 = u1.w
+  JOIN uni u2 ON b.w2 = u2.w
+  CROSS JOIN n_tok n
+  WHERE b.cb >= 5
+)
+SELECT w1, w2, cb, pmi, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rnk
+  FROM scored) t
+WHERE rnk <= 20
+""",
+    tags=("llm", "text"),
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the phrase
+    detector (word2vec's phrase pass, Mikolov et al.; 'new york'-style
+    multiword units) that feeds tokenizer vocab and n-gram feature
+    induction: PMI = ln(P(w1,w2) / (P(w1)·P(w2))) over corpus bigram
+    and unigram counts, min-support 5 against low-count noise, top-20.
+
+    Plan shape: shares `text_bigram_nll`'s economics — map-only array
+    transform extracts pairs in the scan stage, two map-side-combined
+    count aggregations, vocabulary-sized unigram broadcast back onto
+    the (support-filtered, therefore small) bigram table; the min-
+    support predicate lands BEFORE the joins, so the scored frame is
+    heavy-hitter-sized, and top-20 collapses to TakeOrderedAndProject.
+    PMI rounds to 6 dp before ranking with a (w1, w2) tie-break so
+    both engines pick identical rows."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
+    )
+    n_tok = uni.agg(F.sum("cw").cast("double").alias("n"))
+    bi = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+        .filter(F.col("cb") >= 5)
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cb").cast("double") * F.col("n"))
+            / (F.col("cw1").cast("double") * F.col("cw2"))
+        ),
+        6,
+    )
+    scored = (
+        bi.join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w1"), F.col("cw").alias("cw1"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w2"), F.col("cw").alias("cw2"))
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_tok))
+        .select("w1", "w2", "cb", pmi.alias("pmi"))
+    )
+    w = W.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("w1", "w2", "cb", "pmi", "rnk")
+    )

@@ -723,3 +723,85 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_touches"),
         F.sum("credit").cast("double").alias("total_credit"),
     )
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+WITH maxd AS (
+  SELECT MAX(CAST(ts AS DATE)) AS corpus_max FROM events
+), per_user AS (
+  SELECT user_id,
+    date_diff('day', MAX(CAST(ts AS DATE)), (SELECT corpus_max FROM maxd))
+      AS recency_days,
+    CAST(COUNT(*) AS BIGINT) AS frequency,
+    CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+  frequency, monetary,
+  CAST(NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS INT) AS r_q,
+  CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_q,
+  CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_q,
+  CAST(NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS VARCHAR)
+    || CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS VARCHAR)
+    || CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS VARCHAR)
+    AS segment
+FROM per_user
+""",
+    tags=("window", "integration"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-warehouse
+    scoring beside attribution: per purchaser, Recency (days since
+    last purchase vs corpus max date), Frequency (purchase count) and
+    Monetary (exact-DECIMAL spend), each quartiled into 1..4 (1 =
+    best) and concatenated into the '111'-style segment label.
+
+    Plan shape: ONE hash aggregate reduces the fact table to a
+    row-per-purchaser frame; the corpus max date is a 1-row broadcast.
+    The three NTILE windows run on the AGGREGATED frame (users, not
+    events) and here share one single-partition sort — fine at user
+    cardinality, and the documented 100 TB form replaces global NTILE
+    with approx_percentile quartile BOUNDARIES (computed in one pass,
+    broadcast, applied map-side — the agg_histogram_equidepth
+    pattern), which changes no downstream semantics. Ties break on
+    user_id so both engines assign identical quartiles."""
+    ev = load(spark, sf_dir, "events")
+    maxd = ev.agg(F.max(F.col("ts").cast("date")).alias("corpus_max"))
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_purchase"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.round("value", 3).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "user_id",
+            F.datediff("corpus_max", "last_purchase")
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_q = F.ntile(4).over(W.orderBy(F.asc("recency_days"), F.asc("user_id")))
+    f_q = F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
+    m_q = F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_q.cast("int").alias("r_q"),
+        f_q.cast("int").alias("f_q"),
+        m_q.cast("int").alias("m_q"),
+        F.concat(
+            r_q.cast("string"), f_q.cast("string"), m_q.cast("string")
+        ).alias("segment"),
+    )

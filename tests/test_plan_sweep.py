@@ -25,6 +25,8 @@ _NLJ_ALLOWED = {
     "emb_triplet_mine",  # ≤10-row anchor set joined with a != predicate
     "events_funnel_ordered",
     "events_gapfill_daily",
+    "events_rfm_segments",  # 1-row corpus-max-date broadcast
+    "text_collocations_pmi",  # 1-row corpus-token-total broadcast
     "graph_pagerank",
     "pipeline_retrieval_corpus",
     "q_dormant_balances",
