@@ -1062,3 +1062,129 @@ def text_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("matched_doc"),
         )
     )
+
+
+def _emb_inc_oracle() -> str:
+    from am_kinesis_pay_spark.llm.similarity import sig_sql_ctes
+
+    return (
+        "WITH "
+        + sig_sql_ctes()
+        + """, cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, a.vec_id % 10 = 0 AS a_is_new,
+         b.vec_id AS vec_b
+  FROM banded a JOIN banded b USING (band)
+  WHERE b.vec_id % 10 = 0
+    AND (a.vec_id % 10 <> 0 OR a.vec_id < b.vec_id)
+), near AS (
+  SELECT cand.vec_a, cand.a_is_new, cand.vec_b
+  FROM cand
+  JOIN norms na ON na.vec_id = cand.vec_a
+  JOIN norms nb ON nb.vec_id = cand.vec_b
+  WHERE round(list_sum(list_transform(list_zip(na.embedding, nb.embedding),
+        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (na.nrm * nb.nrm), 6)
+        >= 0.45
+)
+SELECT vec_b AS vec_id,
+  CASE WHEN MIN(CASE WHEN NOT a_is_new THEN vec_a END) IS NOT NULL
+       THEN 'corpus_dup' ELSE 'batch_dup' END AS drop_reason,
+  CAST(COALESCE(MIN(CASE WHEN NOT a_is_new THEN vec_a END),
+                MIN(CASE WHEN a_is_new THEN vec_a END)) AS BIGINT)
+    AS matched_vec
+FROM near GROUP BY vec_b
+"""
+    )
+
+
+@register(
+    "emb_dedup_incremental",
+    oracle=_emb_inc_oracle(),
+    tags=("llm", "dedup", "ann"),
+)
+def emb_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING near-dup ingest — the semantic twin of
+    `text_dedup_minhash_incremental`, closing the daily-crawl story in
+    vector space: today's batch (vec_id % 10 == 0) probes the corpus's
+    persisted sign-LSH band index for candidates, exact-cosine
+    verifies at 0.45, and within-batch pairs reuse the same buckets
+    (smaller vec_id wins). Returns the batch vectors to DROP with
+    reason ('corpus_dup' beats 'batch_dup') and the smallest matching
+    vector as evidence.
+
+    Scale shape: the corpus contributes only (band, vec_id) rows — the
+    persisted index, appended daily with accepted batches — and the
+    embedding payloads join back by id strictly AFTER the id-only
+    candidate dedup (the measured 30x shuffle-byte rule from
+    emb_dedup_cosine_lsh). Daily cost is O(batch bands + collisions);
+    the corpus is never rescanned, never broadcast, never all-paired.
+    Band-width tradeoff identical to emb_dedup_cosine_lsh's docstring
+    (bits grow with corpus size)."""
+    from am_kinesis_pay_spark.llm.similarity import (
+        _dot,
+        _lsh_signature,
+        _norms,
+        lsh_band_cols,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    norms = _norms(emb).withColumn("sig", _lsh_signature())
+    banded = norms.select(
+        "vec_id",
+        (F.col("vec_id") % 10 == 0).alias("is_new"),
+        F.explode(F.array(*lsh_band_cols())).alias("band"),
+    )
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("is_new").alias("a_is_new"),
+        "band",
+    )
+    b = banded.filter("is_new").select(F.col("vec_id").alias("vec_b"), "band")
+    cand = (
+        a.join(b, "band")
+        .filter(~F.col("a_is_new") | (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "a_is_new", "vec_b")
+        .distinct()
+    )
+    vecs = norms.select("vec_id", "embedding", "nrm")
+    near = (
+        cand.join(
+            vecs.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "vec_b",
+        )
+        .filter(
+            F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6) >= 0.45
+        )
+        .select("vec_a", "a_is_new", "vec_b")
+    )
+    return (
+        near.groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(
+            F.min(F.when(~F.col("a_is_new"), F.col("vec_a"))).alias(
+                "corpus_match"
+            ),
+            F.min(F.when(F.col("a_is_new"), F.col("vec_a"))).alias(
+                "batch_match"
+            ),
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("corpus_match").isNotNull(), "corpus_dup")
+            .otherwise("batch_dup")
+            .alias("drop_reason"),
+            F.coalesce("corpus_match", "batch_match")
+            .cast("bigint")
+            .alias("matched_vec"),
+        )
+    )
