@@ -58,6 +58,7 @@ CURATION_QUERIES = [
     "vec_ann_pq", "agg_anomaly_mad",
     "emb_dedup_cosine", "vec_ann_ivf", "sample_importance",
     "sink_zorder_layout", "emb_triplet_mine", "vec_ann_ivf_pq",
+    "pipeline_hybrid_rrf", "emb_dedup_incremental",
     # NOT here: emb_dedup_cosine_lsh / emb_dedup_clusters — measured
     # 69 s / 80 s at 10x (20k vectors) after the ids-only band join
     # (was 359 s with embeddings riding the candidate shuffles): the
