@@ -814,3 +814,104 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "agg_ab_ttest",
+    oracle="""
+WITH assigned AS (
+  SELECT CAST(round(value, 3) AS DECIMAL(18,6)) AS v,
+         user_id % 2 = 0 AS grp_a
+  FROM events WHERE event_type = 'purchase'
+), stats AS (
+  SELECT
+    CAST(SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN grp_a THEN v END) AS DOUBLE) AS s_a,
+    CAST(SUM(CASE WHEN NOT grp_a THEN v END) AS DOUBLE) AS s_b,
+    CAST(SUM(CASE WHEN grp_a THEN v * v END) AS DOUBLE) AS q_a,
+    CAST(SUM(CASE WHEN NOT grp_a THEN v * v END) AS DOUBLE) AS q_b
+  FROM assigned
+), m AS (
+  SELECT n_a, n_b,
+    s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+    (q_a - s_a * s_a / n_a) / (n_a - 1) AS var_a,
+    (q_b - s_b * s_b / n_b) / (n_b - 1) AS var_b
+  FROM stats
+)
+SELECT n_a, n_b,
+  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+  round((mean_a - mean_b)
+        / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+  round(pow(var_a / n_a + var_b / n_b, 2)
+        / (pow(var_a / n_a, 2) / (n_a - 1)
+           + pow(var_b / n_b, 2) / (n_b - 1)), 6) AS welch_dof
+FROM m
+""",
+    tags=("agg", "stats"),
+)
+def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test — the experimentation-platform
+    primitive (did variant A's purchase value differ from B's?): users
+    hash-split into arms (user_id % 2, the deterministic assignment
+    `sample_train_split` generalizes), then ONE conditional-aggregate
+    scan yields both arms' counts and exact-DECIMAL sum / sum-of-
+    squares, from which mean, unbiased variance, the t statistic and
+    the Welch–Satterthwaite degrees of freedom are 1-row arithmetic.
+
+    Plan shape: the whole test is a single map-side-combined aggregate
+    over the filtered fact scan — no shuffle wider than one row, which
+    is what makes per-experiment × per-metric grids (thousands of
+    simultaneous tests) one grouped aggregation at 100 TB (GROUP BY
+    experiment_id, metric instead of the 1-row form; the arithmetic is
+    unchanged). Float discipline: per-row values round to 3 dp into
+    DECIMAL(18,6) so sums are order-independent; v*v stays DECIMAL
+    (exact); the final mean/variance/t arithmetic runs on 1 row in
+    doubles with the IDENTICAL expression tree on both engines, then
+    rounds to 6 dp."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v = F.round("value", 3).cast("decimal(18,6)")
+    grp_a = F.col("user_id") % 2 == 0
+    stats = ev.select(v.alias("v"), grp_a.alias("grp_a")).agg(
+        F.sum(F.when(F.col("grp_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("grp_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("grp_a"), F.col("v"))).cast("double").alias("s_a"),
+        F.sum(F.when(~F.col("grp_a"), F.col("v"))).cast("double").alias("s_b"),
+        F.sum(F.when(F.col("grp_a"), F.col("v") * F.col("v")))
+        .cast("double")
+        .alias("q_a"),
+        F.sum(F.when(~F.col("grp_a"), F.col("v") * F.col("v")))
+        .cast("double")
+        .alias("q_b"),
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    se2_a = var_a / F.col("n_a")
+    se2_b = var_b / F.col("n_b")
+    return stats.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round((mean_a - mean_b) / F.sqrt(se2_a + se2_b), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2_a + se2_b, 2)
+            / (
+                F.pow(se2_a, 2) / (F.col("n_a") - 1)
+                + F.pow(se2_b, 2) / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("welch_dof"),
+    )
