@@ -1,0 +1,125 @@
+"""Independent re-derivations and invariants for the session's
+analytics operators — the same strategy as the IVF-PQ golden test:
+recompute the statistic from raw fixture rows in plain Python and
+match the operator's output exactly, so the oracle-parity check and
+this test fail independently."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from am_kinesis_pay_spark.registry import queries
+from am_kinesis_pay_spark.tables import load
+
+from tests.conftest import SF_DIR
+
+
+def test_ab_ttest_matches_hand_computation(spark):
+    """Welch t-statistic and dof re-derived from the raw purchase rows
+    with textbook formulas (per-row 3-dp rounding mirrored exactly)."""
+    rows = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+        .collect()
+    )
+    a = [round(r.value, 3) for r in rows if r.user_id % 2 == 0]
+    b = [round(r.value, 3) for r in rows if r.user_id % 2 == 1]
+    n_a, n_b = len(a), len(b)
+    mean_a, mean_b = sum(a) / n_a, sum(b) / n_b
+    var_a = (sum(x * x for x in a) - sum(a) ** 2 / n_a) / (n_a - 1)
+    var_b = (sum(x * x for x in b) - sum(b) ** 2 / n_b) / (n_b - 1)
+    se2 = var_a / n_a + var_b / n_b
+    t = (mean_a - mean_b) / math.sqrt(se2)
+    dof = se2**2 / (
+        (var_a / n_a) ** 2 / (n_a - 1) + (var_b / n_b) ** 2 / (n_b - 1)
+    )
+
+    got = queries()["agg_ab_ttest"](spark, SF_DIR).collect()[0]
+    assert (got.n_a, got.n_b) == (n_a, n_b)
+    assert abs(got.mean_a - mean_a) < 1e-5
+    assert abs(got.mean_b - mean_b) < 1e-5
+    assert abs(got.t_stat - t) < 1e-5, (got.t_stat, t)
+    assert abs(got.welch_dof - dof) < 1e-3, (got.welch_dof, dof)
+
+
+def test_rfm_quartiles_are_balanced_and_consistent(spark):
+    """NTILE invariants: quartile sizes differ by at most 1 per
+    dimension, better quartile never has a worse underlying value, and
+    the segment string equals the three scores."""
+    rows = queries()["events_rfm_segments"](spark, SF_DIR).collect()
+    assert rows
+    for dim, key, better_is_smaller in (
+        ("r_q", "recency_days", True),
+        ("f_q", "frequency", False),
+        ("m_q", "monetary", False),
+    ):
+        sizes: dict[int, int] = {}
+        for r in rows:
+            sizes[getattr(r, dim)] = sizes.get(getattr(r, dim), 0) + 1
+        assert set(sizes) <= {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (dim, sizes)
+        # boundary consistency: every value in quartile q sorts no
+        # worse than every value in quartile q+1 (ties may straddle)
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(getattr(r, dim), []).append(getattr(r, key))
+        for q in sorted(by_q)[:-1]:
+            if better_is_smaller:
+                assert max(by_q[q]) <= min(by_q[q + 1]), (dim, q)
+            else:
+                assert min(by_q[q]) >= max(by_q[q + 1]), (dim, q)
+    for r in rows:
+        assert r.segment == f"{r.r_q}{r.f_q}{r.m_q}"
+
+
+def test_attribution_credit_conserves_per_conversion(spark):
+    """Linear attribution must hand out exactly 1.0 credit per credited
+    conversion (within per-touch 6-dp rounding): the sum of per-channel
+    credits equals the number of distinct (user, conversion) groups
+    that received at least one touch."""
+    got = queries()["events_attribution_linear"](spark, SF_DIR).collect()
+    total_credit = sum(r.total_credit for r in got)
+    n_touches = sum(r.n_touches for r in got)
+
+    # independent recount of credited conversions from raw events
+    ev = sorted(
+        (
+            (r.user_id, r.ts, r.event_id, r.event_type)
+            for r in load(spark, SF_DIR, "events").collect()
+        ),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    from collections import defaultdict
+    from datetime import timedelta
+
+    by_user = defaultdict(list)
+    for u, ts, eid, et in ev:
+        by_user[u].append((ts, eid, et))
+    conversions = set()
+    touch_count = 0
+    for u, seq in by_user.items():
+        purchases = [(ts, eid) for ts, eid, et in seq if et == "purchase"]
+        for ts, eid, et in seq:
+            if et not in ("view", "click"):
+                continue
+            # exact operator rule: the earliest purchase strictly after
+            # the touch in (ts, event_id) window order
+            nxt = min(
+                (
+                    (pts, pid)
+                    for pts, pid in purchases
+                    if (pts, pid) > (ts, eid)
+                ),
+                default=None,
+            )
+            if nxt is not None and nxt[0] <= ts + timedelta(days=7):
+                conversions.add((u, nxt[1]))
+                touch_count += 1
+    assert n_touches == touch_count
+    assert abs(total_credit - len(conversions)) < 1e-3, (
+        total_credit,
+        len(conversions),
+    )
