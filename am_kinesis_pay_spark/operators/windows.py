@@ -805,3 +805,72 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             r_q.cast("string"), f_q.cast("string"), m_q.cast("string")
         ).alias("segment"),
     )
+
+
+@register(
+    "events_attribution_last",
+    oracle="""
+WITH seq AS (
+  SELECT event_id, user_id, ts, event_type,
+    MIN(CASE WHEN event_type = 'purchase'
+             THEN {'ts': ts, 'event_id': event_id} END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv
+  FROM events
+), touches AS (
+  SELECT user_id, ts, event_id, event_type, conv.event_id AS conv_id
+  FROM seq
+  WHERE event_type IN ('view', 'click') AND conv IS NOT NULL
+    AND conv.ts <= ts + INTERVAL 7 DAY
+), last_touch AS (
+  SELECT event_type FROM (
+    SELECT event_type,
+      ROW_NUMBER() OVER (PARTITION BY user_id, conv_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+    FROM touches) t
+  WHERE rn = 1
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS conversions_won
+FROM last_touch GROUP BY event_type
+""",
+    tags=("window", "integration"),
+)
+def events_attribution_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — the companion model that makes
+    `events_attribution_linear`'s claim executable: the EXPENSIVE stage
+    (assigning every touch its next conversion via the forward
+    struct-min window) is identical, and only the credit expression
+    changes — here the final touch before each conversion takes the
+    whole credit (a row_number pick per (user, conversion) instead of
+    a 1/n split), so the output is integer-exact with no float
+    convention at all. Same single per-user Exchange; first-touch and
+    time-decay are the same two-line swap."""
+    ev = load(spark, sf_dir, "events")
+    w_next = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    conv = F.min(
+        F.when(
+            F.col("event_type") == "purchase", F.struct("ts", "event_id")
+        )
+    ).over(w_next)
+    seq = ev.select("event_id", "user_id", "ts", "event_type", conv.alias("conv"))
+    touches = seq.filter(
+        F.col("event_type").isin("view", "click")
+        & F.col("conv").isNotNull()
+        & (F.col("conv.ts") <= F.col("ts") + F.expr("INTERVAL 7 DAY"))
+    ).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.col("conv.event_id").alias("conv_id"),
+    )
+    w_last = W.partitionBy("user_id", "conv_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        touches.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("conversions_won"))
+    )
