@@ -78,3 +78,77 @@ def udtf_explode_json_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL explode_json_bag(e.props) b
         """
     )
+
+
+class SplitFixedUdtf:
+    """POLYMORPHIC UDTF (Spark 4 ``analyze()`` surface): output schema
+    is computed at plan time from the constant header argument —
+    ``kpay_split_fixed('a,b,c', line)`` produces columns (a, b, c) —
+    the schema-on-read delimited-splitter every ingest layer wants,
+    impossible with a static ``returnType``. ``analyze`` runs on the
+    driver during resolution (the argument must be foldable); ``eval``
+    splits each line, truncating extra fields and NULL-padding missing
+    ones, so ragged rows degrade instead of erroring (the reference's
+    fail-open posture, kinesis-pay.php:158-162)."""
+
+    @staticmethod
+    def analyze(header, line):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if header.value is None:
+            raise ValueError(
+                "kpay_split_fixed: header must be a constant string"
+            )
+        st = StructType()
+        for c in str(header.value).split(","):
+            st = st.add(c.strip(), StringType())
+        return AnalyzeResult(schema=st)
+
+    def eval(self, header: str, line: str):
+        cols = str(header).split(",")
+        parts = (line or "").split(",")
+        parts = parts[: len(cols)] + [None] * (len(cols) - len(parts))
+        yield tuple(parts)
+
+
+@register(
+    "udtf_split_fixed",
+    oracle="""
+SELECT event_id,
+  CAST(event_id AS VARCHAR) AS eid,
+  event_type AS kind,
+  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+FROM events
+""",
+    tags=("udtf",),
+)
+def udtf_split_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the polymorphic UDTF end-to-end: a delimited line column
+    is synthesized from events (id, type, day — all
+    deterministic-format fields, no float rendering), then split back
+    through ``kpay_split_fixed`` with its dynamic schema and compared
+    field-for-field against the direct projection. The LATERAL
+    correlation keeps the UDTF streaming per-partition (no shuffle);
+    the plan-time ``analyze`` call is the piece the static-returnType
+    twin (`udtf_explode_json_bag`) cannot express."""
+    from pyspark.sql.functions import udtf as udtf_fn
+
+    spark.udtf.register("kpay_split_fixed", udtf_fn(SplitFixedUdtf))
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.col("event_type"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("line"),
+    )
+    ev.createOrReplaceTempView("events_lines_v")
+    return spark.sql(
+        """
+        SELECT e.event_id, s.eid, s.kind, s.day
+        FROM events_lines_v e,
+        LATERAL kpay_split_fixed('eid,kind,day', e.line) s
+        """
+    )

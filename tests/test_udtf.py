@@ -40,3 +40,27 @@ def test_udtf_fallbacks(spark):
     assert by_id[2]["_raw"] == ("plain text body", "unparseable")
     assert 3 not in by_id  # NULL input yields no rows
     assert by_id[4]["_raw"] == ("[1,2,3]", "list")
+
+
+def test_split_fixed_ragged_and_dynamic_schema(spark):
+    """Polymorphic analyze(): the output schema follows the header
+    argument, extra fields truncate, missing fields NULL-pad."""
+    from pyspark.sql.functions import udtf as udtf_fn
+
+    from am_kinesis_pay_spark.functions.udtf_ops import SplitFixedUdtf
+
+    spark.udtf.register("kpay_split_fixed_t", udtf_fn(SplitFixedUdtf))
+    rows = spark.sql(
+        "SELECT s.* FROM VALUES ('a,b,c,EXTRA'), ('only_one'), (NULL) t(line),"
+        " LATERAL kpay_split_fixed_t('x,y,z', t.line) s"
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("a", "b", "c"),
+        ("only_one", None, None),
+        ("", None, None),
+    ]
+    two = spark.sql(
+        "SELECT s.* FROM VALUES ('p,q') t(line),"
+        " LATERAL kpay_split_fixed_t('left,right', t.line) s"
+    )
+    assert two.columns == ["left", "right"]
