@@ -874,3 +874,91 @@ def events_attribution_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("conversions_won"))
     )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_LAGS = 8  # truncation: (1-alpha)^8 ~ 0.058 residual weight
+
+
+def _ewma_oracle() -> str:
+    w = [(1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_LAGS)]
+    num = "\n      + ".join(
+        f"COALESCE({w[k]!r} * lag_{k}, 0.0)" for k in range(_EWMA_LAGS)
+    )
+    den = "\n      + ".join(
+        f"CASE WHEN lag_{k} IS NOT NULL THEN {w[k]!r} ELSE 0.0 END"
+        for k in range(_EWMA_LAGS)
+    )
+    lags = ",\n    ".join(
+        f"CAST(LAG(day_value, {k}) OVER "
+        "(PARTITION BY user_id ORDER BY day) AS DOUBLE) AS lag_" + str(k)
+        for k in range(_EWMA_LAGS)
+    )
+    return f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), lagged AS (
+  SELECT user_id, day, day_value,
+    {lags}
+  FROM daily
+)
+SELECT user_id, day, day_value,
+  round(({num})
+    / ({den}), 6) AS ewma
+FROM lagged
+"""
+
+
+@register("win_ewma", oracle=_ewma_oracle(), tags=("window", "timeseries"))
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over each user's daily
+    series — the smoothing/monitoring primitive beside
+    ``win_frame_sliding_avg``'s uniform window: recent observations
+    dominate (weight (1-α)^k at lag k, α=0.3), normalized over the
+    weights actually present (pandas ``ewm(adjust=True)`` over
+    observations), truncated at 8 lags where the residual tail weight
+    is <6%. Truncation is what makes the recurrence WINDOWABLE: the
+    exact EWMA is a sequential recurrence no frame can express, but
+    the 8-term form is one window pass of LAG columns — the trade
+    every streaming metrics system makes.
+
+    Plan shape: one hash aggregate to the per-(user, day) frame, then
+    ONE window Exchange+Sort per user serving all 8 LAGs. Per-term
+    weights multiply in a fixed textual order and the 8-term sums are
+    written as one explicit chain, so the double arithmetic is
+    identical on both engines; day totals come from exact-DECIMAL
+    accumulation before any float math."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round("value", 3).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("day_value")
+        )
+    )
+    w_user = W.partitionBy("user_id").orderBy("day")
+    lagged = daily.select(
+        "user_id",
+        "day",
+        "day_value",
+        *[
+            F.lag("day_value", k).over(w_user).cast("double").alias(f"lag_{k}")
+            for k in range(_EWMA_LAGS)
+        ],
+    )
+    weights = [(1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_LAGS)]
+    num = F.coalesce(F.lit(weights[0]) * F.col("lag_0"), F.lit(0.0))
+    den = F.when(F.col("lag_0").isNotNull(), F.lit(weights[0])).otherwise(0.0)
+    for k in range(1, _EWMA_LAGS):
+        num = num + F.coalesce(
+            F.lit(weights[k]) * F.col(f"lag_{k}"), F.lit(0.0)
+        )
+        den = den + F.when(
+            F.col(f"lag_{k}").isNotNull(), F.lit(weights[k])
+        ).otherwise(0.0)
+    return lagged.select(
+        "user_id", "day", "day_value", F.round(num / den, 6).alias("ewma")
+    )
