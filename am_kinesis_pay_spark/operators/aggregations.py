@@ -13,7 +13,7 @@ skew-bound; AQE coalesces post-shuffle partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from am_kinesis_pay_spark.functions.compat import davg, dec, dsum, sql_davg, sql_dsum
 from am_kinesis_pay_spark.registry import register
@@ -914,4 +914,102 @@ def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("welch_dof"),
+    )
+
+
+@register(
+    "agg_model_auc",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+      AS score,
+    CAST(MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                  THEN 1 ELSE 0 END) AS INT) AS label
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT score, label,
+    RANK() OVER (ORDER BY score) AS rk,
+    COUNT(*) OVER (PARTITION BY score) AS tie_n
+  FROM per_user
+), stats AS (
+  SELECT
+    CAST(SUM(label) AS BIGINT) AS n_pos,
+    CAST(SUM(1 - label) AS BIGINT) AS n_neg,
+    SUM(CASE WHEN label = 1 THEN rk + (tie_n - 1) / 2.0 ELSE 0 END)
+      AS pos_rank_sum
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+    round((pos_rank_sum - n_pos * (n_pos + 1) / 2.0)
+          / (CAST(n_pos AS DOUBLE) * n_neg), 6) END AS auc
+FROM stats
+""",
+    tags=("agg", "stats"),
+)
+def agg_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC by rank-sum (the Mann–Whitney U identity) — the model
+    evaluation every quality-classifier gate in the LLM pipeline needs
+    at corpus scale, computed WITHOUT thresholds or curve
+    interpolation: AUC = (Σ midranks of positives − n⁺(n⁺+1)/2) /
+    (n⁺·n⁻), with ties getting the textbook midrank (RANK + (ties−1)/2
+    from one extra COUNT window on the same sort). Here the probe
+    model scores users by view count and the label is
+    purchased-or-not. Every midrank is a multiple of 0.5 exactly
+    representable in binary, so the rank sum is order-independent —
+    the result is EXACT, no float convention needed.
+
+    Plan shape: one hash aggregate to the row-per-user frame, one
+    ranking window, one 1-row reduce. The global RANK here is a
+    single-partition sort over the aggregated (small) frame; at 100 TB
+    of scored DOCUMENTS swap it for the two-pass prefix-sum rank
+    (sample_shard_shuffle's pattern, score-prefix buckets), which
+    changes nothing downstream — or bucket scores into fixed-width
+    bins and rank the bin histogram (the sketched AUC every metrics
+    library ships)."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    ranked = per_user.select(
+        "score",
+        "label",
+        F.rank().over(W.orderBy("score")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("score")).alias("tie_n"),
+    )
+    stats = ranked.agg(
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.when(
+                F.col("label") == 1,
+                F.col("rk") + (F.col("tie_n") - 1) / 2.0,
+            ).otherwise(0.0)
+        ).alias("pos_rank_sum"),
+    )
+    return stats.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                (
+                    F.col("pos_rank_sum")
+                    - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+                )
+                / (F.col("n_pos").cast("double") * F.col("n_neg")),
+                6,
+            ),
+        ).alias("auc"),
     )

@@ -123,3 +123,35 @@ def test_attribution_credit_conserves_per_conversion(spark):
         total_credit,
         len(conversions),
     )
+
+
+def test_model_auc_matches_pairwise_definition(spark):
+    """Rank-sum AUC must equal the O(n²) pairwise definition —
+    P(score_pos > score_neg) + 0.5·P(tie) — computed directly."""
+    rows = (
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+                "score"
+            ),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 150),
+                    1,
+                ).otherwise(0)
+            ).alias("label"),
+        )
+        .collect()
+    )
+    pos = [r.score for r in rows if r.label == 1]
+    neg = [r.score for r in rows if r.label == 0]
+    assert pos and neg
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+    got = queries()["agg_model_auc"](spark, SF_DIR).collect()[0]
+    assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
+    assert abs(got.auc - want) < 1e-6, (got.auc, want)
