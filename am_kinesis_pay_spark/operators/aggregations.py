@@ -1013,3 +1013,102 @@ def agg_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("auc"),
     )
+
+
+@register(
+    "agg_decile_lift",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+      AS score,
+    CAST(MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                  THEN 1 ELSE 0 END) AS INT) AS label
+  FROM events GROUP BY user_id
+), deciled AS (
+  SELECT label,
+    NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+  FROM per_user
+), by_decile AS (
+  SELECT decile,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(label) AS BIGINT) AS n_pos
+  FROM deciled GROUP BY decile
+), totals AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS n_all, CAST(SUM(n_pos) AS DOUBLE) AS pos_all
+  FROM by_decile
+)
+SELECT CAST(decile AS INT) AS decile, n, n_pos,
+  round(CAST(n_pos AS DOUBLE) / n, 6) AS response_rate,
+  round(CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE) / t.pos_all, 6)
+    AS cum_capture,
+  round((CAST(n_pos AS DOUBLE) / n) / (t.pos_all / t.n_all), 6) AS lift
+FROM by_decile CROSS JOIN totals t
+""",
+    tags=("agg", "stats"),
+)
+def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table — `agg_model_auc`'s operational twin
+    and the other half of every classifier evaluation: rank the
+    population by model score, cut into deciles (best first), and per
+    decile report the response rate, the cumulative capture of all
+    positives, and the lift over the base rate — the table that
+    decides where a quality-classifier threshold actually goes (top-k
+    deciles kept, rest dropped).
+
+    Plan shape: one hash aggregate to the per-user frame, one ranking
+    window (same single-partition note and 100 TB two-pass/boundary
+    swap as agg_model_auc), a 10-row GROUP BY, then window+broadcast
+    arithmetic on the 10-row frame. All inputs to the ratios are exact
+    integers, so 6-dp rounding is pure formatting — hash-exact on both
+    engines. Tie-break by user_id keeps decile membership identical
+    cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    deciled = per_user.select(
+        "label",
+        F.ntile(10)
+        .over(W.orderBy(F.desc("score"), F.asc("user_id")))
+        .alias("decile"),
+    )
+    by_decile = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+    )
+    totals = by_decile.agg(
+        F.sum("n").cast("double").alias("n_all"),
+        F.sum("n_pos").cast("double").alias("pos_all"),
+    )
+    w_cum = W.orderBy("decile")
+    return (
+        by_decile.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias(
+                "response_rate"
+            ),
+            F.round(
+                F.sum("n_pos").over(w_cum).cast("double") / F.col("pos_all"),
+                6,
+            ).alias("cum_capture"),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n"))
+                / (F.col("pos_all") / F.col("n_all")),
+                6,
+            ).alias("lift"),
+        )
+    )
