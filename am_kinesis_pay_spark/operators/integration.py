@@ -7,6 +7,8 @@ one operator at a time.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from am_kinesis_pay_spark.functions.compat import dsum
@@ -1592,19 +1594,153 @@ def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Triangle-count graph: same co-purchase construction as graph_pagerank
 # but a lower value threshold so the smallest SF still has a triangle.
 _TRI_THR = 120
+# Per-day participant cap: the co-purchase graph is a union of daily
+# cliques, so an uncapped hot day (millions of same-day purchasers)
+# materializes O(n^2) edges before any triangle logic runs. The cap
+# keeps the densest day's edge contribution <= CAP^2, chosen in
+# deterministic md5-of-id order so both engines (and reruns) pick the
+# same participants. 128 never binds at the test SFs (sf0.1 maxes at
+# 75 purchasers/day) but bounds a 100 TB hot day — and DOES bind in
+# the tools/stress.py 10x replication, which is the point: replicated
+# overlapping ids make every daily clique ~10x denser, and without the
+# cap the data genuinely holds 799M triangles (737M even capped at
+# 512) — throughput-bound no matter how wedges are oriented. A union
+# of daily cliques has ~days*C(cap,3) triangles, so the cap is THE
+# exactness/volume knob; 128 keeps the 10x stress at 14M triangles
+# (6.5 s, vs 108 s uncapped in round 2).
+_TRI_DAY_CAP = int(os.environ.get("AKPS_TRI_DAY_CAP", "128"))
+
+# Shared SQL prefix: deterministic capped per-day actives -> distinct
+# undirected edge list (s < t).
+_TRI_EDGE_CTE = f"""
+a0 AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+  FROM events WHERE event_type = 'purchase' AND value > {_TRI_THR}
+), a AS (
+  SELECT d, user_id FROM (
+    SELECT d, user_id, ROW_NUMBER() OVER (
+      PARTITION BY d ORDER BY md5(CAST(user_id AS VARCHAR)), user_id
+    ) AS rn FROM a0
+  ) WHERE rn <= {_TRI_DAY_CAP}
+), e AS (
+  SELECT DISTINCT x.user_id AS s, y.user_id AS t
+  FROM a x JOIN a y USING (d)
+  WHERE x.user_id < y.user_id
+)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str, day_cap: int) -> DataFrame:
+    """Distinct co-purchase edges (s < t), per-day participation capped
+    at ``day_cap`` in deterministic md5-of-id order. One shuffle on day
+    for the cap window, one day-keyed self-join (bounded by the cap),
+    one pair-keyed distinct."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    active = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > _TRI_THR)
+        )
+        .select(F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id")
+        .distinct()
+    )
+    capped = (
+        active.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("d").orderBy(
+                    F.md5(F.col("user_id").cast("string")), "user_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= day_cap)
+        .select("d", "user_id")
+    )
+    return (
+        capped.select("d", F.col("user_id").alias("s"))
+        .join(capped.select("d", F.col("user_id").alias("t")), "d")
+        .filter(F.col("s") < F.col("t"))
+        .select("s", "t")
+        .distinct()
+    )
+
+
+def _oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Degree-oriented triangle enumeration (Suri–Vassilvitskii): orient
+    every undirected edge toward the higher-(degree, id) endpoint, form
+    wedges only at each edge's LOWER-degree vertex, close with one
+    equi-join. Out-degree in the oriented graph is <= sqrt(2m), so
+    generated wedges are bounded by sum(min_deg^2) — a hub with degree
+    d contributes O(sqrt(m)) wedges, not O(d^2). Each triangle
+    {a,b,c} appears exactly once: as the wedge at its minimum-order
+    corner, closed by the one oriented (b,c) edge. Returns (na,nb,nc)
+    rows. All joins are ids-only equi-joins (8-byte keys; no payloads,
+    no cross products)."""
+    deg = (
+        edges.select(F.col("s").alias("v"))
+        .unionAll(edges.select(F.col("t").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Total order key: (degree, id) packed into one long. user_id fits
+    # in 32 bits at every SF; degree < 2^31 long before the edge list
+    # itself would be unstorable.
+    keyed = deg.select(
+        "v",
+        (
+            F.col("deg").cast("long") * F.lit(4294967296).cast("long")
+            + F.col("v").cast("long")
+        ).alias("k"),
+    )
+    ek = edges.join(
+        keyed.select(F.col("v").alias("s"), F.col("k").alias("ks")), "s"
+    ).join(keyed.select(F.col("v").alias("t"), F.col("k").alias("kt")), "t")
+    low_first = F.col("ks") < F.col("kt")
+    # Explicit-N repartition on the wedge key: the edge list is SMALL
+    # relative to the wedges it fans out into (a capped daily clique
+    # multiplies rows ~170x through the next two joins), so AQE's
+    # size-based coalescing — and the broadcast-join pipelining it
+    # triggers — would funnel the entire fan-out through one task.
+    # Pinning the pre-fan-out partitioning by u keeps the explosion
+    # parallel; the fixed N is honored (AQE never coalesces an
+    # explicit-count repartition). Measured: 440 s -> 6 s at the 10x
+    # stress.
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    oriented = ek.select(
+        F.when(low_first, F.col("s")).otherwise(F.col("t")).alias("u"),
+        F.when(low_first, F.col("t")).otherwise(F.col("s")).alias("w"),
+        F.greatest("ks", "kt").alias("kw"),
+    ).repartition(n_part, "u")
+    w1 = oriented.select("u", F.col("w").alias("b"), F.col("kw").alias("kb"))
+    w2 = oriented.select("u", F.col("w").alias("c"), F.col("kw").alias("kc"))
+    wedges = w1.join(w2, "u").filter(F.col("kb") < F.col("kc"))
+    closing = oriented.select(F.col("u").alias("b"), F.col("w").alias("c"))
+    return wedges.join(closing, ["b", "c"]).select(
+        F.col("u").alias("na"), F.col("b").alias("nb"), F.col("c").alias("nc")
+    )
+
+
+def _materialized_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the capped edge list once and round-trip it through a
+    per-session scratch parquet: the triangle pipeline references the
+    edges five times (degree count, two orientation joins, wedge pair,
+    closing probe) and a leaked ``.persist()`` would accumulate
+    executor memory across a 200+-query sweep. At 100 TB the edge list
+    is a persisted input, not recomputed per query — this IS that
+    shape."""
+    from am_kinesis_pay_spark.paths import scratch_path
+
+    out = scratch_path(spark, f"akps_tri_edges_{os.path.basename(sf_dir)}")
+    _copurchase_edges(spark, sf_dir, _TRI_DAY_CAP).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return spark.read.parquet(out)
 
 
 @register(
     "graph_triangle_count",
     oracle=f"""
-WITH a AS (
-  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
-  FROM events WHERE event_type = 'purchase' AND value > {_TRI_THR}
-), e AS (
-  SELECT DISTINCT x.user_id AS s, y.user_id AS t
-  FROM a x JOIN a y USING (d)
-  WHERE x.user_id < y.user_id
-), tri AS (
+WITH {_TRI_EDGE_CTE}, tri AS (
   SELECT e1.s AS na, e1.t AS nb, e2.t AS nc
   FROM e e1
   JOIN e e2 ON e2.s = e1.t
@@ -1621,49 +1757,78 @@ GROUP BY user_id
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the co-purchase graph (users
     linked when both bought >$120 items on the same day) — the
-    clustering-coefficient / community-density primitive, and the
-    canonical test of whether a graph operator avoids the naive
-    wedge explosion. Edges are ORIENTED low-id -> high-id so every
-    triangle {{a<b<c}} is enumerated exactly once as the wedge
-    (a->b, b->c) closed by the edge (a->c); each closed wedge then
-    credits all three corners via one explode + count. Plan: the
-    distinct edge list is built once (one shuffle on day, one on the
-    pair), then two self-equi-joins — Spark broadcasts the edge list
-    when small, sort-merge-joins on the shared key otherwise; never a
-    cross product. At 100 TB the id-orientation is swapped for
-    DEGREE-orientation (orient each edge toward the higher-degree
-    endpoint), which provably bounds generated wedges by
-    sum(min_deg^2) — the Suri-Vassilvitskii MapReduce bound — so hub
-    nodes cannot quadratically explode; the enumeration itself is the
-    same two joins. Generalizes the reference's same-day payment
-    correlation (kinesis-pay.php:231-263) into a relationship-graph
-    metric."""
-    ev = load(spark, sf_dir, "events")
-    active = (
-        ev.filter(
-            (F.col("event_type") == "purchase") & (F.col("value") > _TRI_THR)
-        )
-        .select(F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id")
-        .distinct()
-    )
-    # persist: the three wedge branches each reference the edge list;
-    # without it the day-join lineage is re-evaluated three times
-    e = (
-        active.select("d", F.col("user_id").alias("s"))
-        .join(active.select("d", F.col("user_id").alias("t")), "d")
-        .filter(F.col("s") < F.col("t"))
-        .select("s", "t")
-        .distinct()
-        .persist()
-    )
-    e1 = e.select(F.col("s").alias("na"), F.col("t").alias("nb"))
-    e2 = e.select(F.col("s").alias("nb"), F.col("t").alias("nc"))
-    e3 = e.select(F.col("s").alias("na"), F.col("t").alias("nc"))
-    tri = e1.join(e2, "nb").join(e3, ["na", "nc"])
+    clustering-coefficient / community-density primitive. Two scale
+    bounds, both enforced in the plan rather than documented: (1) edge
+    GENERATION is capped per day (AKPS_TRI_DAY_CAP, deterministic
+    md5-of-id order, mirrored in the oracle) so a hot day cannot
+    materialize an unbounded clique; (2) wedge ENUMERATION is
+    degree-oriented (edges point toward the higher-degree endpoint,
+    wedges form only at the low-degree corner), giving the
+    Suri–Vassilvitskii sum(min_deg^2) bound — a hub of degree d emits
+    O(sqrt(m)) wedges instead of O(d^2). The oracle counts the same
+    capped edge set with the plain 3-way join; orientation is a plan
+    property, not a semantic one. Each closed wedge credits all three
+    corners via one explode + count. Generalizes the reference's
+    same-day payment correlation (kinesis-pay.php:231-263) into a
+    relationship-graph metric."""
+    tri = _oriented_triangles(_materialized_edges(spark, sf_dir))
     return (
-        tri.select(
-            F.explode(F.array("na", "nb", "nc")).alias("user_id")
-        )
+        tri.select(F.explode(F.array("na", "nb", "nc")).alias("user_id"))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@register(
+    "graph_triangle_doulion",
+    oracle=f"""
+WITH {_TRI_EDGE_CTE}, es AS (
+  SELECT s, t FROM e
+  WHERE CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || '-' || CAST(t AS VARCHAR)), 1, 4)) AS INTEGER) % 2 = 0
+), tri AS (
+  SELECT e1.s AS na FROM es e1
+  JOIN es e2 ON e2.s = e1.t
+  JOIN es e3 ON e3.s = e1.s AND e3.t = e2.t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled_triangles,
+       CAST(COUNT(*) * 8 AS BIGINT) AS n_triangles_est
+FROM tri
+""",
+    tags=("integration", "graph"),
+)
+def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION global triangle estimate (Tsourakakis et al., KDD'09):
+    keep each edge with probability p = 1/2 via a deterministic md5
+    coin on the (s,t) pair, count triangles exactly on the sparsified
+    graph, scale by 1/p^3 = 8. The coin is applied BEFORE the distinct
+    edge set is shuffled onward, so every downstream stage (degree
+    count, orientation, wedge join) sees ~p·m edges and ~p^3 of the
+    triangles — this is the knob to turn when even the degree-oriented
+    exact count is too expensive at 100 TB. The md5 coin makes the
+    sample (and hence the estimate) bit-identical across engines, so
+    the estimate itself is oracle-checked, not just row-counted."""
+    edges = _materialized_edges(spark, sf_dir)
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("s").cast("string"),
+                        F.col("t").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    tri = _oriented_triangles(edges.filter(coin))
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_sampled_triangles"),
+        (F.count(F.lit(1)) * F.lit(8)).cast("long").alias("n_triangles_est"),
     )

@@ -47,7 +47,7 @@ MAINT_QUERIES = [
     "agg_heavy_hitters", "join_bloom_runtime", "graph_reachability",
     "dq_expectations", "sample_balanced_classes", "join_asof_tolerance",
     "sample_train_split", "sink_partition_overwrite", "fn_collation_group",
-    "graph_triangle_count", "stream_stream_join",
+    "graph_triangle_count", "graph_triangle_doulion", "stream_stream_join",
 ]
 CURATION_QUERIES = [
     "text_decontaminate", "text_chunk_sliding", "text_pack_sequences",
