@@ -1359,48 +1359,40 @@ WITH toks AS (
         FROM toks WHERE len(t) >= 3)
 ), sizes AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id
-), lex_overlap AS (
+), cand AS (
   SELECT q.doc_id AS query_id, c.doc_id AS cand_id, COUNT(*) AS n_common
   FROM shingles q JOIN shingles c
     ON q.shingle = c.shingle AND q.doc_id < {N_QUERIES}
    AND c.doc_id <> q.doc_id
   GROUP BY q.doc_id, c.doc_id
-), lex_scored AS (
-  SELECT sq.doc_id AS query_id, sc.doc_id AS cand_id,
-    round(CAST(COALESCE(o.n_common, 0) AS DOUBLE)
-          / (sq.n + sc.n - COALESCE(o.n_common, 0)), 6) AS jaccard
-  FROM sizes sq
-  JOIN sizes sc ON sq.doc_id < {N_QUERIES} AND sc.doc_id <> sq.doc_id
-  LEFT JOIN lex_overlap o
-    ON o.query_id = sq.doc_id AND o.cand_id = sc.doc_id
-), lex_ranked AS (
-  SELECT query_id, cand_id,
-    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         ORDER BY jaccard DESC, cand_id) AS INT) AS r_lex
-  FROM lex_scored
 ), norms AS (
   SELECT vec_id, embedding,
     sqrt(list_sum(list_transform(embedding,
          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
-), dense_ranked AS (
+), scored AS (
+  SELECT cand.query_id, cand.cand_id,
+    round(CAST(cand.n_common AS DOUBLE)
+          / (sq.n + sc.n - cand.n_common), 6) AS jaccard,
+    round(list_sum(list_transform(list_zip(nq.embedding, nc.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM cand
+  JOIN sizes sq ON sq.doc_id = cand.query_id
+  JOIN sizes sc ON sc.doc_id = cand.cand_id
+  JOIN norms nq ON nq.vec_id = cand.query_id
+  JOIN norms nc ON nc.vec_id = cand.cand_id
+), ranked AS (
   SELECT query_id, cand_id,
     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY jaccard DESC, cand_id) AS INT) AS r_lex,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          ORDER BY cosine DESC, cand_id) AS INT) AS r_dense
-  FROM (
-    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-      round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
-            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-            / (q.nrm * c.nrm), 6) AS cosine
-    FROM norms q JOIN norms c
-      ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id)
+  FROM scored
 ), fused AS (
-  SELECT l.query_id, l.cand_id, l.r_lex, d.r_dense,
-    round(1.0 / ({_RRF_K} + l.r_lex) + 1.0 / ({_RRF_K} + d.r_dense), 9)
-      AS rrf
-  FROM lex_ranked l
-  JOIN dense_ranked d
-    ON l.query_id = d.query_id AND l.cand_id = d.cand_id
+  SELECT query_id, cand_id, r_lex, r_dense,
+    round(1.0 / ({_RRF_K} + r_lex) + 1.0 / ({_RRF_K} + r_dense), 9) AS rrf
+  FROM ranked
 )
 SELECT query_id, cand_id, r_lex, r_dense, rrf, rank FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1416,99 +1408,103 @@ WHERE rank <= {TOP_K}
     tags=("llm", "similarity", "pipeline"),
 )
 def pipeline_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval with reciprocal-rank fusion — the shape every
-    modern retrieval stack ships (lexical + dense ranker fused by
-    RRF, Cormack et al.): a LEXICAL ranker (3-shingle Jaccard, the
-    BM25-family signal in its oracle-exact form) and a DENSE ranker
-    (embedding cosine) each rank the whole corpus per query doc
-    (documents ⋈ embeddings are 1:1 by id), and the fused score
-    1/(60+r_lex) + 1/(60+r_dense) re-ranks — scoreless fusion, immune
-    to the two signals' incomparable scales, which is why RRF beats
-    score mixing in practice.
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.)
+    in the retrieve-then-rerank shape production stacks ship: an
+    INVERTED-INDEX candidate stage (docs sharing >= 1 three-token
+    shingle with the query — the BM25-family first-stage retriever),
+    then BOTH signals score that candidate set — lexical = exact
+    shingle Jaccard from the overlap counts the index join already
+    produced, dense = embedding cosine fetched by two id equi-joins
+    (documents ⋈ embeddings are 1:1 by id) — and the fused score
+    1/(60+r_lex) + 1/(60+r_dense) re-ranks. Scoreless fusion is
+    immune to the two signals' incomparable scales, which is why RRF
+    beats score mixing in practice. Zero-overlap documents never
+    enter: their RRF contribution beyond the candidate depth is the
+    same constant for every such doc, so they cannot crack a top-k
+    that any shingle-sharing candidate occupies.
 
-    Plan shape: the query side of BOTH rankers broadcasts (bounded
-    query set) while the corpus streams map-side — the vec_cosine_topk
-    economics twice. Lexical overlap counts come from the shared-
-    shingle join (only docs sharing a shingle produce a row; the LEFT
-    join restores zero-overlap candidates), so no quadratic string
-    work exists. The two rank frames join on (query, candidate) —
-    co-partitioned by the window that just ranked them — then one
-    more window takes fused top-k. At 100 TB each ranker is replaced
-    by its ANN form (vec_ann_ivf_pq; LSH-bucketed lexical candidates)
-    and RRF fuses the candidate UNION; ranks are integers, so the
-    fused score is float-exact on both engines (1/(60+r) summed in
-    fixed order, rounded 9 dp)."""
+    Plan shape: candidates come ONLY from the shingle equi-join
+    (ids-only rows through the shuffle: query_id, cand_id, then one
+    partial-aggregated overlap count) — there is no theta join and no
+    per-pair string work anywhere; sizes and embeddings join back by
+    id AFTER the candidate set is bounded. Both rank windows share
+    one query_id shuffle (two sorts, same partitioning), and the
+    fused top-k rides the same partitioning again. At 100 TB the
+    dense-recall path (high-cosine docs with zero lexical overlap) is
+    restored by unioning vec_ann_ivf_pq candidates into the same
+    scored frame before the windows; ranks are integers, so the fused
+    score is float-exact on both engines (1/(60+r) summed in fixed
+    order, rounded 9 dp)."""
     from am_kinesis_pay_spark.llm.dedup import _shingles
 
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh_set"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    q_lex = sets.filter(F.col("doc_id") < N_QUERIES).select(
-        F.col("doc_id").alias("query_id"),
-        F.col("sh_set").alias("q_set"),
-        F.col("n").alias("q_n"),
+    q_sh = sh.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "shingle"
     )
-    c_lex = sets.select(
-        F.col("doc_id").alias("cand_id"),
-        F.col("sh_set").alias("c_set"),
-        F.col("n").alias("c_n"),
+    c_sh = sh.select(F.col("doc_id").alias("cand_id"), "shingle")
+    # the bounded query-side shingle set broadcasts; the corpus posting
+    # stream probes it map-side, so the only shuffle carrying pair rows
+    # is the partial-aggregated overlap count
+    cand = (
+        F.broadcast(q_sh)
+        .join(c_sh, "shingle")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
     )
-    n_common = F.size(F.array_intersect("q_set", "c_set"))
-    lex_scored = (
-        F.broadcast(q_lex)
-        .join(c_lex, F.col("cand_id") != F.col("query_id"))
+
+    norms = _norms(load(spark, sf_dir, "embeddings"))
+    scored = (
+        cand.join(
+            sizes.select(F.col("doc_id").alias("query_id"), F.col("n").alias("q_n")),
+            "query_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("cand_id"), F.col("n").alias("c_n")),
+            "cand_id",
+        )
+        .join(
+            norms.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"),
+                F.col("nrm").alias("qn"),
+            ),
+            "query_id",
+        )
+        .join(
+            norms.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("ce"),
+                F.col("nrm").alias("cn"),
+            ),
+            "cand_id",
+        )
         .select(
             "query_id",
             "cand_id",
             F.round(
-                n_common.cast("double")
-                / (F.col("q_n") + F.col("c_n") - n_common),
+                F.col("n_common").cast("double")
+                / (F.col("q_n") + F.col("c_n") - F.col("n_common")),
                 6,
             ).alias("jaccard"),
-        )
-    )
-    w_lex = W.partitionBy("query_id").orderBy(
-        F.desc("jaccard"), F.asc("cand_id")
-    )
-    lex_ranked = lex_scored.select(
-        "query_id",
-        "cand_id",
-        F.row_number().over(w_lex).cast("int").alias("r_lex"),
-    )
-
-    norms = _norms(load(spark, sf_dir, "embeddings"))
-    q_d = norms.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
-    c_d = norms.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
-    )
-    dense_scored = (
-        F.broadcast(q_d)
-        .join(c_d, F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
             F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6).alias(
                 "cosine"
             ),
         )
     )
+    w_lex = W.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc("cand_id"))
     w_d = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    dense_ranked = dense_scored.select(
+    ranked = scored.select(
         "query_id",
         "cand_id",
+        F.row_number().over(w_lex).cast("int").alias("r_lex"),
         F.row_number().over(w_d).cast("int").alias("r_dense"),
     )
-
-    fused = lex_ranked.join(dense_ranked, ["query_id", "cand_id"]).select(
+    fused = ranked.select(
         "query_id",
         "cand_id",
         "r_lex",

@@ -29,7 +29,6 @@ _NLJ_ALLOWED = {
     "events_rfm_segments",  # 1-row corpus-max-date broadcast
     "text_collocations_pmi",  # 1-row corpus-token-total broadcast
     "graph_pagerank",
-    "pipeline_hybrid_rrf",  # ≤10-row query sets joined with != predicates
     "pipeline_retrieval_corpus",
     "q_dormant_balances",
     "sample_balanced_classes",

@@ -459,3 +459,31 @@ def test_merge_on_read_deltas_broadcast(spark):
     plan = plan_of(spark, "source_merge_on_read")
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_hybrid_rrf_has_no_theta_join(spark):
+    """pipeline_hybrid_rrf candidates must come from the shingle
+    inverted-index equi-join: no BroadcastNestedLoopJoin (the old
+    cand_id != query_id theta join against the full corpus) and no
+    per-pair array_intersect string work anywhere in the plan."""
+    plan = plan_of(spark, "pipeline_hybrid_rrf")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "array_intersect" not in plan
+
+
+def test_auc_and_decile_have_no_global_rank_window(spark):
+    """agg_model_auc must not rank rows at all (per-score midranks via
+    the two-pass prefix-sum), and agg_decile_lift must not use NTILE's
+    single-task global sort (two-pass rank + explicit NTILE
+    arithmetic). The only unpartitioned windows left are the tiny
+    bucket-frame offset cumsums and the 10-row gains cumulative."""
+    auc_plan = plan_of(spark, "agg_model_auc")
+    assert "rank(" not in auc_plan.replace("row_number", "")
+    lift_plan = plan_of(spark, "agg_decile_lift")
+    assert "ntile" not in lift_plan
+    # the per-row ranking window must carry the bucket partition key
+    import re as _re
+
+    wins = _re.findall(r"row_number\(\) windowspecdefinition\((.*?)\)", lift_plan)
+    assert wins and all("bkt" in w for w in wins), wins or lift_plan[:3000]
