@@ -960,14 +960,20 @@ def agg_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     representable in binary, so the rank sum is order-independent —
     the result is EXACT, no float convention needed.
 
-    Plan shape: one hash aggregate to the row-per-user frame, one
-    ranking window, one 1-row reduce. The global RANK here is a
-    single-partition sort over the aggregated (small) frame; at 100 TB
-    of scored DOCUMENTS swap it for the two-pass prefix-sum rank
-    (sample_shard_shuffle's pattern, score-prefix buckets), which
-    changes nothing downstream — or bucket scores into fixed-width
-    bins and rank the bin histogram (the sketched AUC every metrics
-    library ships)."""
+    Plan shape: NO per-row ranking window at all — the rank-sum only
+    needs per-score tie-group midranks, so the plan is (1) hash
+    aggregate to row-per-user, (2) hash aggregate to row-PER-SCORE
+    (n_s, pos_s) — already bounded by score cardinality, not user
+    count — then (3) the two-pass prefix-sum cumulative
+    (sample_shard_shuffle's pattern): score-prefix buckets (score>>6,
+    order-aligned), per-bucket totals cumsum'd on the tiny bucket
+    frame, broadcast back, within-bucket running count partitioned BY
+    bucket. midrank(s) = rows_below(s) + (n_s+1)/2, and
+    pos_rank_sum = Σ pos_s·midrank(s). Midranks are exact multiples
+    of 0.5 so the sum is order-independent — EXACT, no float
+    convention needed. Nothing in the plan sorts more than one score
+    bucket in one task; the oracle keeps the textbook per-row RANK
+    formulation, pinning the algebraic identity."""
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
@@ -982,21 +988,40 @@ def agg_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("label"),
     )
-    ranked = per_user.select(
-        "score",
-        "label",
-        F.rank().over(W.orderBy("score")).alias("rk"),
-        F.count(F.lit(1)).over(W.partitionBy("score")).alias("tie_n"),
+    per_score = per_user.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum("label").cast("bigint").alias("pos_s"),
     )
-    stats = ranked.agg(
-        F.sum("label").cast("bigint").alias("n_pos"),
-        F.sum(1 - F.col("label")).cast("bigint").alias("n_neg"),
-        F.sum(
-            F.when(
-                F.col("label") == 1,
-                F.col("rk") + (F.col("tie_n") - 1) / 2.0,
-            ).otherwise(0.0)
-        ).alias("pos_rank_sum"),
+    bucketed = per_score.withColumn("bkt", F.shiftright("score", 6))
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.sum("n_s").alias("n_b"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n_b").over(
+                    W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "offset")
+    )
+    w_in = (
+        W.partitionBy("bkt")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    rows_below = F.col("offset") + F.coalesce(F.sum("n_s").over(w_in), F.lit(0))
+    midrank = rows_below + (F.col("n_s") + 1) / 2.0
+    stats = (
+        bucketed.join(F.broadcast(offsets), "bkt")
+        .select("n_s", "pos_s", midrank.alias("midrank"))
+        .agg(
+            F.sum("pos_s").cast("bigint").alias("n_pos"),
+            F.sum(F.col("n_s") - F.col("pos_s")).cast("bigint").alias("n_neg"),
+            F.sum(F.col("pos_s") * F.col("midrank")).alias("pos_rank_sum"),
+        )
     )
     return stats.select(
         "n_pos",
@@ -1056,12 +1081,19 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides where a quality-classifier threshold actually goes (top-k
     deciles kept, rest dropped).
 
-    Plan shape: one hash aggregate to the per-user frame, one ranking
-    window (same single-partition note and 100 TB two-pass/boundary
-    swap as agg_model_auc), a 10-row GROUP BY, then window+broadcast
-    arithmetic on the 10-row frame. All inputs to the ratios are exact
-    integers, so 6-dp rounding is pure formatting — hash-exact on both
-    engines. Tie-break by user_id keeps decile membership identical
+    Plan shape: NTILE's global sort is replaced by the two-pass
+    prefix-sum rank (sample_shard_shuffle's pattern): sort key
+    sk = -score (so best-first order is ascending), order-aligned
+    buckets sk>>6 (arithmetic shift keeps negatives monotone),
+    per-bucket counts cumsum'd on the tiny bucket frame, broadcast
+    back, row_number WITHIN each bucket + offset = exact global seq —
+    then NTILE's arithmetic applied to seq directly (first n%10
+    deciles get one extra row), which is bit-identical to the
+    engines' NTILE. No task ever sorts more than one score bucket.
+    Then a 10-row GROUP BY and window+broadcast arithmetic on the
+    10-row frame. All ratio inputs are exact integers, so 6-dp
+    rounding is pure formatting — hash-exact on both engines.
+    Tie-break by user_id keeps decile membership identical
     cross-engine."""
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -1077,11 +1109,49 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("label"),
     )
-    deciled = per_user.select(
+    bucketed = per_user.select(
         "label",
-        F.ntile(10)
-        .over(W.orderBy(F.desc("score"), F.asc("user_id")))
-        .alias("decile"),
+        "user_id",
+        (-F.col("score")).alias("sk"),
+    ).withColumn("bkt", F.shiftright("sk", 6))
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n_b").over(
+                    W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "offset")
+    )
+    n_total = per_user.agg(F.count(F.lit(1)).alias("n_all_rows"))
+    w_bkt = W.partitionBy("bkt").orderBy("sk", "user_id")
+    seq = (F.col("offset") + F.row_number().over(w_bkt) - 1).alias("seq")
+    # NTILE(10) arithmetic on the exact 0-based seq: q = n div 10 rows
+    # per decile, the first r = n mod 10 deciles take one extra row.
+    q = F.expr("n_all_rows div 10")
+    r = F.col("n_all_rows") % 10
+    cut = r * (q + 1)
+    decile = F.when(
+        F.col("seq") < cut,
+        F.expr("seq div (n_all_rows div 10 + 1)") + 1,
+    ).otherwise(
+        r
+        + F.expr(
+            "(seq - (n_all_rows % 10) * (n_all_rows div 10 + 1))"
+            " div greatest(n_all_rows div 10, 1)"
+        )
+        + 1
+    )
+    deciled = (
+        bucketed.join(F.broadcast(offsets), "bkt")
+        .select("label", seq)
+        .crossJoin(F.broadcast(n_total))
+        .select("label", decile.cast("int").alias("decile"))
     )
     by_decile = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
