@@ -2,17 +2,20 @@
 opaque BINARY columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` operators.
 
-The container has no image/audio codec LIBRARIES, so the compressed-
-format decode kernel is STUBBED (deterministic byte-level fake behind
-an import-try — ``_decode_image`` raises NotImplementedError if
-someone flips ``USE_REAL_CODECS`` without PIL present). Uncompressed
-CONTAINER formats need no library, though: llm/codecs.py ships real
-validating RIFF/WAVE-PCM and 24-bit-BMP parsers (pure numpy) and the
-oracle-checked ``mm_codec_roundtrip`` operator that exercises them
-end-to-end, including corrupt-blob quarantine routing. Everything
-Spark-side here is real and tested: binary schema, metadata struct,
-batch iteration shape, per-partition processing, frame-sampling
-explode.
+Uncompressed CONTAINER formats decode for REAL by default: every
+feature kernel sniffs its payload and, when it is a genuine RIFF/WAVE
+or BMP blob, runs the validating parsers from llm/codecs.py (pure
+numpy — magic/chunk/size validation, row padding and bottom-up order
+undone) and extracts features from the DECODED samples/pixels.
+``mm_decode_features_real`` / ``mm_audio_rms_real`` wrap the stand-in
+bytes into genuine containers first, so the real decode path is
+oracle-checked end-to-end. Only compressed formats (PNG/JPEG/MP4)
+remain gated: this image has no codec LIBRARIES, so that kernel is a
+deterministic byte-level fallback behind an import-try —
+``_decode_image`` raises NotImplementedError if someone flips
+``USE_REAL_CODECS`` without PIL present. Everything Spark-side here
+is real and tested: binary schema, metadata struct, batch iteration
+shape, per-partition processing, frame-sampling explode.
 
 Scale notes: binary payloads ride the Arrow stream in bounded batches
 (``spark.sql.execution.arrow.maxRecordsPerBatch``); feature extraction
@@ -96,9 +99,10 @@ def _decode_image(payload: bytes):  # pragma: no cover - stub
 
 
 def _fake_features(payload: bytes) -> list[float]:
-    """Deterministic stand-in for decode→feature-extract: a 16-bin
-    byte histogram normalized to sum 1 — stable across runs/engines,
-    shaped like a real embedding head."""
+    """Byte-histogram feature head: a 16-bin byte histogram normalized
+    to sum 1 — stable across runs/engines, shaped like a real
+    embedding head. Runs over DECODED container bytes when the payload
+    is a real WAV/BMP (see _features_dispatch), raw bytes otherwise."""
     if not payload:
         return [0.0] * _N_BINS
     arr = np.frombuffer(payload, dtype=np.uint8)
@@ -106,14 +110,48 @@ def _fake_features(payload: bytes) -> list[float]:
     return (bins / float(len(payload))).tolist()
 
 
+def _container_decode(payload: bytes) -> bytes | None:
+    """Sniff-and-decode REAL containers with the validating parsers in
+    llm/codecs.py: RIFF/WAVE -> PCM sample bytes, BMP -> grayscale
+    pixel bytes (row-major, padding/bottom-up/BGR undone). Returns
+    None when the payload is not a (valid) supported container so the
+    caller falls back to the byte-level path — decode failures are
+    data, not exceptions. Compressed formats (PNG/JPEG/MP4) still need
+    USE_REAL_CODECS plus a codec library."""
+    from am_kinesis_pay_spark.llm import codecs
+
+    b = bytes(payload)
+    try:
+        if b[:4] == b"RIFF":
+            _, samples = codecs.decode_wav(b)
+            return samples.tobytes()
+        if b[:2] == b"BM":
+            _, gray = codecs.decode_bmp(b)
+            return gray.tobytes()
+    except ValueError:
+        return None
+    return None
+
+
+def _features_dispatch(payload: bytes) -> list[float]:
+    """Per-payload feature dispatch, real containers first: a genuine
+    WAV/BMP decodes with the validating parsers and the histogram head
+    runs over the decoded samples/pixels; only compressed formats fall
+    through to the gated library path, then to the byte-level head."""
+    decoded = _container_decode(payload)
+    if decoded is not None:
+        return _fake_features(decoded)
+    if USE_REAL_CODECS and _HAS_PIL:
+        return _decode_image(payload)
+    return _fake_features(payload)
+
+
 def extract_features(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: batch-in/batch-out, never materializes the
     whole partition. This is the exact signature a real GPU/codec
     kernel plugs into."""
     for pdf in pdfs:
-        feats = pdf["payload"].map(
-            _decode_image if USE_REAL_CODECS else _fake_features
-        )
+        feats = pdf["payload"].map(_features_dispatch)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -243,18 +281,21 @@ _AUDIO_WIN = 256  # samples per analysis window
 
 
 def audio_window_rms(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Audio feature kernel: interpret the payload as unsigned 8-bit PCM,
-    compute per-window RMS and peak — the exact batch shape a real
-    (librosa/torchaudio) feature extractor plugs into; numpy here so
-    the pipeline is testable without codec libraries."""
+    """Audio feature kernel: a genuine RIFF/WAVE payload decodes for
+    real (llm/codecs.py chunk walker) and the window math runs over
+    the decoded PCM; bare payloads are interpreted directly as
+    unsigned 8-bit PCM. Per-window RMS and peak — the exact batch
+    shape a real (librosa/torchaudio) feature extractor plugs into."""
     import numpy as np
 
     for pdf in pdfs:
         out = {"doc_id": [], "window_idx": [], "rms": [], "peak": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
-                np.float64
-            )
+            raw = bytes(payload)
+            decoded = _container_decode(raw)
+            samples = np.frombuffer(
+                decoded if decoded is not None else raw, dtype=np.uint8
+            ).astype(np.float64)
             samples = (samples - 128.0) / 128.0  # center to [-1, 1)
             n_win = len(samples) // _AUDIO_WIN
             for w in range(n_win):
@@ -309,6 +350,118 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mime") == "audio/wav"
     )
     return binary.mapInPandas(audio_window_rms, _RMS_SCHEMA)
+
+
+_CONTAINER_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def containerize(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage that wraps the stand-in payload bytes in a
+    GENUINE container: audio rows -> RIFF/WAVE 8-bit PCM, image rows
+    -> uncompressed 24-bit BMP (square crop, side = floor(sqrt(n))).
+    Video rows are dropped — MP4 needs a real compressed codec.
+    n_bytes reports the CONTAINER length (header + padding + data)."""
+    from am_kinesis_pay_spark.llm import codecs
+
+    for pdf in pdfs:
+        out: dict[str, list] = {
+            "doc_id": [],
+            "mime": [],
+            "n_bytes": [],
+            "payload": [],
+        }
+        for doc_id, mime, payload in zip(
+            pdf["doc_id"], pdf["mime"], pdf["payload"]
+        ):
+            raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+            if mime == "audio/wav" and len(raw) >= 1:
+                blob = codecs.encode_wav(raw)
+                out_mime = "audio/wav"
+            elif mime == "image/png":
+                side = int(len(raw) ** 0.5)
+                if side < 1:
+                    continue
+                blob = codecs.encode_bmp(raw[: side * side].reshape(side, side))
+                out_mime = "image/bmp"
+            else:
+                continue
+            out["doc_id"].append(doc_id)
+            out["mime"].append(out_mime)
+            out["n_bytes"].append(len(blob))
+            out["payload"].append(blob)
+        yield pd.DataFrame(out)
+
+
+_FEATURES_REAL_ORACLE = f"""
+WITH blobs AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+    CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END AS kind,
+    CAST(floor(sqrt(octet_length(encode(text)))) AS INT) AS side
+  FROM documents WHERE doc_id % 3 IN (0, 1)
+), ok AS (
+  SELECT doc_id,
+    CASE WHEN kind = 'audio' THEN 'audio/wav' ELSE 'image/bmp' END AS mime,
+    CASE WHEN kind = 'audio' THEN 44 + n
+         ELSE 54 + (side * 3 + (4 - (side * 3) % 4) % 4) * side END AS blob_n,
+    CASE WHEN kind = 'audio' THEN text
+         ELSE substr(text, 1, side * side) END AS content
+  FROM blobs
+  WHERE (kind = 'audio' AND n >= 1) OR (kind = 'image' AND side >= 1)
+)
+SELECT doc_id, mime, CAST(blob_n AS INT) AS n_bytes,
+  list_transform(generate_series(0, {_N_BINS - 1}),
+    b -> CAST(len(list_filter(string_split(content, ''),
+                c -> ascii(c) % {_N_BINS} = b)) AS DOUBLE)
+         / length(content)) AS features
+FROM ok
+"""
+
+
+@register(
+    "mm_decode_features_real",
+    oracle=_FEATURES_REAL_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
+def mm_decode_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode by default: wrap each audio/image payload
+    in a genuine WAV/BMP (llm/codecs.py writers), then run the feature
+    kernel, whose dispatch sniffs the magic bytes and decodes with the
+    VALIDATING parsers before the histogram head — no stub on this
+    path. Oracle-exact because decode(encode(bytes)) is bit-identical
+    to the source prefix (whole text for WAV; the side^2 square crop
+    for BMP) and the container length is deterministic arithmetic
+    (44 + n for WAV; 54 + padded-stride * side for BMP). Map-only,
+    two Arrow stages, blobs never shuffle."""
+    binary = mm_binary_ingest_impl(spark, sf_dir).filter(
+        F.col("mime").isin("audio/wav", "image/png")
+    )
+    wrapped = binary.mapInPandas(containerize, _CONTAINER_SCHEMA)
+    return wrapped.mapInPandas(extract_features, _FEATURE_SCHEMA)
+
+
+@register(
+    "mm_audio_rms_real",
+    oracle=_AUDIO_RMS_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
+def mm_audio_rms_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS/peak over GENUINE RIFF/WAVE blobs: containerize
+    wraps each audio payload in a real WAV, and the kernel's sniffer
+    decodes it with the validating chunk walker before the window
+    math — the same oracle as mm_audio_rms stays exact because
+    decode(encode(pcm)) returns the identical sample bytes."""
+    binary = mm_binary_ingest_impl(spark, sf_dir).filter(
+        F.col("mime") == "audio/wav"
+    )
+    wrapped = binary.mapInPandas(containerize, _CONTAINER_SCHEMA)
+    return wrapped.mapInPandas(audio_window_rms, _RMS_SCHEMA)
 
 
 _RESIZE_SCHEMA = T.StructType(

@@ -62,6 +62,38 @@ def test_fake_features_deterministic_and_normalized():
     assert _fake_features(b"") == [0.0] * _N_BINS
 
 
+def test_container_decode_sniffs_real_containers():
+    """The default dispatch must take the REAL decode path on genuine
+    containers (not the byte-level fallback), and fall back cleanly on
+    near-miss payloads that merely share the magic prefix."""
+    import numpy as np
+
+    from am_kinesis_pay_spark.llm.codecs import encode_bmp, encode_wav
+    from am_kinesis_pay_spark.llm.multimodal import (
+        _container_decode,
+        _features_dispatch,
+    )
+
+    pcm = np.arange(300, dtype=np.uint8)
+    wav = encode_wav(pcm)
+    assert _container_decode(wav) == pcm.tobytes()
+    # histogram over DECODED samples == histogram of the raw pcm,
+    # which differs from the histogram over the container bytes
+    assert _features_dispatch(wav) == _fake_features(pcm.tobytes())
+    assert _features_dispatch(wav) != _fake_features(wav)
+
+    gray = (np.arange(100, dtype=np.uint8) * 7 % 256).reshape(10, 10).astype(np.uint8)
+    bmp = encode_bmp(gray)
+    assert _container_decode(bmp) == gray.tobytes()
+    assert _features_dispatch(bmp) == _fake_features(gray.tobytes())
+
+    # magic-prefixed but malformed -> validating parser rejects,
+    # dispatch falls back to the byte-level head instead of raising
+    for fake in (b"RIFF not a real wave stream", b"BM but not a bitmap"):
+        assert _container_decode(fake) is None
+        assert _features_dispatch(fake) == _fake_features(fake)
+
+
 def test_mm_decode_features_schema_and_determinism(spark):
     df = queries()["mm_decode_features"](spark, SF_DIR)
     rows1 = {r.doc_id: tuple(r.features) for r in df.limit(50).collect()}
@@ -542,6 +574,16 @@ def test_ann_ivf_pq_full_rederivation(spark):
         ]
         assert got == [(i, round(s, 6)) for i, s in want], (qid, got, want)
 
-    # the probed-cell bound actually bit: candidates per query are a
-    # strict subset of the corpus (nprobe/K of it in expectation)
-    assert all(len(rs) <= TOP_K for rs in by_q.values())
+    # the probed-cell bound actually bit: at least one query's
+    # candidate set (re-derived above from probed cells) is a strict
+    # subset of the corpus — i.e. nprobe < K actually pruned work
+    pruned_any = False
+    for qid in by_q:
+        qv = vecs[qid] / np.linalg.norm(vecs[qid])
+        qsims = np.round(qv @ cent.T, 6)
+        probe = set(np.argsort(-qsims, kind="stable")[:IVF_NPROBE].tolist())
+        n_cand = sum(1 for i in ids if i != qid and cell_of[i] in probe)
+        if n_cand < len(ids) - 1:
+            pruned_any = True
+            break
+    assert pruned_any, "IVF probe bound never pruned any candidate"
