@@ -17,11 +17,15 @@ writer's commit protocol:
   cannot double-write).
 - ``commit(messages)`` runs ONCE on the driver after every task
   succeeded: staged files rename (atomic within the filesystem) to
-  numbered data files and a ``_manifest.json`` naming exactly the
-  committed files lands LAST. Readers resolve through the manifest, so
-  a crash anywhere before the manifest write leaves the previous
-  state authoritative — the same snapshot-then-marker discipline as
-  ``MergeKeyedSink``.
+  data files named with a fresh per-commit id — a published manifest's
+  files are NEVER reused or mutated by a later commit — and a
+  ``_manifest.json`` naming exactly the committed files lands LAST,
+  itself published atomically (temp file + fsync + ``os.replace``).
+  Readers resolve through the manifest, so a crash anywhere before the
+  manifest replace leaves the previous complete manifest authoritative
+  (never a truncated one) — the same snapshot-then-marker discipline
+  as ``MergeKeyedSink``. Overwrite garbage-collects the previous
+  commit's now-unreferenced files only AFTER the new manifest is live.
 - ``abort(messages)`` deletes whatever staged; the target is untouched.
 
 At 100 TB the staging dir is an object-store prefix and the manifest a
@@ -55,6 +59,34 @@ from am_kinesis_pay_spark.tables import load
 AUDIT_SCHEMA = "event_id bigint, user_id bigint, masked_user string, log_kind string"
 
 
+def _write_manifest_atomic(manifest_path: str, payload: dict) -> None:
+    """Crash-safe manifest publish: write to a unique temp name in the
+    same directory, fsync, then os.replace() onto the final name —
+    readers see either the previous complete manifest or the new
+    complete one, never a truncated file. At 100 TB this line is the
+    object store's conditional PUT; the discipline is identical."""
+    tmp = manifest_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, manifest_path)
+
+
+def _load_manifest(manifest_path: str) -> dict | None:
+    """Read a manifest if present AND parseable. A missing or corrupt
+    manifest reads as 'no committed state': treating an unparseable
+    file as committed would make epoch redelivery silently drop rows
+    (the old existence-only check did exactly that)."""
+    if not os.path.exists(manifest_path):
+        return None
+    try:
+        with open(manifest_path) as fh:
+            return json.load(fh)
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
 @dataclass
 class _StagedFile(WriterCommitMessage):
     staged: str
@@ -83,28 +115,41 @@ class AuditLogWriter(DataSourceWriter):
     # -- driver side ---------------------------------------------------
     def commit(self, messages: List[Optional[_StagedFile]]) -> None:
         manifest_path = os.path.join(self.path, "_manifest.json")
+        prev = _load_manifest(manifest_path)
         old_files: list[str] = []
         old_rows = 0
-        if not self.overwrite and os.path.exists(manifest_path):
-            with open(manifest_path) as fh:
-                prev = json.load(fh)
+        if not self.overwrite and prev is not None:
             old_files, old_rows = prev["files"], prev["n_rows"]
         staged = sorted(
             (m.staged, m.n_rows) for m in messages if m is not None
         )
+        # fresh per-commit id: files named by a published manifest are
+        # never renamed onto or mutated by a later commit, so a crash
+        # (or concurrent reader) mid-commit can never see new bytes
+        # under old committed names
+        commit_id = uuid.uuid4().hex[:12]
         files, total = [], 0
-        for i, (src, n) in enumerate(staged, start=len(old_files)):
-            dst = os.path.join(self.path, f"part-{i:05d}.jsonl")
+        for i, (src, n) in enumerate(staged):
+            dst = os.path.join(self.path, f"part-{commit_id}-{i:05d}.jsonl")
             os.replace(src, dst)
             files.append(os.path.basename(dst))
             total += n
-        # manifest LAST: before this line no reader sees the new write
-        # (append: old+new file list; overwrite: new list only — old
-        # files become unreferenced and reader-invisible immediately)
-        with open(manifest_path, "w") as fh:
-            json.dump(
-                {"files": old_files + files, "n_rows": old_rows + total}, fh
-            )
+        # manifest LAST and ATOMIC: before this replace no reader sees
+        # the new write (append: old+new file list; overwrite: new list
+        # only — old files become unreferenced the instant it lands)
+        _write_manifest_atomic(
+            manifest_path,
+            {"files": old_files + files, "n_rows": old_rows + total},
+        )
+        if self.overwrite and prev is not None:
+            # new manifest is live; the previous commit's files are now
+            # unreferenced — GC them (post-publish, so never readable)
+            for name in prev["files"]:
+                if name not in files:
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
 
     def abort(self, messages: List[Optional[_StagedFile]]) -> None:
         for m in messages:
@@ -209,9 +254,11 @@ class AuditLogStreamWriter(DataSourceStreamWriter):
         staged = sorted(
             (m.staged, m.n_rows) for m in messages if m is not None
         )
-        if os.path.exists(manifest):
-            # redelivered epoch: already published — drop the re-staged
-            # files, publish nothing (exactly-once)
+        if _load_manifest(manifest) is not None:
+            # redelivered epoch: already published (manifest present AND
+            # parseable — a torn file must NOT count as committed or the
+            # redelivery's rows would be silently dropped) — drop the
+            # re-staged files, publish nothing (exactly-once)
             for src, _ in staged:
                 if os.path.exists(src):
                     os.remove(src)
@@ -224,8 +271,7 @@ class AuditLogStreamWriter(DataSourceStreamWriter):
             os.replace(src, dst)
             files.append(os.path.basename(dst))
             total += n
-        with open(manifest, "w") as fh:
-            json.dump({"files": files, "n_rows": total}, fh)
+        _write_manifest_atomic(manifest, {"files": files, "n_rows": total})
 
     def abort(self, messages: List[Optional[_StagedFile]], batchId: int) -> None:
         for m in messages:

@@ -345,3 +345,70 @@ def test_pyds_stream_writer_epoch_manifests_and_idempotence(spark, tmp_path):
     assert after == before  # manifest unchanged
     assert not os.path.exists(stray)  # re-staged file discarded
     assert read_stream_committed(spark, out).count() == got.count()
+
+    # torn manifest (crash mid-write, pre-atomic-replace artifact): must
+    # read as NOT committed, so the redelivered epoch publishes its rows
+    # instead of silently dropping them
+    torn_epoch = epoch0 + 7777
+    torn_path = os.path.join(out, f"epoch-{torn_epoch:010d}.json")
+    with open(torn_path, "w") as fh:
+        fh.write('{"files": ["trunca')  # truncated JSON
+    restaged = os.path.join(staging, f"task-{_uuid.uuid4().hex}.jsonl")
+    with open(restaged, "w") as fh:
+        fh.write(
+            '{"event_id": 999991, "user_id": 1, '
+            '"masked_user": "user-***1", "log_kind": "request"}\n'
+        )
+    writer.commit([_StagedFile(staged=restaged, n_rows=1)], torn_epoch)
+    recovered = json.load(open(torn_path))  # now a complete manifest
+    assert recovered["n_rows"] == 1
+    assert read_stream_committed(spark, out).count() == got.count() + 1
+    # no temp artifacts linger from the atomic publishes
+    assert not any(".tmp-" in f for f in os.listdir(out))
+
+
+def test_pyds_writer_overwrite_uses_fresh_names_and_gcs_old(spark, tmp_path):
+    """Each commit names its data files with a fresh commit id, so an
+    overwrite never renames new bytes onto names a live manifest still
+    references (a crash or concurrent reader mid-commit can't see torn
+    state), and the previous commit's files are GC'd only after the new
+    manifest is live."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from am_kinesis_pay_spark.sources.pyds_writer import (
+        read_committed,
+        register_audit_sink,
+    )
+
+    register_audit_sink(spark)
+    out = str(tmp_path / "audit_sink_ow")
+
+    def mk(base):
+        return spark.range(5).select(
+            (F.col("id") + base).alias("event_id"),
+            F.col("id").alias("user_id"),
+            F.lit("user-***0").alias("masked_user"),
+            F.lit("request").alias("log_kind"),
+        )
+
+    mk(0).write.format("kpay_audit").option("path", out).mode("append").save()
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        first_files = set(json.load(fh)["files"])
+    assert first_files
+
+    mk(1000).coalesce(1).write.format("kpay_audit").option("path", out).mode(
+        "overwrite"
+    ).save()
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        second = json.load(fh)
+    # fresh names: zero overlap with the files the old manifest named
+    assert not (set(second["files"]) & first_files)
+    # old commit's files are gone (post-publish GC), no temp artifacts
+    listing = set(os.listdir(out))
+    assert not (first_files & listing)
+    assert not any(".tmp-" in f for f in listing)
+    got = sorted(r.event_id for r in read_committed(spark, out).collect())
+    assert got == [1000 + i for i in range(5)]
