@@ -1,10 +1,14 @@
 """Optional-dependency shims (import-try gated, no installs).
 
 ``ensure_protobuf()`` makes ``google.protobuf`` importable on images
-that ship no pip-installed protobuf but DO carry a canonical
-pure-Python runtime elsewhere on disk: the Google Cloud SDK's App
-Engine platform bundles protobuf (6.32 here) in the standard
-``google/protobuf`` namespace-package layout. Spark 4's
+that ship no pip-installed protobuf, from two sources (first hit
+wins): a canonical pure-Python runtime elsewhere on disk (the Google
+Cloud SDK's App Engine platform bundles protobuf 6.32 in the standard
+``google/protobuf`` namespace-package layout), or the repo's OWN
+vendored copy of that same runtime (``vendor/protobuf_runtime.zip``,
+BSD-licensed upstream sources + LICENSE, ~150 KB), extracted once to
+a writable cache dir — so TWS execution is portable to bare images
+with neither pip protobuf nor an SDK. Spark 4's
 ``transformWithStateInPandas`` Python worker needs that runtime to
 decode its state-server protocol (pyspark/sql/streaming/proto/
 StateMessage_pb2.py — gencode pinned to protoc 6.33).
@@ -46,6 +50,45 @@ _PROTOBUF_RUNTIME_DIRS = (
     "/usr/lib/google-cloud-sdk/platform/google_appengine",
 )
 
+_VENDOR_ZIP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "vendor",
+    "protobuf_runtime.zip",
+)
+
+
+def _vendored_runtime_dir() -> str | None:
+    """Extract the repo's vendored pure-python protobuf runtime to a
+    writable cache dir (once) and return it. Extraction is crash/race
+    safe: unpack into a unique temp dir, then os.rename onto the final
+    name — concurrent extractors lose the rename and reuse the winner.
+    Returns None when the vendor zip is absent (source checkouts that
+    stripped binary assets)."""
+    if not os.path.isfile(_VENDOR_ZIP):
+        return None
+    cache_root = os.environ.get("TMPDIR", "/tmp")
+    final = os.path.join(cache_root, "akps_protobuf_runtime")
+    if _runtime_ok(final):
+        return final
+    import uuid
+    import zipfile
+
+    tmp = f"{final}.extract-{uuid.uuid4().hex}"
+    try:
+        with zipfile.ZipFile(_VENDOR_ZIP) as z:
+            z.extractall(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            pass  # concurrent extractor won; theirs is complete
+    except (OSError, zipfile.BadZipFile):
+        return None
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final if _runtime_ok(final) else None
+
 _checked = False
 _available = False
 
@@ -80,9 +123,12 @@ def ensure_protobuf() -> bool:
     except ImportError:
         pass
 
-    for base in _PROTOBUF_RUNTIME_DIRS:
-        if not base or not _runtime_ok(base):
-            continue
+    candidates = [b for b in _PROTOBUF_RUNTIME_DIRS if b and _runtime_ok(b)]
+    if not candidates:
+        vendored = _vendored_runtime_dir()
+        if vendored:
+            candidates.append(vendored)
+    for base in candidates:
         # Env first: forked Spark Python workers rebuild sys.path from
         # PYTHONPATH and re-run the gencode's version validator there.
         os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"

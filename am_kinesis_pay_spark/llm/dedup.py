@@ -464,9 +464,16 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tile containing b, masked to a < b. Exact all-pairs is inherently
     O(n²) compute — n_tiles probe passes over the corpus is that cost
     made explicit; the LSH/SimHash entries are the subquadratic path.
-    Cosine rounded to 6 dp absorbs summation-order divergence vs the
-    sequential-fold oracle. Multi-tile parity vs the oracle is pinned
-    in tests/test_llm.py (AKPS_COSINE_TILE_ROWS)."""
+
+    Tiles execute EAGERLY, one job per tile, each appending its pairs
+    to a scratch parquet and then destroy()ing its broadcast before
+    the next tile collects — so the aggregate executor broadcast
+    footprint is ONE tile (~4 MB) at any moment, not O(corpus) as a
+    lazy union of still-referenced broadcasts would be; the surviving
+    pairs stream to disk, the checkpoint shape a 100 TB run needs
+    anyway. Cosine rounded to 6 dp absorbs summation-order divergence
+    vs the sequential-fold oracle. Multi-tile parity vs the oracle is
+    pinned in tests/test_llm.py (AKPS_COSINE_TILE_ROWS)."""
     import math
 
     import numpy as np
@@ -510,7 +517,13 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return block_pairs
 
-    parts = []
+    import shutil
+
+    from am_kinesis_pay_spark.paths import scratch_path
+
+    out_dir = scratch_path(spark, "akps_cosine_tiles")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    wrote_any = False
     for t in range(n_tiles):
         tile = probe.filter(
             F.pmod(F.col("vec_id"), F.lit(n_tiles)) == t
@@ -521,13 +534,16 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat_t = np.stack(tile["embedding"].to_numpy()).astype(np.float64)
         mat_t = mat_t / np.linalg.norm(mat_t, axis=1, keepdims=True)
         bc = spark.sparkContext.broadcast((ids_t, mat_t))
-        parts.append(probe.mapInPandas(tile_kernel(bc), out_schema))
-    if not parts:
+        try:
+            probe.mapInPandas(tile_kernel(bc), out_schema).write.mode(
+                "append"
+            ).parquet(out_dir)
+            wrote_any = True
+        finally:
+            bc.destroy()  # hard-release before the next tile collects
+    if not wrote_any:
         return spark.createDataFrame([], out_schema)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return spark.read.schema(out_schema).parquet(out_dir)
 
 
 def _emb_lsh_dedup_oracle() -> str:
@@ -967,9 +983,11 @@ def text_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     shared with the oracle: a batch doc matching ANY smaller batch doc
     is dropped (no survivor-chain recomputation — the keep-best
     cluster form is `text_dedup_keep_best`)."""
+    from am_kinesis_pay_spark.paths import scratch_path
+
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    per_doc = (
+    per_doc_plan = (
         sh.groupBy("doc_id")
         .agg(
             *[
@@ -981,8 +999,16 @@ def text_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFram
             F.collect_set("shingle").alias("sh_set"),
         )
         .withColumn("is_new", F.col("doc_id") % 10 == 0)
-        .cache()
     )
+    # four consumers (two band sides, two signature-set sides) read
+    # this frame — materialize it to scratch parquet instead of
+    # cache(): one computation either way, but no executor storage
+    # stays pinned after the query (no in-plan unpersist point exists),
+    # and at scale this IS the persisted band/signature index the
+    # docstring describes (ingest maintains it; probes just read it)
+    idx_path = scratch_path(spark, "akps_minhash_inc_index")
+    per_doc_plan.write.mode("overwrite").parquet(idx_path)
+    per_doc = spark.read.parquet(idx_path)
     band_exprs = [
         F.struct(
             F.lit(b).alias("band"),

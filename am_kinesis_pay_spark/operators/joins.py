@@ -569,19 +569,12 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the ±1 h window around a flagged purchase, across ALL users
     (the 'views near a big sale' attribution shape the reference's
     same-user as-of join J7 cannot express). A naive theta join here is
-    a cross product; the scalable form BUCKETIZES time: each promo
-    interval explodes into the hour buckets it covers (≤3 per 2 h
-    interval — cost is interval_length/bucket, chosen so the explosion
-    is a small constant), each view carries its single hour bucket,
-    and the join becomes an EQUI join on the bucket with the exact
-    range predicate as a residual filter. A view's bucket is unique,
-    so every qualifying (promo, view) pair meets in exactly one bucket
-    — no post-join dedup. Plan: both sides shuffle once on the hour
-    bucket (or the small promo side broadcasts); hot buckets are
-    ordinary join skew, handled by AQE's skew split or salting — the
-    cross product never exists at any scale. This is the same
-    bucketize-then-residual trick a production range-join hint
-    implements natively (e.g. Databricks RANGE_JOIN)."""
+    a cross product; the scalable form is the shared
+    ``bucketed_range_join`` helper (see its docstring for the plan
+    argument): hour buckets on epoch seconds, exact full-precision
+    timestamp comparison as the residual (the events ts carries
+    microseconds; truncation only feeds the bucket, never the
+    predicate)."""
     ev = load(spark, sf_dir, "events")
     promo = ev.filter(
         (F.col("event_type") == "purchase") & (F.col("event_id") % 97 == 0)
@@ -591,36 +584,130 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("s"),
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
     )
-    # explode the interval into covered hour buckets; the residual
-    # filter below discards the boundary bucket when e is mid-hour
-    promo_b = promo.select(
-        "promo_id",
-        "p_ts",
-        "s",
-        "e",
-        F.explode(
-            F.sequence(
-                F.date_trunc("hour", "s"),
-                F.date_trunc("hour", "e"),
-                F.expr("INTERVAL 1 HOUR"),
-            )
-        ).alias("bkt"),
-    )
-    views = ev.filter(F.col("event_type") == "view").select(
+    promo_n = promo.withColumn(
+        "s_sec", F.unix_timestamp("s").cast("double")
+    ).withColumn("e_sec", F.unix_timestamp("e").cast("double"))
+    views_n = ev.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"),
         F.col("ts").alias("v_ts"),
-        F.date_trunc("hour", "ts").alias("bkt"),
+        F.unix_timestamp("ts").cast("double").alias("v_sec"),
     )
-    return (
-        promo_b.join(views, "bkt")
-        .filter((F.col("v_ts") >= F.col("s")) & (F.col("v_ts") < F.col("e")))
-        .select(
-            "promo_id",
-            "view_id",
-            (F.unix_timestamp("v_ts") - F.unix_timestamp("p_ts")).alias(
-                "lag_sec"
-            ),
+    return bucketed_range_join(
+        promo_n,
+        views_n,
+        "s_sec",
+        "e_sec",
+        "v_sec",
+        bucket_width=3600.0,
+        residual=(F.col("v_ts") >= F.col("s")) & (F.col("v_ts") < F.col("e")),
+    ).select(
+        "promo_id",
+        "view_id",
+        (F.unix_timestamp("v_ts") - F.unix_timestamp("p_ts")).alias("lag_sec"),
+    )
+
+
+def bucketed_range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    lo: str,
+    hi: str,
+    point: str,
+    bucket_width: float,
+    hi_inclusive: bool = False,
+    residual=None,
+    how: str = "inner",
+) -> DataFrame:
+    """Reusable bucketize-then-residual range join — the scale-safe
+    form for a range predicate with NO equi key, where a naive theta
+    join is a cross product (BroadcastNestedLoopJoin) and neither side
+    is guaranteed broadcast-able.
+
+    Each interval row explodes into the integer buckets
+    ``floor(lo/w) .. floor(hi/w)`` it covers (cost = range/width + 1
+    rows — pick ``bucket_width`` near the typical interval length so
+    this is a small constant); each point row carries its single
+    bucket ``floor(point/w)``; the join becomes an EQUI join on the
+    bucket with the exact range check re-applied as a residual filter.
+    A point's bucket is unique, so every qualifying pair meets in
+    exactly one bucket — no post-join dedup. Plan: one shuffle of each
+    side on the bucket (or broadcast if one side is small); hot
+    buckets are ordinary join skew (AQE skew split / salting); the
+    cross product never exists at any scale. Same trick a production
+    range-join hint implements natively (e.g. Databricks RANGE_JOIN).
+
+    ``lo``/``hi``/``point`` name NUMERIC columns (cast timestamps to
+    epoch seconds first). Pass ``residual`` to override the default
+    range check — e.g. to compare the original full-precision
+    timestamps while bucketing on truncated seconds (safe: truncation
+    never moves a value across a ``floor(x/w)`` boundary for integer
+    ``w``). Default residual is ``lo <= point < hi`` (``<= hi`` when
+    ``hi_inclusive``)."""
+    w = F.lit(float(bucket_width))
+    iv = intervals.withColumn(
+        "_rb_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / w).cast("long"),
+                F.floor(F.col(hi) / w).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("_rb_bkt", F.floor(F.col(point) / w).cast("long"))
+    if residual is None:
+        upper = (
+            F.col(point) <= F.col(hi)
+            if hi_inclusive
+            else F.col(point) < F.col(hi)
         )
+        residual = (F.col(point) >= F.col(lo)) & upper
+    return iv.join(pt, "_rb_bkt", how).filter(residual).drop("_rb_bkt")
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, p.p_partkey,
+  CAST(l.l_extendedprice AS DOUBLE) AS line_price, p.p_retailprice
+FROM lineitem l
+JOIN part p
+  ON CAST(l.l_extendedprice AS DOUBLE) >= CAST(p.p_retailprice - 1.0 AS DOUBLE)
+ AND CAST(l.l_extendedprice AS DOUBLE) <  CAST(p.p_retailprice + 1.0 AS DOUBLE)
+WHERE l.l_orderkey % 7 = 0
+""",
+    tags=("join", "interval"),
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 variant with NO equi key: price-proximity match — every part
+    whose retail price is within ±1 of a line's extended price, across
+    ALL parts. Where `join_range_theta` leans on its partkey equi
+    component, this band has no key at all, so the scale-safe plan is
+    `bucketed_range_join`: parts explode into the ≤2 width-2 price
+    buckets their ±1 band covers, lines carry their single bucket, and
+    the band becomes an equi join on the bucket + residual — asserted
+    shuffle-hash/sort-merge, never BroadcastNestedLoopJoin
+    (tests/test_plans.py). Bucket math on doubles is safe here: 2-dp
+    decimal inputs sit ≥0.01 from any bucket boundary, 12 orders above
+    double rounding error."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("double").alias("line_price"),
+        )
+    )
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        (F.col("p_retailprice") - 1.0).cast("double").alias("band_lo"),
+        (F.col("p_retailprice") + 1.0).cast("double").alias("band_hi"),
+    )
+    return bucketed_range_join(
+        part, li, "band_lo", "band_hi", "line_price", bucket_width=2.0
+    ).select(
+        "l_orderkey", "l_linenumber", "p_partkey", "line_price", "p_retailprice"
     )
 
 

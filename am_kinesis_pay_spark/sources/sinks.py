@@ -473,9 +473,15 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bit = xb + yb
         zval = bit if zval is None else zval + bit
-    # both layout pipelines (and the count) consume this frame — cache
-    # the one normalized+Morton-coded scan instead of recomputing it
-    z = ev.withColumn("zval", zval).cache()
+    # both layout pipelines (and the count) consume this frame — spill
+    # the one normalized+Morton-coded scan to scratch parquet instead
+    # of cache(): same single computation, but nothing stays pinned in
+    # executor storage memory after the query (a cache() here has no
+    # in-plan unpersist point — every consumer is in the returned lazy
+    # plan), and at scale the coded scan IS a persisted layout table
+    z_path = scratch_path(spark, "akps_zorder_scan")
+    ev.withColumn("zval", zval).write.mode("overwrite").parquet(z_path)
+    z = spark.read.parquet(z_path)
     n_total = z.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
 
     def ranked(df: DataFrame, sort_col: str, bkt_expr) -> DataFrame:

@@ -29,15 +29,38 @@ def spark():
     yield s
 
 
-@pytest.fixture(scope="session")
-def ducks():
+def _duck_con(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+    return con
+
+
+@pytest.fixture(scope="session")
+def ducks():
+    con = _duck_con(SF_DIR)
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def ducks_for():
+    """Factory fixture: one cached DuckDB connection per sf dir, for
+    tests parametrized over scale factors (value-level sf-dependence —
+    ties, overflow, .xx5 rounding boundaries — only shows up when the
+    parity suite runs at the driver's sf too)."""
+    cons: dict[str, object] = {}
+
+    def get(sf_dir: str):
+        if sf_dir not in cons:
+            cons[sf_dir] = _duck_con(sf_dir)
+        return cons[sf_dir]
+
+    yield get
+    for c in cons.values():
+        c.close()
 
 
 def normalize(rows, ndigits: int = 9):

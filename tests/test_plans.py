@@ -52,6 +52,20 @@ def test_range_theta_stays_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
 
 
+def test_range_bucketed_is_equi_join(spark):
+    # keyless band predicate via bucketed_range_join: must plan as an
+    # equi join on the bucket (hash or sort-merge), never a nested-loop
+    # cross product — the scale-safe form when neither side broadcasts
+    plan = plan_of(spark, "join_range_bucketed")
+    assert (
+        "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
 def test_partial_aggregation_present(spark):
     # HashAggregate appears twice per grouping: partial (map-side) +
     # final — the map-side combine that absorbs skew at scale
