@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -175,6 +176,166 @@ def decode_bmp(blob: bytes) -> tuple[dict, np.ndarray]:
     return {"width": w, "height": h, "bits": bpp}, bgr[..., 0].copy()
 
 
+# --- PNG (8-bit grayscale, non-interlaced; REAL zlib inflate) ----------
+#
+# A COMPRESSED format decoded for real with no codec library: PNG is
+# zlib DEFLATE (stdlib) over per-scanline-filtered rows. The decoder
+# below does genuine format work — chunk walking with per-chunk CRC-32
+# verification, IHDR validation, IDAT reassembly, inflate, and
+# reversal of all five scanline filters (None/Sub/Up/Average/Paeth).
+# Only formats needing an actual signal codec (JPEG DCT, MP4/audio
+# codecs) remain gated behind USE_REAL_CODECS.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(gray: np.ndarray, filter_mode: str = "none") -> bytes:
+    """Genuine PNG writer (8-bit grayscale, color type 0, non-
+    interlaced): real zlib DEFLATE over filtered scanlines, CRC-32 on
+    every chunk. ``filter_mode`` 'none' emits filter-0 rows (the fast-
+    writer shape); 'cycle' rotates through all five PNG filter types
+    row by row, producing streams that exercise every reverse-filter
+    path in the decoder — as real optimizing encoders do."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int16)
+    for r in range(h):
+        row = gray[r].astype(np.int16)
+        ft = 0 if filter_mode == "none" else r % 5
+        if ft == 0:
+            filt = gray[r].tobytes()
+        elif ft == 1:  # Sub
+            left = np.concatenate(([0], row[:-1]))
+            filt = ((row - left) % 256).astype(np.uint8).tobytes()
+        elif ft == 2:  # Up
+            filt = ((row - prev) % 256).astype(np.uint8).tobytes()
+        elif ft == 3:  # Average
+            left = np.concatenate(([0], row[:-1]))
+            filt = ((row - (left + prev) // 2) % 256).astype(np.uint8).tobytes()
+        else:  # Paeth
+            out = bytearray(w)
+            for i in range(w):
+                a = int(row[i - 1]) if i else 0
+                b = int(prev[i])
+                c = int(prev[i - 1]) if i else 0
+                out[i] = (int(row[i]) - _paeth(a, b, c)) % 256
+            filt = bytes(out)
+        raw.append(ft)
+        raw += filt
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> tuple[dict, np.ndarray]:
+    """Validating PNG decoder for the 8-bit grayscale non-interlaced
+    form: signature + chunk walk with CRC-32 verification on EVERY
+    chunk, IHDR-first/IEND-last ordering, IDAT reassembly, real zlib
+    inflate, size cross-check against IHDR dims, then reversal of all
+    five scanline filters. Raises ValueError on anything malformed or
+    unsupported — callers route, not crash."""
+    if len(blob) < 8 or blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    ihdr: dict | None = None
+    idat = bytearray()
+    seen_end = False
+    while pos < len(blob):
+        if pos + 8 > len(blob):
+            raise ValueError("truncated chunk header")
+        (clen,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        if pos + 12 + clen > len(blob):
+            raise ValueError(f"truncated chunk {ctype!r}")
+        data = blob[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in chunk {ctype!r}")
+        if ihdr is None:
+            if ctype != b"IHDR":
+                raise ValueError("first chunk is not IHDR")
+            w, h, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color != 0 or comp != 0 or filt != 0 or inter != 0:
+                raise ValueError(
+                    "unsupported PNG variant (need gray8 non-interlaced)"
+                )
+            if w < 1 or h < 1:
+                raise ValueError("degenerate PNG dimensions")
+            ihdr = {"width": w, "height": h, "bits": depth}
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_end = True
+            pos += 12 + clen
+            break
+        pos += 12 + clen
+    if ihdr is None or not seen_end or not idat:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt DEFLATE stream: {e}") from None
+    w, h = ihdr["width"], ihdr["height"]
+    if len(raw) != (w + 1) * h:
+        raise ValueError("decompressed size disagrees with IHDR dims")
+    gray = np.zeros((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.int32)
+    for r in range(h):
+        ft = raw[r * (w + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=w, offset=r * (w + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up: vectorized
+            rec = (line + prev) % 256
+        elif ft in (1, 3, 4):  # left-dependent: sequential within row
+            rec = np.zeros(w, dtype=np.int32)
+            for i in range(w):
+                a = int(rec[i - 1]) if i else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + int(prev[i])) // 2
+                else:
+                    pred = _paeth(
+                        a, int(prev[i]), int(prev[i - 1]) if i else 0
+                    )
+                rec[i] = (int(line[i]) + pred) % 256
+        else:
+            raise ValueError(f"unknown scanline filter {ft}")
+        gray[r] = rec.astype(np.uint8)
+        prev = rec
+    return ihdr, gray
+
+
 # --- Spark operator ----------------------------------------------------
 
 _ROUNDTRIP_SCHEMA = T.StructType(
@@ -300,3 +461,94 @@ def mm_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mime").isin("audio/wav", "image/png")
     )
     return binary.mapInPandas(codec_roundtrip, _ROUNDTRIP_SCHEMA)
+
+
+_PNG_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload_md5", T.StringType()),
+    ]
+)
+
+# SIG(8) + IHDR chunk(4 len + 4 type + 13 data + 4 crc) + IDAT header(8)
+_PNG_FIRST_IDAT_BYTE = 8 + 25 + 8
+
+
+def png_roundtrip(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode each image payload as a GENUINE compressed PNG (cycling
+    through all five scanline filters), corrupt one DEFLATE byte of
+    every doc_id % 31 == 0 blob (signature and layout stay plausible —
+    only CRC verification can catch it), then decode with the
+    validating inflate+unfilter parser. payload_md5 hashes the DECODED
+    pixels — equal to the source bytes' md5 only if the decoder truly
+    reverses compression and filtering."""
+    for pdf in pdfs:
+        out: dict[str, list] = {k.name: [] for k in _PNG_ROUNDTRIP_SCHEMA.fields}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+            side = int(len(raw) ** 0.5)
+            if side < 1:
+                continue
+            blob = encode_png(
+                raw[: side * side].reshape(side, side), filter_mode="cycle"
+            )
+            if doc_id % _CORRUPT_MOD == 0:
+                b = bytearray(blob)
+                b[_PNG_FIRST_IDAT_BYTE] ^= 0xFF
+                blob = bytes(b)
+            try:
+                meta, gray = decode_png(blob)
+                out["doc_id"].append(doc_id)
+                out["container"].append("png")
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["payload_md5"].append(
+                    hashlib.md5(gray.tobytes()).hexdigest()
+                )
+            except ValueError:
+                out["doc_id"].append(doc_id)
+                out["container"].append("corrupt")
+                out["width"].append(None)
+                out["height"].append(None)
+                out["payload_md5"].append(None)
+        yield pd.DataFrame(out)
+
+
+_PNG_ROUNDTRIP_ORACLE = f"""
+WITH imgs AS (
+  SELECT doc_id, text,
+    CAST(floor(sqrt(octet_length(encode(text)))) AS INT) AS side
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id,
+  CASE WHEN doc_id % {_CORRUPT_MOD} = 0 THEN 'corrupt' ELSE 'png' END AS container,
+  CASE WHEN doc_id % {_CORRUPT_MOD} <> 0 THEN side END AS width,
+  CASE WHEN doc_id % {_CORRUPT_MOD} <> 0 THEN side END AS height,
+  CASE WHEN doc_id % {_CORRUPT_MOD} <> 0
+       THEN md5(substr(text, 1, side * side)) END AS payload_md5
+FROM imgs WHERE side >= 1
+"""
+
+
+@register(
+    "mm_codec_png_roundtrip",
+    oracle=_PNG_ROUNDTRIP_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
+def mm_codec_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-container decode proof, no codec library: each image
+    payload becomes a genuine zlib-DEFLATE PNG with all five scanline
+    filters in play, and the validating decoder (CRC walk + inflate +
+    unfilter) must reproduce the source pixels bit-for-bit for the md5
+    to match DuckDB's hash of the same bytes. Deflate-corrupted blobs
+    (doc_id % 31 — one flipped IDAT byte, catchable only by CRC) must
+    route to quarantine rows, not crash the job. Map-only over Arrow
+    batches; JPEG/MP4 (actual signal codecs) remain the only gated
+    formats."""
+    binary = mm_binary_ingest_impl(spark, sf_dir).filter(
+        F.col("mime") == "image/png"
+    )
+    return binary.mapInPandas(png_roundtrip, _PNG_ROUNDTRIP_SCHEMA)

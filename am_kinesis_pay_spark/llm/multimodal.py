@@ -2,20 +2,23 @@
 opaque BINARY columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` operators.
 
-Uncompressed CONTAINER formats decode for REAL by default: every
-feature kernel sniffs its payload and, when it is a genuine RIFF/WAVE
-or BMP blob, runs the validating parsers from llm/codecs.py (pure
-numpy — magic/chunk/size validation, row padding and bottom-up order
-undone) and extracts features from the DECODED samples/pixels.
-``mm_decode_features_real`` / ``mm_audio_rms_real`` wrap the stand-in
-bytes into genuine containers first, so the real decode path is
-oracle-checked end-to-end. Only compressed formats (PNG/JPEG/MP4)
-remain gated: this image has no codec LIBRARIES, so that kernel is a
-deterministic byte-level fallback behind an import-try —
-``_decode_image`` raises NotImplementedError if someone flips
-``USE_REAL_CODECS`` without PIL present. Everything Spark-side here
-is real and tested: binary schema, metadata struct, batch iteration
-shape, per-partition processing, frame-sampling explode.
+Real container formats decode for REAL by default: every feature
+kernel sniffs its payload and, when it is a genuine RIFF/WAVE, BMP,
+or PNG blob, runs the validating parsers from llm/codecs.py
+(magic/chunk/CRC validation; WAV chunk walk; BMP row padding and
+bottom-up order undone; PNG genuinely inflated via stdlib zlib and
+all five scanline filters reversed) and extracts features from the
+DECODED samples/pixels. ``mm_decode_features_real`` /
+``mm_audio_rms_real`` wrap the stand-in bytes into genuine containers
+first, so the real decode path is oracle-checked end-to-end (PNG:
+``mm_codec_png_roundtrip``). Only actual signal codecs (JPEG DCT,
+MP4/compressed audio) remain gated: this image has no codec
+LIBRARIES, so that kernel is a deterministic byte-level fallback
+behind an import-try — ``_decode_image`` raises NotImplementedError
+if someone flips ``USE_REAL_CODECS`` without PIL present. Everything
+Spark-side here is real and tested: binary schema, metadata struct,
+batch iteration shape, per-partition processing, frame-sampling
+explode.
 
 Scale notes: binary payloads ride the Arrow stream in bounded batches
 (``spark.sql.execution.arrow.maxRecordsPerBatch``); feature extraction
@@ -113,11 +116,13 @@ def _fake_features(payload: bytes) -> list[float]:
 def _container_decode(payload: bytes) -> bytes | None:
     """Sniff-and-decode REAL containers with the validating parsers in
     llm/codecs.py: RIFF/WAVE -> PCM sample bytes, BMP -> grayscale
-    pixel bytes (row-major, padding/bottom-up/BGR undone). Returns
-    None when the payload is not a (valid) supported container so the
-    caller falls back to the byte-level path — decode failures are
-    data, not exceptions. Compressed formats (PNG/JPEG/MP4) still need
-    USE_REAL_CODECS plus a codec library."""
+    pixel bytes (row-major, padding/bottom-up/BGR undone), PNG ->
+    grayscale pixels via genuine zlib inflate + scanline unfilter.
+    Returns None when the payload is not a (valid) supported container
+    so the caller falls back to the byte-level path — decode failures
+    are data, not exceptions. Only actual signal codecs (JPEG DCT,
+    MP4/compressed audio) still need USE_REAL_CODECS plus a codec
+    library."""
     from am_kinesis_pay_spark.llm import codecs
 
     b = bytes(payload)
@@ -127,6 +132,9 @@ def _container_decode(payload: bytes) -> bytes | None:
             return samples.tobytes()
         if b[:2] == b"BM":
             _, gray = codecs.decode_bmp(b)
+            return gray.tobytes()
+        if b[:8] == codecs._PNG_SIG:
+            _, gray = codecs.decode_png(b)
             return gray.tobytes()
     except ValueError:
         return None
@@ -481,9 +489,9 @@ def resize_images(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Image-resize kernel: interpret the payload as a square 8-bit
     grayscale bitmap (side = floor(sqrt(n_bytes)), tail truncated) and
     box-filter it down to a fixed _OUT_SIDE x _OUT_SIDE thumbnail via
-    block averaging — the deterministic stand-in for PIL's
-    Image.resize(..., BOX); a real codec swaps in at the marked line
-    without touching the Spark plumbing."""
+    block averaging — PIL's Image.resize(..., BOX) semantics. Genuine
+    WAV/BMP/PNG containers decode for real first (the sniffer), so the
+    bitmap interpretation only applies to bare payloads."""
     import numpy as np
 
     for pdf in pdfs:
@@ -495,7 +503,11 @@ def resize_images(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "mean_px": [],
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+            raw_b = bytes(payload)
+            decoded = _container_decode(raw_b)
+            raw = np.frombuffer(
+                decoded if decoded is not None else raw_b, dtype=np.uint8
+            )
             side = int(len(raw) ** 0.5)
             if side < _OUT_SIDE:
                 continue  # too small to thumbnail; a real pipeline routes these aside
@@ -571,3 +583,22 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mime") == "image/png"
     )
     return binary.mapInPandas(resize_images, _RESIZE_SCHEMA)
+
+
+@register(
+    "mm_image_resize_real",
+    oracle=_RESIZE_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
+def mm_image_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail resize over GENUINE containers: image payloads wrap
+    into real BMPs (containerize) and the kernel's sniffer decodes
+    them with the validating parser before the box filter — the same
+    oracle stays exact because decode(encode(square crop)) returns the
+    identical pixel bytes, so src_side and every block mean re-derive
+    unchanged."""
+    binary = mm_binary_ingest_impl(spark, sf_dir).filter(
+        F.col("mime") == "image/png"
+    )
+    wrapped = binary.mapInPandas(containerize, _CONTAINER_SCHEMA)
+    return wrapped.mapInPandas(resize_images, _RESIZE_SCHEMA)

@@ -1,18 +1,22 @@
 """Property tests for the real container codecs (llm/codecs.py):
 decode(encode(x)) must be bit-exact for ANY payload — every PCM
 width/rate/length for WAV, every image shape (hitting all four BMP
-row-padding remainders) for BMP. No Spark session needed; hypothesis
-drives the numpy kernels directly."""
+row-padding remainders) for BMP, and every scanline-filter mix for
+the compressed PNG path (real zlib inflate + unfilter). No Spark
+session needed; hypothesis drives the numpy kernels directly."""
 
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from am_kinesis_pay_spark.llm.codecs import (
     decode_bmp,
+    decode_png,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_wav,
 )
 
@@ -62,3 +66,49 @@ def test_bmp_roundtrip_every_padding(h: int, w: int, seed: int):
     meta, got = decode_bmp(encode_bmp(img))
     assert (got == img).all()
     assert meta == {"width": w, "height": h, "bits": 24}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=255),
+    st.sampled_from(["none", "cycle"]),
+)
+def test_png_roundtrip_all_filters(h: int, w: int, seed: int, mode: str):
+    # 'cycle' rotates through all five scanline filters (None/Sub/Up/
+    # Average/Paeth), so any h >= 5 exercises every reverse path; the
+    # DEFLATE stream is real zlib either way
+    img = ((np.arange(h * w, dtype=np.int64) * 151 + seed) % 251).astype(
+        np.uint8
+    ).reshape(h, w)
+    meta, got = decode_png(encode_png(img, filter_mode=mode))
+    assert (got == img).all()
+    assert meta == {"width": w, "height": h, "bits": 8}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=30),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_png_corruption_never_passes_silently(side: int, seed: int, pos: int):
+    """Flip any single byte anywhere in the stream: the validating
+    decoder must either reject it (CRC / structure / size checks) or
+    — never — return wrong pixels as if nothing happened."""
+    img = ((np.arange(side * side, dtype=np.int64) * 73 + seed) % 256).astype(
+        np.uint8
+    ).reshape(side, side)
+    blob = bytearray(encode_png(img, filter_mode="cycle"))
+    blob[pos % len(blob)] ^= 0xA5
+    with pytest.raises(ValueError):
+        decode_png(bytes(blob))
+
+
+def test_png_truncation_rejected():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = encode_png(img)
+    for cut in (4, 20, len(blob) // 2, len(blob) - 1):
+        with pytest.raises(ValueError):
+            decode_png(blob[:cut])

@@ -87,6 +87,16 @@ def test_container_decode_sniffs_real_containers():
     assert _container_decode(bmp) == gray.tobytes()
     assert _features_dispatch(bmp) == _fake_features(gray.tobytes())
 
+    # compressed path: a real PNG (zlib DEFLATE + scanline filters)
+    # must decode to the same pixels — and its container bytes look
+    # nothing like the pixel bytes, so the histogram proves the inflate
+    from am_kinesis_pay_spark.llm.codecs import encode_png
+
+    png = encode_png(gray, filter_mode="cycle")
+    assert _container_decode(png) == gray.tobytes()
+    assert _features_dispatch(png) == _fake_features(gray.tobytes())
+    assert _features_dispatch(png) != _fake_features(png)
+
     # magic-prefixed but malformed -> validating parser rejects,
     # dispatch falls back to the byte-level head instead of raising
     for fake in (b"RIFF not a real wave stream", b"BM but not a bitmap"):
