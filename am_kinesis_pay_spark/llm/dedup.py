@@ -465,15 +465,17 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) compute — n_tiles probe passes over the corpus is that cost
     made explicit; the LSH/SimHash entries are the subquadratic path.
 
-    Tiles execute EAGERLY, one job per tile, each appending its pairs
-    to a scratch parquet and then destroy()ing its broadcast before
-    the next tile collects — so the aggregate executor broadcast
-    footprint is ONE tile (~4 MB) at any moment, not O(corpus) as a
-    lazy union of still-referenced broadcasts would be; the surviving
-    pairs stream to disk, the checkpoint shape a 100 TB run needs
-    anyway. Cosine rounded to 6 dp absorbs summation-order divergence
-    vs the sequential-fold oracle. Multi-tile parity vs the oracle is
-    pinned in tests/test_llm.py (AKPS_COSINE_TILE_ROWS)."""
+    Tiles execute EAGERLY through a small thread pool (≤4 tile jobs
+    in flight — Spark's scheduler runs them concurrently), each
+    writing its pairs to a per-tile scratch parquet dir and
+    destroy()ing its broadcast the moment its job finishes — so the
+    aggregate executor broadcast footprint is bounded by pool width ×
+    tile (~16 MB), not O(corpus) as a lazy union of still-referenced
+    broadcasts would be, while keeping the cluster busy across tiles;
+    the surviving pairs stream to disk, the checkpoint shape a 100 TB
+    run needs anyway. Cosine rounded to 6 dp absorbs summation-order
+    divergence vs the sequential-fold oracle. Multi-tile parity vs the
+    oracle is pinned in tests/test_llm.py (AKPS_COSINE_TILE_ROWS)."""
     import math
 
     import numpy as np
@@ -518,32 +520,37 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         return block_pairs
 
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     from am_kinesis_pay_spark.paths import scratch_path
 
     out_dir = scratch_path(spark, "akps_cosine_tiles")
     shutil.rmtree(out_dir, ignore_errors=True)
-    wrote_any = False
-    for t in range(n_tiles):
+
+    def run_tile(t: int) -> str | None:
         tile = probe.filter(
             F.pmod(F.col("vec_id"), F.lit(n_tiles)) == t
         ).toPandas()
         if tile.empty:
-            continue
+            return None
         ids_t = tile["vec_id"].to_numpy()
         mat_t = np.stack(tile["embedding"].to_numpy()).astype(np.float64)
         mat_t = mat_t / np.linalg.norm(mat_t, axis=1, keepdims=True)
         bc = spark.sparkContext.broadcast((ids_t, mat_t))
         try:
+            path = os.path.join(out_dir, f"tile-{t:05d}")
             probe.mapInPandas(tile_kernel(bc), out_schema).write.mode(
-                "append"
-            ).parquet(out_dir)
-            wrote_any = True
+                "overwrite"
+            ).parquet(path)
+            return path
         finally:
-            bc.destroy()  # hard-release before the next tile collects
-    if not wrote_any:
+            bc.destroy()  # hard-release as soon as this tile's job ends
+
+    with ThreadPoolExecutor(max_workers=min(4, n_tiles)) as pool:
+        paths = [p for p in pool.map(run_tile, range(n_tiles)) if p]
+    if not paths:
         return spark.createDataFrame([], out_schema)
-    return spark.read.schema(out_schema).parquet(out_dir)
+    return spark.read.schema(out_schema).parquet(*paths)
 
 
 def _emb_lsh_dedup_oracle() -> str:

@@ -1832,3 +1832,120 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled_triangles"),
         (F.count(F.lit(1)) * F.lit(8)).cast("long").alias("n_triangles_est"),
     )
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS first_d, CAST(max(ts) AS DATE) AS last_d,
+         max(ts) AS last_ts
+  FROM events GROUP BY user_id
+), horizon AS (SELECT max(ts) AS tmax FROM events),
+lab AS (
+  SELECT user_id,
+    date_diff('day', first_d, last_d) AS life,
+    last_ts >= tmax - INTERVAL 7 DAY AS censored
+  FROM per_user, horizon
+), per_day AS (
+  SELECT life AS day,
+    SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS deaths,
+    COUNT(*) AS ending
+  FROM lab GROUP BY life
+), risk AS (
+  SELECT day, deaths,
+    SUM(ending) OVER (ORDER BY day DESC) AS at_risk
+  FROM per_day
+)
+SELECT day, CAST(deaths AS BIGINT) AS deaths,
+  CAST(at_risk AS BIGINT) AS at_risk,
+  round(CASE WHEN MAX(CASE WHEN deaths = at_risk THEN 1 ELSE 0 END)
+                  OVER (ORDER BY day) = 1
+        THEN 0.0
+        ELSE exp(SUM(CASE WHEN deaths < at_risk
+                          THEN ln(1 - CAST(deaths AS DOUBLE) / at_risk) END)
+                 OVER (ORDER BY day))
+        END, 6) AS survival
+FROM risk
+ORDER BY day
+""",
+    tags=("integration", "analytics"),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes — the churn
+    analysis a subscription/payment product (the reference's domain)
+    runs on its payment-status stream. A user's lifetime is
+    days(first event -> last event); users whose last event falls in
+    the final 7 days of the horizon are right-CENSORED (still active:
+    they leave the risk set without counting as churn) — the defining
+    feature that separates KM from a naive lifetime histogram.
+
+    Plan shape: one shuffle to per-user extents, then everything
+    downstream operates on PER-DAY rows whose cardinality is the
+    observation horizon in days — bounded by calendar time, NOT by
+    users — so the two ordered windows (reverse cumulative risk set,
+    cumulative log-survival product) run over at most a few hundred
+    rows regardless of user count; at 100 TB the only heavy stage is
+    the first groupBy. survival = exp(cumsum(ln(1 - d/n))) with both
+    engines summing identically-ordered doubles, rounded 6 dp. The
+    d == n day (everyone at risk churns — survival hits exactly 0) is
+    guarded explicitly on BOTH engines with a cumulative total-churn
+    flag, because neither handles ln(0) usably here: DuckDB RAISES
+    (Out of Range) and Spark's log(0) yields NULL that SUM silently
+    skips; the flag pins survival to exactly 0.0 from that day on —
+    verified against DuckDB on a synthetic everyone-churns corpus in
+    tests/test_analytics_props.py."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_d"),
+        F.to_date(F.max("ts")).alias("last_d"),
+        F.max("ts").alias("last_ts"),
+    )
+    horizon = ev.agg(F.max("ts").alias("tmax"))
+    lab = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").alias("life"),
+        (F.col("last_ts") >= F.col("tmax") - F.expr("INTERVAL 7 DAYS")).alias(
+            "censored"
+        ),
+    )
+    per_day = lab.groupBy(F.col("life").alias("day")).agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("deaths"),
+        F.count(F.lit(1)).alias("ending"),
+    )
+    # per-DAY frame: horizon-bounded cardinality, so the global ordered
+    # windows are safe (same argument as the gapfill/funnel entries)
+    w_risk = W.orderBy(F.desc("day")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_surv = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = per_day.withColumn("at_risk", F.sum("ending").over(w_risk))
+    all_dead = (
+        F.max((F.col("deaths") == F.col("at_risk")).cast("int")).over(w_surv)
+        == 1
+    )
+    log_surv = F.sum(
+        F.when(
+            F.col("deaths") < F.col("at_risk"),
+            F.log(
+                F.lit(1.0)
+                - F.col("deaths").cast("double") / F.col("at_risk")
+            ),
+        )
+    ).over(w_surv)
+    return (
+        risk.withColumn(
+            "survival",
+            F.round(
+                F.when(all_dead, F.lit(0.0)).otherwise(F.exp(log_surv)), 6
+            ),
+        )
+        .select(
+            "day",
+            F.col("deaths").cast("bigint").alias("deaths"),
+            F.col("at_risk").cast("bigint").alias("at_risk"),
+            "survival",
+        )
+        .orderBy("day")
+    )

@@ -155,3 +155,106 @@ def test_model_auc_matches_pairwise_definition(spark):
     got = queries()["agg_model_auc"](spark, SF_DIR).collect()[0]
     assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
     assert abs(got.auc - want) < 1e-6, (got.auc, want)
+
+
+def test_survival_km_matches_hand_computation(spark):
+    """Kaplan-Meier re-derived from raw fixture rows in plain Python:
+    per-user lifetimes, 7-day right-censoring, reverse-cumulative risk
+    set, product-limit survival."""
+    rows = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", "ts")
+        .collect()
+    )
+    per_user: dict[int, list] = {}
+    tmax = max(r.ts for r in rows)
+    for r in rows:
+        cur = per_user.setdefault(r.user_id, [r.ts, r.ts])
+        cur[0] = min(cur[0], r.ts)
+        cur[1] = max(cur[1], r.ts)
+    import datetime
+
+    per_day: dict[int, list] = {}
+    for first, last in per_user.values():
+        life = (last.date() - first.date()).days
+        censored = last >= tmax - datetime.timedelta(days=7)
+        d = per_day.setdefault(life, [0, 0])
+        d[0] += 0 if censored else 1
+        d[1] += 1
+    days = sorted(per_day)
+    at_risk, seen = {}, 0
+    for day in reversed(days):
+        seen += per_day[day][1]
+        at_risk[day] = seen
+    want, surv, dead = {}, 1.0, False
+    for day in days:
+        d, n = per_day[day][0], at_risk[day]
+        if d == n:
+            dead = True
+        elif not dead:
+            surv *= 1.0 - d / n
+        want[day] = (d, n, 0.0 if dead else round(surv, 6))
+
+    got = {
+        r.day: (r.deaths, r.at_risk, r.survival)
+        for r in queries()["events_survival_km"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for day in want:
+        gd, gn, gs = got[day]
+        wd, wn, ws = want[day]
+        assert (gd, gn) == (wd, wn), (day, got[day], want[day])
+        assert abs(gs - ws) < 2e-6, (day, got[day], want[day])
+
+
+def test_survival_km_total_churn_guard(spark, tmp_path):
+    """The d == n edge (everyone at risk churns): survival must pin to
+    exactly 0.0 from that day on, with Spark AND the DuckDB oracle
+    agreeing — DuckDB's ln(0) raises and Spark's log(0) is a silently
+    sum-skipped NULL, so only the explicit flag keeps them identical."""
+    import glob
+    import shutil
+
+    import duckdb
+    import pandas as pd
+
+    from am_kinesis_pay_spark.registry import REGISTRY
+
+    rows = []
+    for u in range(20):
+        rows.append((u * 10 + 1, "2024-01-01 00:00:00", u, "click", 1.0, "{}"))
+        rows.append(
+            (u * 10 + 2, f"2024-01-{(u % 5) + 2:02d} 00:00:00", u, "click", 1.0, "{}")
+        )
+    # one censored straggler defines the horizon, far past the churns
+    rows.append((999, "2024-03-01 00:00:00", 999, "click", 1.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"]:
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{sf}/{t}.parquet")
+    stage = str(tmp_path / "ev")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(stage)
+    shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], f"{sf}/events.parquet")
+
+    got = sorted(
+        tuple(r) for r in queries()["events_survival_km"](spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(REGISTRY["events_survival_km"].oracle).fetchall()
+    )
+    con.close()
+    assert got == want
+    # day 5 is the last uncensored lifetime: every at-risk user churns
+    by_day = {r[0]: r for r in got}
+    assert by_day[5][3] == 0.0
+    assert by_day[0][3] > 0.0

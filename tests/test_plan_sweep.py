@@ -27,6 +27,7 @@ _NLJ_ALLOWED = {
     "events_funnel_ordered",
     "events_gapfill_daily",
     "events_rfm_segments",  # 1-row corpus-max-date broadcast
+    "events_survival_km",  # 1-row horizon-max-ts broadcast
     "text_collocations_pmi",  # 1-row corpus-token-total broadcast
     "graph_pagerank",
     "pipeline_retrieval_corpus",

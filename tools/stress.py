@@ -35,11 +35,12 @@ DOCS_QUERIES = [
     "text_winnow_fingerprint", "text_classifier_score",
     "text_dedup_containment", "text_dedup_keep_best",
     "sample_shard_shuffle", "text_bm25_topk", "text_dedup_minhash_incremental",
+    "mm_codec_png_roundtrip", "mm_decode_features_real",
 ]
 FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
     "q_market_share", "q_nation_profit", "q_sole_late_shipper",
-    "sort_global", "q_forecast_revenue",
+    "sort_global", "q_forecast_revenue", "join_range_bucketed",
 ]
 MAINT_QUERIES = [
     "dim_scd2_build", "dim_scd2_point_in_time", "stream_cdc_apply",
