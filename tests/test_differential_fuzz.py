@@ -1,0 +1,144 @@
+"""Differential fuzzing: random predicate trees and integer
+aggregations rendered BOTH as Spark Column expressions and as DuckDB
+SQL, executed on the same parquet, compared exactly. The fixed oracle
+suite checks each operator's one query; this sweeps the expression
+space between them (comparison directions, AND/OR/NOT nesting, mod
+arithmetic, string equality, timestamp bounds) where engine-semantics
+drift (NULL handling, type coercion, rounding of literals) would hide.
+
+Only exactly-typed expressions are generated on purpose: integer and
+string comparisons, integer modulo, and timestamp literals — decimal
+multiply/divide is excluded because Spark and DuckDB legitimately
+differ on result precision/scale rules (that class is covered by the
+DECIMAL conventions in functions/compat.py instead)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+# (name, kind) — exactly-typed lineitem columns
+_INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+_STR_COLS = [("l_returnflag", ["A", "N", "R"]), ("l_linestatus", ["F", "O"])]
+_CMP = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+@st.composite
+def predicate(draw, depth: int = 0):
+    """Random predicate AST rendered as (spark_expr_str, duck_sql) —
+    the same SQL text works for both engines, so generation emits one
+    string and each side parses it natively (Spark via F.expr)."""
+    if depth >= 3 or draw(st.booleans()):
+        kind = draw(st.sampled_from(["int_cmp", "int_mod", "str_eq", "ts"]))
+        if kind == "int_cmp":
+            col = draw(st.sampled_from(_INT_COLS))
+            op = draw(st.sampled_from(_CMP))
+            val = draw(st.integers(min_value=0, max_value=60_000))
+            return f"({col} {op} {val})"
+        if kind == "int_mod":
+            col = draw(st.sampled_from(_INT_COLS))
+            k = draw(st.integers(min_value=2, max_value=97))
+            r = draw(st.integers(min_value=0, max_value=96)) % k
+            return f"(({col} % {k}) = {r})"
+        if kind == "str_eq":
+            col, vals = draw(st.sampled_from(_STR_COLS))
+            val = draw(st.sampled_from(vals))
+            neg = draw(st.booleans())
+            return f"({col} {'<>' if neg else '='} '{val}')"
+        day = draw(st.integers(min_value=1, max_value=28))
+        month = draw(st.integers(min_value=1, max_value=12))
+        year = draw(st.sampled_from([1993, 1995, 1997]))
+        op = draw(st.sampled_from(["<", ">="]))
+        return f"(l_shipdate {op} TIMESTAMP '{year}-{month:02d}-{day:02d} 00:00:00')"
+    combiner = draw(st.sampled_from(["AND", "OR"]))
+    left = draw(predicate(depth=depth + 1))
+    right = draw(predicate(depth=depth + 1))
+    node = f"({left} {combiner} {right})"
+    if draw(st.booleans()):
+        node = f"(NOT {node})"
+    return node
+
+
+@pytest.fixture(scope="module")
+def duck_li():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def spark_li(spark):
+    from am_kinesis_pay_spark.tables import load
+
+    df = load(spark, SF_DIR, "lineitem")
+    df.createOrReplaceTempView("lineitem_fuzz")
+    return df
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicate())
+def test_random_predicates_agree(spark, spark_li, duck_li, pred):
+    """count + exact integer checksum of the matching rows must agree:
+    a checksum catches 'same cardinality, different rows'."""
+    got = (
+        spark_li.filter(F.expr(pred))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.col("l_orderkey") * 7 + F.col("l_linenumber")),
+                F.lit(0),
+            ).alias("chk"),
+        )
+        .collect()[0]
+    )
+    want = duck_li.execute(
+        "SELECT COUNT(*), COALESCE(SUM(l_orderkey * 7 + l_linenumber), 0) "
+        f"FROM lineitem WHERE {pred}"
+    ).fetchone()
+    assert (got.n, got.chk) == (want[0], want[1]), pred
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=predicate(),
+    group=st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]),
+)
+def test_random_filtered_aggregations_agree(
+    spark, spark_li, duck_li, pred, group
+):
+    """Grouped COUNT + exact integer SUM under a random filter: the
+    whole (filter -> shuffle -> agg) path differentially checked."""
+    got = {
+        tuple(r)[:1]: tuple(r)[1:]
+        for r in spark_li.filter(F.expr(pred))
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_suppkey").alias("s"),
+        )
+        .collect()
+    }
+    want = {
+        (r[0],): (r[1], r[2])
+        for r in duck_li.execute(
+            f"SELECT {group}, COUNT(*), SUM(l_suppkey) "
+            f"FROM lineitem WHERE {pred} GROUP BY {group}"
+        ).fetchall()
+    }
+    assert got == want, pred
