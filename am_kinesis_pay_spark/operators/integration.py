@@ -1942,7 +1942,9 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select(
-            "day",
+            # bigint to match DuckDB date_diff (Spark datediff is int —
+            # the HUGEINT-class type-audit trap, tests/test_oracle_types.py)
+            F.col("day").cast("bigint").alias("day"),
             F.col("deaths").cast("bigint").alias("deaths"),
             F.col("at_risk").cast("bigint").alias("at_risk"),
             "survival",
