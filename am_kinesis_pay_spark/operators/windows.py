@@ -962,3 +962,61 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lagged.select(
         "user_id", "day", "day_value", F.round(num / den, 6).alias("ewma")
     )
+
+
+def _arrow_group_stats(table):
+    """applyInArrow kernel: one pyarrow.Table in, one out — columnar
+    end-to-end, zero pandas conversion. Exact-typed reductions only
+    (count, integer sum, double min/max), so the oracle hash needs no
+    rounding convention."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "user_id": pa.array(
+                [table.column("user_id")[0].as_py()], pa.int64()
+            ),
+            "n_events": pa.array([table.num_rows], pa.int64()),
+            "sum_event_id": pa.array(
+                [pc.sum(table.column("event_id")).as_py()], pa.int64()
+            ),
+            "min_value": pa.array(
+                [pc.min(table.column("value")).as_py()], pa.float64()
+            ),
+            "max_value": pa.array(
+                [pc.max(table.column("value")).as_py()], pa.float64()
+            ),
+        }
+    )
+
+
+@register(
+    "udaf_arrow_groupstats",
+    oracle="""
+SELECT user_id,
+  COUNT(*) AS n_events,
+  SUM(event_id) AS sum_event_id,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value
+FROM events GROUP BY user_id
+""",
+    tags=("window", "udaf", "arrow"),
+)
+def udaf_arrow_groupstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] grouped-map applyInArrow (Spark 4's arrow-NATIVE grouped
+    API, completing the §2.11 surface beside the pandas forms): the
+    kernel receives each group as a pyarrow.Table and returns one —
+    no Arrow->pandas->Arrow round trip, which is the fast path for
+    kernels that are themselves columnar (pyarrow.compute, numpy on
+    zero-copy buffers, DuckDB-on-Arrow). Same one-shuffle plan as any
+    grouped map; reductions here are exact-typed so the DuckDB oracle
+    matches bit-for-bit with no float convention."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInArrow(
+        _arrow_group_stats,
+        schema=(
+            "user_id bigint, n_events bigint, sum_event_id bigint, "
+            "min_value double, max_value double"
+        ),
+    )

@@ -412,3 +412,37 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lag_sec"),
         )
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+""",
+    tags=("streaming", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] stream-static dimension enrichment, batch specification:
+    each purchase event joined to the (slowly-changing, broadcast-able)
+    customer dimension — the standard streaming-ETL enrichment the
+    reference performs per poll when it resolves a payment's member
+    record (kinesis-pay.php:298-300), lifted to a stream. The
+    incremental form joins a watermarked readStream against the SAME
+    static DataFrame (tests/test_streaming.py::
+    test_stream_static_enrich_matches_batch): Spark re-plans the
+    static side per micro-batch, so dim updates between batches are
+    picked up, and the join needs NO state store at all — the static
+    side broadcasts into every micro-batch, which is why this shape
+    scales to any stream rate. value passes through unrounded: raw
+    column, bit-identical on both engines."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey
+    ).select("event_id", "user_id", "c_name", "c_mktsegment", "value")

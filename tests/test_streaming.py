@@ -1001,3 +1001,26 @@ def test_tws_map_state_counter_changelog_equals_batch_counts(spark, stream_dir):
         .collect()
     }
     assert got_final == want
+
+
+def test_stream_static_enrich_matches_batch(spark, stream_dir):
+    """Stream-static join: a readStream of purchases enriched against
+    the static customer dim must equal the batch join exactly — and
+    needs no watermark or state store (the static side broadcasts into
+    each micro-batch)."""
+    from am_kinesis_pay_spark.tables import load
+
+    cust = load(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    ev = events_stream(spark, stream_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey).select(
+        "event_id", "user_id", "c_name", "c_mktsegment", "value"
+    )
+    got = run_to_completion(joined, f"sse_{uuid.uuid4().hex[:6]}", "append")
+    want = queries()["stream_static_enrich"](spark, SF_DIR)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
