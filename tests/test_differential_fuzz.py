@@ -110,6 +110,104 @@ def test_random_predicates_agree(spark, spark_li, duck_li, pred):
     assert (got.n, got.chk) == (want[0], want[1]), pred
 
 
+@pytest.fixture(scope="module")
+def duck_join(duck_li):
+    duck_li.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'"
+    )
+    duck_li.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{SF_DIR}/customer.parquet'"
+    )
+    return duck_li
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+    okey=st.integers(min_value=0, max_value=5000),
+    bal=st.integers(min_value=-999, max_value=9999),
+)
+def test_random_joins_agree(spark, duck_join, how, okey, bal):
+    """Every join strategy family (inner/outer/semi/anti) under random
+    pushable filters on both sides: count + integer checksum parity."""
+    from am_kinesis_pay_spark.tables import load
+
+    o = load(spark, SF_DIR, "orders").filter(F.col("o_orderkey") % 7 < 5).filter(
+        F.col("o_orderkey") >= okey
+    )
+    c = load(spark, SF_DIR, "customer").filter(F.col("c_acctbal") > bal)
+    j = o.join(c, o.o_custkey == c.c_custkey, how)
+    got = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("o_orderkey"), F.lit(0)).alias("chk"),
+    ).collect()[0]
+    sql_how = {
+        "inner": "JOIN",
+        "left": "LEFT JOIN",
+        "left_semi": "SEMI JOIN",
+        "left_anti": "ANTI JOIN",
+    }[how]
+    want = duck_join.execute(
+        "SELECT COUNT(*), COALESCE(SUM(o_orderkey), 0) FROM "
+        f"(SELECT * FROM orders WHERE o_orderkey % 7 < 5 AND o_orderkey >= {okey}) o "
+        f"{sql_how} (SELECT * FROM customer WHERE c_acctbal > {bal}) c "
+        "ON o.o_custkey = c.c_custkey"
+    ).fetchone()
+    assert (got.n, got.chk) == (want[0], want[1]), (how, okey, bal)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lo=st.integers(min_value=-5, max_value=0),
+    hi=st.integers(min_value=0, max_value=5),
+    part=st.sampled_from(["l_returnflag", "l_linestatus", "l_suppkey"]),
+)
+def test_random_window_frames_agree(spark, spark_li, duck_li, lo, hi, part):
+    """Random ROWS BETWEEN frames: windowed integer sums must match
+    row-for-row (checksummed). The fixture's (l_orderkey,
+    l_linenumber) is NOT unique (synthetic data), so the summed column
+    itself is the final tiebreaker — rows tied on all three sort keys
+    are interchangeable for every frame sum, making the comparison
+    tie-permutation-invariant without requiring a unique key."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(part)
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey")
+        .rowsBetween(lo, hi)
+    )
+    got = (
+        spark_li.filter(F.col("l_orderkey") % 13 == 0)
+        .withColumn("ws", F.sum("l_suppkey").over(w))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("ws") * (F.col("l_orderkey") % 1000 + 1)).alias("chk"),
+        )
+        .collect()[0]
+    )
+    want = duck_li.execute(
+        f"""
+WITH win AS (
+  SELECT l_orderkey,
+    SUM(l_suppkey) OVER (PARTITION BY {part}
+      ORDER BY l_orderkey, l_linenumber, l_suppkey
+      ROWS BETWEEN {-lo} PRECEDING AND {hi} FOLLOWING) AS ws
+  FROM lineitem WHERE l_orderkey % 13 = 0
+)
+SELECT COUNT(*), SUM(ws * (l_orderkey % 1000 + 1)) FROM win
+"""
+    ).fetchone()
+    assert (got.n, got.chk) == (want[0], want[1]), (lo, hi, part)
+
+
 @settings(
     max_examples=25,
     deadline=None,
