@@ -49,6 +49,7 @@ MAINT_QUERIES = [
     "dq_expectations", "sample_balanced_classes", "join_asof_tolerance",
     "sample_train_split", "sink_partition_overwrite", "fn_collation_group",
     "graph_triangle_count", "graph_triangle_doulion", "stream_stream_join",
+    "events_survival_km", "stream_static_enrich", "udaf_arrow_groupstats",
 ]
 CURATION_QUERIES = [
     "text_decontaminate", "text_chunk_sliding", "text_pack_sequences",
