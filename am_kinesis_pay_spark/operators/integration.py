@@ -1951,3 +1951,77 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), with_mu AS (
+  SELECT event_type, day, n,
+    CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+      / COUNT(*) OVER (PARTITION BY event_type) AS mu
+  FROM daily
+), cusum AS (
+  SELECT event_type, day, mu,
+    SUM(n - mu) OVER (PARTITION BY event_type ORDER BY day) AS s
+  FROM with_mu
+), peak AS (
+  SELECT event_type, day, mu, s,
+    MAX(abs(s)) OVER (PARTITION BY event_type) AS peak_abs
+  FROM cusum
+)
+SELECT event_type, MIN(day) AS change_day,
+  round(MAX(peak_abs), 6) AS max_abs_cusum,
+  round(MAX(mu), 6) AS mean_daily
+FROM peak
+WHERE abs(s) = peak_abs
+GROUP BY event_type
+""",
+    tags=("integration", "analytics"),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM change-point detection per event type: the day
+    where the cumulative sum of (daily count - overall daily mean)
+    peaks in magnitude is the classic single-change-point estimate for
+    a level shift in a rate series — the drift detector a payment
+    platform runs over its event volumes. Earliest day wins ties.
+
+    All windows run on per-(type, day) rows — horizon-bounded, like
+    the survival/gapfill entries, so nothing user-scaled crosses one
+    task. FP determinism: n is integer, mu is one exact division, and
+    the cumulative sum adds identically-ordered doubles on both
+    engines; the abs(s) = peak comparison compares two values computed
+    through the identical op sequence, so it is safe even in float."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_type = W.partitionBy("event_type")
+    with_mu = daily.withColumn(
+        "mu",
+        F.sum("n").over(w_type).cast("double")
+        / F.count(F.lit(1)).over(w_type),
+    )
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cusum = with_mu.withColumn(
+        "s", F.sum(F.col("n") - F.col("mu")).over(w_cum)
+    )
+    peak = cusum.withColumn("peak_abs", F.max(F.abs("s")).over(w_type))
+    return (
+        peak.filter(F.abs("s") == F.col("peak_abs"))
+        .groupBy("event_type")
+        .agg(
+            F.min("day").alias("change_day"),
+            F.round(F.max("peak_abs"), 6).alias("max_abs_cusum"),
+            F.round(F.max("mu"), 6).alias("mean_daily"),
+        )
+    )
