@@ -33,7 +33,13 @@ from typing import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 
@@ -81,15 +87,73 @@ class _PaymentRange(InputPartition):
 
 
 class KPayPollBatchReader(DataSourceReader):
+    """Batch reader with REAL filter pushdown (Spark 4.1 DataSource
+    ``pushFilters``): range comparisons on ``payment_id`` / ``poll_seq``
+    narrow the generator bounds BEFORE partition planning, so filtered
+    scans plan fewer/smaller input partitions and never generate the
+    excluded rows — the predicate reaches the source exactly the way
+    PushedFilters reach a parquet scan. Unsupported filters are
+    returned to Spark, which keeps them as a post-scan Filter (the
+    documented contract: pushed filters may also still be re-checked
+    by Spark, so accepting a filter is an optimization, never a
+    correctness hazard)."""
+
     def __init__(self, options):
         self.n = int(options.get("num_payments", 100))
         self.parts = int(options.get("partitions", 4))
+        # half-open pushed-down bounds, narrowed by pushFilters()
+        self.pid_lo, self.pid_hi = 0, self.n
+        self.seq_lo, self.seq_hi = 0, MAX_POLLS
+
+    def pushFilters(self, filters: list) -> "list[Filter]":
+        # eager list, NOT a generator: the bound-narrowing side effects
+        # must happen during planning even if the engine never drains
+        # the returned iterable
+        unsupported = []
+        for f in filters:
+            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            if col == "payment_id" and isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ):
+                v = int(f.value)
+                if isinstance(f, EqualTo):
+                    self.pid_lo = max(self.pid_lo, v)
+                    self.pid_hi = min(self.pid_hi, v + 1)
+                elif isinstance(f, GreaterThan):
+                    self.pid_lo = max(self.pid_lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.pid_lo = max(self.pid_lo, v)
+                elif isinstance(f, LessThan):
+                    self.pid_hi = min(self.pid_hi, v)
+                else:
+                    self.pid_hi = min(self.pid_hi, v + 1)
+            elif col == "poll_seq" and isinstance(
+                f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ):
+                v = int(f.value)
+                if isinstance(f, GreaterThan):
+                    self.seq_lo = max(self.seq_lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.seq_lo = max(self.seq_lo, v)
+                elif isinstance(f, LessThan):
+                    self.seq_hi = min(self.seq_hi, v)
+                else:
+                    self.seq_hi = min(self.seq_hi, v + 1)
+            else:
+                unsupported.append(f)  # Spark keeps it as a post-scan Filter
+        return unsupported
 
     def partitions(self) -> Sequence[InputPartition]:
-        step = max(1, (self.n + self.parts - 1) // self.parts)
+        lo_p, hi_p = self.pid_lo, max(self.pid_lo, self.pid_hi)
+        span = hi_p - lo_p
+        if span <= 0:
+            return [_PaymentRange(0, 0, 0, 0)]  # pruned to nothing
+        step = max(1, (span + self.parts - 1) // self.parts)
         return [
-            _PaymentRange(lo, min(lo + step, self.n), 0, MAX_POLLS)
-            for lo in range(0, self.n, step)
+            _PaymentRange(
+                lo, min(lo + step, hi_p), self.seq_lo, self.seq_hi
+            )
+            for lo in range(lo_p, hi_p, step)
         ]
 
     def read(self, partition: _PaymentRange) -> Iterator[tuple]:
@@ -158,7 +222,13 @@ class KPayPollDataSource(DataSource):
 
 
 def register_kpay_source(spark) -> None:
-    """Idempotent registration of the custom source."""
+    """Idempotent registration of the custom source. Also enables
+    Python-source filter pushdown at RUNTIME (session conf, settable
+    mid-session like tables.load's nanosAsLong): a reader that
+    implements pushFilters() hard-errors on any scan while the conf is
+    false, and the external driver builds a vanilla session that would
+    otherwise not carry it."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(KPayPollDataSource)
 
 

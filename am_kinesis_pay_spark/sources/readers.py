@@ -422,6 +422,82 @@ def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PYDS_PUSHDOWN_ORACLE = f"""
+WITH ids AS (
+  SELECT unnest(generate_series(40, 119)) AS payment_id
+), hashed AS (
+  SELECT payment_id,
+    list_sum(list_transform(generate_series(1, 16),
+      j -> CAST(strpos('0123456789abcdef',
+              substr(sha256(CAST(payment_id AS VARCHAR)), j, 1)) - 1
+           AS HUGEINT) * ({_PYDS_HEX_POWERS})[j])) AS h
+  FROM ids
+), decided AS (
+  SELECT payment_id, h % 100 AS bucket,
+    1 + (h // 100) % 62 AS t_seq
+  FROM hashed
+), per_payment AS (
+  SELECT payment_id,
+    CASE WHEN bucket < 85 AND t_seq < 20 THEN
+      CASE WHEN bucket < 70 THEN 'processed' ELSE 'rejected' END
+    ELSE 'pending' END AS final_status,
+    LEAST(20, CASE WHEN bucket < 85 THEN t_seq + 1 ELSE 63 END) AS n_polls
+  FROM decided
+)
+SELECT final_status, COUNT(*) AS n_payments,
+  CAST(SUM(n_polls) AS DOUBLE) / COUNT(*) AS avg_polls
+FROM per_payment
+GROUP BY final_status
+"""
+
+
+@register(
+    "source_pyds_pushdown",
+    oracle=_PYDS_PUSHDOWN_ORACLE,
+    tags=("source", "pushdown"),
+)
+def source_pyds_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-source FILTER PUSHDOWN (Spark 4.1 DataSource
+    ``pushFilters``): the payment_id range and poll_seq cap in this
+    query's WHERE clause reach KPayPollBatchReader during planning,
+    which narrows its generator bounds — partitions outside
+    [40, 120) are never planned and rows with poll_seq >= 20 are never
+    generated, exactly how PushedFilters hit a parquet scan. The
+    DuckDB oracle regenerates the same truncated stream in SQL (the
+    poll cap folds into the per-payment n_polls/final_status
+    arithmetic: a terminal poll at t_seq >= 20 is never observed, so
+    the payment reads 'pending'). tests/test_pyds.py asserts the
+    pruning actually happened (bounds narrowed, partition spans
+    shrunk, excluded rows never produced) rather than trusting the
+    filter to have been re-applied post-scan."""
+    from am_kinesis_pay_spark.sources.pyds import register_kpay_source
+
+    register_kpay_source(spark)
+    polls = (
+        spark.read.format("kpay_polls")
+        .option("num_payments", _PYDS_N_PAYMENTS)
+        .option("partitions", 8)
+        .load()
+        .filter(
+            (F.col("payment_id") >= 40)
+            & (F.col("payment_id") < 120)
+            & (F.col("poll_seq") < 20)
+        )
+    )
+    return (
+        polls.groupBy("payment_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_polls"),
+            F.max_by("status", "poll_seq").alias("final_status"),
+        )
+        .groupBy("final_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_payments"),
+            F.avg("n_polls").alias("avg_polls"),
+        )
+    )
+
+
 @register(
     "source_merge_on_read",
     oracle="""

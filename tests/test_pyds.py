@@ -412,3 +412,64 @@ def test_pyds_writer_overwrite_uses_fresh_names_and_gcs_old(spark, tmp_path):
     assert not any(".tmp-" in f for f in listing)
     got = sorted(r.event_id for r in read_committed(spark, out).collect())
     assert got == [1000 + i for i in range(5)]
+
+
+def test_pyds_filter_pushdown_prunes_generation(spark):
+    """pushFilters must actually narrow the reader (bounds, partition
+    spans, generated rows) — and the end-to-end Spark result must equal
+    the pure-Python mirror under the same predicate, whether or not the
+    engine re-checks pushed filters post-scan."""
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        LessThan,
+        StringStartsWith,
+    )
+
+    from am_kinesis_pay_spark.sources.pyds import (
+        KPayPollBatchReader,
+        expected_rows,
+        register_kpay_source,
+    )
+
+    r = KPayPollBatchReader({"num_payments": "100", "partitions": "4"})
+    rest = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("payment_id",), 40),
+                LessThan(("payment_id",), 60),
+                LessThan(("poll_seq",), 5),
+                StringStartsWith(("status",), "pro"),
+            ]
+        )
+    )
+    # only the un-pushable filter comes back to Spark
+    assert [type(f).__name__ for f in rest] == ["StringStartsWith"]
+    parts = r.partitions()
+    assert parts and all(p.lo >= 40 and p.hi <= 60 for p in parts)
+    assert all(p.lo_seq == 0 and p.hi_seq == 5 for p in parts)
+    rows = [row for p in parts for row in r.read(p)]
+    assert rows
+    assert all(40 <= row[0] < 60 and row[1] < 5 for row in rows)
+
+    # contradiction prunes to nothing without crashing the planner
+    r2 = KPayPollBatchReader({"num_payments": "100", "partitions": "4"})
+    r2.pushFilters(
+        [GreaterThanOrEqual(("payment_id",), 90), LessThan(("payment_id",), 10)]
+    )
+    assert sum(1 for p in r2.partitions() for _ in r2.read(p)) == 0
+
+    # end-to-end through the engine: same rows as the python mirror
+    register_kpay_source(spark)
+    df = (
+        spark.read.format("kpay_polls")
+        .option("num_payments", 100)
+        .load()
+        .filter("payment_id >= 40 and payment_id < 60 and poll_seq < 5")
+    )
+    got = sorted((r.payment_id, r.poll_seq, r.status) for r in df.collect())
+    want = sorted(
+        (pid, seq, st)
+        for (pid, seq, _ts, st) in expected_rows(100)
+        if 40 <= pid < 60 and seq < 5
+    )
+    assert got == want
