@@ -136,6 +136,9 @@ def _container_decode(payload: bytes) -> bytes | None:
         if b[:8] == codecs._PNG_SIG:
             _, gray = codecs.decode_png(b)
             return gray.tobytes()
+        if b[:6] in codecs._GIF_MAGICS:
+            _, gray = codecs.decode_gif(b)
+            return gray.tobytes()
     except ValueError:
         return None
     return None

@@ -996,7 +996,7 @@ def _arrow_group_stats(table):
     oracle="""
 SELECT user_id,
   COUNT(*) AS n_events,
-  SUM(event_id) AS sum_event_id,
+  CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
   MIN(value) AS min_value,
   MAX(value) AS max_value
 FROM events GROUP BY user_id

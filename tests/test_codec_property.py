@@ -112,3 +112,65 @@ def test_png_truncation_rejected():
     for cut in (4, 20, len(blob) // 2, len(blob) - 1):
         with pytest.raises(ValueError):
             decode_png(blob[:cut])
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=255),
+)
+def test_gif_roundtrip(h: int, w: int, seed: int):
+    from am_kinesis_pay_spark.llm.codecs import decode_gif, encode_gif
+
+    img = ((np.arange(h * w, dtype=np.int64) * 151 + seed) % 251).astype(
+        np.uint8
+    ).reshape(h, w)
+    meta, got = decode_gif(encode_gif(img))
+    assert (got == img).all()
+    assert meta == {"width": w, "height": h, "bits": 8}
+
+
+def test_gif_lzw_edge_cases():
+    """The LZW paths a lazy implementation gets wrong: KwKwK (constant
+    runs emit a code equal to the next free entry), width growth past
+    9/10/11 bits, and the 4096-entry dictionary reset."""
+    import numpy as np
+
+    from am_kinesis_pay_spark.llm.codecs import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    # constant run -> immediate KwKwK on the second code
+    assert _lzw_decode(_lzw_encode(b"\x07" * 500)) == b"\x07" * 500
+    # high-entropy stream long enough to fill the table past 4096
+    rng = (np.arange(9000, dtype=np.int64) * 2654435761 % 256).astype(np.uint8)
+    assert _lzw_decode(_lzw_encode(rng.tobytes())) == rng.tobytes()
+    img = rng[: 90 * 90].reshape(90, 90)
+    meta, got = decode_gif(encode_gif(img))
+    assert (got == img).all()
+    # and the encoder genuinely compresses a compressible stream
+    assert len(_lzw_encode(b"ab" * 2000)) < 1000
+
+
+def test_gif_structural_corruption_rejected():
+    import numpy as np
+
+    from am_kinesis_pay_spark.llm.codecs import decode_gif, encode_gif
+
+    img = (np.arange(400, dtype=np.int64) % 256).astype(np.uint8).reshape(20, 20)
+    blob = encode_gif(img)
+    with pytest.raises(ValueError):
+        decode_gif(b"XX" + blob[2:])  # magic
+    with pytest.raises(ValueError):
+        decode_gif(blob[:-1])  # missing trailer
+    with pytest.raises(ValueError):
+        decode_gif(blob[: len(blob) // 2])  # truncated sub-blocks
+    # wrong dimension field: pixel-count cross-check must catch it
+    bad = bytearray(blob)
+    bad[6] = 19  # width 20 -> 19
+    with pytest.raises(ValueError):
+        decode_gif(bytes(bad))
