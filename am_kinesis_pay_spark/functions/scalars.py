@@ -575,3 +575,39 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("int")
         .alias("cast_safe"),
     )
+
+
+@register(
+    "fn_sql_params",
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CASE WHEN value >= 250.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+FROM events
+WHERE event_id % 11 = 3
+GROUP BY event_type
+""",
+    tags=("scalar", "sql"),
+)
+def fn_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named parameters): the query text
+    carries :mod / :rem / :threshold markers and values bind at
+    execution — the injection-safe templating surface the reference's
+    PHP layer does with prepared statements (kinesis-pay.php uses
+    $wpdb->prepare throughout). Parameter markers bind as literals
+    BEFORE Catalyst optimizes, so pushdown/pruning see constants —
+    same plan as hand-inlined literals, which is exactly what the
+    plain-literal DuckDB oracle checks."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_v_params")
+    return spark.sql(
+        """
+        SELECT event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CASE WHEN value >= :threshold THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_over
+        FROM events_v_params
+        WHERE event_id % :mod = :rem
+        GROUP BY event_type
+        """,
+        args={"mod": 11, "rem": 3, "threshold": 250.0},
+    )
