@@ -1006,3 +1006,146 @@ def sample_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(seq / _SHARDS).cast("long").alias("pos"),
         )
     )
+
+
+_FUZZY_BENCH_MOD = 13
+_FUZZY_JACCARD = 0.5
+
+def _fuzzy_decon_oracle() -> str:
+    # replicate the LSH band-candidate stage exactly (same md5
+    # permutations as llm/dedup.py): a J >= 0.5 pair can legitimately
+    # miss every band, so an all-pairs oracle would be a SUPERSET of
+    # the operator's output — the oracle must model the same recall
+    from am_kinesis_pay_spark.llm.dedup import BAND_W, N_PERM
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3)
+), mh AS (
+  SELECT doc_id, s.seed,
+    MIN(md5(concat(CAST(s.seed AS VARCHAR), ':', shingle))) AS h
+  FROM shingles, generate_series(0, {N_PERM - 1}) AS s(seed)
+  GROUP BY doc_id, s.seed
+), bands AS (
+  SELECT doc_id, seed // {BAND_W} AS band,
+    string_agg(h, '|' ORDER BY seed) AS band_val
+  FROM mh GROUP BY doc_id, seed // {BAND_W}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_doc
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val
+  WHERE a.doc_id % {_FUZZY_BENCH_MOD} <> 0
+    AND b.doc_id % {_FUZZY_BENCH_MOD} = 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+), verified AS (
+  SELECT c.doc_id, c.bench_doc, COUNT(*) AS n_common,
+    sa.n AS n_a, sb.n AS n_b
+  FROM cand c
+  JOIN shingles x ON x.doc_id = c.doc_id
+  JOIN shingles y ON y.doc_id = c.bench_doc AND y.shingle = x.shingle
+  JOIN sizes sa ON sa.doc_id = c.doc_id
+  JOIN sizes sb ON sb.doc_id = c.bench_doc
+  GROUP BY c.doc_id, c.bench_doc, sa.n, sb.n
+)
+SELECT doc_id, bench_doc,
+  round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+FROM verified
+WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {_FUZZY_JACCARD}
+"""
+
+
+_FUZZY_DECON_ORACLE = _fuzzy_decon_oracle()
+
+
+@register(
+    "text_decontaminate_fuzzy",
+    oracle=_FUZZY_DECON_ORACLE,
+    tags=("llm", "curation", "dedup"),
+)
+def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination (the Dolma/RedPajama companion
+    to text_decontaminate's exact 5-gram gate): a training doc is
+    contaminated when its shingle-set Jaccard against any held-out
+    benchmark doc clears {_FUZZY_JACCARD} — catching paraphrases and
+    truncations that share no exact 5-gram run. Reuses the MinHash
+    machinery from llm/dedup.py: per-doc signatures + shingle sets in
+    one aggregation, LSH band join restricted to (train x bench)
+    candidates only, exact-Jaccard verify via array_intersect on the
+    carried sets. The benchmark side is corpus-tiny (1/{_FUZZY_BENCH_MOD}
+    of docs) and broadcasts into the band join, so the training corpus
+    never shuffles for candidates — at 100 TB the benchmark index is a
+    persisted table, same as the incremental-dedup band index. The
+    oracle replicates the SAME band-candidate stage (a J >= 0.5 pair
+    can miss every band — LSH recall is probabilistic, (1-J^b)^r — so
+    an all-pairs oracle would be a superset); the recall trade is the
+    documented one shared with text_dedup_minhash."""
+    from am_kinesis_pay_spark.llm.dedup import BAND_W, N_PERM, _shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(
+                f"h{s}"
+            )
+            for s in range(N_PERM)
+        ],
+        F.collect_set("shingle").alias("sh_set"),
+    )
+    band_exprs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"h{s}") for s in range(b * BAND_W, (b + 1) * BAND_W)],
+            ).alias("band_val"),
+        )
+        for b in range(N_PERM // BAND_W)
+    ]
+    bands = per_doc.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("bv")
+    ).select(
+        "doc_id",
+        F.col("bv.band").alias("band"),
+        F.col("bv.band_val").alias("band_val"),
+    )
+    train_b = bands.filter(F.col("doc_id") % _FUZZY_BENCH_MOD != 0)
+    bench_b = bands.filter(F.col("doc_id") % _FUZZY_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_doc"), "band", "band_val"
+    )
+    cand = (
+        train_b.join(F.broadcast(bench_b), ["band", "band_val"])
+        .select("doc_id", "bench_doc")
+        .distinct()
+    )
+    sets = per_doc.select("doc_id", "sh_set")
+    verified = (
+        cand.join(sets, "doc_id")
+        .join(
+            F.broadcast(
+                sets.select(
+                    F.col("doc_id").alias("bench_doc"),
+                    F.col("sh_set").alias("bench_set"),
+                )
+            ),
+            "bench_doc",
+        )
+        .select(
+            "doc_id",
+            "bench_doc",
+            F.size(F.array_intersect("sh_set", "bench_set")).alias("n_common"),
+            F.size("sh_set").alias("n_a"),
+            F.size("bench_set").alias("n_b"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return verified.filter(jac >= _FUZZY_JACCARD).select(
+        "doc_id", "bench_doc", F.round(jac, 6).alias("jaccard")
+    )

@@ -143,18 +143,23 @@ def text_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plus collect_set computed with map-side partial aggregation.
     # Carrying the set (bounded by doc length) lets verification be a
     # broadcast join + array_intersect instead of re-joining exploded
-    # shingles per candidate pair (3 fewer shuffles).
-    per_doc = (
-        sh.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
-                for s in range(N_PERM)
-            ],
-            F.collect_set("shingle").alias("sh_set"),
-        )
-        .cache()
+    # shingles per candidate pair (3 fewer shuffles). Materialized to
+    # scratch parquet rather than cache(): three consumers either way,
+    # but nothing stays pinned in executor storage after the query (no
+    # in-plan unpersist point exists), and at scale this frame IS the
+    # persisted signature index the incremental variant maintains.
+    from am_kinesis_pay_spark.paths import scratch_path
+
+    per_doc_plan = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+            for s in range(N_PERM)
+        ],
+        F.collect_set("shingle").alias("sh_set"),
     )
+    sig_path = scratch_path(spark, "akps_minhash_sig_index")
+    per_doc_plan.write.mode("overwrite").parquet(sig_path)
+    per_doc = spark.read.parquet(sig_path)
     mins = per_doc
     # bands: BAND_W consecutive signature rows concatenated
     band_exprs = [
