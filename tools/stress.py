@@ -36,7 +36,7 @@ DOCS_QUERIES = [
     "text_dedup_containment", "text_dedup_keep_best",
     "sample_shard_shuffle", "text_bm25_topk", "text_dedup_minhash_incremental",
     "mm_codec_png_roundtrip", "mm_decode_features_real",
-    "mm_codec_gif_roundtrip",
+    "mm_codec_gif_roundtrip", "text_decontaminate_fuzzy",
 ]
 FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
