@@ -7,8 +7,11 @@ because this image ships no PIL/librosa — but uncompressed CONTAINER
 formats need no codec library at all, only correct header/chunk
 parsing. This module upgrades the stub honestly: WAV and BMP decode
 for REAL (magic numbers, chunk walking, row padding, bottom-up row
-order, channel order), while compressed codecs (PNG/JPEG/MP4) remain
-gated behind USE_REAL_CODECS exactly as before.
+order, channel order); PNG and GIF add real COMPRESSED decode (zlib
+inflate + scanline unfilter; from-scratch LZW); and baseline JPEG
+adds a real SIGNAL codec (DCT + quantization + Huffman from the
+public T.81 spec). The only decode still gated behind
+USE_REAL_CODECS is MP4/compressed audio.
 
 The `mm_codec_roundtrip` operator proves the decoders end-to-end
 inside a Spark plan: synthesize genuine WAV/BMP blobs from document
@@ -183,8 +186,6 @@ def decode_bmp(blob: bytes) -> tuple[dict, np.ndarray]:
 # below does genuine format work — chunk walking with per-chunk CRC-32
 # verification, IHDR validation, IDAT reassembly, inflate, and
 # reversal of all five scanline filters (None/Sub/Up/Average/Paeth).
-# Only formats needing an actual signal codec (JPEG DCT, MP4/audio
-# codecs) remain gated behind USE_REAL_CODECS.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -546,6 +547,446 @@ def decode_gif(blob: bytes) -> tuple[dict, np.ndarray]:
     return {"width": w, "height": h, "bits": 8}, gray
 
 
+# --- JPEG (baseline DCT, 8-bit grayscale; REAL signal codec) -----------
+#
+# The third compressed format closes the last image gate: an actual
+# SIGNAL codec — not just container parsing or lossless entropy coding
+# but the full lossy transform pipeline from the public JPEG spec
+# (ITU-T T.81): level shift, 8x8 forward DCT, Annex-K quantization,
+# zigzag scan, DC differential + AC run-length magnitude coding,
+# canonical Huffman entropy coding with byte stuffing, JFIF marker
+# framing. The decoder is independent of the encoder where it matters:
+# it rebuilds quantization AND Huffman tables from the DQT/DHT
+# segments in the stream (never from the module constants), walks
+# markers defensively, and raises ValueError on anything structurally
+# malformed (bad magic, truncation, invalid Huffman codes, coefficient
+# overrun, size disagreements). JPEG is lossy, so the roundtrip
+# contract is a BOUNDED-ERROR one — quantization error per coefficient
+# is <= q/2, and because the 2D DCT basis is orthonormal the per-pixel
+# reconstruction error is bounded by the Frobenius norm of the
+# coefficient error: |err| <= sqrt(sum (q_i/2)^2). Property tests pin
+# the tighter empirical bound plus the exact cases (flat blocks are
+# DC-only and survive bit-exact).
+
+# Annex K.1 luminance quantization table (ITU-T T.81), row-major.
+_JPEG_QBASE = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 typical luminance Huffman tables (BITS / HUFFVAL). Only the
+# ENCODER uses these; the decoder reads whatever tables the stream's
+# DHT segments carry.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+JPEG_QUALITY = 95
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """Zigzag scan order generated from the diagonal walk (T.81 fig 5)
+    rather than transcribed — (row, col) pairs flattened to indices."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(s + 1) if i < 8 and s - i < 8]
+        if s % 2 == 0:
+            diag = diag[::-1]
+        order.extend(r * 8 + c for r, c in diag)
+    return np.array(order, dtype=np.int64)
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+
+def _jpeg_qtable(quality: int) -> np.ndarray:
+    """IJG quality scaling of the Annex K table (public formula)."""
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((_JPEG_QBASE * scale + 50) // 100, 1, 255)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix — exactly T.81's FDCT scaling
+    (alpha(0)=1/(2*sqrt(2)), alpha(u)=1/2)."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    mat = np.cos((2 * x + 1) * u * np.pi / 16)
+    mat[0] *= 1.0 / np.sqrt(2.0)
+    return mat / 2.0
+
+
+_DCT_M = _dct_matrix()
+
+
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG code assignment (T.81 C.2): symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit packer with JPEG byte stuffing (0xFF -> 0xFF 0x00)
+    and 1-padding of the final byte (F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """T.81 F.1.2.1 magnitude category + appended bits for value v."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg(gray: np.ndarray, quality: int = JPEG_QUALITY) -> bytes:
+    """Genuine baseline JFIF encoder for an HxW uint8 grayscale array:
+    edge-replicated padding to 8x8 MCUs, vectorized forward DCT over
+    all blocks at once, Annex-K quantization, zigzag + DC-differential
+    + AC run-length coding, canonical Huffman with byte stuffing."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    if h < 1 or w < 1:
+        raise ValueError("degenerate image")
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(gray, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
+    hh, ww = padded.shape
+    blocks = (
+        padded.reshape(hh // 8, 8, ww // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+    coeffs = np.einsum("ux,bxy,vy->buv", _DCT_M, blocks - 128.0, _DCT_M)
+    qtab = _jpeg_qtable(quality)
+    quant = np.round(coeffs.reshape(-1, 64) / qtab).astype(np.int64)
+    zz = quant[:, _ZIGZAG]
+
+    dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for blk in zz:
+        size, extra = _magnitude(int(blk[0]) - pred)
+        pred = int(blk[0])
+        code, length = dc_codes[size]
+        bw.put(code, length)
+        if size:
+            bw.put(extra, size)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                bw.put(code, length)
+                run -= 16
+            size, extra = _magnitude(v)
+            code, length = ac_codes[(run << 4) | size]
+            bw.put(code, length)
+            bw.put(extra, size)
+            run = 0
+        if last < 63:
+            code, length = ac_codes[0x00]  # EOB
+            bw.put(code, length)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    jfif = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = b"\x00" + bytes(int(x) for x in qtab[_ZIGZAG])
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0))
+    dht = (
+        b"\x00"
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+        + b"\x10"
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS)
+    )
+    sos = b"\x01" + bytes((1, 0x00)) + bytes((0, 63, 0))
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xFFE0, jfif)
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, dht)
+        + seg(0xFFDA, sos)
+        + entropy
+        + b"\xff\xd9"  # EOI
+    )
+
+
+class _BitReader:
+    """MSB-first bit reader over the unstuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def take(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream exhausted mid-symbol")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        val = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return val
+
+
+class _HuffTable:
+    """Decode-side canonical table built from a DHT segment's BITS +
+    HUFFVAL via T.81 F.2.2.3 (mincode/maxcode/valptr)."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.vals = vals
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.take(1)
+            if self.maxcode[length] >= code >= self.mincode[length]:
+                return self.vals[self.valptr[length] + code - self.mincode[length]]
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map received magnitude bits to signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(blob: bytes) -> tuple[dict, np.ndarray]:
+    """Validating baseline JPEG decoder for the 8-bit grayscale
+    single-component form. All tables come from the STREAM (DQT/DHT
+    segments), never from this module's encoder constants; markers are
+    walked defensively and everything structural is checked: magic,
+    segment bounds, table ids, baseline-only SOF0, sampling factors,
+    spectral-selection bounds in SOS, Huffman code validity,
+    coefficient index overrun, entropy-segment termination at EOI.
+    Raises ValueError on malformed input — callers route, not crash."""
+    if len(blob) < 4 or blob[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _HuffTable] = {}
+    sof: dict | None = None
+    while True:
+        if pos + 4 > len(blob):
+            raise ValueError("truncated before SOS")
+        if blob[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = blob[pos + 1]
+        (seglen,) = struct.unpack_from(">H", blob, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > len(blob):
+            raise ValueError("segment length overruns stream")
+        payload = blob[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if p + 65 > len(payload):
+                    raise ValueError("truncated DQT")
+                tab = np.frombuffer(
+                    payload, dtype=np.uint8, count=64, offset=p + 1
+                ).astype(np.int64)
+                dezz = np.zeros(64, dtype=np.int64)
+                dezz[_ZIGZAG] = tab
+                qtables[tq] = dezz
+                p += 65
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                if p + 17 > len(payload):
+                    raise ValueError("truncated DHT")
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                if p + 17 + n > len(payload):
+                    raise ValueError("truncated DHT values")
+                vals = list(payload[p + 17 : p + 17 + n])
+                htables[(tc, th)] = _HuffTable(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 (baseline)
+            prec, h, w, nf = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8 or nf != 1:
+                raise ValueError("only 8-bit single-component baseline supported")
+            cid, sampling, tq = payload[6], payload[7], payload[8]
+            if sampling != 0x11:
+                raise ValueError("subsampling unsupported for grayscale")
+            if h < 1 or w < 1:
+                raise ValueError("degenerate SOF dimensions")
+            sof = {"h": h, "w": w, "cid": cid, "tq": tq}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            break
+        # APPn / COM / anything else: skipped by the generic walk
+    if sof is None:
+        raise ValueError("SOS before SOF")
+    ns = payload[0]
+    if ns != 1 or payload[1] != sof["cid"]:
+        raise ValueError("scan does not match the single SOF component")
+    td, ta = payload[2] >> 4, payload[2] & 0x0F
+    ss, se, ah_al = payload[3], payload[4], payload[5]
+    if ss != 0 or se != 63 or ah_al != 0:
+        raise ValueError("progressive/partial scans unsupported")
+    if sof["tq"] not in qtables:
+        raise ValueError("SOF references undefined quant table")
+    if (0, td) not in htables or (1, ta) not in htables:
+        raise ValueError("SOS references undefined Huffman table")
+
+    # entropy segment: unstuff 0xFF00, stop at the next real marker
+    entropy = bytearray()
+    p = pos
+    while True:
+        if p >= len(blob):
+            raise ValueError("entropy stream ended without EOI")
+        b = blob[p]
+        if b == 0xFF:
+            if p + 1 >= len(blob):
+                raise ValueError("dangling 0xFF at stream end")
+            nxt = blob[p + 1]
+            if nxt == 0x00:
+                entropy.append(0xFF)
+                p += 2
+                continue
+            if nxt == 0xD9:  # EOI
+                break
+            raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        entropy.append(b)
+        p += 1
+
+    h, w = sof["h"], sof["w"]
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    qtab = qtables[sof["tq"]]
+    dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
+    br = _BitReader(bytes(entropy))
+    coeffs = np.zeros((bh * bw_, 64), dtype=np.int64)
+    pred = 0
+    for b_i in range(bh * bw_):
+        size = dc_tab.decode(br)
+        if size > 11:
+            raise ValueError("DC category out of range")
+        pred += _extend(br.take(size), size) if size else 0
+        coeffs[b_i, 0] = pred
+        k = 1
+        while k < 64:
+            rs = ac_tab.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC coefficient index overruns block")
+            coeffs[b_i, k] = _extend(br.take(s), s)
+            k += 1
+    dezz = np.zeros_like(coeffs)
+    dezz[:, _ZIGZAG] = coeffs
+    spatial = np.einsum(
+        "xu,buv,yv->bxy",
+        _DCT_M.T,
+        (dezz * qtab).reshape(-1, 8, 8).astype(np.float64),
+        _DCT_M.T,
+    )
+    pixels = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
+    full = (
+        pixels.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+    )
+    return {"width": w, "height": h, "bits": 8}, full[:h, :w].copy()
+
+
 # --- Spark operator ----------------------------------------------------
 
 _ROUNDTRIP_SCHEMA = T.StructType(
@@ -756,8 +1197,7 @@ def mm_codec_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     to match DuckDB's hash of the same bytes. Deflate-corrupted blobs
     (doc_id % 31 — one flipped IDAT byte, catchable only by CRC) must
     route to quarantine rows, not crash the job. Map-only over Arrow
-    batches; JPEG/MP4 (actual signal codecs) remain the only gated
-    formats."""
+    batches; MP4/compressed audio is the only decode still gated."""
     binary = mm_binary_ingest_impl(spark, sf_dir).filter(
         F.col("mime") == "image/png"
     )
@@ -815,6 +1255,101 @@ SELECT doc_id,
        THEN md5(substr(text, 1, side * side)) END AS payload_md5
 FROM imgs WHERE side >= 1
 """
+
+
+JPEG_TOL = 16  # ~2x the worst observed |err| at quality 95 (see tests)
+
+_JPEG_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("within_tol", T.BooleanType()),
+    ]
+)
+
+
+def jpeg_roundtrip(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode each image payload as a genuine baseline JPEG (real DCT +
+    quantization + Huffman), corrupt the SOI magic of every
+    doc_id % 31 == 0 blob, then decode with the validating parser.
+    JPEG is lossy, so the check is the bounded-error contract: emit
+    whether max |decoded - source| <= JPEG_TOL (quantization-error
+    bound; exact-case and tighter empirical bounds live in the
+    property tests). Like GIF, JPEG carries no payload checksum, so
+    structural corruption is the detectable class."""
+    for pdf in pdfs:
+        out: dict[str, list] = {
+            k.name: [] for k in _JPEG_ROUNDTRIP_SCHEMA.fields
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+            side = int(len(raw) ** 0.5)
+            if side < 1:
+                continue
+            src = raw[: side * side].reshape(side, side)
+            blob = encode_jpeg(src)
+            if doc_id % _CORRUPT_MOD == 0:
+                blob = b"XX" + blob[2:]
+            try:
+                meta, gray = decode_jpeg(blob)
+                err = int(
+                    np.abs(gray.astype(np.int64) - src.astype(np.int64)).max()
+                )
+                out["doc_id"].append(doc_id)
+                out["container"].append("jpeg")
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["within_tol"].append(err <= JPEG_TOL)
+            except ValueError:
+                out["doc_id"].append(doc_id)
+                out["container"].append("corrupt")
+                out["width"].append(None)
+                out["height"].append(None)
+                out["within_tol"].append(None)
+        yield pd.DataFrame(out)
+
+
+_JPEG_ROUNDTRIP_ORACLE = f"""
+WITH imgs AS (
+  SELECT doc_id,
+    CAST(floor(sqrt(octet_length(encode(text)))) AS INT) AS side
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id,
+  CASE WHEN doc_id % {_CORRUPT_MOD} = 0 THEN 'corrupt' ELSE 'jpeg' END AS container,
+  CASE WHEN doc_id % {_CORRUPT_MOD} <> 0 THEN side END AS width,
+  CASE WHEN doc_id % {_CORRUPT_MOD} <> 0 THEN side END AS height,
+  CASE WHEN doc_id % {_CORRUPT_MOD} <> 0 THEN TRUE END AS within_tol
+FROM imgs WHERE side >= 1
+"""
+
+
+@register(
+    "mm_codec_jpeg_roundtrip",
+    oracle=_JPEG_ROUNDTRIP_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
+def mm_codec_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL SIGNAL CODEC proof — the full lossy transform pipeline from
+    the public JPEG spec (T.81), no codec library at any layer: 8x8
+    forward DCT, Annex-K quantization, zigzag, DC-differential + AC
+    run-length magnitude coding, canonical Huffman with byte stuffing;
+    decoded back by an independent parser that rebuilds quant AND
+    Huffman tables from the stream's own DQT/DHT segments. Lossy, so
+    the oracle checks the bounded-error contract (within_tol TRUE for
+    every healthy row — a broken DCT/quant/Huffman path blows the
+    bound or throws) plus exact header dims and quarantine routing for
+    magic-corrupted blobs (doc_id % 31). The decoded pixels do NOT
+    feed the feature kernels' md5/byte-exact paths precisely because
+    the roundtrip is approximate — that contract stays with the
+    lossless WAV/BMP/PNG/GIF decoders. Map-only over Arrow batches;
+    after this, the only gated decode left is MP4/compressed audio."""
+    binary = mm_binary_ingest_impl(spark, sf_dir).filter(
+        F.col("mime") == "image/png"
+    )
+    return binary.mapInPandas(jpeg_roundtrip, _JPEG_ROUNDTRIP_SCHEMA)
 
 
 @register(

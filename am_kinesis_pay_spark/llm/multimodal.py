@@ -11,11 +11,13 @@ all five scanline filters reversed) and extracts features from the
 DECODED samples/pixels. ``mm_decode_features_real`` /
 ``mm_audio_rms_real`` wrap the stand-in bytes into genuine containers
 first, so the real decode path is oracle-checked end-to-end (PNG:
-``mm_codec_png_roundtrip``). Only actual signal codecs (JPEG DCT,
-MP4/compressed audio) remain gated: this image has no codec
-LIBRARIES, so that kernel is a deterministic byte-level fallback
-behind an import-try — ``_decode_image`` raises NotImplementedError
-if someone flips ``USE_REAL_CODECS`` without PIL present. Everything
+``mm_codec_png_roundtrip``). Baseline JPEG decodes for real as well —
+a from-scratch DCT signal codec (llm/codecs.py, bounded-error oracle
+``mm_codec_jpeg_roundtrip``). Only MP4/compressed audio remains
+gated: this image has no codec LIBRARIES, so that kernel is a
+deterministic byte-level fallback behind an import-try —
+``_decode_image`` raises NotImplementedError if someone flips
+``USE_REAL_CODECS`` without PIL present. Everything
 Spark-side here is real and tested: binary schema, metadata struct,
 batch iteration shape, per-partition processing, frame-sampling
 explode.
@@ -120,9 +122,12 @@ def _container_decode(payload: bytes) -> bytes | None:
     grayscale pixels via genuine zlib inflate + scanline unfilter.
     Returns None when the payload is not a (valid) supported container
     so the caller falls back to the byte-level path — decode failures
-    are data, not exceptions. Only actual signal codecs (JPEG DCT,
-    MP4/compressed audio) still need USE_REAL_CODECS plus a codec
-    library."""
+    are data, not exceptions. Baseline JPEG decodes for real too
+    (from-scratch DCT signal codec, codecs.decode_jpeg) — its decoded
+    pixels feed the histogram head, which tolerates the lossy
+    roundtrip because features come from whatever the decoder yields,
+    not from a bit-exact contract. Only MP4/compressed audio still
+    needs USE_REAL_CODECS plus a codec library."""
     from am_kinesis_pay_spark.llm import codecs
 
     b = bytes(payload)
@@ -138,6 +143,9 @@ def _container_decode(payload: bytes) -> bytes | None:
             return gray.tobytes()
         if b[:6] in codecs._GIF_MAGICS:
             _, gray = codecs.decode_gif(b)
+            return gray.tobytes()
+        if b[:2] == b"\xff\xd8":
+            _, gray = codecs.decode_jpeg(b)
             return gray.tobytes()
     except ValueError:
         return None

@@ -174,3 +174,103 @@ def test_gif_structural_corruption_rejected():
     bad[6] = 19  # width 20 -> 19
     with pytest.raises(ValueError):
         decode_gif(bytes(bad))
+
+
+# --- JPEG (baseline DCT signal codec) ----------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=255),
+)
+def test_jpeg_bounded_error_roundtrip(h: int, w: int, seed: int):
+    """JPEG is lossy: the contract is header-exact dims plus a bounded
+    reconstruction error. 12 is ~1.5x the worst error ever observed at
+    quality 95 on adversarial (pure-noise) content; the registered
+    operator's JPEG_TOL=16 sits above this with further margin."""
+    from am_kinesis_pay_spark.llm.codecs import decode_jpeg, encode_jpeg
+
+    img = ((np.arange(h * w, dtype=np.int64) * 151 + seed) % 251).astype(
+        np.uint8
+    ).reshape(h, w)
+    meta, got = decode_jpeg(encode_jpeg(img))
+    assert meta == {"width": w, "height": h, "bits": 8}
+    assert got.shape == (h, w)
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 12
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=0, max_value=255),
+)
+def test_jpeg_flat_blocks_are_exact(h: int, w: int, v: int):
+    """A constant image is DC-only after the DCT; with the q95 DC step
+    (2) the per-pixel error is <= 1/8, so the clip+round output must be
+    bit-exact — this pins the DCT normalization, quant/dequant pairing,
+    DC differential chain, and padding/crop in one assertion."""
+    from am_kinesis_pay_spark.llm.codecs import decode_jpeg, encode_jpeg
+
+    img = np.full((h, w), v, dtype=np.uint8)
+    _, got = decode_jpeg(encode_jpeg(img))
+    assert (got == img).all()
+
+
+def test_jpeg_smooth_content_is_tight():
+    """Smooth gradients (the content JPEG is designed for) reconstruct
+    near-exactly at q95 — a wrong zigzag or basis ordering would blow
+    this immediately while still passing a loose noise bound."""
+    from am_kinesis_pay_spark.llm.codecs import decode_jpeg, encode_jpeg
+
+    img = np.tile(np.arange(256, dtype=np.uint8), (16, 1))[:, :100]
+    _, got = decode_jpeg(encode_jpeg(img))
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 1
+    img2 = np.add.outer(np.arange(33), np.arange(57)).astype(np.uint8) * 2
+    _, got2 = decode_jpeg(encode_jpeg(img2))
+    assert int(np.abs(got2.astype(int) - img2.astype(int)).max()) <= 2
+
+
+def test_jpeg_decoder_reads_tables_from_stream():
+    """The decoder must use the stream's DQT, not the module constant:
+    re-encode at a coarser quality and check the reconstruction still
+    lands within that table's quant bound (a decoder hardwired to the
+    q95 table would dequantize wrongly and miss by a wide margin)."""
+    from am_kinesis_pay_spark.llm.codecs import (
+        _jpeg_qtable,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = ((np.arange(24 * 24, dtype=np.int64) * 97 + 13) % 256).astype(
+        np.uint8
+    ).reshape(24, 24)
+    blob50 = encode_jpeg(rng, quality=50)
+    _, got50 = decode_jpeg(blob50)
+    bound = float(np.sqrt(np.sum((_jpeg_qtable(50) / 2.0) ** 2))) + 1.0
+    err = float(np.abs(got50.astype(int) - rng.astype(int)).max())
+    assert err <= bound
+    # and q50 must be visibly lossier than q95 on the same content
+    _, got95 = decode_jpeg(encode_jpeg(rng, quality=95))
+    assert (
+        np.abs(got95.astype(int) - rng.astype(int)).mean()
+        < np.abs(got50.astype(int) - rng.astype(int)).mean()
+    )
+
+
+def test_jpeg_structural_corruption_rejected():
+    from am_kinesis_pay_spark.llm.codecs import decode_jpeg, encode_jpeg
+
+    img = (np.arange(400, dtype=np.int64) % 256).astype(np.uint8).reshape(20, 20)
+    blob = encode_jpeg(img)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"XX" + blob[2:])  # SOI magic
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[:-2])  # missing EOI
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) // 3])  # truncated mid-segment
+    # entropy stream cut mid-block: Huffman decode must fail loudly
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[:-8] + b"\xff\xd9")
