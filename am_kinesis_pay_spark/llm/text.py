@@ -9,6 +9,7 @@ document count. No Python UDFs in any hot path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from am_kinesis_pay_spark.registry import register
@@ -1069,3 +1070,227 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("w1", "w2", "cb", "pmi", "rnk")
     )
+
+
+# Gopher-rule stopword battery (Rae et al. 2021, arXiv:2112.11446
+# Table A1): a document must contain at least 2 of these to pass the
+# "stop word" rule. Public-knowledge heuristic list.
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+_GOPHER_MIN_WORDS = 10  # paper uses 50 for web pages; fixture docs ~30 words
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEAN_LEN = 3.0
+_GOPHER_MAX_MEAN_LEN = 10.0
+_GOPHER_MIN_ALPHA_FRAC = 0.80
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+), m AS (
+  SELECT doc_id, source,
+    CAST(len(words) AS INT) AS n_words,
+    CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+      / len(words) AS mean_word_len,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+      / len(words) AS alpha_frac,
+    CAST(len(list_intersect(list_distinct(words),
+      {list(_GOPHER_STOPWORDS)!r})) AS INT) AS stopword_hits
+  FROM w
+)
+SELECT doc_id, source, n_words, mean_word_len, alpha_frac, stopword_hits,
+  n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS} AS pass_words,
+  mean_word_len BETWEEN {_GOPHER_MIN_MEAN_LEN} AND {_GOPHER_MAX_MEAN_LEN}
+    AS pass_mean_len,
+  alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC} AS pass_alpha,
+  stopword_hits >= 2 AS pass_stopwords,
+  (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+    AND (mean_word_len BETWEEN {_GOPHER_MIN_MEAN_LEN} AND {_GOPHER_MAX_MEAN_LEN})
+    AND alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC}
+    AND stopword_hits >= 2 AS pass_gopher
+FROM m
+""",
+    tags=("llm", "text"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule cascade (Rae et al. 2021 §A.1.1, the battery
+    RefinedWeb/Dolma reuse): word-count bounds, mean-word-length band,
+    alphabetic-word fraction, and distinct-stopword floor, emitted as
+    per-rule flags plus the fused verdict so downstream curation can
+    both filter and AUDIT which rule rejected a document (the
+    reject-reason histogram is what you tune thresholds against at
+    100 TB). Pure higher-order array expressions — split once, then
+    transform/filter/aggregate/array_intersect over the in-row word
+    list; zero shuffles, zero UDFs, scales embarrassingly. Thresholds
+    are module constants (word-count floor adapted to the fixture's
+    ~30-word docs; the paper's web values are 50/100k).
+
+    Reference parity: generalizes kinesis-pay.php:520-537's validator
+    chain (a rule battery with per-rule outcomes) from payment records
+    to corpus documents."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    mean_len = (
+        F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / n_words
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda x: x.rlike("[a-z]"))).cast("double")
+        / n_words
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    m = docs.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+    pass_words = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    pass_mean = F.col("mean_word_len").between(
+        _GOPHER_MIN_MEAN_LEN, _GOPHER_MAX_MEAN_LEN
+    )
+    pass_alpha = F.col("alpha_frac") >= _GOPHER_MIN_ALPHA_FRAC
+    pass_stop = F.col("stopword_hits") >= 2
+    return m.select(
+        "*",
+        pass_words.alias("pass_words"),
+        pass_mean.alias("pass_mean_len"),
+        pass_alpha.alias("pass_alpha"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_words & pass_mean & pass_alpha & pass_stop).alias("pass_gopher"),
+    )
+
+
+_BPE_MERGES = 8
+_BPE_EOW = "</w>"
+
+
+def _bpe_apply_merge(left: str, right: str):
+    """Build the pandas-UDF merge applicator for one learned pair:
+    collapse every adjacent (left, right) occurrence in each symbol
+    sequence (leftmost-first, non-overlapping — the BPE convention)."""
+
+    def apply(col: pd.Series) -> pd.Series:
+        out = []
+        merged = left + right
+        for syms in col:
+            syms = list(syms)
+            res = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out.append(res)
+        return pd.Series(out)
+
+    return apply
+
+
+@register("text_bpe_train", oracle=None, tags=("llm", "text", "iterative"))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016,
+    arXiv:1508.07909) — the tokenizer-training stage of an LLM data
+    pipeline, run DISTRIBUTED: one corpus-sized pass builds the
+    (word, count) frequency table (the only full-data shuffle); every
+    word becomes a char-symbol sequence with an end-of-word marker;
+    then each of the k merge rounds computes adjacent-pair counts with
+    a distributed explode+sum, takes the argmax (ONE row to the
+    driver, deterministic count-then-lexicographic tiebreak), and
+    collapses the winning pair across the vocab via an Arrow-batched
+    pandas UDF. The iterating table is the DISTINCT-WORD vocab —
+    O(unique words), millions of rows at web scale, never the corpus —
+    persisted per round and released in finally (cache discipline:
+    SCALE.md CacheManager note). Rows-only by necessity: the merge
+    sequence is a k-step argmax recurrence with per-row list surgery —
+    not expressible as a fixed SQL query; exact merge-sequence parity
+    vs an independent pure-Python BPE is pinned in test_llm.py.
+
+    Returns the learned merge table (rank, left, right, merged,
+    pair_count) — k rows, stable schema."""
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.split(F.col("word"), ""),
+                F.array(F.lit(_BPE_EOW)),
+            ).alias("syms"),
+            "cnt",
+        )
+    )
+    sym_t = T.ArrayType(T.StringType())
+    merges = []
+    cached = vocab.persist()
+    try:
+        for rank in range(1, _BPE_MERGES + 1):
+            pairs = (
+                cached.select(
+                    F.explode(
+                        F.zip_with(
+                            F.slice(
+                                "syms", 1, F.size("syms") - F.lit(1)
+                            ),
+                            F.slice("syms", 2, F.size("syms") - F.lit(1)),
+                            lambda a, b: F.struct(
+                                a.alias("left"), b.alias("right")
+                            ),
+                        )
+                    ).alias("p"),
+                    "cnt",
+                )
+                .groupBy("p.left", "p.right")
+                .agg(F.sum("cnt").alias("pair_count"))
+                .orderBy(
+                    F.desc("pair_count"), F.asc("left"), F.asc("right")
+                )
+                .limit(1)
+                .collect()
+            )
+            if not pairs or pairs[0]["pair_count"] < 2:
+                break
+            left, right, cnt = (
+                pairs[0]["left"],
+                pairs[0]["right"],
+                int(pairs[0]["pair_count"]),
+            )
+            merges.append((rank, left, right, left + right, cnt))
+            apply_udf = F.pandas_udf(_bpe_apply_merge(left, right), sym_t)
+            nxt = cached.select(
+                apply_udf("syms").alias("syms"), "cnt"
+            ).persist()
+            nxt.count()  # materialize before releasing the parent
+            cached.unpersist()
+            cached = nxt
+    finally:
+        cached.unpersist()
+    schema = T.StructType(
+        [
+            T.StructField("merge_rank", T.IntegerType()),
+            T.StructField("left", T.StringType()),
+            T.StructField("right", T.StringType()),
+            T.StructField("merged", T.StringType()),
+            T.StructField("pair_count", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)

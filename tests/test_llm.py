@@ -597,3 +597,69 @@ def test_ann_ivf_pq_full_rederivation(spark):
             pruned_any = True
             break
     assert pruned_any, "IVF probe bound never pruned any candidate"
+
+
+def test_bpe_train_matches_pure_python_mirror(spark):
+    """Exact merge-sequence parity: the distributed BPE trainer must
+    produce the identical (rank, left, right, merged, pair_count)
+    sequence as an independent pure-Python BPE (Sennrich alg.) run on
+    the same corpus read WITHOUT Spark (duckdb). Pins the pair
+    extraction, count aggregation, argmax tiebreak (count desc, then
+    lexicographic), and the leftmost-first non-overlapping merge
+    collapse."""
+    from collections import Counter
+
+    import duckdb
+
+    from am_kinesis_pay_spark.llm.text import _BPE_EOW, _BPE_MERGES
+    from am_kinesis_pay_spark.registry import REGISTRY
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[tuple(list(w) + [_BPE_EOW])] += 1
+    expected = []
+    for rank in range(1, _BPE_MERGES + 1):
+        pairs = Counter()
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        # argmax: count desc, then lexicographic pair asc
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if cnt < 2:
+            break
+        expected.append((rank, left, right, left + right, cnt))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] += c
+        vocab = new_vocab
+
+    got = [
+        tuple(r)
+        for r in REGISTRY["text_bpe_train"].fn(spark, SF_DIR).collect()
+    ]
+    assert got == expected
+    assert len(got) == _BPE_MERGES  # this corpus yields a full ladder
