@@ -37,6 +37,7 @@ DOCS_QUERIES = [
     "sample_shard_shuffle", "text_bm25_topk", "text_dedup_minhash_incremental",
     "mm_codec_png_roundtrip", "mm_decode_features_real",
     "mm_codec_gif_roundtrip", "text_decontaminate_fuzzy",
+    "mm_codec_jpeg_roundtrip", "text_gopher_rules", "text_bpe_train",
 ]
 FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
