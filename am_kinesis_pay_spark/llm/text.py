@@ -1300,3 +1300,64 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(merges, schema)
+
+
+_BPE_ENCODE_TOPK = 30
+
+
+@register("text_bpe_encode", oracle=None, tags=("llm", "text", "iterative"))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the apply half of the tokenizer story (Sennrich et
+    al. 2016): tokenize the corpus with the merge table
+    ``text_bpe_train`` learns, and return the resulting subword token
+    frequency table (top ``_BPE_ENCODE_TOPK`` by corpus count,
+    count-desc then token-asc — deterministic).
+
+    Scale design: encoding is applied to the DISTINCT-WORD vocab, not
+    the corpus — each unique word is tokenized ONCE (O(unique words),
+    bounded at any corpus scale) and its token counts are weighted by
+    the word's corpus frequency, so the only corpus-sized work is the
+    one (word, count) shuffle. The k merges are applied as the same
+    nested ``_bpe_collapse`` codegen folds the trainer uses (rank
+    order, leftmost-first non-overlapping) — zero Python workers or
+    Arrow transfer anywhere. Self-contained for the registry, the
+    query re-trains the k-merge table first (k driver-round jobs); in
+    production the merge table is a persisted tokenizer artifact read
+    as a k-row input, and ONLY the encode passes run (same shape as
+    text_dedup_keep_best consuming a persisted cluster map).
+
+    Rows-only by necessity, inherited from the trainer: the merge
+    table it applies is a k-step argmax recurrence, not a fixed SQL
+    query; exact token-count parity vs an independent pure-Python
+    BPE encode is pinned in test_llm.py.
+
+    Reference semantics analog: kinesis-pay.php tokenizes nothing —
+    this is a north-star LLM-pipeline addition (SURVEY §2.10d)."""
+    docs = load(spark, sf_dir, "documents")
+    merge_rows = text_bpe_train(spark, sf_dir).collect()
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = F.concat(
+        F.split(F.col("word"), ""), F.array(F.lit(_BPE_EOW))
+    )
+    for r in merge_rows:
+        syms = _bpe_collapse(syms, r["left"], r["right"])
+    return (
+        vocab.select(F.explode(syms).alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("total_count"))
+        .orderBy(F.desc("total_count"), F.asc("token"))
+        .limit(_BPE_ENCODE_TOPK)
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.desc("total_count"), F.asc("token")))
+            .alias("token_rank"),
+            "token",
+            F.length("token").cast("int").alias("token_len"),
+            "total_count",
+        )
+    )

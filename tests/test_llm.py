@@ -599,25 +599,22 @@ def test_ann_ivf_pq_full_rederivation(spark):
     assert pruned_any, "IVF probe bound never pruned any candidate"
 
 
-def test_bpe_train_matches_pure_python_mirror(spark):
-    """Exact merge-sequence parity: the distributed BPE trainer must
-    produce the identical (rank, left, right, merged, pair_count)
-    sequence as an independent pure-Python BPE (Sennrich alg.) run on
-    the same corpus read WITHOUT Spark (duckdb). Pins the pair
-    extraction, count aggregation, argmax tiebreak (count desc, then
-    lexicographic), and the leftmost-first non-overlapping merge
-    collapse."""
+def _pure_bpe(sf_dir):
+    """Independent pure-Python BPE (Sennrich alg.) on the corpus read
+    WITHOUT Spark (duckdb): returns (merge_table, final_vocab) where
+    merge_table rows are (rank, left, right, merged, pair_count) and
+    final_vocab is the Counter of fully-merged symbol tuples per
+    distinct word, weighted by corpus word count."""
     from collections import Counter
 
     import duckdb
 
     from am_kinesis_pay_spark.llm.text import _BPE_EOW, _BPE_MERGES
-    from am_kinesis_pay_spark.registry import REGISTRY
 
     texts = [
         r[0]
         for r in duckdb.sql(
-            f"SELECT text FROM '{SF_DIR}/documents.parquet'"
+            f"SELECT text FROM '{sf_dir}/documents.parquet'"
         ).fetchall()
     ]
     vocab = Counter()
@@ -625,7 +622,7 @@ def test_bpe_train_matches_pure_python_mirror(spark):
         for w in t.split(" "):
             if w:
                 vocab[tuple(list(w) + [_BPE_EOW])] += 1
-    expected = []
+    merges = []
     for rank in range(1, _BPE_MERGES + 1):
         pairs = Counter()
         for syms, cnt in vocab.items():
@@ -639,7 +636,7 @@ def test_bpe_train_matches_pure_python_mirror(spark):
         )
         if cnt < 2:
             break
-        expected.append((rank, left, right, left + right, cnt))
+        merges.append((rank, left, right, left + right, cnt))
         new_vocab = Counter()
         for syms, c in vocab.items():
             res, i = [], 0
@@ -656,10 +653,57 @@ def test_bpe_train_matches_pure_python_mirror(spark):
                     i += 1
             new_vocab[tuple(res)] += c
         vocab = new_vocab
+    return merges, vocab
 
+
+def test_bpe_train_matches_pure_python_mirror(spark):
+    """Exact merge-sequence parity: the distributed BPE trainer must
+    produce the identical (rank, left, right, merged, pair_count)
+    sequence as an independent pure-Python BPE (Sennrich alg.) run on
+    the same corpus read WITHOUT Spark (duckdb). Pins the pair
+    extraction, count aggregation, argmax tiebreak (count desc, then
+    lexicographic), and the leftmost-first non-overlapping merge
+    collapse."""
+    from am_kinesis_pay_spark.llm.text import _BPE_MERGES
+    from am_kinesis_pay_spark.registry import REGISTRY
+
+    expected, _ = _pure_bpe(SF_DIR)
     got = [
         tuple(r)
         for r in REGISTRY["text_bpe_train"].fn(spark, SF_DIR).collect()
     ]
     assert got == expected
     assert len(got) == _BPE_MERGES  # this corpus yields a full ladder
+
+
+def test_bpe_encode_matches_pure_python_mirror(spark):
+    """Exact token-frequency parity for the encode pass: tokenizing
+    the corpus with the learned merges (nested JVM folds over the
+    distinct-word vocab, weighted by word count) must equal the
+    pure-Python mirror's final vocab state exactly — top-K rows,
+    count-desc/token-asc order, ranks, lengths, and counts."""
+    from collections import Counter
+
+    from am_kinesis_pay_spark.llm.text import _BPE_ENCODE_TOPK, _BPE_EOW
+    from am_kinesis_pay_spark.registry import REGISTRY
+
+    _, final_vocab = _pure_bpe(SF_DIR)
+    tok_counts = Counter()
+    for syms, cnt in final_vocab.items():
+        for s in syms:
+            tok_counts[s] += cnt
+    ordered = sorted(tok_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = [
+        (i + 1, tok, len(tok), cnt)
+        for i, (tok, cnt) in enumerate(ordered[:_BPE_ENCODE_TOPK])
+    ]
+    got = [
+        tuple(r)
+        for r in REGISTRY["text_bpe_encode"].fn(spark, SF_DIR).collect()
+    ]
+    assert got == expected
+    # the merges actually bit: at least one multi-char merged subword
+    # (not the bare end-of-word marker) made the top-K
+    assert any(
+        len(tok) > 1 and tok != _BPE_EOW for _, tok, _, _ in got
+    )

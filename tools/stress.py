@@ -38,6 +38,7 @@ DOCS_QUERIES = [
     "mm_codec_png_roundtrip", "mm_decode_features_real",
     "mm_codec_gif_roundtrip", "text_decontaminate_fuzzy",
     "mm_codec_jpeg_roundtrip", "text_gopher_rules", "text_bpe_train",
+    "text_bpe_encode",
 ]
 FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
