@@ -57,19 +57,88 @@ _VENDOR_ZIP = os.path.join(
 )
 
 
+def _cache_root() -> str:
+    """User-owned cache dir for extracted assets. NOT world-writable
+    /tmp: on a shared host another local user could pre-plant a
+    malicious ``google/protobuf`` tree at a predictable /tmp name and
+    get code execution in the driver and every Spark worker. Order:
+    $SPARK_GRAFT_CACHE_DIR, ~/.cache/akps (created 0700), then a
+    per-process mkdtemp memoized for the life of the process."""
+    global _CACHE_ROOT
+    if _CACHE_ROOT is not None:
+        return _CACHE_ROOT
+    for cand in (
+        os.environ.get("SPARK_GRAFT_CACHE_DIR"),
+        os.path.join(os.path.expanduser("~"), ".cache", "akps"),
+    ):
+        if not cand:
+            continue
+        try:
+            os.makedirs(cand, mode=0o700, exist_ok=True)
+            if os.access(cand, os.W_OK):
+                _CACHE_ROOT = cand
+                return cand
+        except OSError:
+            continue
+    import tempfile
+
+    _CACHE_ROOT = tempfile.mkdtemp(prefix="akps_cache_")
+    return _CACHE_ROOT
+
+
+_CACHE_ROOT: str | None = None
+
+
+def _zip_digest(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()[:16]
+
+
+def _matches_zip(base: str, zip_path: str) -> bool:
+    """Extracted tree is trusted only if it holds exactly the zip's
+    members with matching sizes — a pre-planted or tampered tree
+    (extra files, swapped modules) fails and gets re-extracted."""
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(zip_path) as z:
+            members = {i.filename: i.file_size for i in z.infolist() if not i.is_dir()}
+        on_disk: dict[str, int] = {}
+        for root, _dirs, files in os.walk(base):
+            for fn in files:
+                p = os.path.join(root, fn)
+                on_disk[os.path.relpath(p, base).replace(os.sep, "/")] = (
+                    os.path.getsize(p)
+                )
+        return on_disk == members
+    except OSError:
+        return False
+
+
 def _vendored_runtime_dir() -> str | None:
     """Extract the repo's vendored pure-python protobuf runtime to a
-    writable cache dir (once) and return it. Extraction is crash/race
-    safe: unpack into a unique temp dir, then os.rename onto the final
-    name — concurrent extractors lose the rename and reuse the winner.
-    Returns None when the vendor zip is absent (source checkouts that
-    stripped binary assets)."""
+    user-owned cache dir (once) and return it. The final dirname embeds
+    the zip's sha256, and an existing dir is re-verified member-by-
+    member against the zip manifest before being trusted. Extraction is
+    crash/race safe: unpack into a unique temp dir, then os.rename onto
+    the final name — concurrent extractors lose the rename and reuse
+    the winner. Returns None when the vendor zip is absent (source
+    checkouts that stripped binary assets)."""
     if not os.path.isfile(_VENDOR_ZIP):
         return None
-    cache_root = os.environ.get("TMPDIR", "/tmp")
-    final = os.path.join(cache_root, "akps_protobuf_runtime")
-    if _runtime_ok(final):
+    try:
+        digest = _zip_digest(_VENDOR_ZIP)
+    except OSError:
+        return None
+    final = os.path.join(_cache_root(), f"protobuf_runtime-{digest}")
+    if _runtime_ok(final) and _matches_zip(final, _VENDOR_ZIP):
         return final
+    import shutil
     import uuid
     import zipfile
 
@@ -80,12 +149,18 @@ def _vendored_runtime_dir() -> str | None:
         try:
             os.rename(tmp, final)
         except OSError:
-            pass  # concurrent extractor won; theirs is complete
+            # Target exists: either a concurrent extractor won (fine)
+            # or a stale/invalid tree squats the name — replace it so
+            # a bad dir can't permanently disable the fallback.
+            if not (_runtime_ok(final) and _matches_zip(final, _VENDOR_ZIP)):
+                shutil.rmtree(final, ignore_errors=True)
+                try:
+                    os.rename(tmp, final)
+                except OSError:
+                    pass
     except (OSError, zipfile.BadZipFile):
         return None
     finally:
-        import shutil
-
         shutil.rmtree(tmp, ignore_errors=True)
     return final if _runtime_ok(final) else None
 
@@ -139,9 +214,7 @@ def ensure_protobuf() -> bool:
         # cache so only the first worker ever pays the parse.
         os.environ.setdefault(
             "PYTHONPYCACHEPREFIX",
-            os.path.join(
-                os.environ.get("TMPDIR", "/tmp"), "akps_pycache"
-            ),
+            os.path.join(_cache_root(), "pycache"),
         )
         existing = os.environ.get("PYTHONPATH", "")
         if base not in existing.split(os.pathsep):

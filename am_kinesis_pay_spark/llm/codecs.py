@@ -399,6 +399,15 @@ def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
         w = bytes([byte])
     if w:
         emit(table[w])
+    # Decoder-lagged growth at stream end: the decoder performs its
+    # dictionary add for the PREVIOUS code when the final data code
+    # arrives, which can push its table to exactly 2^width — it then
+    # reads EOI at width+1 while we would write it at width (enc 9 vs
+    # dec 10 bits). Zero padding masks it in the no-reset case, but
+    # after a 4096-entry reset the alignment is data-dependent and a
+    # byte-aligned stream end leaves too few bits for the wider EOI.
+    if next_code == (1 << width) and width < 12:
+        width += 1
     emit(eoi)
     if nacc:
         out.append(acc & 0xFF)
@@ -855,11 +864,23 @@ def decode_jpeg(blob: bytes) -> tuple[dict, np.ndarray]:
     htables: dict[tuple[int, int], _HuffTable] = {}
     sof: dict | None = None
     while True:
-        if pos + 4 > len(blob):
+        if pos + 2 > len(blob):
             raise ValueError("truncated before SOS")
         if blob[pos] != 0xFF:
             raise ValueError("marker sync lost")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — legal in foreign baseline streams, skip them.
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
         marker = blob[pos + 1]
+        # Standalone (zero-payload) markers carry NO length word: TEM
+        # (0x01) and RSTn (0xD0-0xD7). Reading a bogus length here
+        # would skip the wrong byte range in valid external streams.
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(blob):
+            raise ValueError("truncated before SOS")
         (seglen,) = struct.unpack_from(">H", blob, pos + 2)
         if seglen < 2 or pos + 2 + seglen > len(blob):
             raise ValueError("segment length overruns stream")

@@ -112,10 +112,15 @@ class KPayPollBatchReader(DataSourceReader):
         unsupported = []
         for f in filters:
             col = f.attribute[0] if getattr(f, "attribute", None) else None
+            # Only exact ints are pushable: int(5.5) truncates toward
+            # zero, so accepting `payment_id < 5.5` would wrongly set
+            # pid_hi=5 and exclude payment_id=5 — and an ACCEPTED filter
+            # is not guaranteed to be re-checked post-scan. Non-int
+            # literals (floats, bools, strings) go back to Spark.
             if col == "payment_id" and isinstance(
                 f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
-            ):
-                v = int(f.value)
+            ) and type(f.value) is int:
+                v = f.value
                 if isinstance(f, EqualTo):
                     self.pid_lo = max(self.pid_lo, v)
                     self.pid_hi = min(self.pid_hi, v + 1)
@@ -129,8 +134,8 @@ class KPayPollBatchReader(DataSourceReader):
                     self.pid_hi = min(self.pid_hi, v + 1)
             elif col == "poll_seq" and isinstance(
                 f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
-            ):
-                v = int(f.value)
+            ) and type(f.value) is int:
+                v = f.value
                 if isinstance(f, GreaterThan):
                     self.seq_lo = max(self.seq_lo, v + 1)
                 elif isinstance(f, GreaterThanOrEqual):

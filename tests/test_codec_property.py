@@ -274,3 +274,53 @@ def test_jpeg_structural_corruption_rejected():
     # entropy stream cut mid-block: Huffman decode must fail loudly
     with pytest.raises(ValueError):
         decode_jpeg(blob[:-8] + b"\xff\xd9")
+
+
+def test_gif_lzw_eos_width_growth_edge():
+    """End-of-stream width off-by-one: when the decoder's lagged
+    dictionary add on the FINAL data code lands exactly on a 2^width
+    boundary, the decoder grows its code width before reading EOI —
+    the encoder must emit EOI at the grown width too. With the stream
+    byte-aligned at that point (no padding bits to mask the skew) the
+    unfixed encoder produced a stream the decoder rejects with
+    'ended without EOI'. The triggering add-count (8444, past two
+    4096-entry resets) was found by exhaustive simulation of the
+    data-independent bits(n) recurrence."""
+    from am_kinesis_pay_spark.llm.codecs import _lzw_decode, _lzw_encode
+
+    # Martin's prefer-largest greedy walks an Eulerian path over byte
+    # pairs, so every byte after the first triggers a dictionary add;
+    # pairs are globally distinct, hence still fresh after resets.
+    out = bytearray([0])
+    used: set = set()
+    prev = 0
+    for _ in range(8444):
+        b = 255
+        while (prev, b) in used:
+            b -= 1
+        used.add((prev, b))
+        out.append(b)
+        prev = b
+    data = bytes(out)
+    assert _lzw_decode(_lzw_encode(data)) == data
+    # neighbors of the boundary stay green too
+    assert _lzw_decode(_lzw_encode(data[:-1])) == data[:-1]
+    assert _lzw_decode(_lzw_encode(data + b"\x00")) == data + b"\x00"
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2 fill bytes (extra 0xFF before a marker) and
+    zero-payload standalone markers (TEM 0x01, RSTn 0xD0-0xD7) are
+    legal in foreign baseline JPEGs between SOI and SOS; the marker
+    walk must skip them instead of misparsing a bogus length word."""
+    from am_kinesis_pay_spark.llm.codecs import decode_jpeg, encode_jpeg
+
+    img = (np.arange(400, dtype=np.int64) % 256).astype(np.uint8).reshape(20, 20)
+    blob = encode_jpeg(img)
+    _, want = decode_jpeg(blob)
+
+    # inject after SOI: fill bytes, TEM, an RSTn, more fill
+    foreign = blob[:2] + b"\xff\xff\xff\x01\xff\xd3\xff\xff" + blob[2:]
+    meta, got = decode_jpeg(foreign)
+    assert meta["width"] == 20 and meta["height"] == 20
+    assert (got == want).all()

@@ -473,3 +473,32 @@ def test_pyds_filter_pushdown_prunes_generation(spark):
         if 40 <= pid < 60 and seq < 5
     )
     assert got == want
+
+
+def test_pyds_pushdown_rejects_non_int_literals():
+    """int(5.5) truncates toward zero, so accepting `payment_id < 5.5`
+    would set pid_hi=5 and wrongly drop payment_id=5 — and an accepted
+    filter is not guaranteed to be re-checked post-scan. Non-exact-int
+    literals (floats, bools) must come back as unsupported with the
+    reader bounds untouched."""
+    from pyspark.sql.datasource import EqualTo, LessThan
+
+    from am_kinesis_pay_spark.sources.pyds import KPayPollBatchReader
+
+    r = KPayPollBatchReader({"num_payments": "100", "partitions": "4"})
+    rest = list(
+        r.pushFilters(
+            [
+                LessThan(("payment_id",), 5.5),
+                EqualTo(("payment_id",), True),
+                LessThan(("poll_seq",), 2.0),
+            ]
+        )
+    )
+    assert len(rest) == 3  # all returned to Spark for post-scan eval
+    assert (r.pid_lo, r.pid_hi) == (0, 100)
+    assert (r.seq_lo, r.seq_hi) == (0, r.seq_hi) and r.seq_lo == 0
+
+    # exact ints still push
+    r.pushFilters([LessThan(("payment_id",), 5)])
+    assert r.pid_hi == 5
