@@ -1012,51 +1012,37 @@ _FUZZY_BENCH_MOD = 13
 _FUZZY_JACCARD = 0.5
 
 def _fuzzy_decon_oracle() -> str:
-    # replicate the LSH band-candidate stage exactly (same md5
-    # permutations as llm/dedup.py): a J >= 0.5 pair can legitimately
-    # miss every band, so an all-pairs oracle would be a SUPERSET of
-    # the operator's output — the oracle must model the same recall
-    from am_kinesis_pay_spark.llm.dedup import BAND_W, N_PERM
+    # replicate the dup-collapsed, bucket-capped LSH candidate stage
+    # exactly (shared CTE chain from llm/dedup.py): a J >= 0.5 pair can
+    # legitimately miss every band, so an all-pairs oracle would be a
+    # SUPERSET of the operator's output — the oracle must model the
+    # same recall, including the cap. Train x bench member pairs are
+    # expanded from the symmetric rep-pair edges (+ self edges at
+    # Jaccard 1.0 for groups holding both a train and a bench copy).
+    from am_kinesis_pay_spark.llm.dedup import minhash_pair_ctes
 
-    return f"""
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-), shingles AS (
-  SELECT DISTINCT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
-  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS i
-        FROM toks WHERE len(t) >= 3)
-), mh AS (
-  SELECT doc_id, s.seed,
-    MIN(md5(concat(CAST(s.seed AS VARCHAR), ':', shingle))) AS h
-  FROM shingles, generate_series(0, {N_PERM - 1}) AS s(seed)
-  GROUP BY doc_id, s.seed
-), bands AS (
-  SELECT doc_id, seed // {BAND_W} AS band,
-    string_agg(h, '|' ORDER BY seed) AS band_val
-  FROM mh GROUP BY doc_id, seed // {BAND_W}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_doc
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_val = b.band_val
-  WHERE a.doc_id % {_FUZZY_BENCH_MOD} <> 0
-    AND b.doc_id % {_FUZZY_BENCH_MOD} = 0
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
-), verified AS (
-  SELECT c.doc_id, c.bench_doc, COUNT(*) AS n_common,
-    sa.n AS n_a, sb.n AS n_b
-  FROM cand c
-  JOIN shingles x ON x.doc_id = c.doc_id
-  JOIN shingles y ON y.doc_id = c.bench_doc AND y.shingle = x.shingle
-  JOIN sizes sa ON sa.doc_id = c.doc_id
-  JOIN sizes sb ON sb.doc_id = c.bench_doc
-  GROUP BY c.doc_id, c.bench_doc, sa.n, sb.n
+    return (
+        "WITH "
+        + minhash_pair_ctes()
+        + f""", sym AS (
+  SELECT ra.grp_key AS gk, rb.grp_key AS nk, p.jaccard
+  FROM rep_pairs p
+  JOIN reps ra ON ra.rep_id = p.rep_a
+  JOIN reps rb ON rb.rep_id = p.rep_b
+  UNION ALL
+  SELECT rb.grp_key, ra.grp_key, p.jaccard
+  FROM rep_pairs p
+  JOIN reps ra ON ra.rep_id = p.rep_a
+  JOIN reps rb ON rb.rep_id = p.rep_b
+  UNION ALL
+  SELECT grp_key, grp_key, CAST(1.0 AS DOUBLE) FROM shingled_grps
 )
-SELECT doc_id, bench_doc,
-  round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
-FROM verified
-WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {_FUZZY_JACCARD}
+SELECT tm.doc_id, bm.doc_id AS bench_doc, sym.jaccard
+FROM sym
+JOIN grp tm ON tm.grp_key = sym.gk AND tm.doc_id % {_FUZZY_BENCH_MOD} <> 0
+JOIN grp bm ON bm.grp_key = sym.nk AND bm.doc_id % {_FUZZY_BENCH_MOD} = 0
 """
+    )
 
 
 _FUZZY_DECON_ORACLE = _fuzzy_decon_oracle()
@@ -1072,80 +1058,69 @@ def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     to text_decontaminate's exact 5-gram gate): a training doc is
     contaminated when its shingle-set Jaccard against any held-out
     benchmark doc clears {_FUZZY_JACCARD} — catching paraphrases and
-    truncations that share no exact 5-gram run. Reuses the MinHash
-    machinery from llm/dedup.py: per-doc signatures + shingle sets in
-    one aggregation, LSH band join restricted to (train x bench)
-    candidates only, exact-Jaccard verify via array_intersect on the
-    carried sets. The benchmark side is corpus-tiny (1/{_FUZZY_BENCH_MOD}
-    of docs) and broadcasts into the band join, so the training corpus
-    never shuffles for candidates — at 100 TB the benchmark index is a
-    persisted table, same as the incremental-dedup band index. The
-    oracle replicates the SAME band-candidate stage (a J >= 0.5 pair
-    can miss every band — LSH recall is probabilistic, (1-J^b)^r — so
-    an all-pairs oracle would be a superset); the recall trade is the
-    documented one shared with text_dedup_minhash."""
-    from am_kinesis_pay_spark.llm.dedup import BAND_W, N_PERM, _shingles
+    truncations that share no exact 5-gram run. Consumes the SHARED
+    session-materialized MinHash artifacts from llm/dedup.py (the
+    dup-collapsed rep signature index and the verified, bucket-capped
+    rep pairs — see that module's section header), then expands
+    train x bench member pairs from the symmetric rep-pair edges:
+    cross-group pairs inherit the rep Jaccard, and a group holding
+    both a train and a bench copy of the same text contributes its
+    members at Jaccard 1.0 via a self edge. The expansion joins are
+    output-bounded; no member-level candidate is ever generated, so a
+    benchmark document duplicated thousands of times across the crawl
+    (the common contamination shape) costs one rep row, not a
+    quadratic bucket. The oracle replicates the SAME capped candidate
+    stage (a J >= 0.5 pair can miss every band — LSH recall is
+    probabilistic, (1-J^b)^r — so an all-pairs oracle would be a
+    superset); the recall trade is the documented one shared with
+    text_dedup_minhash."""
+    from am_kinesis_pay_spark.llm.dedup import (
+        _rep_index,
+        _rep_members,
+        _rep_pairs,
+    )
 
-    docs = load(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    per_doc = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(
-                f"h{s}"
-            )
-            for s in range(N_PERM)
-        ],
-        F.collect_set("shingle").alias("sh_set"),
-    )
-    band_exprs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|",
-                *[F.col(f"h{s}") for s in range(b * BAND_W, (b + 1) * BAND_W)],
-            ).alias("band_val"),
-        )
-        for b in range(N_PERM // BAND_W)
-    ]
-    bands = per_doc.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("bv")
-    ).select(
-        "doc_id",
-        F.col("bv.band").alias("band"),
-        F.col("bv.band_val").alias("band_val"),
-    )
-    train_b = bands.filter(F.col("doc_id") % _FUZZY_BENCH_MOD != 0)
-    bench_b = bands.filter(F.col("doc_id") % _FUZZY_BENCH_MOD == 0).select(
-        F.col("doc_id").alias("bench_doc"), "band", "band_val"
-    )
-    cand = (
-        train_b.join(F.broadcast(bench_b), ["band", "band_val"])
-        .select("doc_id", "bench_doc")
-        .distinct()
-    )
-    sets = per_doc.select("doc_id", "sh_set")
-    verified = (
-        cand.join(sets, "doc_id")
-        .join(
-            F.broadcast(
-                sets.select(
-                    F.col("doc_id").alias("bench_doc"),
-                    F.col("sh_set").alias("bench_set"),
-                )
+    members = _rep_members(spark, sf_dir)
+    idx = _rep_index(spark, sf_dir)
+    rp = _rep_pairs(spark, sf_dir)
+    rep2g = idx.select(F.col("doc_id").alias("rep_id"), "grp_key")
+    cross_e = (
+        rp.join(
+            rep2g.select(
+                F.col("rep_id").alias("rep_a"), F.col("grp_key").alias("gk")
             ),
-            "bench_doc",
+            "rep_a",
         )
-        .select(
-            "doc_id",
-            "bench_doc",
-            F.size(F.array_intersect("sh_set", "bench_set")).alias("n_common"),
-            F.size("sh_set").alias("n_a"),
-            F.size("bench_set").alias("n_b"),
+        .join(
+            rep2g.select(
+                F.col("rep_id").alias("rep_b"), F.col("grp_key").alias("nk")
+            ),
+            "rep_b",
+        )
+        .select("gk", "nk", "jaccard")
+    )
+    edges = (
+        cross_e.unionByName(
+            cross_e.select(
+                F.col("nk").alias("gk"), F.col("gk").alias("nk"), "jaccard"
+            )
+        )
+        .unionByName(
+            idx.select(
+                F.col("grp_key").alias("gk"),
+                F.col("grp_key").alias("nk"),
+                F.lit(1.0).alias("jaccard"),
+            )
         )
     )
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    train = members.filter(F.col("doc_id") % _FUZZY_BENCH_MOD != 0).select(
+        F.col("grp_key").alias("gk"), "doc_id"
     )
-    return verified.filter(jac >= _FUZZY_JACCARD).select(
-        "doc_id", "bench_doc", F.round(jac, 6).alias("jaccard")
+    bench = members.filter(F.col("doc_id") % _FUZZY_BENCH_MOD == 0).select(
+        F.col("grp_key").alias("nk"), F.col("doc_id").alias("bench_doc")
+    )
+    return (
+        edges.join(train, "gk")
+        .join(F.broadcast(bench), "nk")
+        .select("doc_id", "bench_doc", "jaccard")
     )

@@ -458,7 +458,7 @@ _SIG_SQL_CTES = """planes (p, wts) AS (
 ), norms AS (
   SELECT vec_id, embedding,
     sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings
+  FROM {src}
 ), dots AS (
   SELECT n.vec_id, pl.p,
     list_sum(list_transform(list_zip(n.embedding, pl.wts),
@@ -475,10 +475,11 @@ _SIG_SQL_CTES = """planes (p, wts) AS (
 )"""
 
 
-def sig_sql_ctes() -> str:
+def sig_sql_ctes(src: str = "embeddings") -> str:
     """Signature/band CTE block (planes→norms→dots→sigs→banded) for
-    DuckDB oracles of sign-LSH pipelines."""
-    return _SIG_SQL_CTES.format(planes=_planes_values_sql())
+    DuckDB oracles of sign-LSH pipelines; ``src`` swaps the vector
+    source (e.g. a dup-collapsed representative CTE)."""
+    return _SIG_SQL_CTES.format(planes=_planes_values_sql(), src=src)
 
 
 def _lsh_oracle() -> str:
