@@ -126,34 +126,11 @@ def _shingles(docs: DataFrame) -> DataFrame:
 
 BAND_CAP = int(os.environ.get("AKPS_BAND_CAP", "64"))
 
-_SESSION_ARTIFACTS: set[str] = set()
-
-
-def _sf_tag(sf_dir: str) -> str:
-    import hashlib
-
-    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-
-
-def _materialize(spark, name, build, schema=None):
-    """Session-scoped scratch-parquet memo: build() the frame and write
-    it on first use (or when AKPS_FORCE_RECOMPUTE=1), read it back on
-    every use. Unlike .cache()/persist() this pins no executor storage
-    and can never leak into sibling queries through CacheManager plan
-    substitution — reuse is an explicit parquet read."""
-    from am_kinesis_pay_spark.paths import scratch_path
-
-    path = scratch_path(spark, name)
-    force = os.environ.get("AKPS_FORCE_RECOMPUTE", "") not in ("", "0")
-    if (
-        force
-        or path not in _SESSION_ARTIFACTS
-        or not os.path.exists(os.path.join(path, "_SUCCESS"))
-    ):
-        build().write.mode("overwrite").parquet(path)
-        _SESSION_ARTIFACTS.add(path)
-    reader = spark.read.schema(schema) if schema else spark.read
-    return reader.parquet(path)
+# session-scoped scratch-parquet memo + sf tag (shared helper)
+from am_kinesis_pay_spark.paths import (  # noqa: E402
+    session_artifact as _materialize,
+    sf_tag as _sf_tag,
+)
 
 
 def _rep_members(spark, sf_dir: str) -> DataFrame:

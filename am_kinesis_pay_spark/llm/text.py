@@ -1176,61 +1176,59 @@ _BPE_EOW = "</w>"
 _BPE_VOCAB_PARTITIONS = 8
 
 
-def _bpe_collapse(col, left: str, right: str):
-    """JVM-side leftmost-first non-overlapping pair collapse as an
-    ``F.aggregate`` stack fold: push each symbol; when the top of the
-    stack is a raw ``left`` and the incoming symbol is ``right``,
-    replace the top with the merged token. Equivalent to the classic
-    sequential scan by induction — a just-merged top can never retrigger
+def _bpe_collapse_multi(col, pairs: "list[tuple[str, str]]"):
+    """JVM-side leftmost-first non-overlapping collapse of a BATCH of
+    symbol-disjoint pairs as ONE ``F.aggregate`` stack fold: push each
+    symbol; when the top of the stack is a raw ``left`` of some batch
+    pair and the incoming symbol is its ``right``, replace the top with
+    the merged token. Equivalent to applying the pairs one-at-a-time in
+    any order — batch pairs share no symbol, so their occurrences can
+    never overlap (a shared position would require one symbol to equal
+    two different values), and a just-merged top can never retrigger
     because ``left + right`` is strictly longer than ``left``. Keeps
     the entire merge application inside whole-stage codegen: no Python
     workers, no Arrow transfer, at any scale."""
-    return F.aggregate(
-        col,
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (x == F.lit(right)),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.lit(left + right)),
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
+    def step(acc, x):
+        expr = F.concat(acc, F.array(x))
+        for left, right in pairs:
+            expr = F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(left + right)),
+                ),
+            ).otherwise(expr)
+        return expr
+
+    return F.aggregate(col, F.array().cast("array<string>"), step)
 
 
-@register("text_bpe_train", oracle=None, tags=("llm", "text", "iterative"))
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-pair-encoding merge training (Sennrich et al. 2016,
-    arXiv:1508.07909) — the tokenizer-training stage of an LLM data
-    pipeline, run DISTRIBUTED: one corpus-sized pass builds the
-    (word, count) frequency table (the only full-data shuffle); every
-    word becomes a char-symbol sequence with an end-of-word marker;
-    then each of the k merge rounds computes adjacent-pair counts with
-    a distributed explode+sum, takes the argmax (ONE row to the
-    driver, deterministic count-then-lexicographic tiebreak), and
-    collapses the winning pair across the vocab ENTIRELY JVM-side —
-    an ``F.aggregate`` stack fold per merge (see _bpe_collapse), so no
-    Python worker or Arrow transfer exists anywhere in the loop. The
-    iterating table is the DISTINCT-WORD vocab — O(unique words),
-    millions of rows at web scale, never the corpus — persisted ONCE,
-    coalesced to a handful of partitions (a vocab is a few hundred MB
-    even web-scale; 32 near-empty partitions would cost a task round
-    trip each, per round), released in finally (SCALE.md CacheManager
-    note). Round i re-applies the accumulated i-1 merges as nested
-    codegen'd expressions from that cache, so each round is exactly
-    one job: cached scan -> fold -> pair agg -> 1-row argmax
-    (measured 6.4 s -> 2.8 s at sf0.1 vs the persist-chain + pandas
-    UDF first cut; the rest is per-job latency, ~0.35 s x 8 rounds). Rows-only by necessity: the merge
-    sequence is a k-step argmax recurrence with per-row list surgery —
-    not expressible as a fixed SQL query; exact merge-sequence parity
-    vs an independent pure-Python BPE is pinned in test_llm.py.
+def _bpe_collapse(col, left: str, right: str):
+    """Single-pair collapse — the batch fold with a one-pair batch."""
+    return _bpe_collapse_multi(col, [(left, right)])
 
-    Returns the learned merge table (rank, left, right, merged,
-    pair_count) — k rows, stable schema."""
-    from pyspark.sql import types as T
 
+_BPE_BATCH_N = 4  # merges adopted per round in the batched trainer
+_BPE_CAND_FACTOR = 8  # candidates collected per round = factor * batch_n
+
+
+def _bpe_train_merges(
+    spark: SparkSession, sf_dir: str, k: int, batch_n: int
+) -> "tuple[list, int]":
+    """Generic BPE merge-training driver loop: per round, collect the
+    top ``batch_n * _BPE_CAND_FACTOR`` pair candidates (count desc,
+    then lexicographic), greedily accept up to ``batch_n`` that are
+    pairwise SYMBOL-DISJOINT (no shared left/right symbol — merging
+    one cannot change the other's count or occurrences, so the round's
+    result is order-independent and deterministic), and apply the
+    whole accepted batch in ONE fold pass. ``batch_n=1`` IS exact
+    Sennrich order — the greedy degenerates to the single argmax.
+    Returns (merges, n_rounds) where merges rows are
+    (rank, round, left, right, merged, pair_count); pair_count is the
+    count at selection time (start-of-round counts, the documented
+    batching deviation for batch_n > 1)."""
     docs = load(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1245,19 +1243,20 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
-    merges = []
+    merges: list = []
+    round_batches: list = []
     # The distinct-word vocab is bounded (~10M words x ~50 B = a few
     # hundred MB even for a web-scale corpus), so a handful of
     # partitions is right at ANY scale — 32 near-empty cached
     # partitions would cost a Python-worker round trip each, per round.
     base = vocab.coalesce(_BPE_VOCAB_PARTITIONS).persist()
     try:
-        for rank in range(1, _BPE_MERGES + 1):
+        while len(merges) < k:
             syms_expr = F.col("syms")
-            for _, left, right, _, _ in merges:
-                syms_expr = _bpe_collapse(syms_expr, left, right)
+            for batch in round_batches:
+                syms_expr = _bpe_collapse_multi(syms_expr, batch)
             cur = base.select(syms_expr.alias("syms"), "cnt")
-            pairs = (
+            cand = (
                 cur.select(
                     F.explode(
                         F.zip_with(
@@ -1277,20 +1276,36 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy(
                     F.desc("pair_count"), F.asc("left"), F.asc("right")
                 )
-                .limit(1)
+                .limit(batch_n * _BPE_CAND_FACTOR)
                 .collect()
             )
-            if not pairs or pairs[0]["pair_count"] < 2:
+            used: set = set()
+            accepted: list = []
+            for row in cand:
+                if int(row["pair_count"]) < 2:
+                    break  # sorted desc: everything after is < 2 too
+                l, r = row["left"], row["right"]
+                if l in used or r in used:
+                    continue
+                accepted.append((l, r, int(row["pair_count"])))
+                used.update((l, r))
+                if len(accepted) >= min(batch_n, k - len(merges)):
+                    break
+            if not accepted:
                 break
-            left, right, cnt = (
-                pairs[0]["left"],
-                pairs[0]["right"],
-                int(pairs[0]["pair_count"]),
-            )
-            merges.append((rank, left, right, left + right, cnt))
+            rnd = len(round_batches) + 1
+            for l, r, c in accepted:
+                merges.append((len(merges) + 1, rnd, l, r, l + r, c))
+            round_batches.append([(l, r) for l, r, _ in accepted])
     finally:
         base.unpersist()
-    schema = T.StructType(
+    return merges, len(round_batches)
+
+
+def _bpe_merge_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
         [
             T.StructField("merge_rank", T.IntegerType()),
             T.StructField("left", T.StringType()),
@@ -1299,7 +1314,103 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("pair_count", T.LongType()),
         ]
     )
-    return spark.createDataFrame(merges, schema)
+
+
+@register("text_bpe_train", oracle=None, tags=("llm", "text", "iterative"))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016,
+    arXiv:1508.07909) — the tokenizer-training stage of an LLM data
+    pipeline, run DISTRIBUTED: one corpus-sized pass builds the
+    (word, count) frequency table (the only full-data shuffle); every
+    word becomes a char-symbol sequence with an end-of-word marker;
+    then each of the k merge rounds computes adjacent-pair counts with
+    a distributed explode+sum, takes the argmax (ONE row to the
+    driver, deterministic count-then-lexicographic tiebreak), and
+    collapses the winning pair across the vocab ENTIRELY JVM-side —
+    an ``F.aggregate`` stack fold per merge (see _bpe_collapse_multi),
+    so no Python worker or Arrow transfer exists anywhere in the loop.
+    The iterating table is the DISTINCT-WORD vocab — O(unique words),
+    millions of rows at web scale, never the corpus — persisted ONCE,
+    coalesced to a handful of partitions, released in finally
+    (SCALE.md CacheManager note). Round i re-applies the accumulated
+    i-1 merges as nested codegen'd expressions from that cache, so
+    each round is exactly one job: cached scan -> fold -> pair agg ->
+    1-row argmax (measured 6.4 s -> 2.8 s at sf0.1 vs the
+    persist-chain + pandas UDF first cut; the rest is per-job latency,
+    ~0.35 s x 8 rounds — for a production k≈32k ladder use
+    ``text_bpe_train_batched``, which cuts rounds ~batch_n-fold).
+    Rows-only by necessity: the merge sequence is a k-step argmax
+    recurrence with per-row list surgery — not expressible as a fixed
+    SQL query; exact merge-sequence parity vs an independent
+    pure-Python BPE is pinned in test_llm.py.
+
+    The learned table is a session-persisted scratch artifact (the
+    production tokenizer-artifact shape): ``text_bpe_encode`` reads it
+    back instead of re-running the k driver rounds. Returns
+    (merge_rank, left, right, merged, pair_count) — k rows."""
+    from am_kinesis_pay_spark.paths import session_artifact, sf_tag
+
+    def build():
+        merges, _ = _bpe_train_merges(spark, sf_dir, _BPE_MERGES, 1)
+        return spark.createDataFrame(
+            [(rk, l, r, m, c) for (rk, _rnd, l, r, m, c) in merges],
+            _bpe_merge_schema(),
+        ).coalesce(1)
+
+    return session_artifact(
+        spark,
+        f"akps_bpe_merges_{sf_tag(sf_dir)}",
+        build,
+        "merge_rank int, left string, right string, merged string, pair_count bigint",
+    ).orderBy("merge_rank")
+
+
+@register(
+    "text_bpe_train_batched", oracle=None, tags=("llm", "text", "iterative")
+)
+def text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE merge training — the production path to a k≈32k
+    tokenizer ladder. Strict Sennrich training is one sequential
+    driver round-trip per merge (~0.35 s/job regardless of cluster
+    size → hours at k=32k); the standard distributed mitigation adopts
+    the top-N pairwise non-conflicting pairs per round. Conflict-free
+    means SYMBOL-DISJOINT: merging (a,b) can only change counts of
+    pairs touching a or b, so disjoint winners are exactly the ones
+    whose counts and occurrences are mutually unaffected — the batch
+    applies in one fold with an order-independent, deterministic
+    result. Documented deviation from strict Sennrich order: ranks
+    2..N of a round are chosen from start-of-round counts rather than
+    being recomputed after each preceding merge (batch_n=1 restores
+    exact Sennrich — parity pinned in test_llm.py, as is exact
+    equality of the batched ladder vs an independent pure-Python
+    batched mirror). Rounds-vs-k measurements: SCALE.md."""
+    from am_kinesis_pay_spark.paths import session_artifact, sf_tag
+
+    def build():
+        merges, _ = _bpe_train_merges(
+            spark, sf_dir, _BPE_MERGES, _BPE_BATCH_N
+        )
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("merge_rank", T.IntegerType()),
+                T.StructField("round", T.IntegerType()),
+                T.StructField("left", T.StringType()),
+                T.StructField("right", T.StringType()),
+                T.StructField("merged", T.StringType()),
+                T.StructField("pair_count", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame(merges, schema).coalesce(1)
+
+    return session_artifact(
+        spark,
+        f"akps_bpe_merges_batched_{sf_tag(sf_dir)}",
+        build,
+        "merge_rank int, round int, left string, right string, "
+        "merged string, pair_count bigint",
+    ).orderBy("merge_rank")
 
 
 _BPE_ENCODE_TOPK = 30
@@ -1320,11 +1431,14 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (word, count) shuffle. The k merges are applied as the same
     nested ``_bpe_collapse`` codegen folds the trainer uses (rank
     order, leftmost-first non-overlapping) — zero Python workers or
-    Arrow transfer anywhere. Self-contained for the registry, the
-    query re-trains the k-merge table first (k driver-round jobs); in
-    production the merge table is a persisted tokenizer artifact read
-    as a k-row input, and ONLY the encode passes run (same shape as
-    text_dedup_keep_best consuming a persisted cluster map).
+    Arrow transfer anywhere. The merge table comes from
+    ``text_bpe_train``'s session-persisted scratch artifact — the
+    production tokenizer-artifact shape: if the trainer already ran
+    this session, encode reads the k-row parquet and pays ZERO driver
+    rounds; stand-alone it trains once and persists for the next
+    consumer (same shape as text_dedup_keep_best consuming a
+    persisted cluster map; AKPS_FORCE_RECOMPUTE=1 for stand-alone
+    cost measurement).
 
     Rows-only by necessity, inherited from the trainer: the merge
     table it applies is a k-step argmax recurrence, not a fixed SQL

@@ -30,3 +30,37 @@ def scratch_path(spark: SparkSession, name: str) -> str:
 
 def scratch_table(spark: SparkSession, name: str) -> str:
     return f"{name}_{session_token(spark)}"
+
+
+def sf_tag(sf_dir: str) -> str:
+    """Short stable tag for an sf dir, for artifact names that must be
+    distinct per data directory within one session (the test suite
+    drives the same session at several SFs)."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+_SESSION_ARTIFACTS: set[str] = set()
+
+
+def session_artifact(spark: SparkSession, name: str, build, schema=None):
+    """Session-scoped scratch-parquet memo: build() the frame and write
+    it on first use (or when AKPS_FORCE_RECOMPUTE=1), read it back on
+    every use. Unlike .cache()/persist() this pins no executor storage
+    and can never leak into sibling queries through CacheManager plan
+    substitution — reuse is an explicit parquet read. At 100 TB this
+    is the persisted-index ingest shape: expensive shared stages (a
+    signature index, a tokenizer merge table) are tables maintained
+    once and probed by every consumer."""
+    path = scratch_path(spark, name)
+    force = os.environ.get("AKPS_FORCE_RECOMPUTE", "") not in ("", "0")
+    if (
+        force
+        or path not in _SESSION_ARTIFACTS
+        or not os.path.exists(os.path.join(path, "_SUCCESS"))
+    ):
+        build().write.mode("overwrite").parquet(path)
+        _SESSION_ARTIFACTS.add(path)
+    reader = spark.read.schema(schema) if schema else spark.read
+    return reader.parquet(path)

@@ -707,3 +707,116 @@ def test_bpe_encode_matches_pure_python_mirror(spark):
     assert any(
         len(tok) > 1 and tok != _BPE_EOW for _, tok, _, _ in got
     )
+
+
+def _pure_bpe_batched(sf_dir, k, batch_n):
+    """Independent pure-Python BATCHED BPE mirror: per round, rank all
+    pairs (count desc, lexicographic), truncate to the same candidate
+    window the distributed trainer collects, greedily accept up to
+    batch_n symbol-disjoint pairs, apply them (order-independent by
+    disjointness), repeat. Returns rows shaped like
+    text_bpe_train_batched: (rank, round, left, right, merged, count)."""
+    from collections import Counter
+
+    import duckdb
+
+    from am_kinesis_pay_spark.llm.text import _BPE_CAND_FACTOR, _BPE_EOW
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[tuple(list(w) + [_BPE_EOW])] += 1
+    merges, rnd = [], 0
+    while len(merges) < k:
+        pairs = Counter()
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += cnt
+        cand = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : batch_n * _BPE_CAND_FACTOR
+        ]
+        used, accepted = set(), []
+        for (l, r), c in cand:
+            if c < 2:
+                break
+            if l in used or r in used:
+                continue
+            accepted.append((l, r, c))
+            used.update((l, r))
+            if len(accepted) >= min(batch_n, k - len(merges)):
+                break
+        if not accepted:
+            break
+        rnd += 1
+        batch = {(l, r): l + r for l, r, _ in accepted}
+        for l, r, c in accepted:
+            merges.append((len(merges) + 1, rnd, l, r, l + r, c))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) in batch:
+                    res.append(batch[(syms[i], syms[i + 1])])
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] += c
+        vocab = new_vocab
+    return merges, rnd
+
+
+def test_bpe_batched_n1_is_exact_sennrich(spark):
+    """batched(k, N=1) must reduce to the exact Sennrich sequence the
+    sequential trainer (and its pure-Python mirror) produces."""
+    from am_kinesis_pay_spark.llm.text import (
+        _BPE_MERGES,
+        _bpe_train_merges,
+    )
+    from am_kinesis_pay_spark.registry import REGISTRY
+
+    merges, n_rounds = _bpe_train_merges(spark, SF_DIR, _BPE_MERGES, 1)
+    assert n_rounds == len(merges)  # one merge per round at N=1
+    got = [(rk, l, r, m, c) for (rk, _rnd, l, r, m, c) in merges]
+    want = [
+        tuple(r)
+        for r in REGISTRY["text_bpe_train"].fn(spark, SF_DIR).collect()
+    ]
+    assert got == want
+    assert got == _pure_bpe(SF_DIR)[0]
+
+
+def test_bpe_batched_matches_pure_python_batched_mirror(spark):
+    """Exact ladder parity for the batched trainer (N>1) against the
+    independent pure-Python batched mirror, and the round-compression
+    receipt: k merges land in ceil-ish k/N rounds, each round's
+    accepted pairs pairwise symbol-disjoint."""
+    from am_kinesis_pay_spark.llm.text import _BPE_BATCH_N, _BPE_MERGES
+    from am_kinesis_pay_spark.registry import REGISTRY
+
+    want, n_rounds = _pure_bpe_batched(SF_DIR, _BPE_MERGES, _BPE_BATCH_N)
+    got = [
+        tuple(r)
+        for r in REGISTRY["text_bpe_train_batched"].fn(spark, SF_DIR).collect()
+    ]
+    assert got == want
+    assert len(got) == _BPE_MERGES
+    rounds = {rnd for _, rnd, *_ in got}
+    assert len(rounds) == n_rounds
+    assert n_rounds < _BPE_MERGES  # batching genuinely cut rounds
+    # within-round disjointness (the order-independence precondition)
+    from collections import defaultdict
+
+    by_round = defaultdict(list)
+    for _, rnd, l, r, _, _ in got:
+        by_round[rnd].append((l, r))
+    for prs in by_round.values():
+        syms = [s for p in prs for s in p]
+        assert len(syms) == len(set(syms))
