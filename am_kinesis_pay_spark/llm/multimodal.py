@@ -13,8 +13,9 @@ DECODED samples/pixels. ``mm_decode_features_real`` /
 first, so the real decode path is oracle-checked end-to-end (PNG:
 ``mm_codec_png_roundtrip``). Baseline JPEG decodes for real as well —
 a from-scratch DCT signal codec (llm/codecs.py, bounded-error oracle
-``mm_codec_jpeg_roundtrip``). Only MP4/compressed audio remains
-gated: this image has no codec LIBRARIES, so that kernel is a
+``mm_codec_jpeg_roundtrip``; compressed audio for real via the
+from-scratch IMA-ADPCM codec, ``mm_codec_adpcm_roundtrip``). Only MP4
+remains gated: this image has no codec LIBRARIES, so that kernel is a
 deterministic byte-level fallback behind an import-try —
 ``_decode_image`` raises NotImplementedError if someone flips
 ``USE_REAL_CODECS`` without PIL present. Everything
@@ -126,8 +127,9 @@ def _container_decode(payload: bytes) -> bytes | None:
     (from-scratch DCT signal codec, codecs.decode_jpeg) — its decoded
     pixels feed the histogram head, which tolerates the lossy
     roundtrip because features come from whatever the decoder yields,
-    not from a bit-exact contract. Only MP4/compressed audio still
-    needs USE_REAL_CODECS plus a codec library."""
+    not from a bit-exact contract. IMA-ADPCM WAV decodes for real too
+    (decode_wav dispatches on wFormatTag). Only MP4 still needs
+    USE_REAL_CODECS plus a codec library."""
     from am_kinesis_pay_spark.llm import codecs
 
     b = bytes(payload)
