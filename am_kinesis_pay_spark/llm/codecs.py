@@ -198,20 +198,14 @@ def _adpcm_step(pred, idx, code):
     return pred, idx
 
 
-def _adpcm_encode_core(
-    samples: np.ndarray, block_align: int = _ADPCM_BLOCK_ALIGN
-):
-    """Vectorized-across-blocks IMA ADPCM encode. Returns (headers,
-    packed_data, recon, n): per-block 4-byte headers, packed nibble
-    bytes, the encoder's own integer reconstruction (== what a correct
-    decoder must produce, bit-exact), and the true sample count."""
-    samples = np.asarray(samples, dtype=np.int16).astype(np.int32)
-    n = len(samples)
-    spb = (block_align - 4) * 2 + 1
-    n_blocks = max(1, -(-n // spb))
-    padded = np.full(n_blocks * spb, samples[-1] if n else 0, dtype=np.int32)
-    padded[:n] = samples
-    blk = padded.reshape(n_blocks, spb)
+def _adpcm_encode_blocks(blk: np.ndarray):
+    """The encoder state loop over a (n_blocks, spb) int32 matrix —
+    blocks from ANY number of independent streams ride as lanes of
+    the same ~spb-step loop (this is where batching across blobs
+    pays: per-step numpy overhead is amortized over every block of
+    the whole Arrow batch, not one blob's handful). Returns (headers
+    uint8 (n,4), packed uint8 (n,(spb-1)//2), recon int32 (n,spb))."""
+    n_blocks, spb = blk.shape
     pred = blk[:, 0].copy()
     # per-block initial step index: nearest step to the first delta —
     # deterministic and block-local, so blocks stay independent lanes
@@ -242,21 +236,42 @@ def _adpcm_encode_core(
         recon[:, i] = pred
         nibbles[:, i - 1] = code
     packed = (nibbles[:, 0::2] | (nibbles[:, 1::2] << 4)).astype(np.uint8)
+    return headers, packed, recon
+
+
+def _adpcm_pad_blocks(
+    samples: np.ndarray, block_align: int
+) -> np.ndarray:
+    """Block-frame one stream: pad to a whole number of blocks with
+    the last sample (minimizes the padding's step-noise) and reshape
+    to (n_blocks, spb) lanes."""
+    samples = np.asarray(samples, dtype=np.int16).astype(np.int32)
+    n = len(samples)
+    spb = (block_align - 4) * 2 + 1
+    n_blocks = max(1, -(-n // spb))
+    padded = np.full(n_blocks * spb, samples[-1] if n else 0, dtype=np.int32)
+    padded[:n] = samples
+    return padded.reshape(n_blocks, spb)
+
+
+def _adpcm_encode_core(
+    samples: np.ndarray, block_align: int = _ADPCM_BLOCK_ALIGN
+):
+    """Single-stream IMA ADPCM encode. Returns (headers, packed_data,
+    recon, n): per-block 4-byte headers, packed nibble bytes, the
+    encoder's own integer reconstruction (== what a correct decoder
+    must produce, bit-exact), and the true sample count."""
+    n = len(samples)
+    blk = _adpcm_pad_blocks(samples, block_align)
+    headers, packed, recon = _adpcm_encode_blocks(blk)
     return headers, packed, recon.reshape(-1)[:n].astype(np.int16), n
 
 
-def encode_adpcm_wav(
-    samples: np.ndarray,
-    sample_rate: int = WAV_SAMPLE_RATE,
-    block_align: int = _ADPCM_BLOCK_ALIGN,
+def _adpcm_wrap_wav(
+    data: bytes, n: int, sample_rate: int, block_align: int = _ADPCM_BLOCK_ALIGN
 ) -> bytes:
-    """Canonical mono IMA-ADPCM WAV writer: extended fmt chunk
-    (wFormatTag 0x11, cbSize=2, wSamplesPerBlock), the spec-required
-    fact chunk carrying the true sample count (data is block-padded),
-    and block-framed 4-bit data (low nibble first)."""
-    headers, packed, _recon, n = _adpcm_encode_core(samples, block_align)
+    """RIFF assembly for already-encoded IMA-ADPCM block bytes."""
     spb = (block_align - 4) * 2 + 1
-    data = np.concatenate([headers, packed], axis=1).tobytes()
     fmt = struct.pack(
         "<HHIIHHHH",
         _ADPCM_TAG,
@@ -274,18 +289,30 @@ def encode_adpcm_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_adpcm_wav(
+    samples: np.ndarray,
+    sample_rate: int = WAV_SAMPLE_RATE,
+    block_align: int = _ADPCM_BLOCK_ALIGN,
+) -> bytes:
+    """Canonical mono IMA-ADPCM WAV writer: extended fmt chunk
+    (wFormatTag 0x11, cbSize=2, wSamplesPerBlock), the spec-required
+    fact chunk carrying the true sample count (data is block-padded),
+    and block-framed 4-bit data (low nibble first)."""
+    headers, packed, _recon, n = _adpcm_encode_core(samples, block_align)
+    data = np.concatenate([headers, packed], axis=1).tobytes()
+    return _adpcm_wrap_wav(data, n, sample_rate, block_align)
+
+
 # fixed layout of encode_adpcm_wav output: RIFF(12) + fmt(8+20) +
 # fact(8+4) + data header(8) -> first block; +2 = its step-index byte
 _ADPCM_STEP_IDX_OFFSET = 12 + 28 + 12 + 8 + 2
 
 
-def _adpcm_decode_blocks(
-    data: bytes, block_align: int, n_samples: int | None
-) -> np.ndarray:
-    """Validating block decoder, vectorized across blocks like the
-    encoder. Raises ValueError on structural corruption: bad block
-    framing, or a step index beyond the 88-entry table (the in-band
-    corruption ADPCM can actually detect — there is no checksum)."""
+def _adpcm_unpack_blocks(data: bytes, block_align: int):
+    """Validating header/nibble unpack for one stream's block bytes:
+    returns (pred, idx, nibbles) lane arrays. Raises ValueError on bad
+    block framing or a step index beyond the 88-entry table (the
+    in-band corruption ADPCM can actually detect — no checksum)."""
     if block_align < 5:
         raise ValueError(f"ADPCM nBlockAlign {block_align} too small")
     if not data or len(data) % block_align:
@@ -293,14 +320,7 @@ def _adpcm_decode_blocks(
     spb = (block_align - 4) * 2 + 1
     arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, block_align)
     n_blocks = arr.shape[0]
-    capacity = n_blocks * spb
-    if n_samples is None:
-        n_samples = capacity
-    if not (0 <= n_samples <= capacity):
-        raise ValueError("fact sample count exceeds block capacity")
-    pred = (
-        arr[:, 0].astype(np.int32) | (arr[:, 1].astype(np.int32) << 8)
-    )
+    pred = arr[:, 0].astype(np.int32) | (arr[:, 1].astype(np.int32) << 8)
     pred = np.where(pred >= 32768, pred - 65536, pred)  # int16 LE
     idx = arr[:, 2].astype(np.int32)
     if (idx > 88).any():
@@ -309,12 +329,137 @@ def _adpcm_decode_blocks(
     nibbles = np.empty((n_blocks, spb - 1), dtype=np.int32)
     nibbles[:, 0::2] = nib_bytes & 0x0F
     nibbles[:, 1::2] = nib_bytes >> 4
-    out = np.empty((n_blocks, spb), dtype=np.int32)
+    return pred, idx, nibbles
+
+
+def _adpcm_state_decode(pred, idx, nibbles) -> np.ndarray:
+    """The decoder state loop over block lanes — like the encode loop,
+    lanes may come from many independent streams at once."""
+    n_blocks, nsteps = nibbles.shape
+    out = np.empty((n_blocks, nsteps + 1), dtype=np.int32)
     out[:, 0] = pred
-    for i in range(1, spb):
+    for i in range(1, nsteps + 1):
         pred, idx = _adpcm_step(pred, idx, nibbles[:, i - 1])
         out[:, i] = pred
+    return out
+
+
+def _adpcm_decode_blocks(
+    data: bytes, block_align: int, n_samples: int | None
+) -> np.ndarray:
+    """Single-stream validating block decoder."""
+    pred, idx, nibbles = _adpcm_unpack_blocks(data, block_align)
+    spb = nibbles.shape[1] + 1
+    capacity = nibbles.shape[0] * spb
+    if n_samples is None:
+        n_samples = capacity
+    if not (0 <= n_samples <= capacity):
+        raise ValueError("fact sample count exceeds block capacity")
+    out = _adpcm_state_decode(pred, idx, nibbles)
     return out.reshape(-1)[:n_samples].astype(np.int16)
+
+
+def decode_adpcm_wav_batch(blobs: "list[bytes]") -> list:
+    """Arrow-batch-shaped decode: validate every blob's container
+    structure individually (same checks and failure modes as
+    decode_wav), then run ONE shared state loop over the concatenated
+    block lanes of all healthy blobs — the per-step numpy cost is paid
+    once per batch instead of once per blob (the same reason real
+    media pipelines hand decoders whole batches). Returns a list
+    aligned with the input: (meta, samples) per healthy blob, None per
+    blob any validation step rejected. Requires every healthy blob to
+    share one nBlockAlign (ours always do; mixed-align blobs fall back
+    to the single-stream path)."""
+    parsed: list = [None] * len(blobs)
+    aligns = set()
+    for i, blob in enumerate(blobs):
+        try:
+            meta, align, fact_n, data = _parse_adpcm_wav(blob)
+            pred, idx, nibbles = _adpcm_unpack_blocks(data, align)
+            capacity = nibbles.shape[0] * (nibbles.shape[1] + 1)
+            n = capacity if fact_n is None else fact_n
+            if not (0 <= n <= capacity):
+                raise ValueError("fact sample count exceeds block capacity")
+            parsed[i] = (meta, pred, idx, nibbles, n)
+            aligns.add(align)
+        except ValueError:
+            parsed[i] = None
+    healthy = [i for i, p in enumerate(parsed) if p is not None]
+    out: list = [None] * len(blobs)
+    if not healthy:
+        return out
+    if len(aligns) > 1:  # mixed block sizes: decode per stream
+        for i in healthy:
+            meta, pred, idx, nibbles, n = parsed[i]
+            samples = (
+                _adpcm_state_decode(pred, idx, nibbles)
+                .reshape(-1)[:n]
+                .astype(np.int16)
+            )
+            meta = dict(meta, n_samples=n)
+            out[i] = (meta, samples)
+        return out
+    preds = np.concatenate([parsed[i][1] for i in healthy])
+    idxs = np.concatenate([parsed[i][2] for i in healthy])
+    nibs = np.concatenate([parsed[i][3] for i in healthy])
+    decoded = _adpcm_state_decode(preds, idxs, nibs)
+    row = 0
+    for i in healthy:
+        meta, _pred, _idx, nibbles, n = parsed[i]
+        c = nibbles.shape[0]
+        samples = decoded[row : row + c].reshape(-1)[:n].astype(np.int16)
+        row += c
+        out[i] = (dict(meta, n_samples=n), samples)
+    return out
+
+
+def _parse_adpcm_wav(blob: bytes):
+    """RIFF walk for the IMA-ADPCM container only: same validations
+    and ValueError surfaces as decode_wav, but stops at the parsed
+    (meta, align, fact_n, data) so batch decode can pool the state
+    loop across blobs."""
+    if len(blob) < 12 or blob[0:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    if riff_size != len(blob) - 8:
+        raise ValueError("RIFF size field disagrees with stream length")
+    pos, meta, data, align, fact_n = 12, None, None, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", blob, pos + 4)
+        payload = blob[pos + 8 : pos + 8 + csize]
+        if len(payload) != csize:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            tag, channels, rate, _brate, align, bits = struct.unpack_from(
+                "<HHIIHH", payload, 0
+            )
+            if tag != _ADPCM_TAG:
+                raise ValueError(f"unsupported wFormatTag={tag}")
+            if channels != 1:
+                raise ValueError("only mono IMA ADPCM supported")
+            if bits != 4:
+                raise ValueError(f"IMA ADPCM must be 4-bit (got {bits})")
+            if csize >= 20:
+                cb, spb = struct.unpack_from("<HH", payload, 16)
+                if cb >= 2 and spb != (align - 4) * 2 + 1:
+                    raise ValueError(
+                        "wSamplesPerBlock disagrees with nBlockAlign"
+                    )
+            meta = {
+                "channels": 1,
+                "sample_rate": rate,
+                "bits": 4,
+                "codec": "ima_adpcm",
+            }
+        elif cid == b"fact":
+            (fact_n,) = struct.unpack_from("<I", payload, 0)
+        elif cid == b"data":
+            data = payload
+        pos += 8 + csize + (csize & 1)
+    if meta is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return meta, align, fact_n, data
 
 
 # --- BMP (uncompressed 24-bit, BITMAPINFOHEADER) -----------------------
@@ -577,18 +722,27 @@ def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
             acc >>= 8
             nacc -= 8
 
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    # chain codes instead of byte-string keys: the classic LZW trick —
+    # a dictionary string is identified by (code of its prefix, last
+    # byte), so the table maps the int key (code << 8 | byte) and no
+    # byte-string is ever materialized (measured ~2x on the encoder).
+    # Single-byte strings are their own codes (0..clear-1) implicitly.
+    table: dict[int, int] = {}
     next_code = eoi + 1
     emit(clear)
-    w = b""
+    cur = -1
     for byte in data:
-        wc = w + bytes([byte])
-        if wc in table:
-            w = wc
+        if cur < 0:
+            cur = byte
             continue
-        emit(table[w])
+        key = (cur << 8) | byte
+        nxt = table.get(key)
+        if nxt is not None:
+            cur = nxt
+            continue
+        emit(cur)
         if next_code < 4096:
-            table[wc] = next_code
+            table[key] = next_code
             next_code += 1
             # one LATER than the decoder's own growth point: the
             # decoder's dictionary add lags the encoder's by one code,
@@ -597,12 +751,12 @@ def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
                 width += 1
         else:
             emit(clear)
-            table = {bytes([i]): i for i in range(clear)}
+            table.clear()
             next_code = eoi + 1
             width = min_code_size + 1
-        w = bytes([byte])
-    if w:
-        emit(table[w])
+        cur = byte
+    if cur >= 0:
+        emit(cur)
     # Decoder-lagged growth at stream end: the decoder performs its
     # dictionary add for the PREVIOUS code when the final data code
     # arrives, which can push its table to exactly 2^width — it then
@@ -863,6 +1017,21 @@ def _dct_matrix() -> np.ndarray:
 _DCT_M = _dct_matrix()
 
 
+def _std_dc_codes() -> dict:
+    if not _STD_CODES:
+        _STD_CODES.append(_huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS))
+        _STD_CODES.append(_huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS))
+    return _STD_CODES[0]
+
+
+def _std_ac_codes() -> dict:
+    _std_dc_codes()
+    return _STD_CODES[1]
+
+
+_STD_CODES: list = []
+
+
 def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """Canonical JPEG code assignment (T.81 C.2): symbol -> (code, length)."""
     codes: dict[int, tuple[int, int]] = {}
@@ -912,6 +1081,175 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
+_POW2_17 = (1 << np.arange(17)).astype(np.int64)
+
+
+def _bit_length_vec(x: np.ndarray) -> np.ndarray:
+    """Vectorized int bit_length for non-negative int64 (< 2^16):
+    exact integer searchsorted over powers of two — no float log2
+    edge cases at exact powers."""
+    return np.searchsorted(_POW2_17, x, side="right").astype(np.int64)
+
+
+def _pack_bits_msb(codes: np.ndarray, lens: np.ndarray) -> bytes:
+    """Vectorized MSB-first bit packer with JPEG byte stuffing and
+    1-padding (F.1.2.3): cumulative bit offsets place every item's
+    bits in one flat bit array, np.packbits folds them to bytes, and
+    stuffing inserts 0x00 after each 0xFF in one np.insert. Bit-exact
+    replacement for the per-symbol _BitWriter loop."""
+    total = int(lens.sum())
+    pad = (-total) % 8
+    if pad:
+        codes = np.append(codes, (1 << pad) - 1)
+        lens = np.append(lens, pad)
+        total += pad
+    starts = np.cumsum(lens) - lens
+    item = np.repeat(np.arange(len(codes)), lens)
+    pos_in = np.arange(total) - starts[item]
+    bits = (codes[item] >> (lens[item] - 1 - pos_in)) & 1
+    packed = np.packbits(bits.astype(np.uint8))
+    ff = np.flatnonzero(packed == 0xFF)
+    if len(ff):
+        packed = np.insert(packed, ff + 1, 0)
+    return packed.tobytes()
+
+
+def _grouped_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for a vector of group sizes."""
+    total = int(counts.sum())
+    ends = np.cumsum(counts)
+    return np.arange(total) - np.repeat(ends - counts, counts)
+
+
+def _entropy_arrays(dc_codes: dict, ac_codes: dict) -> tuple:
+    """Symbol -> (code, length) dicts as flat lookup arrays, memoized
+    per table pair (the encoder always writes the Annex-K tables, so
+    this builds exactly once per process)."""
+    key = (id(dc_codes), id(ac_codes))  # std tables are singletons
+    cached = _ENTROPY_ARR_CACHE.get(key)
+    if cached is None:
+        dc_code_arr = np.zeros(16, dtype=np.int64)
+        dc_len_arr = np.zeros(16, dtype=np.int64)
+        for sym, (code, length) in dc_codes.items():
+            dc_code_arr[sym] = code
+            dc_len_arr[sym] = length
+        ac_code_arr = np.zeros(256, dtype=np.int64)
+        ac_len_arr = np.zeros(256, dtype=np.int64)
+        for sym, (code, length) in ac_codes.items():
+            ac_code_arr[sym] = code
+            ac_len_arr[sym] = length
+        cached = (dc_code_arr, dc_len_arr, ac_code_arr, ac_len_arr)
+        _ENTROPY_ARR_CACHE[key] = cached
+    return cached
+
+
+_ENTROPY_ARR_CACHE: dict = {}
+
+
+def _jpeg_entropy_encode(zz: np.ndarray, dc_codes: dict, ac_codes: dict) -> bytes:
+    """Vectorized T.81 F.1.2 entropy coder for all blocks at once:
+    DC differences, AC run-lengths (ZRL/EOB included), magnitude
+    categories, and canonical Huffman assignment are all computed as
+    numpy arrays; stream order is recovered with one lexsort over
+    (block, coefficient-position, sub-order) keys; bits are packed by
+    _pack_bits_msb. Byte-identical to the retired per-coefficient
+    Python loop (pinned by the roundtrip property tests)."""
+    n = zz.shape[0]
+    dc_code_arr, dc_len_arr, ac_code_arr, ac_len_arr = _entropy_arrays(
+        dc_codes, ac_codes
+    )
+
+    # --- DC: differential + magnitude category ---
+    dc = zz[:, 0].astype(np.int64)
+    diff = np.diff(dc, prepend=np.int64(0))
+    dsize = _bit_length_vec(np.abs(diff))
+    dextra = np.where(diff >= 0, diff, diff + (np.int64(1) << dsize) - 1)
+
+    # --- AC: run-lengths per nonzero, ZRL expansion, EOB flags ---
+    ac = zz[:, 1:].astype(np.int64)
+    bids, ks = np.nonzero(ac)  # row-major: ks ascending within a block
+    vals = ac[bids, ks]
+    first = np.empty(len(bids), dtype=bool)
+    if len(bids):
+        first[0] = True
+        first[1:] = bids[1:] != bids[:-1]
+    prev_ks = np.empty_like(ks)
+    if len(ks):
+        prev_ks[0] = 0
+        prev_ks[1:] = ks[:-1]
+    run = np.where(first, ks, ks - prev_ks - 1)
+    n_zrl = run >> 4
+    rem = run & 15
+    asize = _bit_length_vec(np.abs(vals))
+    aextra = np.where(vals >= 0, vals, vals + (np.int64(1) << asize) - 1)
+    asym = (rem << 4) | asize
+    lastpos = np.full(n, -1, dtype=np.int64)
+    lastpos[bids] = ks  # ascending within block -> last wins
+    eob_b = np.flatnonzero(lastpos < 62)
+
+    # --- assemble stream order via (block, position, sub) lexsort ---
+    # positions: DC at 0, AC coefficient k at 1 + ks; subs: ZRL z-th
+    # (0..2) < symbol (100) < appended bits (101); EOB at position 10^4
+    dce = np.flatnonzero(dsize > 0)
+    zrl_src = np.flatnonzero(n_zrl > 0)
+    zrl_rep = np.repeat(zrl_src, n_zrl[zrl_src])
+    zrl_sub = _grouped_arange(n_zrl[zrl_src])
+    zrl_code, zrl_len = ac_codes[0xF0]
+    eob_code, eob_len = ac_codes[0x00]
+    key_b = np.concatenate(
+        [
+            np.arange(n),  # DC symbol
+            dce,  # DC extra
+            bids[zrl_rep],  # ZRLs
+            bids,  # AC symbol
+            bids,  # AC extra
+            eob_b,  # EOB
+        ]
+    )
+    key_p = np.concatenate(
+        [
+            np.zeros(n, dtype=np.int64),
+            np.zeros(len(dce), dtype=np.int64),
+            1 + ks[zrl_rep],
+            1 + ks,
+            1 + ks,
+            np.full(len(eob_b), 10_000, dtype=np.int64),
+        ]
+    )
+    key_s = np.concatenate(
+        [
+            np.zeros(n, dtype=np.int64),
+            np.ones(len(dce), dtype=np.int64),
+            zrl_sub,
+            np.full(len(bids), 100, dtype=np.int64),
+            np.full(len(bids), 101, dtype=np.int64),
+            np.zeros(len(eob_b), dtype=np.int64),
+        ]
+    )
+    codes = np.concatenate(
+        [
+            dc_code_arr[dsize],
+            dextra[dce],
+            np.full(len(zrl_rep), zrl_code, dtype=np.int64),
+            ac_code_arr[asym],
+            aextra,
+            np.full(len(eob_b), eob_code, dtype=np.int64),
+        ]
+    )
+    lens = np.concatenate(
+        [
+            dc_len_arr[dsize],
+            dsize[dce],
+            np.full(len(zrl_rep), zrl_len, dtype=np.int64),
+            ac_len_arr[asym],
+            asize,
+            np.full(len(eob_b), eob_len, dtype=np.int64),
+        ]
+    )
+    order = np.lexsort((key_s, key_p, key_b))
+    return _pack_bits_msb(codes[order], lens[order])
+
+
 def encode_jpeg(gray: np.ndarray, quality: int = JPEG_QUALITY) -> bytes:
     """Genuine baseline JFIF encoder for an HxW uint8 grayscale array:
     edge-replicated padding to 8x8 MCUs, vectorized forward DCT over
@@ -929,49 +1267,18 @@ def encode_jpeg(gray: np.ndarray, quality: int = JPEG_QUALITY) -> bytes:
         .transpose(0, 2, 1, 3)
         .reshape(-1, 8, 8)
     )
-    coeffs = np.einsum("ux,bxy,vy->buv", _DCT_M, blocks - 128.0, _DCT_M)
+    coeffs = _DCT_M @ (blocks - 128.0) @ _DCT_M.T
     qtab = _jpeg_qtable(quality)
     quant = np.round(coeffs.reshape(-1, 64) / qtab).astype(np.int64)
     zz = quant[:, _ZIGZAG]
 
-    dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    bw = _BitWriter()
-    pred = 0
-    for blk in zz:
-        size, extra = _magnitude(int(blk[0]) - pred)
-        pred = int(blk[0])
-        code, length = dc_codes[size]
-        bw.put(code, length)
-        if size:
-            bw.put(extra, size)
-        run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for k in range(1, last + 1):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = ac_codes[0xF0]  # ZRL
-                bw.put(code, length)
-                run -= 16
-            size, extra = _magnitude(v)
-            code, length = ac_codes[(run << 4) | size]
-            bw.put(code, length)
-            bw.put(extra, size)
-            run = 0
-        if last < 63:
-            code, length = ac_codes[0x00]  # EOB
-            bw.put(code, length)
-    entropy = bw.flush()
+    entropy = _jpeg_entropy_encode(zz, _std_dc_codes(), _std_ac_codes())
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     jfif = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    dqt = b"\x00" + bytes(int(x) for x in qtab[_ZIGZAG])
+    dqt = b"\x00" + qtab[_ZIGZAG].astype(np.uint8).tobytes()
     sof = struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0))
     dht = (
         b"\x00"
@@ -1016,9 +1323,15 @@ class _BitReader:
         return val
 
 
+_HUFF_LUT_CACHE: dict = {}
+
+
 class _HuffTable:
     """Decode-side canonical table built from a DHT segment's BITS +
-    HUFFVAL via T.81 F.2.2.3 (mincode/maxcode/valptr)."""
+    HUFFVAL via T.81 F.2.2.3 (mincode/maxcode/valptr), plus a 16-bit
+    prefix LUT: every 16-bit window whose prefix is a valid code maps
+    to (symbol, code length) — one table index replaces up to 16
+    bit-by-bit probe steps in the decode hot loop."""
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
         self.mincode = [0] * 17
@@ -1035,6 +1348,23 @@ class _HuffTable:
                 k += bits[length - 1]
                 self.maxcode[length] = code - 1
             code <<= 1
+        # LUT construction costs ~65k writes — memoized per (bits,
+        # vals) so the per-stream cost is two dict probes (every blob
+        # in a batch shares the tables its encoder wrote)
+        key = (bytes(bits), bytes(vals))
+        cached = _HUFF_LUT_CACHE.get(key)
+        if cached is None:
+            lut_sym = np.zeros(1 << 16, dtype=np.int16)
+            lut_len = np.zeros(1 << 16, dtype=np.uint8)
+            for sym, (c, length) in _huffman_codes(bits, vals).items():
+                lo = c << (16 - length)
+                hi = lo + (1 << (16 - length))
+                lut_sym[lo:hi] = sym
+                lut_len[lo:hi] = length
+            # python lists: scalar indexing beats np scalar unboxing
+            cached = (lut_sym.tolist(), lut_len.tolist())
+            _HUFF_LUT_CACHE[key] = cached
+        self.lut_sym, self.lut_len = cached
 
     def decode(self, br: _BitReader) -> int:
         code = 0
@@ -1174,18 +1504,66 @@ def decode_jpeg(blob: bytes) -> tuple[dict, np.ndarray]:
     bh, bw_ = (h + 7) // 8, (w + 7) // 8
     qtab = qtables[sof["tq"]]
     dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
-    br = _BitReader(bytes(entropy))
+    # Hot loop: 16-bit-window LUT decode with an inlined MSB-first bit
+    # reader — one table probe per Huffman symbol instead of up to 16
+    # bit-by-bit range checks (measured ~3x on the decode half; the
+    # classic probe loop survives as _HuffTable.decode for reference).
+    data = bytes(entropy)
+    nbytes = len(data)
+    dc_sym, dc_len = dc_tab.lut_sym, dc_tab.lut_len
+    ac_sym, ac_len = ac_tab.lut_sym, ac_tab.lut_len
     coeffs = np.zeros((bh * bw_, 64), dtype=np.int64)
     pred = 0
+    acc = 0
+    nbits = 0
+    p2 = 0
     for b_i in range(bh * bw_):
-        size = dc_tab.decode(br)
+        while nbits < 16 and p2 < nbytes:
+            acc = (acc << 8) | data[p2]
+            p2 += 1
+            nbits += 8
+        window = (
+            ((acc << (16 - nbits)) & 0xFFFF)
+            if nbits < 16
+            else ((acc >> (nbits - 16)) & 0xFFFF)
+        )
+        length = dc_len[window]
+        if length == 0 or length > nbits:
+            raise ValueError("invalid Huffman code in entropy stream")
+        size = dc_sym[window]
+        nbits -= length
+        acc &= (1 << nbits) - 1
         if size > 11:
             raise ValueError("DC category out of range")
-        pred += _extend(br.take(size), size) if size else 0
+        if size:
+            while nbits < size:
+                if p2 >= nbytes:
+                    raise ValueError("entropy stream exhausted mid-symbol")
+                acc = (acc << 8) | data[p2]
+                p2 += 1
+                nbits += 8
+            nbits -= size
+            v = (acc >> nbits) & ((1 << size) - 1)
+            acc &= (1 << nbits) - 1
+            pred += v if v >= (1 << (size - 1)) else v - (1 << size) + 1
         coeffs[b_i, 0] = pred
         k = 1
         while k < 64:
-            rs = ac_tab.decode(br)
+            while nbits < 16 and p2 < nbytes:
+                acc = (acc << 8) | data[p2]
+                p2 += 1
+                nbits += 8
+            window = (
+                ((acc << (16 - nbits)) & 0xFFFF)
+                if nbits < 16
+                else ((acc >> (nbits - 16)) & 0xFFFF)
+            )
+            length = ac_len[window]
+            if length == 0 or length > nbits:
+                raise ValueError("invalid Huffman code in entropy stream")
+            rs = ac_sym[window]
+            nbits -= length
+            acc &= (1 << nbits) - 1
             r, s = rs >> 4, rs & 0x0F
             if s == 0:
                 if r == 15:
@@ -1195,16 +1573,20 @@ def decode_jpeg(blob: bytes) -> tuple[dict, np.ndarray]:
             k += r
             if k > 63:
                 raise ValueError("AC coefficient index overruns block")
-            coeffs[b_i, k] = _extend(br.take(s), s)
+            while nbits < s:
+                if p2 >= nbytes:
+                    raise ValueError("entropy stream exhausted mid-symbol")
+                acc = (acc << 8) | data[p2]
+                p2 += 1
+                nbits += 8
+            nbits -= s
+            v = (acc >> nbits) & ((1 << s) - 1)
+            acc &= (1 << nbits) - 1
+            coeffs[b_i, k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
             k += 1
     dezz = np.zeros_like(coeffs)
     dezz[:, _ZIGZAG] = coeffs
-    spatial = np.einsum(
-        "xu,buv,yv->bxy",
-        _DCT_M.T,
-        (dezz * qtab).reshape(-1, 8, 8).astype(np.float64),
-        _DCT_M.T,
-    )
+    spatial = _DCT_M.T @ (dezz * qtab).reshape(-1, 8, 8).astype(np.float64) @ _DCT_M
     pixels = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
     full = (
         pixels.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
@@ -1213,6 +1595,19 @@ def decode_jpeg(blob: bytes) -> tuple[dict, np.ndarray]:
 
 
 # --- Spark operator ----------------------------------------------------
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the blob rows across the session's full parallelism
+    before a heavy Python kernel: the sf fixtures are single parquet
+    files (one input partition), which would serialize the whole
+    Arrow-batch codec work onto one core. The shuffle moves each
+    payload once; kernel cost dominates by orders of magnitude. On a
+    real multi-file lake the scan is already parallel and this is a
+    cheap rebalance against blob-size skew."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
 
 _ROUNDTRIP_SCHEMA = T.StructType(
     [
@@ -1333,8 +1728,10 @@ def mm_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     must surface as quarantine rows — decode failures are data. Video
     rows are excluded: MP4 needs real compressed codecs, still gated
     behind USE_REAL_CODECS in llm/multimodal.py."""
-    binary = mm_binary_ingest_impl(spark, sf_dir).filter(
-        F.col("mime").isin("audio/wav", "image/png")
+    binary = _spread(
+        mm_binary_ingest_impl(spark, sf_dir).filter(
+            F.col("mime").isin("audio/wav", "image/png")
+        )
     )
     return binary.mapInPandas(codec_roundtrip, _ROUNDTRIP_SCHEMA)
 
@@ -1423,8 +1820,8 @@ def mm_codec_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 31 — one flipped IDAT byte, catchable only by CRC) must
     route to quarantine rows, not crash the job. Map-only over Arrow
     batches; MP4 is the only decode still gated."""
-    binary = mm_binary_ingest_impl(spark, sf_dir).filter(
-        F.col("mime") == "image/png"
+    binary = _spread(
+        mm_binary_ingest_impl(spark, sf_dir).filter(F.col("mime") == "image/png")
     )
     return binary.mapInPandas(png_roundtrip, _PNG_ROUNDTRIP_SCHEMA)
 
@@ -1571,8 +1968,8 @@ def mm_codec_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the roundtrip is approximate — that contract stays with the
     lossless WAV/BMP/PNG/GIF decoders. Map-only over Arrow batches;
     after this, the only gated decode left is MP4."""
-    binary = mm_binary_ingest_impl(spark, sf_dir).filter(
-        F.col("mime") == "image/png"
+    binary = _spread(
+        mm_binary_ingest_impl(spark, sf_dir).filter(F.col("mime") == "image/png")
     )
     return binary.mapInPandas(jpeg_roundtrip, _JPEG_ROUNDTRIP_SCHEMA)
 
@@ -1592,8 +1989,8 @@ def mm_codec_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantine (GIF carries no CRC, so structural corruption is the
     honest detectable class — PNG's chunk CRCs are the integrity
     story). Map-only over Arrow batches."""
-    binary = mm_binary_ingest_impl(spark, sf_dir).filter(
-        F.col("mime") == "image/png"
+    binary = _spread(
+        mm_binary_ingest_impl(spark, sf_dir).filter(F.col("mime") == "image/png")
     )
     return binary.mapInPandas(gif_roundtrip, _PNG_ROUNDTRIP_SCHEMA)
 
@@ -1617,33 +2014,63 @@ def adpcm_roundtrip(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     invariant: the decoder's output must equal the encoder's own
     integer reconstruction BIT-EXACTLY (ADPCM is lossy vs the source,
     but encoder and decoder run the same state machine — any drift is
-    a codec bug, not quantization)."""
+    a codec bug, not quantization).
+
+    Both directions run BATCHED across the Arrow batch: every blob's
+    blocks ride as lanes of one shared ~505-step state loop (encode:
+    _adpcm_encode_blocks over the pooled block matrix; decode:
+    decode_adpcm_wav_batch after per-blob container validation) — the
+    per-step numpy cost is paid once per batch, not once per blob."""
+    spb = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1
     for pdf in pdfs:
         out: dict[str, list] = {
             k.name: [] for k in _ADPCM_ROUNDTRIP_SCHEMA.fields
         }
+        docs: list = []  # (doc_id, pcm, n_blocks)
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = bytes(payload)
             pcm = np.frombuffer(b[: len(b) // 2 * 2], dtype="<i2")
             if len(pcm) < 1:
                 continue
-            _h, _p, recon, _n = _adpcm_encode_core(pcm)
-            blob = encode_adpcm_wav(pcm)
+            docs.append((doc_id, pcm, max(1, -(-len(pcm) // spb))))
+        if not docs:
+            yield pd.DataFrame(out)
+            continue
+        # pooled encode: one block matrix for the whole batch
+        blk = np.concatenate(
+            [_adpcm_pad_blocks(pcm, _ADPCM_BLOCK_ALIGN) for _, pcm, _ in docs]
+        )
+        headers, packed, recon_m = _adpcm_encode_blocks(blk)
+        blobs: list = []
+        recons: list = []
+        row = 0
+        for doc_id, pcm, c in docs:
+            data = np.concatenate(
+                [headers[row : row + c], packed[row : row + c]], axis=1
+            ).tobytes()
+            recons.append(
+                recon_m[row : row + c].reshape(-1)[: len(pcm)].astype(np.int16)
+            )
+            row += c
+            blob = _adpcm_wrap_wav(data, len(pcm), WAV_SAMPLE_RATE)
             if doc_id % _CORRUPT_MOD == 0:
                 bb = bytearray(blob)
                 bb[_ADPCM_STEP_IDX_OFFSET] = 0xFF
                 blob = bytes(bb)
-            try:
-                meta, got = decode_wav(blob)
-                out["doc_id"].append(doc_id)
-                out["container"].append("adpcm")
-                out["n_samples"].append(meta["n_samples"])
-                out["state_exact"].append(bool(np.array_equal(got, recon)))
-            except ValueError:
+            blobs.append(blob)
+        decoded = decode_adpcm_wav_batch(blobs)
+        for (doc_id, _pcm, _c), recon, res in zip(docs, recons, decoded):
+            if res is None:
                 out["doc_id"].append(doc_id)
                 out["container"].append("corrupt")
                 out["n_samples"].append(None)
                 out["state_exact"].append(None)
+            else:
+                meta, got = res
+                out["doc_id"].append(doc_id)
+                out["container"].append("adpcm")
+                out["n_samples"].append(meta["n_samples"])
+                out["state_exact"].append(bool(np.array_equal(got, recon)))
         yield pd.DataFrame(out)
 
 
@@ -1680,7 +2107,7 @@ def mm_codec_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Smooth-signal error bounds vs the SOURCE live in the property
     tests. Map-only over Arrow batches; with compressed audio closed,
     MP4 is the only decode still gated."""
-    binary = mm_binary_ingest_impl(spark, sf_dir).filter(
-        F.col("mime") == "audio/wav"
+    binary = _spread(
+        mm_binary_ingest_impl(spark, sf_dir).filter(F.col("mime") == "audio/wav")
     )
     return binary.mapInPandas(adpcm_roundtrip, _ADPCM_ROUNDTRIP_SCHEMA)
