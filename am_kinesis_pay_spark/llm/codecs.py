@@ -2111,3 +2111,279 @@ def mm_codec_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         mm_binary_ingest_impl(spark, sf_dir).filter(F.col("mime") == "audio/wav")
     )
     return binary.mapInPandas(adpcm_roundtrip, _ADPCM_ROUNDTRIP_SCHEMA)
+
+
+# --- MP4 / ISO BMFF container (ISO/IEC 14496-12) -----------------------
+#
+# The CONTAINER layer of the last gated format, from the public spec:
+# a real ISO Base Media File Format writer/parser — ftyp/mdat/moov box
+# framing, full sample tables (stsd/stts/stsc/stsz/stco), and a
+# validating walk that recovers per-frame byte ranges from the sample
+# tables exactly the way a demuxer feeds a video decoder. The CODEC
+# inside the samples (H.264 etc.) is the part that honestly stays
+# gated — sample payloads round-trip bit-exactly as opaque frames,
+# which is precisely what a demux stage contributes in a real
+# pipeline (frame extraction, seeking, sampling) before GPU decode.
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def _full(version: int, flags: int) -> bytes:
+    return struct.pack(">I", (version << 24) | flags)
+
+
+def encode_mp4(frames: "list[bytes]", timescale: int = 1000) -> bytes:
+    """Minimal valid ISO BMFF: ftyp + mdat (concatenated frames) +
+    moov with a single video track whose sample tables describe one
+    chunk holding every frame (stsz per-sample sizes, stco chunk
+    offset, stts uniform durations). Layout: mdat precedes moov so the
+    chunk offset is known when the tables are written."""
+    if not frames:
+        raise ValueError("MP4 needs at least one sample")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mdat_payload = b"".join(frames)
+    mdat = _box(b"mdat", mdat_payload)
+    chunk_offset = len(ftyp) + 8  # first sample byte inside mdat
+    n = len(frames)
+    duration = n  # 1 tick per frame
+    mvhd = _box(
+        b"mvhd",
+        _full(0, 0)
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume
+        + b"\x00" * 10
+        + _UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _box(
+        b"tkhd",
+        _full(0, 7)
+        + struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _UNITY_MATRIX
+        + struct.pack(">II", 0, 0),  # width/height 16.16 (opaque)
+    )
+    mdhd = _box(
+        b"mdhd",
+        _full(0, 0)
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # lang 'und'
+    )
+    hdlr = _box(
+        b"hdlr", _full(0, 0) + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00"
+    )
+    vmhd = _box(b"vmhd", _full(0, 1) + struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _box(
+        b"dinf",
+        _box(
+            b"dref",
+            _full(0, 0) + struct.pack(">I", 1) + _box(b"url ", _full(0, 1)),
+        ),
+    )
+    # generic opaque sample entry: the codec payload format the demux
+    # layer is agnostic to (a real file would carry avc1 + avcC here)
+    entry = _box(b"akps", b"\x00" * 6 + struct.pack(">H", 1))
+    stsd = _box(b"stsd", _full(0, 0) + struct.pack(">I", 1) + entry)
+    stts = _box(b"stts", _full(0, 0) + struct.pack(">III", 1, n, 1))
+    stsc = _box(b"stsc", _full(0, 0) + struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _box(
+        b"stsz",
+        _full(0, 0)
+        + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _box(b"stco", _full(0, 0) + struct.pack(">II", 1, chunk_offset))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dref + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+_UNITY_MATRIX = struct.pack(
+    ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the box sequence in
+    [start, end); validates sizes nest exactly."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated box header")
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4 : pos + 8]
+        if size < 8 or pos + size > end:
+            raise ValueError(f"box {btype!r} size {size} overruns container")
+        yield btype, pos + 8, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("box sequence does not tile its container")
+
+
+def _find_box(data: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _walk_boxes(data, start, end):
+        if t == btype:
+            return s, e
+    raise ValueError(f"missing {btype!r} box")
+
+
+def decode_mp4(blob: bytes) -> tuple[dict, "list[bytes]"]:
+    """Validating ISO BMFF demux: walk the top-level boxes (sizes must
+    tile the file), locate moov→trak→mdia→minf→stbl, parse the sample
+    tables, and slice every sample's byte range out of the file —
+    verifying stsz/stts sample-count agreement, chunk offsets, and
+    that no sample overruns the stream. Returns (meta, frames) with
+    the frames' bytes exactly as written (the codec layer is the
+    caller's problem, as for any demuxer)."""
+    if len(blob) < 8:
+        raise ValueError("not an MP4 stream")
+    tops = list(_walk_boxes(blob, 0, len(blob)))
+    types = [t for t, _s, _e in tops]
+    if not types or types[0] != b"ftyp":
+        raise ValueError("missing ftyp box")
+    if b"moov" not in types or b"mdat" not in types:
+        raise ValueError("missing moov/mdat box")
+    moov_s, moov_e = next((s, e) for t, s, e in tops if t == b"moov")
+    trak_s, trak_e = _find_box(blob, moov_s, moov_e, b"trak")
+    mdia_s, mdia_e = _find_box(blob, trak_s, trak_e, b"mdia")
+    minf_s, minf_e = _find_box(blob, mdia_s, mdia_e, b"minf")
+    stbl_s, stbl_e = _find_box(blob, minf_s, minf_e, b"stbl")
+    mdhd_s, _ = _find_box(blob, mdia_s, mdia_e, b"mdhd")
+    timescale = struct.unpack_from(">I", blob, mdhd_s + 12)[0]
+
+    stsz_s, stsz_e = _find_box(blob, stbl_s, stbl_e, b"stsz")
+    fixed, n = struct.unpack_from(">II", blob, stsz_s + 4)
+    if fixed == 0:
+        if stsz_e - (stsz_s + 12) < 4 * n:
+            raise ValueError("stsz table shorter than sample count")
+        sizes = [
+            struct.unpack_from(">I", blob, stsz_s + 12 + 4 * i)[0]
+            for i in range(n)
+        ]
+    else:
+        sizes = [fixed] * n
+
+    stts_s, stts_e = _find_box(blob, stbl_s, stbl_e, b"stts")
+    (n_ent,) = struct.unpack_from(">I", blob, stts_s + 4)
+    stts_total = 0
+    for i in range(n_ent):
+        cnt, _delta = struct.unpack_from(">II", blob, stts_s + 8 + 8 * i)
+        stts_total += cnt
+    if stts_total != n:
+        raise ValueError("stts sample count disagrees with stsz")
+
+    stco_s, _ = _find_box(blob, stbl_s, stbl_e, b"stco")
+    (n_chunks,) = struct.unpack_from(">I", blob, stco_s + 4)
+    if n_chunks != 1:
+        raise ValueError("only single-chunk layouts supported")
+    (offset,) = struct.unpack_from(">I", blob, stco_s + 8)
+
+    _find_box(blob, stbl_s, stbl_e, b"stsc")  # presence-validated
+    frames = []
+    pos = offset
+    for sz in sizes:
+        if pos + sz > len(blob):
+            raise ValueError("sample range overruns stream")
+        frames.append(blob[pos : pos + sz])
+        pos += sz
+    meta = {"n_samples": n, "timescale": timescale, "codec_gated": True}
+    return meta, frames
+
+
+_MP4_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("payload_md5", T.StringType()),
+    ]
+)
+
+_MP4_FRAMES = 4
+
+
+def mp4_roundtrip(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Split each video payload into 4 contiguous frames, mux them into
+    a genuine ISO BMFF container (real ftyp/mdat/moov + full sample
+    tables), corrupt the mdat box size of every doc_id % 31 == 0 blob
+    (breaks the box tiling the walk validates), then demux with the
+    validating parser. payload_md5 hashes the re-concatenated frames —
+    equal to the source bytes' md5 only if the sample tables place
+    every frame byte-exactly."""
+    for pdf in pdfs:
+        out: dict[str, list] = {
+            k.name: [] for k in _MP4_ROUNDTRIP_SCHEMA.fields
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if not b:
+                continue
+            q = len(b) // _MP4_FRAMES
+            frames = [
+                b[i * q : (i + 1) * q] for i in range(_MP4_FRAMES - 1)
+            ] + [b[(_MP4_FRAMES - 1) * q :]]
+            blob = encode_mp4(frames)
+            if doc_id % _CORRUPT_MOD == 0:
+                bb = bytearray(blob)
+                bb[23] ^= 0x01  # mdat size low byte: tiling breaks
+                blob = bytes(bb)
+            try:
+                meta, got = decode_mp4(blob)
+                out["doc_id"].append(doc_id)
+                out["container"].append("mp4")
+                out["n_frames"].append(meta["n_samples"])
+                out["payload_md5"].append(
+                    hashlib.md5(b"".join(got)).hexdigest()
+                )
+            except ValueError:
+                out["doc_id"].append(doc_id)
+                out["container"].append("corrupt")
+                out["n_frames"].append(None)
+                out["payload_md5"].append(None)
+        yield pd.DataFrame(out)
+
+
+_MP4_ROUNDTRIP_ORACLE = f"""
+WITH vids AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+)
+SELECT doc_id,
+  CASE WHEN doc_id % {_CORRUPT_MOD} = 0 THEN 'corrupt' ELSE 'mp4' END
+    AS container,
+  CASE WHEN doc_id % {_CORRUPT_MOD} <> 0 THEN {_MP4_FRAMES} END AS n_frames,
+  CASE WHEN doc_id % {_CORRUPT_MOD} <> 0 THEN md5(text) END AS payload_md5
+FROM vids
+"""
+
+
+@register(
+    "mm_codec_mp4_container",
+    oracle=_MP4_ROUNDTRIP_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
+def mm_codec_mp4_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTAINER half of the one remaining gated format: a real
+    ISO BMFF (MP4) muxer/demuxer from the public spec (ISO/IEC
+    14496-12) — box framing that must tile exactly, moov→trak→mdia→
+    minf→stbl descent, and the full sample-table walk (stsd/stts/stsc/
+    stsz/stco) that recovers every frame's byte range the way a
+    demuxer feeds a video decoder. Frames round-trip bit-exactly as
+    opaque samples (md5 vs DuckDB's hash of the source bytes), and
+    mdat-size corruption routes to quarantine. What stays honestly
+    gated is only the CODEC inside the samples (H.264/H.265 entropy +
+    transform) — i.e. demux/seek/frame-sample, the Spark-side work of
+    a video pipeline, is real; GPU decode plugs into the same Arrow
+    batch seam."""
+    binary = _spread(
+        mm_binary_ingest_impl(spark, sf_dir).filter(F.col("mime") == "video/mp4")
+    )
+    return binary.mapInPandas(mp4_roundtrip, _MP4_ROUNDTRIP_SCHEMA)

@@ -14,8 +14,10 @@ first, so the real decode path is oracle-checked end-to-end (PNG:
 ``mm_codec_png_roundtrip``). Baseline JPEG decodes for real as well —
 a from-scratch DCT signal codec (llm/codecs.py, bounded-error oracle
 ``mm_codec_jpeg_roundtrip``; compressed audio for real via the
-from-scratch IMA-ADPCM codec, ``mm_codec_adpcm_roundtrip``). Only MP4
-remains gated: this image has no codec LIBRARIES, so that kernel is a
+from-scratch IMA-ADPCM codec, ``mm_codec_adpcm_roundtrip``; the MP4
+CONTAINER demuxes for real via the from-scratch ISO BMFF parser,
+``mm_codec_mp4_container``). Only the codec INSIDE MP4 samples
+(H.264-class entropy+transform) remains gated: this image has no codec LIBRARIES, so that kernel is a
 deterministic byte-level fallback behind an import-try —
 ``_decode_image`` raises NotImplementedError if someone flips
 ``USE_REAL_CODECS`` without PIL present. Everything
@@ -149,6 +151,12 @@ def _container_decode(payload: bytes) -> bytes | None:
         if b[:2] == b"\xff\xd8":
             _, gray = codecs.decode_jpeg(b)
             return gray.tobytes()
+        if len(b) >= 8 and b[4:8] == b"ftyp":
+            # real ISO BMFF demux: concatenated sample bytes (the
+            # codec inside the samples stays gated; the container
+            # walk and frame extraction are genuine)
+            _, frames = codecs.decode_mp4(b)
+            return b"".join(frames)
     except ValueError:
         return None
     return None

@@ -1212,6 +1212,12 @@ def _bpe_collapse(col, left: str, right: str):
 
 _BPE_BATCH_N = 4  # merges adopted per round in the batched trainer
 _BPE_CAND_FACTOR = 8  # candidates collected per round = factor * batch_n
+# re-materialize the collapsed vocab after this many rounds: round i
+# re-applies all accumulated batches as nested folds, so expression
+# depth (and codegen/eval cost per round) grows linearly with rounds —
+# spilling the collapsed vocab to scratch parquet resets the fold
+# stack to depth zero, bounding per-round cost for k≈32k ladders
+_BPE_REMAT_ROUNDS = 16
 
 
 def _bpe_train_merges(
@@ -1245,13 +1251,32 @@ def _bpe_train_merges(
     )
     merges: list = []
     round_batches: list = []
+    n_rounds = 0
     # The distinct-word vocab is bounded (~10M words x ~50 B = a few
     # hundred MB even for a web-scale corpus), so a handful of
     # partitions is right at ANY scale — 32 near-empty cached
     # partitions would cost a Python-worker round trip each, per round.
-    base = vocab.coalesce(_BPE_VOCAB_PARTITIONS).persist()
+    persisted = vocab.coalesce(_BPE_VOCAB_PARTITIONS).persist()
+    base = persisted
     try:
         while len(merges) < k:
+            if len(round_batches) >= _BPE_REMAT_ROUNDS:
+                # fold-depth bound: spill the fully-collapsed vocab and
+                # restart the fold stack from it (merge results are
+                # identical — the spilled frame IS the collapsed state)
+                from am_kinesis_pay_spark.paths import scratch_path
+
+                syms_expr = F.col("syms")
+                for batch in round_batches:
+                    syms_expr = _bpe_collapse_multi(syms_expr, batch)
+                path = scratch_path(spark, f"akps_bpe_vocab_{len(merges)}")
+                base.select(syms_expr.alias("syms"), "cnt").write.mode(
+                    "overwrite"
+                ).parquet(path)
+                base = spark.read.schema(
+                    "syms array<string>, cnt bigint"
+                ).parquet(path)
+                round_batches = []
             syms_expr = F.col("syms")
             for batch in round_batches:
                 syms_expr = _bpe_collapse_multi(syms_expr, batch)
@@ -1293,13 +1318,14 @@ def _bpe_train_merges(
                     break
             if not accepted:
                 break
-            rnd = len(round_batches) + 1
+            n_rounds += 1
+            rnd = n_rounds
             for l, r, c in accepted:
                 merges.append((len(merges) + 1, rnd, l, r, l + r, c))
             round_batches.append([(l, r) for l, r, _ in accepted])
     finally:
-        base.unpersist()
-    return merges, len(round_batches)
+        persisted.unpersist()
+    return merges, n_rounds
 
 
 def _bpe_merge_schema():

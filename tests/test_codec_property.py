@@ -411,3 +411,52 @@ def test_adpcm_sniff_decode_default():
     blob = encode_adpcm_wav(pcm)
     _, got = decode_wav(blob)
     assert _container_decode(blob) == got.tobytes()
+
+
+# --- MP4 / ISO BMFF container ------------------------------------------
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=400), min_size=1, max_size=12)
+)
+def test_mp4_container_roundtrip(frames: list):
+    """Demux(mux(frames)) must return every sample bit-exactly for any
+    frame count/sizes (including empty samples) — the sample tables
+    (stsz/stco/stsc/stts) fully determine the byte ranges."""
+    from am_kinesis_pay_spark.llm.codecs import decode_mp4, encode_mp4
+
+    meta, got = decode_mp4(encode_mp4(frames))
+    assert got == frames
+    assert meta["n_samples"] == len(frames)
+
+
+def test_mp4_structural_corruption_rejected():
+    from am_kinesis_pay_spark.llm.codecs import decode_mp4, encode_mp4
+
+    blob = encode_mp4([b"abc", b"defg"])
+    with pytest.raises(ValueError):
+        decode_mp4(blob[:-5])  # truncated moov
+    bb = bytearray(blob)
+    bb[23] ^= 0x01  # mdat size: box tiling breaks
+    with pytest.raises(ValueError):
+        decode_mp4(bytes(bb))
+    with pytest.raises(ValueError):
+        decode_mp4(b"XXXX" + blob[4:])  # ftyp box size corrupted
+    # stts/stsz disagreement must be caught, not silently sliced
+    idx = blob.find(b"stts")
+    bb = bytearray(blob)
+    bb[idx + 12 : idx + 16] = (99).to_bytes(4, "big")  # sample count
+    with pytest.raises(ValueError):
+        decode_mp4(bytes(bb))
+
+
+def test_mp4_sniff_decode_default():
+    """_container_decode recognizes the ftyp magic and returns the
+    demuxed sample bytes — real container handling by default, codec
+    inside the samples still gated."""
+    from am_kinesis_pay_spark.llm.codecs import encode_mp4
+    from am_kinesis_pay_spark.llm.multimodal import _container_decode
+
+    frames = [b"alpha", b"", b"beta" * 50]
+    assert _container_decode(encode_mp4(frames)) == b"".join(frames)

@@ -820,3 +820,17 @@ def test_bpe_batched_matches_pure_python_batched_mirror(spark):
     for prs in by_round.values():
         syms = [s for p in prs for s in p]
         assert len(syms) == len(set(syms))
+
+
+def test_bpe_remat_spill_preserves_ladder(spark, monkeypatch):
+    """The fold-depth bound: spilling the collapsed vocab to scratch
+    parquet every _BPE_REMAT_ROUNDS rounds and restarting the fold
+    stack must leave the merge ladder (ranks, rounds, pairs, counts)
+    exactly unchanged — the spilled frame IS the collapsed state."""
+    import am_kinesis_pay_spark.llm.text as TX
+
+    monkeypatch.setattr(TX, "_BPE_REMAT_ROUNDS", 2)
+    with_spill, r1 = TX._bpe_train_merges(spark, SF_DIR, 8, 1)
+    monkeypatch.setattr(TX, "_BPE_REMAT_ROUNDS", 10**9)
+    without, r2 = TX._bpe_train_merges(spark, SF_DIR, 8, 1)
+    assert with_spill == without and r1 == r2
