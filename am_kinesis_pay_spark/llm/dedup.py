@@ -483,8 +483,15 @@ def text_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NGRAM_ORACLE = """
-WITH toks AS (
-  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+WITH cgrp AS (
+  SELECT doc_id, md5(source || chr(31) || text) AS gk FROM documents
+), creps AS (
+  SELECT gk, MIN(doc_id) AS rep_id FROM cgrp GROUP BY gk
+), rdocs AS (
+  SELECT r.rep_id AS doc_id, r.gk, d.source, d.text
+  FROM creps r JOIN documents d ON d.doc_id = r.rep_id
+), toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM rdocs
 ), shingles AS (
   SELECT DISTINCT doc_id, source, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
   FROM (SELECT doc_id, source, t, unnest(range(0, len(t) - 2)) AS i
@@ -492,31 +499,60 @@ WITH toks AS (
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
 ), common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  SELECT a.doc_id AS rep_a, b.doc_id AS rep_b, COUNT(*) AS n_common
   FROM shingles a
   JOIN shingles b ON a.source = b.source AND a.shingle = b.shingle
                  AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
+), rpairs AS (
+  SELECT c.rep_a, c.rep_b,
+    round(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common), 6) AS jac
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.rep_a
+  JOIN sizes sb ON sb.doc_id = c.rep_b
+  WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.4
+), intra AS (
+  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM creps r
+  JOIN sizes s ON s.doc_id = r.rep_id
+  JOIN cgrp ga ON ga.gk = r.gk
+  JOIN cgrp gb ON gb.gk = r.gk AND ga.doc_id < gb.doc_id
+), cross_pairs AS (
+  SELECT LEAST(ga.doc_id, gb.doc_id) AS doc_a,
+         GREATEST(ga.doc_id, gb.doc_id) AS doc_b, p.jac AS jaccard
+  FROM rpairs p
+  JOIN creps ra ON ra.rep_id = p.rep_a
+  JOIN creps rb ON rb.rep_id = p.rep_b
+  JOIN cgrp ga ON ga.gk = ra.gk
+  JOIN cgrp gb ON gb.gk = rb.gk
 )
-SELECT c.doc_a, c.doc_b,
-  round(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common), 6) AS jaccard
-FROM common c
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.4
+SELECT doc_a, doc_b, jaccard FROM intra
+UNION ALL
+SELECT doc_a, doc_b, jaccard FROM cross_pairs
 """
-
 
 @register("text_dedup_ngram", oracle=_NGRAM_ORACLE, tags=("llm", "dedup"))
 def text_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard dedup with blocking: candidate pairs share a
     blocking key (source) AND at least one 3-token shingle — the
     shingle join generates candidates and counts intersections in one
-    pass (no LSH approximation; exact within the block)."""
+    pass (no LSH approximation; exact within the block).
+
+    Dup-group collapse (r4, semantics-NEUTRAL, same construction as
+    text_dedup_containment): the shingle self-join runs over one
+    representative per distinct (source, text); member pairs come back
+    arithmetically — intra at Jaccard 1.0 (identical sets), cross
+    inheriting the rep Jaccard (symmetric, so no ordering swap)."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "source", F.split("text", " ").alias("t")).filter(
-        F.size("t") >= 3
+    cgrp = docs.select(
+        "doc_id",
+        F.md5(F.concat("source", F.lit("\x1f"), "text")).alias("gk"),
     )
+    creps = cgrp.groupBy("gk").agg(F.min("doc_id").alias("doc_id"))
+    rdocs = docs.join(creps, "doc_id").select("doc_id", "gk", "source", "text")
+    toks = rdocs.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 3)
     sh = toks.select(
         "doc_id",
         "source",
@@ -533,30 +569,82 @@ def text_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingle"),
     ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "source", "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "source", "shingle")
+    a = sh.select(F.col("doc_id").alias("rep_a"), "source", "shingle")
+    b = sh.select(F.col("doc_id").alias("rep_b"), "source", "shingle")
     common = (
         a.join(b, ["source", "shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .groupBy("rep_a", "rep_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     j = common.join(
-        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a"
+        sizes.select(F.col("doc_id").alias("rep_a"), F.col("n").alias("n_a")),
+        "rep_a",
     ).join(
-        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b"
+        sizes.select(F.col("doc_id").alias("rep_b"), F.col("n").alias("n_b")),
+        "rep_b",
     )
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
-    return j.filter(jac >= 0.4).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    rpairs = j.filter(jac >= 0.4).select(
+        "rep_a", "rep_b", F.round(jac, 6).alias("jac")
     )
+    rep2g = creps.select(F.col("doc_id").alias("rep_id"), "gk")
+    shingled_g = sizes.select(F.col("doc_id").alias("rep_id")).join(
+        rep2g, "rep_id"
+    ).select("gk")
+    ma = cgrp.select("gk", F.col("doc_id").alias("doc_a"))
+    mb = cgrp.select("gk", F.col("doc_id").alias("doc_b"))
+    intra = (
+        ma.join(shingled_g, "gk", "left_semi")
+        .join(mb, "gk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    cross = (
+        rpairs.join(
+            rep2g.select(F.col("rep_id").alias("rep_a"), F.col("gk").alias("gk_a")),
+            "rep_a",
+        )
+        .join(
+            rep2g.select(F.col("rep_id").alias("rep_b"), F.col("gk").alias("gk_b")),
+            "rep_b",
+        )
+        .join(
+            cgrp.select(F.col("gk").alias("gk_a"), F.col("doc_id").alias("m_a")),
+            "gk_a",
+        )
+        .join(
+            cgrp.select(F.col("gk").alias("gk_b"), F.col("doc_id").alias("m_b")),
+            "gk_b",
+        )
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            F.col("jac").alias("jaccard"),
+        )
+    )
+    return intra.unionByName(cross)
 
 
+# Dup-group collapse, containment edition: the blocking key includes
+# source, so groups key on md5(source || US || text) — identical
+# (source, text) copies share shingle sets AND blocking, hence pair
+# with exactly what their representative pairs with. Collapse changes
+# NOTHING semantically (no cap here — the join is exact, not LSH):
+# intra pairs are 1.0/1.0 by identity, cross pairs inherit the rep
+# containments, swapped when member ordering flips the pair.
 _CONTAIN_ORACLE = """
-WITH toks AS (
-  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+WITH cgrp AS (
+  SELECT doc_id, md5(source || chr(31) || text) AS gk FROM documents
+), creps AS (
+  SELECT gk, MIN(doc_id) AS rep_id FROM cgrp GROUP BY gk
+), rdocs AS (
+  SELECT r.rep_id AS doc_id, r.gk, d.source, d.text
+  FROM creps r JOIN documents d ON d.doc_id = r.rep_id
+), toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM rdocs
 ), shingles AS (
   SELECT DISTINCT doc_id, source, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS shingle
   FROM (SELECT doc_id, source, t, unnest(range(0, len(t) - 2)) AS i
@@ -564,19 +652,40 @@ WITH toks AS (
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
 ), common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  SELECT a.doc_id AS rep_a, b.doc_id AS rep_b, COUNT(*) AS n_common
   FROM shingles a
   JOIN shingles b ON a.source = b.source AND a.shingle = b.shingle
                  AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
+), rpairs AS (
+  SELECT c.rep_a, c.rep_b,
+    round(CAST(c.n_common AS DOUBLE) / sa.n, 6) AS ca,
+    round(CAST(c.n_common AS DOUBLE) / sb.n, 6) AS cb
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.rep_a
+  JOIN sizes sb ON sb.doc_id = c.rep_b
+  WHERE CAST(c.n_common AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.5
+), intra AS (
+  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b,
+    CAST(1.0 AS DOUBLE) AS contain_a, CAST(1.0 AS DOUBLE) AS contain_b
+  FROM creps r
+  JOIN sizes s ON s.doc_id = r.rep_id
+  JOIN cgrp ga ON ga.gk = r.gk
+  JOIN cgrp gb ON gb.gk = r.gk AND ga.doc_id < gb.doc_id
+), cross_pairs AS (
+  SELECT LEAST(ga.doc_id, gb.doc_id) AS doc_a,
+         GREATEST(ga.doc_id, gb.doc_id) AS doc_b,
+    CASE WHEN ga.doc_id < gb.doc_id THEN p.ca ELSE p.cb END AS contain_a,
+    CASE WHEN ga.doc_id < gb.doc_id THEN p.cb ELSE p.ca END AS contain_b
+  FROM rpairs p
+  JOIN creps ra ON ra.rep_id = p.rep_a
+  JOIN creps rb ON rb.rep_id = p.rep_b
+  JOIN cgrp ga ON ga.gk = ra.gk
+  JOIN cgrp gb ON gb.gk = rb.gk
 )
-SELECT c.doc_a, c.doc_b,
-  round(CAST(c.n_common AS DOUBLE) / sa.n, 6) AS contain_a,
-  round(CAST(c.n_common AS DOUBLE) / sb.n, 6) AS contain_b
-FROM common c
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE CAST(c.n_common AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.5
+SELECT doc_a, doc_b, contain_a, contain_b FROM intra
+UNION ALL
+SELECT doc_a, doc_b, contain_a, contain_b FROM cross_pairs
 """
 
 
@@ -591,11 +700,27 @@ def text_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tell subset from overlap. Same blocked shingle join as
     text_dedup_ngram (candidates share source + a 3-token shingle), so
     the same scale shape: no global all-pairs, shuffle keyed on
-    (source, shingle)."""
+    (source, shingle).
+
+    Dup-group collapse (r4, semantics-NEUTRAL): groups key on
+    (source, text) — identical copies share shingle sets AND the
+    source blocking key, so the shingle self-join runs over one
+    representative per distinct (source, text) and member pairs are
+    recovered arithmetically (intra at 1.0/1.0; cross inheriting the
+    rep containments, swapped when member ordering flips the pair).
+    Kills the copy-quadratic in the (source, shingle) join — the same
+    boilerplate-dup mitigation as the MinHash family, with NO cap
+    needed because the join is exact, not LSH."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "source", F.split("text", " ").alias("t")).filter(
-        F.size("t") >= 3
+    cgrp = docs.select(
+        "doc_id",
+        F.md5(F.concat("source", F.lit("\x1f"), "text")).alias("gk"),
     )
+    creps = cgrp.groupBy("gk").agg(F.min("doc_id").alias("doc_id"))
+    rdocs = docs.join(creps, "doc_id").select("doc_id", "gk", "source", "text")
+    toks = rdocs.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 3)
     sh = toks.select(
         "doc_id",
         "source",
@@ -612,29 +737,74 @@ def text_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingle"),
     ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "source", "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "source", "shingle")
+    a = sh.select(F.col("doc_id").alias("rep_a"), "source", "shingle")
+    b = sh.select(F.col("doc_id").alias("rep_b"), "source", "shingle")
     common = (
         a.join(b, ["source", "shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .groupBy("rep_a", "rep_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     j = common.join(
-        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a"
+        sizes.select(F.col("doc_id").alias("rep_a"), F.col("n").alias("n_a")),
+        "rep_a",
     ).join(
-        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b"
+        sizes.select(F.col("doc_id").alias("rep_b"), F.col("n").alias("n_b")),
+        "rep_b",
     )
     nc = F.col("n_common").cast("double")
-    return (
-        j.filter(nc / F.least("n_a", "n_b") >= 0.5)
+    rpairs = j.filter(nc / F.least("n_a", "n_b") >= 0.5).select(
+        "rep_a",
+        "rep_b",
+        F.round(nc / F.col("n_a"), 6).alias("ca"),
+        F.round(nc / F.col("n_b"), 6).alias("cb"),
+    )
+    rep2g = creps.select(F.col("doc_id").alias("rep_id"), "gk")
+    shingled_g = sizes.select(F.col("doc_id").alias("rep_id")).join(
+        rep2g, "rep_id"
+    ).select("gk")
+    ma = cgrp.select("gk", F.col("doc_id").alias("doc_a"))
+    mb = cgrp.select("gk", F.col("doc_id").alias("doc_b"))
+    intra = (
+        ma.join(shingled_g, "gk", "left_semi")
+        .join(mb, "gk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
-            F.round(nc / F.col("n_a"), 6).alias("contain_a"),
-            F.round(nc / F.col("n_b"), 6).alias("contain_b"),
+            F.lit(1.0).alias("contain_a"),
+            F.lit(1.0).alias("contain_b"),
         )
     )
+    cross = (
+        rpairs.join(
+            rep2g.select(F.col("rep_id").alias("rep_a"), F.col("gk").alias("gk_a")),
+            "rep_a",
+        )
+        .join(
+            rep2g.select(F.col("rep_id").alias("rep_b"), F.col("gk").alias("gk_b")),
+            "rep_b",
+        )
+        .join(
+            cgrp.select(F.col("gk").alias("gk_a"), F.col("doc_id").alias("m_a")),
+            "gk_a",
+        )
+        .join(
+            cgrp.select(F.col("gk").alias("gk_b"), F.col("doc_id").alias("m_b")),
+            "gk_b",
+        )
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            F.when(F.col("m_a") < F.col("m_b"), F.col("ca"))
+            .otherwise(F.col("cb"))
+            .alias("contain_a"),
+            F.when(F.col("m_a") < F.col("m_b"), F.col("cb"))
+            .otherwise(F.col("ca"))
+            .alias("contain_b"),
+        )
+    )
+    return intra.unionByName(cross)
 
 
 _COSINE_DEDUP_ORACLE = """

@@ -42,6 +42,16 @@ def sf_tag(sf_dir: str) -> str:
 
 
 _SESSION_ARTIFACTS: set[str] = set()
+_ARTIFACT_LOCK = None
+
+
+def _artifact_lock():
+    global _ARTIFACT_LOCK
+    if _ARTIFACT_LOCK is None:
+        import threading
+
+        _ARTIFACT_LOCK = threading.RLock()
+    return _ARTIFACT_LOCK
 
 
 def session_artifact(spark: SparkSession, name: str, build, schema=None):
@@ -55,12 +65,15 @@ def session_artifact(spark: SparkSession, name: str, build, schema=None):
     once and probed by every consumer."""
     path = scratch_path(spark, name)
     force = os.environ.get("AKPS_FORCE_RECOMPUTE", "") not in ("", "0")
-    if (
-        force
-        or path not in _SESSION_ARTIFACTS
-        or not os.path.exists(os.path.join(path, "_SUCCESS"))
-    ):
-        build().write.mode("overwrite").parquet(path)
-        _SESSION_ARTIFACTS.add(path)
+    # serialized build: concurrent driver threads (a parallel harness)
+    # must not race the overwrite of a shared artifact path
+    with _artifact_lock():
+        if (
+            force
+            or path not in _SESSION_ARTIFACTS
+            or not os.path.exists(os.path.join(path, "_SUCCESS"))
+        ):
+            build().write.mode("overwrite").parquet(path)
+            _SESSION_ARTIFACTS.add(path)
     reader = spark.read.schema(schema) if schema else spark.read
     return reader.parquet(path)

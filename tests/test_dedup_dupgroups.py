@@ -127,6 +127,8 @@ def dup_ducks(dup_dir):
         "text_dedup_minhash_incremental",
         "text_decontaminate_fuzzy",
         "emb_dedup_incremental",
+        "text_dedup_containment",
+        "text_dedup_ngram",
     ],
 )
 def test_family_parity_on_dup_heavy_corpus(spark, dup_dir, dup_ducks, name):
