@@ -125,6 +125,7 @@ def _shingles(docs: DataFrame) -> DataFrame:
 # measurement; the oracle path never needs it — results are identical).
 
 BAND_CAP = int(os.environ.get("AKPS_BAND_CAP", "64"))
+EMB_BAND_CAP = int(os.environ.get("AKPS_EMB_BAND_CAP", "1024"))
 
 # session-scoped scratch-parquet memo + sf tag (shared helper)
 from am_kinesis_pay_spark.paths import (  # noqa: E402
@@ -934,25 +935,76 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(out_schema).parquet(*paths)
 
 
-def _emb_lsh_dedup_oracle() -> str:
+def _emb_pair_ctes() -> str:
+    """Shared CTE chain for the dup-collapsed sign-LSH near-dup pairs:
+    group by identical embedding, sketch/band/cap/verify over one rep
+    per distinct vector, then expand member pairs (intra pairs carry
+    the group's self-cosine — identical inputs make it the same double
+    both engines compute; cross pairs inherit the rep cosine). Used by
+    emb_dedup_cosine_lsh and emb_dedup_clusters."""
     from am_kinesis_pay_spark.llm.similarity import sig_sql_ctes
 
     return (
-        "WITH "
-        + sig_sql_ctes()
-        + """, cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM banded a JOIN banded b USING (band)
+        """egrp AS (
+  SELECT embedding, MIN(vec_id) AS gid FROM embeddings GROUP BY embedding
+), mem AS (
+  SELECT e.vec_id, g.gid FROM embeddings e JOIN egrp g ON e.embedding = g.embedding
+), ereps AS (
+  SELECT gid AS vec_id, embedding FROM egrp
+), """
+        + sig_sql_ctes(src="ereps")
+        + f""", capped AS (
+  SELECT vec_id, band FROM (
+    SELECT vec_id, band,
+      ROW_NUMBER() OVER (PARTITION BY band
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM banded) c
+  WHERE rn <= {{emb_cap}}
+), rcand AS (
+  SELECT DISTINCT a.vec_id AS ra, b.vec_id AS rb
+  FROM capped a JOIN capped b USING (band)
   WHERE a.vec_id < b.vec_id
-), scored AS (
-  SELECT cand.vec_a, cand.vec_b,
+), rpairs AS (
+  SELECT rcand.ra, rcand.rb,
     round(list_sum(list_transform(list_zip(na.embedding, nb.embedding),
           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (na.nrm * nb.nrm), 6) AS cosine
-  FROM cand
-  JOIN norms na ON na.vec_id = cand.vec_a
-  JOIN norms nb ON nb.vec_id = cand.vec_b
-)
-SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.45
+  FROM rcand
+  JOIN norms na ON na.vec_id = rcand.ra
+  JOIN norms nb ON nb.vec_id = rcand.rb
+  WHERE round(list_sum(list_transform(list_zip(na.embedding, nb.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (na.nrm * nb.nrm), 6)
+        >= 0.45
+), selfs AS (
+  SELECT n.vec_id AS gid,
+    round(list_sum(list_transform(list_zip(n.embedding, n.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * n.nrm), 6) AS cosine
+  FROM norms n
+  WHERE round(list_sum(list_transform(list_zip(n.embedding, n.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * n.nrm), 6)
+        >= 0.45
+), e_intra AS (
+  SELECT ma.vec_id AS vec_a, mb.vec_id AS vec_b, s.cosine
+  FROM selfs s
+  JOIN mem ma ON ma.gid = s.gid
+  JOIN mem mb ON mb.gid = s.gid AND ma.vec_id < mb.vec_id
+), e_cross AS (
+  SELECT LEAST(ma.vec_id, mb.vec_id) AS vec_a,
+         GREATEST(ma.vec_id, mb.vec_id) AS vec_b, p.cosine
+  FROM rpairs p
+  JOIN mem ma ON ma.gid = p.ra
+  JOIN mem mb ON mb.gid = p.rb
+)"""
+    ).format(emb_cap=EMB_BAND_CAP)
+
+
+def _emb_lsh_dedup_oracle() -> str:
+    return (
+        "WITH "
+        + _emb_pair_ctes()
+        + """
+SELECT vec_a, vec_b, cosine FROM e_intra
+UNION ALL
+SELECT vec_a, vec_b, cosine FROM e_cross
 """
     )
 
@@ -981,16 +1033,28 @@ def emb_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic-in-n at scale. Production near-dup thresholds (θ≈0.9,
     p≈0.86) support 8-16-bit bands from 32-64 planes: buckets stay
     O(n/2^b) with recall recovered by adding bands. Same planes, same
-    oracle construction — only the constants change."""
+    oracle construction — only the constants change.
+
+    Dup-group collapse (r4): identical embeddings — the shape content
+    replication produces — collapse to one representative per distinct
+    vector before the sketch, with the deterministic per-band cap
+    (EMB_BAND_CAP, md5 order, mirrored in the oracle) bounding
+    distinct-vector floods; member pairs come back arithmetically
+    (intra pairs carry the group's self-cosine, cross pairs inherit
+    the rep-pair cosine). Same construction as the text family."""
     from am_kinesis_pay_spark.llm.similarity import (
         _dot,
         _lsh_signature,
-        _norms,
         lsh_band_cols,
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    norms = _norms(emb).withColumn("sig", _lsh_signature())
+    egrp = emb.groupBy("embedding").agg(F.min("vec_id").alias("gid"))
+    mem = emb.join(egrp, "embedding").select("vec_id", "gid")
+    ereps = egrp.select(F.col("gid").alias("vec_id"), "embedding")
+    norms = ereps.select(
+        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
+    ).withColumn("sig", _lsh_signature())
     # candidates carry IDs ONLY through the band join and the pair
     # dedup — the 64-float embedding payload would otherwise ride
     # every collided pair through two shuffles (~30x the bytes);
@@ -998,35 +1062,77 @@ def emb_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = norms.select(
         "vec_id", F.explode(F.array(*lsh_band_cols())).alias("band")
     )
-    a = banded.select(F.col("vec_id").alias("vec_a"), "band")
-    b = banded.select(F.col("vec_id").alias("vec_b"), "band")
-    cand = (
+    w_cap = W.partitionBy("band").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    capped = (
+        banded.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= EMB_BAND_CAP)
+        .drop("rn")
+    )
+    a = capped.select(F.col("vec_id").alias("ra"), "band")
+    b = capped.select(F.col("vec_id").alias("rb"), "band")
+    rcand = (
         a.join(b, "band")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
+        .dropDuplicates(["ra", "rb"])
     )
     vecs = norms.select("vec_id", "embedding", "nrm")
-    pairs = cand.join(
+    rp = rcand.join(
         vecs.select(
-            F.col("vec_id").alias("vec_a"),
+            F.col("vec_id").alias("ra"),
             F.col("embedding").alias("ea"),
             F.col("nrm").alias("na"),
         ),
-        "vec_a",
+        "ra",
     ).join(
         vecs.select(
-            F.col("vec_id").alias("vec_b"),
+            F.col("vec_id").alias("rb"),
             F.col("embedding").alias("eb"),
             F.col("nrm").alias("nb"),
         ),
-        "vec_b",
+        "rb",
     )
     cos = F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
-    return (
-        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+    rpairs = (
+        rp.select("ra", "rb", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.45)
     )
+    self_cos = F.round(
+        _dot("embedding", "embedding") / (F.col("nrm") * F.col("nrm")), 6
+    )
+    selfs = norms.select(
+        F.col("vec_id").alias("gid"), self_cos.alias("cosine")
+    ).filter(F.col("cosine") >= 0.45)
+    ma = mem.select("gid", F.col("vec_id").alias("m_a"))
+    mb = mem.select("gid", F.col("vec_id").alias("m_b"))
+    intra = (
+        selfs.join(ma, "gid")
+        .join(mb, "gid")
+        .filter(F.col("m_a") < F.col("m_b"))
+        .select(
+            F.col("m_a").alias("vec_a"),
+            F.col("m_b").alias("vec_b"),
+            "cosine",
+        )
+    )
+    cross = (
+        rpairs.join(
+            mem.select(F.col("gid").alias("ra"), F.col("vec_id").alias("m_a")),
+            "ra",
+        )
+        .join(
+            mem.select(F.col("gid").alias("rb"), F.col("vec_id").alias("m_b")),
+            "rb",
+        )
+        .select(
+            F.least("m_a", "m_b").alias("vec_a"),
+            F.greatest("m_a", "m_b").alias("vec_b"),
+            "cosine",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 # The MinHash pipeline's CTEs plus member-pair expansion feed a
@@ -1187,13 +1293,13 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_cluster_oracle() -> str:
-    base = _emb_lsh_dedup_oracle().strip()
-    ctes, _ = base.split("\nSELECT vec_a, vec_b, cosine FROM scored", 1)
     return (
         "WITH RECURSIVE "
-        + ctes[len("WITH ") :]
+        + _emb_pair_ctes()
         + """, pairs AS (
-  SELECT vec_a, vec_b FROM scored WHERE cosine >= 0.45
+  SELECT vec_a, vec_b FROM e_intra
+  UNION ALL
+  SELECT vec_a, vec_b FROM e_cross
 ), edges AS (
   SELECT vec_a AS src, vec_b AS dst FROM pairs
   UNION
@@ -1225,11 +1331,86 @@ def emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like its text twin. Same min-label propagation loop as
     text_dedup_clusters, same recursive-CTE oracle shape over the
     sign-LSH candidate SQL — every stage of candidate generation,
-    verification, and clustering is exact on both engines."""
-    pairs = REGISTRY["emb_dedup_cosine_lsh"].fn(spark, sf_dir).select(
-        "vec_a", "vec_b"
+    verification, and clustering is exact on both engines.
+
+    Like its text twin, label propagation runs on the GROUP graph
+    (node = gid = the group's min vec_id; edges = capped-band rep
+    pairs; multi-member groups whose self-cosine clears the threshold
+    get a self-edge) and member labels come back with one expansion
+    join — iterations touch #distinct-vectors nodes, never the
+    member-pair count."""
+    from am_kinesis_pay_spark.llm.similarity import (
+        _dot,
+        _lsh_signature,
+        lsh_band_cols,
     )
-    return _min_label_components(pairs, "vec_a", "vec_b", "vec_id")
+
+    emb = load(spark, sf_dir, "embeddings")
+    egrp = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("gid"), F.count(F.lit(1)).alias("m")
+    )
+    mem = emb.join(egrp.select("embedding", "gid"), "embedding").select(
+        "vec_id", "gid"
+    )
+    ereps = egrp.select(F.col("gid").alias("vec_id"), "embedding", "m")
+    norms = ereps.select(
+        "vec_id",
+        "m",
+        "embedding",
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+    ).withColumn("sig", _lsh_signature())
+    banded = norms.select(
+        "vec_id", F.explode(F.array(*lsh_band_cols())).alias("band")
+    )
+    w_cap = W.partitionBy("band").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    capped = (
+        banded.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= EMB_BAND_CAP)
+        .drop("rn")
+    )
+    a = capped.select(F.col("vec_id").alias("ra"), "band")
+    b = capped.select(F.col("vec_id").alias("rb"), "band")
+    rcand = (
+        a.join(b, "band")
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
+        .dropDuplicates(["ra", "rb"])
+    )
+    vecs = norms.select("vec_id", "embedding", "nrm")
+    rp = rcand.join(
+        vecs.select(
+            F.col("vec_id").alias("ra"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        ),
+        "ra",
+    ).join(
+        vecs.select(
+            F.col("vec_id").alias("rb"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "rb",
+    )
+    cos = F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
+    cross_e = (
+        rp.filter(cos >= 0.45).select(
+            F.col("ra").alias("a"), F.col("rb").alias("b")
+        )
+    )
+    self_cos = F.round(
+        _dot("embedding", "embedding") / (F.col("nrm") * F.col("nrm")), 6
+    )
+    self_e = (
+        norms.filter((F.col("m") >= 2) & (self_cos >= 0.45))
+        .select(F.col("vec_id").alias("a"), F.col("vec_id").alias("b"))
+    )
+    labels = _min_label_components(
+        cross_e.unionByName(self_e), "a", "b", "gid"
+    )
+    return mem.join(labels, "gid").select("vec_id", "cluster_id")
 
 
 @register(
@@ -1478,9 +1659,6 @@ def text_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("matched_doc"),
         )
     )
-
-
-EMB_BAND_CAP = int(os.environ.get("AKPS_EMB_BAND_CAP", "1024"))
 
 
 def _emb_inc_oracle() -> str:

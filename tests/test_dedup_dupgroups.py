@@ -129,6 +129,8 @@ def dup_ducks(dup_dir):
         "emb_dedup_incremental",
         "text_dedup_containment",
         "text_dedup_ngram",
+        "emb_dedup_cosine_lsh",
+        "emb_dedup_clusters",
     ],
 )
 def test_family_parity_on_dup_heavy_corpus(spark, dup_dir, dup_ducks, name):

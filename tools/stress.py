@@ -64,14 +64,11 @@ CURATION_QUERIES = [
     "emb_dedup_cosine", "vec_ann_ivf", "sample_importance",
     "sink_zorder_layout", "emb_triplet_mine", "vec_ann_ivf_pq",
     "pipeline_hybrid_rrf", "emb_dedup_incremental",
-    # NOT here: emb_dedup_cosine_lsh / emb_dedup_clusters — measured
-    # 69 s / 80 s at 10x (20k vectors) after the ids-only band join
-    # (was 359 s with embeddings riding the candidate shuffles): the
-    # fixture's 0.45 threshold forces 4-bit bands whose 16-value
-    # bucket space is quadratic in n, so at THIS threshold/scale the
-    # exact tiled emb_dedup_cosine (14.7 s) still dominates.
-    # Production thresholds flip the comparison via wider bands; see
-    # the band-width math in llm/dedup.py and SCALE.md.
+    # r4: emb_dedup_cosine_lsh / emb_dedup_clusters rejoin the sweep —
+    # the dup-group collapse + per-band cap dropped them 69 s / 80 s
+    # -> 7.4 s / 4.7 s at 10x (they were excluded in r2/r3 because the
+    # 0.45-threshold 4-bit bands made their buckets quadratic in n).
+    "emb_dedup_cosine_lsh", "emb_dedup_clusters",
 ]
 
 
