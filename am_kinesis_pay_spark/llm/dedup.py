@@ -1844,3 +1844,126 @@ def emb_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("matched_vec"),
         )
     )
+
+
+# --- Exact duplicated-substring spans (Lee et al. 2022) ----------------
+
+_SUBSTR_L = 64  # gram length (chars)
+_SUBSTR_S = 16  # gram stride (chars); S < L so adjacent grams overlap
+
+_SUBSTR_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) >= {_SUBSTR_L}
+), grams AS (
+  SELECT doc_id, CAST(1 + i * {_SUBSTR_S} AS BIGINT) AS p,
+    md5(substr(text, 1 + i * {_SUBSTR_S}, {_SUBSTR_L})) AS key
+  FROM (SELECT doc_id, text, n,
+          unnest(range(0, (n - {_SUBSTR_L}) // {_SUBSTR_S} + 1)) AS i
+        FROM d)
+), keycnt AS (
+  SELECT key, COUNT(*) AS c FROM grams GROUP BY key
+), dup AS (
+  SELECT g.doc_id, g.p
+  FROM grams g JOIN keycnt k ON k.key = g.key AND k.c >= 2
+), flags AS (
+  SELECT doc_id, p,
+    CASE WHEN p > COALESCE(MAX(p + {_SUBSTR_L - 1}) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         THEN 1 ELSE 0 END AS new_island
+  FROM dup
+), isl AS (
+  SELECT doc_id, p,
+    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM flags
+)
+SELECT doc_id,
+  CAST(MIN(p) AS BIGINT) AS span_start,
+  CAST(MAX(p) + {_SUBSTR_L - 1} - MIN(p) + 1 AS BIGINT) AS span_len,
+  COUNT(*) AS n_grams
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@register("text_dedup_substring", oracle=_SUBSTR_ORACLE, tags=("llm", "dedup"))
+def text_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SUBSTRING span detection — the character-level
+    dedup of Lee et al. 2022 (arXiv:2107.06499, 'Deduplicating
+    Training Data Makes Language Models Better'), which removes
+    repeated SPANS rather than whole near-dup documents: boilerplate
+    headers, license blocks, and quoted passages that document-level
+    MinHash leaves in place. The reference paper builds a corpus
+    suffix array; the Spark-first equivalent is stride-gram flagging:
+    every {L}-char gram at stride {S} is keyed by md5, a gram is
+    duplicated when its content occurs >= 2 times ANYWHERE in the
+    corpus (including within one document), and each doc's duplicated
+    gram intervals merge into maximal spans with a per-doc
+    gaps-and-islands window. Returns (doc_id, span_start, span_len,
+    n_grams) per maximal duplicated span.
+
+    Scale shape: NO pair set ever exists — the only corpus-sized
+    shuffles are the gram count (map-side partial agg on the md5 key)
+    and the semi-join flagging duplicated occurrences; island merging
+    windows over each doc's own grams (len/{S} rows). Linear in corpus
+    at any duplication structure — a 10,000-copy boilerplate block
+    costs 10,000 flagged grams, not 10^8 pairs — which is exactly why
+    substring dedup is the scalable complement to pairwise near-dup.
+    Stride trades recall for cost: spans shorter than L + S - 1 chars
+    can slip between grams (the documented Lee-et-al. tradeoff knob;
+    S=1 is the exact suffix-array recall at {S}x the gram count)."""
+    docs = load(spark, sf_dir, "documents")
+    L, S = _SUBSTR_L, _SUBSTR_S
+    d = docs.select("doc_id", "text", F.length("text").alias("n")).filter(
+        F.col("n") >= L
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, int((n - {L}) div {S}))")
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        (F.lit(1) + F.col("i") * S).cast("bigint").alias("p"),
+        F.md5(F.expr(f"substr(text, 1 + i * {S}, {L})")).alias("key"),
+    )
+    keycnt = grams.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
+    dup = grams.join(
+        keycnt.filter(F.col("c") >= 2).select("key"), "key", "left_semi"
+    ).select("doc_id", "p")
+    w_prev = W.partitionBy("doc_id").orderBy("p").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    flags = dup.select(
+        "doc_id",
+        "p",
+        F.when(
+            F.col("p")
+            > F.coalesce(
+                F.max(F.col("p") + (L - 1)).over(w_prev), F.lit(-1)
+            )
+            + 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    isl = flags.select(
+        "doc_id",
+        "p",
+        F.sum("new_island")
+        .over(W.partitionBy("doc_id").orderBy("p"))
+        .alias("island"),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("p").cast("bigint").alias("span_start"),
+            (F.max("p") + (L - 1) - F.min("p") + 1)
+            .cast("bigint")
+            .alias("span_len"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_grams")
+    )

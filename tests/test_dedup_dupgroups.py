@@ -131,6 +131,7 @@ def dup_ducks(dup_dir):
         "text_dedup_ngram",
         "emb_dedup_cosine_lsh",
         "emb_dedup_clusters",
+        "text_dedup_substring",
     ],
 )
 def test_family_parity_on_dup_heavy_corpus(spark, dup_dir, dup_ducks, name):

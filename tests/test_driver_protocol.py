@@ -129,3 +129,21 @@ def test_rotated_driver_protocol(spark, driver_duck, name):
     assert _value_hash(srows, s_order) == _value_hash(drows, d_order), (
         f"{name}: value hash (driver-style) mismatch"
     )
+
+
+def _rows_only_rotation() -> list:
+    """Date-seeded sample of the no-oracle queries (the driver records
+    a weaker rows-only check for these — emulate that too)."""
+    rows_only = sorted(n for n in queries() if REGISTRY[n].oracle is None)
+    seed = "rows:" + datetime.date.today().isoformat()
+    rng = random.Random(seed)
+    return rng.sample(rows_only, min(4, len(rows_only)))
+
+
+@pytest.mark.parametrize("name", _rows_only_rotation())
+def test_rotated_rows_only_protocol(spark, name):
+    """The driver's rows-only fallback for no-oracle queries: the query
+    must run at the driver's sf0.01 and yield a well-formed frame."""
+    df = queries()[name](spark, DRIVER_SF_DIR)
+    assert df.count() >= 0
+    assert df.columns
