@@ -1165,6 +1165,9 @@ GROUP BY doc_id
 )
 
 
+_LP_MAX_ROUNDS = 200
+
+
 def _min_label_components(pairs: DataFrame, a: str, b: str, id_col: str) -> DataFrame:
     """Connected components by min-label propagation over an undirected
     pair list: every node starts as its own label, each round adopts
@@ -1191,7 +1194,14 @@ def _min_label_components(pairs: DataFrame, a: str, b: str, id_col: str) -> Data
     labels = edges.select(F.col("src").alias(id_col)).distinct().withColumn(
         "cluster_id", F.col(id_col)
     )
-    for it in range(20):  # diameter bound; tiny graphs converge in 2-3
+    # Min-label propagation advances one hop per round, so convergence
+    # needs up to DIAMETER rounds — loop until a fixpoint, never a
+    # fixed count (a 25-group chain under a 20-round cap would return
+    # wrong labels SILENTLY). The hard cap below only guards against a
+    # runaway loop and fails LOUDLY; graphs with diameters anywhere
+    # near it should switch to pointer-doubling (large-star/small-star)
+    # which converges in O(log n) rounds.
+    for it in range(_LP_MAX_ROUNDS):
         neighbor_min = (
             edges.join(labels, edges.dst == labels[id_col])
             .groupBy(F.col("src").alias(id_col))
@@ -1220,6 +1230,13 @@ def _min_label_components(pairs: DataFrame, a: str, b: str, id_col: str) -> Data
             )
             if changed == 0:
                 break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"label propagation did not converge in {_LP_MAX_ROUNDS} "
+            "rounds — component diameter exceeds the cap; use "
+            "pointer-doubling for this graph"
+        )
     edges.unpersist()
     return labels
 

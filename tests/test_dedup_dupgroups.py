@@ -196,3 +196,33 @@ def test_sub_shingle_dup_group_emits_nothing(spark, dup_dir):
         f"doc_a >= {lo} and doc_a < {lo + 5}"
     )
     assert out.count() == 0
+
+
+def test_label_propagation_converges_on_long_chains(spark):
+    """Min-label propagation advances one hop per round, so a chain of
+    n groups needs ~n rounds — the old fixed 20-round cap returned
+    WRONG labels silently for diameter > 20. Pin a 35-node chain (plus
+    a disjoint triangle) against a pure-Python union-find."""
+    pairs = [(i, i + 1) for i in range(35)] + [(100, 101), (101, 102), (100, 102)]
+    df = spark.createDataFrame(pairs, "a bigint, b bigint")
+    got = {
+        r.node: r.cluster_id
+        for r in D._min_label_components(df, "a", "b", "node").collect()
+    }
+    # union-find ground truth
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_nodes = {x for p in pairs for x in p}
+    want = {x: find(x) for x in want_nodes}
+    assert got == want
