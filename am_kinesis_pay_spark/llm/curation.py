@@ -1124,3 +1124,196 @@ def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bench), "nk")
         .select("doc_id", "bench_doc", "jaccard")
     )
+
+
+# Distributed quality-classifier training (the learned gate that
+# text_classifier_score applies): hashing-trick feature dim, full-batch
+# GD rounds, unit learning rate over the mean gradient. All quantized
+# state is FIXED-POINT BIGINT — see the docstring's determinism note.
+_CLF_BUCKETS = 32
+_CLF_ROUNDS = 4
+# fixed-point scales: weights/gradients 1e-12, logit terms 1e-9,
+# predictions 1e-6
+_CLF_WS = 1_000_000_000_000
+_CLF_LS = 1_000_000_000
+_CLF_PS = 1_000_000
+
+
+def _clf_train_oracle() -> str:
+    """Replay the full GD trace in SQL: one CTE pair (predictions,
+    gradient) plus a weight-update CTE per round, chained from w0=0.
+    Weights travel as scale-1e-12 BIGINTs; every float step is the
+    same explicitly-written IEEE expression the Spark side uses."""
+    parts = [
+        f"""
+WITH toks AS (
+  SELECT d.doc_id, CAST(d.lang = 'en' AS INT) AS y, t.token
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+  WHERE t.token <> ''
+), xb AS (
+  SELECT doc_id, y,
+    CAST(('0x' || substr(md5(token), 1, 4)) AS INTEGER) % {_CLF_BUCKETS} AS j,
+    COUNT(*) AS cnt
+  FROM toks GROUP BY doc_id, y, j
+), X AS (
+  SELECT doc_id, y, j,
+    CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY doc_id) AS x
+  FROM xb
+), n AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM X
+), w0 AS (
+  SELECT CAST(t.j AS INT) AS j, CAST(0 AS BIGINT) AS ws
+  FROM range(0, {_CLF_BUCKETS}) t(j)
+)"""
+    ]
+    for r in range(1, _CLF_ROUNDS + 1):
+        parts.append(
+            f""", p{r} AS (
+  SELECT X.doc_id, X.y,
+    CAST(floor({_CLF_PS}.0 / (1.0 + exp(-(
+      CAST(SUM(CAST(floor(
+        (CAST(w.ws AS DOUBLE) / {_CLF_WS}.0) * X.x * {_CLF_LS}.0 + 0.5
+      ) AS BIGINT)) AS DOUBLE) / {_CLF_LS}.0))) + 0.5) AS BIGINT) AS ps
+  FROM X JOIN w{r - 1} w USING (j)
+  GROUP BY X.doc_id, X.y
+), g{r} AS (
+  SELECT X.j,
+    SUM(CAST(floor(
+      (CAST(p.ps AS DOUBLE) / {_CLF_PS}.0 - p.y) * X.x / n.n * {_CLF_WS}.0
+      + 0.5) AS BIGINT)) AS gs
+  FROM X JOIN p{r} p USING (doc_id), n
+  GROUP BY X.j
+), w{r} AS (
+  SELECT w.j, w.ws - COALESCE(g.gs, 0) AS ws
+  FROM w{r - 1} w LEFT JOIN g{r} g USING (j)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT j AS bucket, CAST(ws AS DOUBLE) / {_CLF_WS}.0 AS weight
+FROM w{_CLF_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "text_classifier_train",
+    oracle=_clf_train_oracle(),
+    tags=("llm", "curation"),
+)
+def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the fastText-style quality classifier that
+    ``text_classifier_score`` applies: logistic regression over
+    hashing-trick bag-of-words features (Weinberger et al. 2009; the
+    learned-gate shape of the CCNet/GPT-3 quality filters), fit by
+    full-batch gradient descent — label y = (lang = 'en'), 32 hash
+    buckets, mean-pooled token counts, 4 rounds, unit learning rate on
+    the mean gradient, zero-initialised weights.
+
+    Distribution shape: the featurized frame X(doc_id, y, bucket, x)
+    is built once (one explode + one per-doc-bucket count) and
+    persisted; every GD round is then two aggregations over X —
+    per-doc logits under the current weights (inlined as a broadcast
+    array literal, map-side element_at), and the per-bucket gradient —
+    ending in a D-row collect (D=32 longs; the bounded-artifact class
+    PLANSTATS documents for bpe_train's 1-row argmax and emb_kmeans'
+    centroids). The only driver work per round is subtracting a
+    32-element integer gradient.
+
+    Determinism discipline (what makes an ITERATIVE float recurrence
+    oracle-checkable when emb_kmeans/pca cannot be): all quantized
+    state is FIXED-POINT BIGINT. Weights live as scale-1e-12 integers;
+    each logit term, prediction, and gradient term is quantized by an
+    explicit ``floor(v * 10^s + 0.5)`` written as the SAME IEEE
+    multiply/add/floor expression in both engines, and accumulated in
+    exact integer sums (order-free). ``round(double, s)`` is banned
+    from this path on measurement: Spark rounds the shortest decimal
+    representation (BigDecimal.valueOf) while DuckDB rounds the scaled
+    binary, and on ratio-of-small-int populations they disagree on
+    ~1.2e-3 of values at scale 9 (~5e-6 at scale 6) — fatal once a
+    recurrence feeds drift back through exp(). With explicit floors
+    the only cross-engine surface is exp() itself, and a flip needs
+    the scaled sigmoid within one ulp of an integer boundary
+    (~1e-10/value). The oracle replays all 4 rounds as chained CTEs
+    over BIGINT weight columns.
+
+    At 100 TB: X is corpus-sized but three-columns-thin and persisted
+    once; each round shuffles only doc-count rows into D buckets with
+    map-side partial aggregation, and the model artifact (D longs) is
+    the only thing that ever reaches the driver. k rounds = k bounded
+    jobs — mini-batching/AdaGrad change the update arithmetic, not
+    this plan shape.
+
+    Reference parity: learns the gate kinesis-pay.php:520-537's
+    validator chain hard-codes — a trained accept/reject score over
+    record features."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    j = (
+        F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("int")
+        % _CLF_BUCKETS
+    )
+    xb = toks.groupBy("doc_id", "y", j.alias("j")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n_doc = xb.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
+    X = xb.join(n_doc, "doc_id").select(
+        "doc_id", "y", "j", (F.col("cnt") / F.col("n_tok")).alias("x")
+    )
+    X = X.persist()
+    try:
+        n_docs = float(X.select("doc_id").distinct().count())
+        ws = [0] * _CLF_BUCKETS  # scale-1e-12 fixed-point weights
+        for _ in range(_CLF_ROUNDS):
+            warr = F.array(*[F.lit(v / _CLF_WS) for v in ws])
+            lterm = F.floor(
+                F.element_at(warr, F.col("j") + 1)
+                * F.col("x")
+                * float(_CLF_LS)
+                + 0.5
+            )
+            p = (
+                X.groupBy("doc_id", "y")
+                .agg(F.sum(lterm).alias("ls"))
+                .select(
+                    "doc_id",
+                    "y",
+                    F.floor(
+                        float(_CLF_PS)
+                        / (
+                            F.lit(1.0)
+                            + F.exp(
+                                -(
+                                    F.col("ls").cast("double")
+                                    / float(_CLF_LS)
+                                )
+                            )
+                        )
+                        + 0.5
+                    ).alias("ps"),
+                )
+            )
+            gterm = F.floor(
+                (F.col("ps").cast("double") / float(_CLF_PS) - F.col("y"))
+                * F.col("x")
+                / n_docs
+                * float(_CLF_WS)
+                + 0.5
+            )
+            grad = (
+                X.join(p.select("doc_id", "ps"), "doc_id")
+                .groupBy("j")
+                .agg(F.sum(gterm).alias("gs"))
+            )
+            gmap = {r["j"]: r["gs"] for r in grad.collect()}
+            ws = [ws[b] - gmap.get(b, 0) for b in range(_CLF_BUCKETS)]
+    finally:
+        X.unpersist()
+    return spark.createDataFrame(
+        [(b, ws[b] / _CLF_WS) for b in range(_CLF_BUCKETS)],
+        "bucket int, weight double",
+    )

@@ -1501,3 +1501,120 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_count",
         )
     )
+
+
+@register(
+    "text_ccnet_buckets",
+    oracle="""
+WITH toks AS (
+  SELECT d.doc_id, d.lang, t.token
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+  WHERE t.token <> ''
+), vocab AS (
+  SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+), total AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab
+), scored AS (
+  SELECT t.doc_id, t.lang,
+    CAST(round(-ln(v.c / total.n), 6) AS DECIMAL(18,6)) AS nll
+  FROM toks t JOIN vocab v USING (token), total
+), perdoc AS (
+  SELECT doc_id, lang,
+    round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+  FROM scored GROUP BY doc_id, lang
+), grp AS (
+  SELECT lang, avg_nll, COUNT(*) AS cnt FROM perdoc GROUP BY lang, avg_nll
+), cum AS (
+  SELECT lang, avg_nll,
+    SUM(cnt) OVER (PARTITION BY lang ORDER BY avg_nll
+      ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(cnt) OVER (PARTITION BY lang) AS n_lang
+  FROM grp
+), lab AS (
+  SELECT lang, avg_nll,
+    CASE WHEN cum <= n_lang / 3.0 THEN 'head'
+         WHEN cum <= 2 * n_lang / 3.0 THEN 'middle'
+         ELSE 'tail' END AS ppl_bucket
+  FROM cum
+)
+SELECT p.doc_id, p.lang, p.avg_nll, l.ppl_bucket
+FROM perdoc p JOIN lab l ON p.lang = l.lang AND p.avg_nll = l.avg_nll
+""",
+    tags=("llm", "text", "quality"),
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020, arXiv:1911.00359
+    §4.3): score every document by its language-model perplexity (here
+    the corpus unigram avg-NLL, the same model as ``text_unigram_nll``),
+    then split EACH LANGUAGE into head/middle/tail terciles by
+    cumulative document count over ordered scores — the standard
+    pretraining-corpus quality partition (head = most fluent third).
+    Tie handling is value-threshold semantics: documents with an
+    identical (rounded) score always land in the same bucket, so the
+    assignment is deterministic and engine-independent — unlike NTILE,
+    which splits ties by physical row order.
+
+    Scale shape: the per-doc NLL is the ``text_unigram_nll`` plan (one
+    explode+count, a broadcast vocabulary join, one per-doc aggregate).
+    The tercile boundary computation then runs on the VALUE-GROUP frame
+    — distinct (lang, rounded-score) pairs, bounded by languages × 1e7
+    six-decimal score values and in practice vocabulary-tiny — never a
+    per-document global sort (the same prefix-sum-over-buckets rewrite
+    that replaced NTILE in agg_decile_lift). Labels broadcast back onto
+    the per-doc frame. CCNet itself derives cutoffs from a sample; the
+    exact value-group form here is strictly stronger and no more
+    expensive than one small window. The per-doc score subtree appears
+    twice in the logical plan (probe side + boundary side); at runtime
+    ReusedExchange collapses the duplicates (verified: 2 reuse nodes in
+    the executed plan), so the corpus is scanned once — the same
+    pattern PLANSTATS documents for graph_pagerank.
+
+    Reference parity: generalizes kinesis-pay.php:468-485 (best-rate
+    tiering of providers) from payment rows to corpus documents."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        toks.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(-F.log(F.col("c") / F.col("n")), 6)
+            .cast("decimal(18,6)")
+            .alias("nll"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.sum("nll").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_nll")
+    )
+    grp = perdoc.groupBy("lang", "avg_nll").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        W.partitionBy("lang")
+        .orderBy("avg_nll")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("lang")
+    lab = grp.select(
+        "lang",
+        "avg_nll",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n_lang"),
+    ).select(
+        "lang",
+        "avg_nll",
+        F.when(F.col("cum") <= F.col("n_lang") / 3.0, F.lit("head"))
+        .when(F.col("cum") <= 2 * F.col("n_lang") / 3.0, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+    return perdoc.join(F.broadcast(lab), ["lang", "avg_nll"]).select(
+        "doc_id", "lang", "avg_nll", "ppl_bucket"
+    )

@@ -205,3 +205,44 @@ def test_keep_best_selects_one_longest_doc_per_cluster(spark):
         assert len(kept) == 1, f"cluster {cid}: {len(kept)} kept"
         assert docs[kept[0].doc_id] == max(docs[m.doc_id] for m in members)
         assert all(m.cluster_size == len(members) for m in members)
+
+
+def test_classifier_train_reduces_logloss(spark):
+    """The trained weights must beat the zero-weight baseline (mean
+    logloss ln 2) on the training objective — i.e. the distributed GD
+    actually descends — and the trace must be run-to-run deterministic
+    (fixed-point BIGINT discipline leaves no float-order freedom)."""
+    import math
+
+    from am_kinesis_pay_spark.registry import queries
+    from am_kinesis_pay_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    w = {r.bucket: r.weight for r in
+         queries()["text_classifier_train"](spark, SF_DIR).collect()}
+    assert len(w) == 32
+    assert any(v != 0.0 for v in w.values())
+
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    import hashlib
+
+    losses = []
+    for r in docs:
+        toks = [t for t in r.text.split(" ") if t]
+        if not toks:
+            continue
+        feats: dict[int, int] = {}
+        for t in toks:
+            j = int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % 32
+            feats[j] = feats.get(j, 0) + 1
+        logit = sum(w[j] * c / len(toks) for j, c in feats.items())
+        y = 1 if r.lang == "en" else 0
+        p = 1.0 / (1.0 + math.exp(-logit))
+        losses.append(-(y * math.log(p) + (1 - y) * math.log(1.0 - p)))
+    assert sum(losses) / len(losses) < math.log(2)
+
+    again = {r.bucket: r.weight for r in
+             queries()["text_classifier_train"](spark, SF_DIR).collect()}
+    assert again == w
