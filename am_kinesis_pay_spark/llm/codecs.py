@@ -2387,3 +2387,127 @@ def mm_codec_mp4_container(spark: SparkSession, sf_dir: str) -> DataFrame:
         mm_binary_ingest_impl(spark, sf_dir).filter(F.col("mime") == "video/mp4")
     )
     return binary.mapInPandas(mp4_roundtrip, _MP4_ROUNDTRIP_SCHEMA)
+
+
+_MJPEG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frames_ok", T.IntegerType()),
+        T.StructField("side", T.IntegerType()),
+        T.StructField("within_tol", T.BooleanType()),
+    ]
+)
+
+_MJPEG_FRAMES = 4
+
+
+def mjpeg_roundtrip(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Full VIDEO encode->mux->demux->decode: slice each payload into 4
+    grayscale frames (a sliding window over the bytes — cheap synthetic
+    motion), encode every frame as a genuine baseline JPEG, mux the
+    frames into a real ISO BMFF container, then demux with the
+    validating box walk and decode every recovered sample with the
+    independent T.81 parser. Corruption is CODEC-level this time (the
+    mdat-size case is mm_codec_mp4_container's): doc_id % 31 == 0 blobs
+    get frame 0's SOI magic clobbered INSIDE the muxed stream, so the
+    container walk still succeeds and exactly one frame quarantines —
+    the per-frame error isolation a real video ingest needs (one bad
+    GOP must not kill the file)."""
+    for pdf in pdfs:
+        out: dict[str, list] = {k.name: [] for k in _MJPEG_SCHEMA.fields}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+            q = len(raw) // _MJPEG_FRAMES
+            side = int(q**0.5)
+            if side < 1:
+                continue
+            frames = [
+                encode_jpeg(
+                    raw[f * q : f * q + side * side].reshape(side, side)
+                )
+                for f in range(_MJPEG_FRAMES)
+            ]
+            if doc_id % _CORRUPT_MOD == 0:
+                frames[0] = b"XX" + frames[0][2:]
+            blob = encode_mp4(frames)
+            try:
+                meta, got = decode_mp4(blob)
+            except ValueError:
+                out["doc_id"].append(doc_id)
+                out["container"].append("corrupt")
+                out["n_frames"].append(None)
+                out["frames_ok"].append(None)
+                out["side"].append(None)
+                out["within_tol"].append(None)
+                continue
+            ok = 0
+            tol = True
+            for f, sample in enumerate(got):
+                try:
+                    _, gray = decode_jpeg(sample)
+                except ValueError:
+                    continue
+                src = raw[f * q : f * q + side * side].reshape(side, side)
+                err = int(
+                    np.abs(
+                        gray.astype(np.int64) - src.astype(np.int64)
+                    ).max()
+                )
+                ok += 1
+                tol = tol and err <= JPEG_TOL
+            out["doc_id"].append(doc_id)
+            out["container"].append("mjpeg")
+            out["n_frames"].append(meta["n_samples"])
+            out["frames_ok"].append(ok)
+            out["side"].append(side)
+            out["within_tol"].append(tol)
+        yield pd.DataFrame(out)
+
+
+_MJPEG_ORACLE = f"""
+WITH vids AS (
+  SELECT doc_id,
+    CAST(floor(sqrt(octet_length(encode(text)) // {_MJPEG_FRAMES})) AS INT)
+      AS side
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+  'mjpeg' AS container,
+  CAST({_MJPEG_FRAMES} AS INT) AS n_frames,
+  CAST(CASE WHEN doc_id % {_CORRUPT_MOD} = 0
+    THEN {_MJPEG_FRAMES - 1} ELSE {_MJPEG_FRAMES} END AS INT) AS frames_ok,
+  side,
+  TRUE AS within_tol
+FROM vids WHERE side >= 1
+"""
+
+
+@register(
+    "mm_codec_mjpeg_video",
+    oracle=_MJPEG_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
+def mm_codec_mjpeg_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END VIDEO, no library at any layer: MJPEG-in-MP4 — the
+    real format where every sample is an independent baseline JPEG —
+    composed from this repo's own from-scratch pieces: per-frame T.81
+    encode (DCT + quant + Huffman), genuine ISO BMFF mux with full
+    sample tables, the validating demux walk, and the independent
+    T.81 decoder on every recovered sample. The oracle checks demuxed
+    frame count, per-frame decode success (a codec-corrupted frame
+    quarantines ALONE — container and sibling frames survive, the
+    error-isolation contract of video ingest), exact frame dims, and
+    the lossy bounded-error contract on every healthy frame. With
+    this, video joins audio (ADPCM WAV) and images (PNG/GIF/JPEG/BMP)
+    as decode-for-real by default; what remains gated is only
+    inter-frame predictive codecs (H.264/H.265 — motion compensation +
+    CABAC), which no from-scratch sprint should fake. Map-only over
+    Arrow batches; blobs never shuffle."""
+    binary = _spread(
+        mm_binary_ingest_impl(spark, sf_dir).filter(
+            F.col("mime") == "video/mp4"
+        )
+    )
+    return binary.mapInPandas(mjpeg_roundtrip, _MJPEG_SCHEMA)

@@ -130,7 +130,9 @@ def _container_decode(payload: bytes) -> bytes | None:
     pixels feed the histogram head, which tolerates the lossy
     roundtrip because features come from whatever the decoder yields,
     not from a bit-exact contract. IMA-ADPCM WAV decodes for real too
-    (decode_wav dispatches on wFormatTag). Only MP4 still needs
+    (decode_wav dispatches on wFormatTag), and MP4 whose samples are
+    all JPEG (MJPEG) decodes end-to-end: demux + per-frame T.81.
+    Only inter-frame predictive video codecs (H.264/H.265) still need
     USE_REAL_CODECS plus a codec library."""
     from am_kinesis_pay_spark.llm import codecs
 
@@ -152,10 +154,15 @@ def _container_decode(payload: bytes) -> bytes | None:
             _, gray = codecs.decode_jpeg(b)
             return gray.tobytes()
         if len(b) >= 8 and b[4:8] == b"ftyp":
-            # real ISO BMFF demux: concatenated sample bytes (the
-            # codec inside the samples stays gated; the container
-            # walk and frame extraction are genuine)
+            # real ISO BMFF demux; MJPEG samples (every frame sniffs
+            # as JPEG) decode fully through the T.81 parser — true
+            # video decode. Other sample codecs (H.264 etc.) stay
+            # gated: their concatenated sample bytes feed the head.
             _, frames = codecs.decode_mp4(b)
+            if frames and all(f[:2] == b"\xff\xd8" for f in frames):
+                return b"".join(
+                    codecs.decode_jpeg(f)[1].tobytes() for f in frames
+                )
             return b"".join(frames)
     except ValueError:
         return None

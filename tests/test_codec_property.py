@@ -460,3 +460,70 @@ def test_mp4_sniff_decode_default():
 
     frames = [b"alpha", b"", b"beta" * 50]
     assert _container_decode(encode_mp4(frames)) == b"".join(frames)
+
+
+# --- MJPEG-in-MP4 video -------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=255), min_size=64, max_size=64
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_mjpeg_video_roundtrip(pix: list, n_frames: int):
+    """mux(encode_jpeg(frame_i)) -> demux -> decode_jpeg(sample_i) must
+    recover every frame within the JPEG quantization bound, any frame
+    count — the full video pipeline with no codec library."""
+    from am_kinesis_pay_spark.llm.codecs import (
+        JPEG_TOL,
+        decode_jpeg,
+        decode_mp4,
+        encode_jpeg,
+        encode_mp4,
+    )
+
+    frame = np.array(pix, dtype=np.uint8).reshape(8, 8)
+    frames = [
+        np.clip(frame.astype(np.int32) + 7 * i, 0, 255).astype(np.uint8)
+        for i in range(n_frames)
+    ]
+    blob = encode_mp4([encode_jpeg(f) for f in frames])
+    meta, got = decode_mp4(blob)
+    assert meta["n_samples"] == n_frames
+    for src, sample in zip(frames, got):
+        _, gray = decode_jpeg(sample)
+        assert gray.shape == (8, 8)
+        assert int(np.abs(gray.astype(np.int64) - src.astype(np.int64)).max()) <= JPEG_TOL
+
+
+def test_mjpeg_container_decode_dispatch():
+    """_container_decode must fully decode an all-JPEG-sample MP4 to
+    pixel bytes (true video decode), fall back to raw sample bytes for
+    non-JPEG samples, and reject a broken JPEG sample to the byte-level
+    path (None) rather than half-decoding."""
+    from am_kinesis_pay_spark.llm.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_mp4,
+    )
+    from am_kinesis_pay_spark.llm.multimodal import _container_decode
+
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, (16, 16)).astype(np.uint8) for _ in range(3)
+    ]
+    jpegs = [encode_jpeg(f) for f in frames]
+    blob = encode_mp4(jpegs)
+    decoded = _container_decode(blob)
+    assert decoded == b"".join(
+        decode_jpeg(j)[1].tobytes() for j in jpegs
+    )
+    assert len(decoded) == 3 * 16 * 16
+
+    raw_blob = encode_mp4([b"plain text sample", b"another one"])
+    assert _container_decode(raw_blob) == b"plain text sampleanother one"
+
+    bad = encode_mp4([jpegs[0], b"\xff\xd8corrupt-not-a-jpeg"])
+    assert _container_decode(bad) is None
