@@ -39,6 +39,9 @@ DOCS_QUERIES = [
     "mm_codec_gif_roundtrip", "text_decontaminate_fuzzy",
     "mm_codec_jpeg_roundtrip", "text_gopher_rules", "text_bpe_train",
     "text_bpe_encode",
+    # r4 additions: perplexity terciles, distributed GD trainer, and
+    # the MJPEG video pipeline (frames never shuffle; map-only)
+    "text_ccnet_buckets", "text_classifier_train", "mm_codec_mjpeg_video",
 ]
 FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
