@@ -70,3 +70,55 @@ def test_fixed_point_damping_matches_engines(mass: int):
         [mass, mass],
     ).fetchone()[0]
     assert got == (17 * mass) // 20
+
+
+# --- fixed-point floor quantization (the iterative-query discipline) ----
+#
+# text_classifier_train's oracle-checkability rests on this claim:
+# floor(v * 10^s + 0.5) is the SAME IEEE op chain in both engines, so
+# unlike round(double, s) — where Spark rounds the shortest decimal
+# repr while DuckDB rounds the scaled binary, disagreeing on ~1.2e-3
+# of ratio-of-small-int values at scale 9 — the floor form cannot
+# drift. Pin both halves: floor agreement on the adversarial
+# population, and the round() disagreement staying nonzero (if an
+# engine change ever makes round() safe, we want to KNOW — the
+# comment in curation.py would then overstate the hazard).
+
+
+def test_fixed_point_floor_agrees_where_round_disagrees(spark):
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    n = 120_000
+    a = rng.integers(1, 60, n)
+    b = rng.integers(1, 60, n)
+    w = np.round(rng.uniform(-0.05, 0.05, n), 9)
+    vals = w * (a / b)
+
+    con.register("fpvals", pa.table({"v": vals}))
+    d_floor = con.execute(
+        "SELECT CAST(floor(v * 1000000000.0 + 0.5) AS BIGINT) FROM fpvals"
+    ).fetchnumpy()
+    d_floor = next(iter(d_floor.values()))
+    d_round = con.execute(
+        "SELECT round(v, 9) FROM fpvals"
+    ).fetchnumpy()
+    d_round = next(iter(d_round.values()))
+
+    sdf = spark.createDataFrame(pa.table({"v": vals}).to_pandas())
+    s_rows = sdf.select(
+        F.floor(F.col("v") * 1000000000.0 + 0.5).alias("f"),
+        F.round("v", 9).alias("r"),
+    ).collect()
+    s_floor = np.array([r["f"] for r in s_rows])
+    s_round = np.array([r["r"] for r in s_rows])
+
+    assert int(np.sum(d_floor != s_floor)) == 0
+    n_round_diff = int(np.sum(d_round != s_round))
+    assert n_round_diff > 0, (
+        "round(double, 9) now agrees cross-engine on the adversarial "
+        "population — revisit the fixed-point rationale in "
+        "llm/curation.py (text_classifier_train)"
+    )
