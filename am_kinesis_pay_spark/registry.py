@@ -53,6 +53,7 @@ def _load_all() -> None:
         filters,
         integration,
         joins,
+        linkage,
         maintenance,
         setops,
         sorts,
