@@ -11,7 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from am_kinesis_pay_spark.functions.compat import dsum
+from am_kinesis_pay_spark.functions.compat import dec, dsum
 
 
 from am_kinesis_pay_spark.registry import register
@@ -2024,4 +2024,285 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("peak_abs"), 6).alias("max_abs_cusum"),
             F.round(F.max("mu"), 6).alias("mean_daily"),
         )
+    )
+
+
+# Out-of-fold target encoding: smoothing mass and fold count (the
+# leakage-safe high-cardinality categorical encoder).
+_TE_FOLDS = 5
+_TE_M = 20.0
+
+
+@register(
+    "fe_target_encoding",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id % {_TE_FOLDS} AS fold,
+    CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+), per AS (
+  SELECT user_id, fold, COUNT(*) AS n_f, SUM(v) AS s_f
+  FROM ev GROUP BY user_id, fold
+), tot AS (
+  SELECT user_id, CAST(SUM(n_f) AS BIGINT) AS n_u, SUM(s_f) AS s_u
+  FROM per GROUP BY user_id
+), prior AS (
+  SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) AS p FROM ev
+)
+SELECT per.user_id, CAST(per.fold AS BIGINT) AS fold,
+  CAST(per.n_f AS BIGINT) AS n_in_fold,
+  tot.n_u - per.n_f AS n_out_of_fold,
+  (CAST(tot.s_u - per.s_f AS DOUBLE) + {_TE_M} * prior.p)
+    / (tot.n_u - per.n_f + {_TE_M}) AS te
+FROM per JOIN tot USING (user_id), prior
+""",
+    tags=("feature", "agg"),
+)
+def fe_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe target encoding (the high-cardinality categorical
+    encoder behind every tabular GBM/CTR pipeline; Micci-Barreca 2001
+    smoothing): encode user_id by the smoothed mean of the target
+    (event value) computed OUT-OF-FOLD — each (user, fold) cell's
+    encoding excludes that fold's own rows, te = (sum_out + m*prior) /
+    (n_out + m), m=20 — so the feature a training row sees never
+    contains its own label. Folds are deterministic (event_id % 5).
+
+    Determinism: all sums are exact DECIMAL (the repo's money
+    convention) and the out-of-fold numerator is computed by exact
+    decimal SUBTRACTION (total minus in-fold) — never a second float
+    accumulation — so the one double division happens on bit-identical
+    operands in both engines; no rounding step anywhere.
+
+    Scale shape: one groupBy to (user, fold) — the same shuffle a
+    plain per-user aggregate needs, ×5 fold cells — one re-aggregation
+    of that already-small frame to per-user totals, a 1-row prior
+    broadcast, and a broadcast-sized join back. The encoding table
+    (users × folds) is what ships to the feature store; the per-row
+    training join is a broadcast probe. The subtract-own-fold trick is
+    what makes out-of-fold affordable at 100 TB — the naive
+    per-fold-recompute is a 5× corpus scan."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("event_id") % _TE_FOLDS).alias("fold"),
+        dec("value", 2).alias("v"),
+    )
+    per = ev.groupBy("user_id", "fold").agg(
+        F.count(F.lit(1)).alias("n_f"), F.sum("v").alias("s_f")
+    )
+    tot = per.groupBy("user_id").agg(
+        F.sum("n_f").cast("bigint").alias("n_u"),
+        F.sum("s_f").alias("s_u"),
+    )
+    prior = ev.agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("p")
+    )
+    return (
+        per.join(tot, "user_id")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "user_id",
+            F.col("fold").cast("bigint").alias("fold"),
+            F.col("n_f").cast("bigint").alias("n_in_fold"),
+            (F.col("n_u") - F.col("n_f")).alias("n_out_of_fold"),
+            (
+                (
+                    (F.col("s_u") - F.col("s_f")).cast("double")
+                    + F.lit(_TE_M) * F.col("p")
+                )
+                / (F.col("n_u") - F.col("n_f") + F.lit(_TE_M))
+            ).alias("te"),
+        )
+    )
+
+
+# Seasonal decomposition: centered moving-average window (must be odd)
+# and the weekly season the day-of-week means capture.
+_STL_W = 7
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), tr AS (
+  SELECT event_type, day, n,
+    CASE WHEN COUNT(*) OVER w = {_STL_W}
+         THEN SUM(n) OVER w END AS sum_w
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {_STL_W // 2} PRECEDING
+                        AND {_STL_W // 2} FOLLOWING)
+), seas AS (
+  SELECT event_type, dayofweek(day) AS dow,
+    CAST(SUM({_STL_W} * n - sum_w) AS BIGINT) AS num,
+    CAST({_STL_W} AS BIGINT) * COUNT(*) AS den
+  FROM tr WHERE sum_w IS NOT NULL
+  GROUP BY event_type, dayofweek(day)
+)
+SELECT t.event_type, t.day, CAST(t.n AS BIGINT) AS n,
+  CAST(t.sum_w AS DOUBLE) / {_STL_W} AS trend,
+  CAST(s.num AS DOUBLE) / s.den AS seasonal,
+  t.n - CAST(t.sum_w AS DOUBLE) / {_STL_W}
+      - CAST(s.num AS DOUBLE) / s.den AS residual
+FROM tr t JOIN seas s
+  ON t.event_type = s.event_type AND dayofweek(t.day) = s.dow
+WHERE t.sum_w IS NOT NULL
+""",
+    tags=("timeseries", "window"),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily event-count
+    series (the moving-average + seasonal-means construction STL
+    refines; Cleveland et al. 1990 §2): per event type, trend = exact
+    centered 7-day moving average (emitted only where the window is
+    full), weekly seasonal = per-day-of-week mean detrended value,
+    residual = observed - trend - seasonal. The anomaly/capacity
+    primitive: alert on residual, forecast with trend + season.
+
+    Determinism without rounding: the detrended value is kept in
+    INTEGER arithmetic scaled by 7 — 7*n - sum_w is an exact BIGINT,
+    so the seasonal mean is one exact integer sum divided by (7 ×
+    row count), and trend is an exact integer sum divided by 7.0;
+    every float op is a division of bit-identical operands. The same
+    fixed-point trick as text_classifier_train, without even needing
+    a floor.
+
+    Scale shape: the corpus-sized work is ONE aggregation to (type,
+    day); every window after that runs on the per-day frame (types ×
+    days — thousands of rows at any corpus size), partitioned by
+    event_type so there is no single-task global window. At 100 TB
+    the daily rollup is the only pass over raw events."""
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(_STL_W // 2), _STL_W // 2)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.when(
+            F.count(F.lit(1)).over(w) == _STL_W, F.sum("n").over(w)
+        ).alias("sum_w"),
+    )
+    full = tr.filter(F.col("sum_w").isNotNull())
+    seas = full.groupBy(
+        F.col("event_type").alias("et"), F.dayofweek("day").alias("dow")
+    ).agg(
+        F.sum(_STL_W * F.col("n") - F.col("sum_w"))
+        .cast("bigint")
+        .alias("num"),
+        (F.lit(_STL_W).cast("bigint") * F.count(F.lit(1))).alias("den"),
+    )
+    return (
+        full.join(
+            seas,
+            (F.col("event_type") == F.col("et"))
+            & (F.dayofweek(F.col("day")) == F.col("dow")),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("sum_w").cast("double") / _STL_W).alias("trend"),
+            (F.col("num").cast("double") / F.col("den")).alias(
+                "seasonal"
+            ),
+            (
+                F.col("n")
+                - F.col("sum_w").cast("double") / _STL_W
+                - F.col("num").cast("double") / F.col("den")
+            ).alias("residual"),
+        )
+    )
+
+
+# Simple exponential smoothing: alpha, and the fixed-point scale the
+# level is carried at (1e6 — counts scale exactly into BIGINT).
+_SES_ALPHA = 0.2
+_SES_S = 1_000_000
+
+
+@register(
+    "ts_exp_smoothing",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), series AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_days,
+    MAX(day) AS last_day,
+    list_transform(list(n ORDER BY day), y -> y * {_SES_S}) AS arr
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days, last_day,
+  CAST(list_reduce(arr, (acc, x) -> acc
+    + CAST(floor({_SES_ALPHA} * (CAST(x AS DOUBLE) - CAST(acc AS DOUBLE))
+                 + 0.5) AS BIGINT)) AS DOUBLE) / {_SES_S} AS ses_forecast
+FROM series
+""",
+    tags=("timeseries", "agg"),
+)
+def ts_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing over the daily event-count series
+    (Brown 1956; the one-parameter forecaster under every ops
+    dashboard): level' = level + alpha*(y - level), seeded with the
+    first observation, final level = the one-step-ahead forecast per
+    event type.
+
+    The interesting part is HOW a sequential per-series recurrence
+    runs in a distributed engine without a Python worker: the series
+    aggregates to (type, day) counts — the only corpus-sized work —
+    each type's ordered day array folds JVM-side in ONE codegen'd
+    F.aggregate expression, and the oracle replays the identical fold
+    with DuckDB's list_reduce (which seeds with the first element;
+    the Spark side seeds its explicit zero with element 1 and folds
+    the slice from 2 — the same ladder). State is series-length-
+    bounded (the time horizon), not corpus-bounded, so the collected
+    array stays small at any data size.
+
+    Determinism: the level is a fixed-point BIGINT (scale 1e6) and
+    each update quantizes through the explicit floor(v + 0.5) IEEE
+    chain — the text_classifier_train discipline — so both engines
+    walk bit-identical level trajectories; the only float ops divide
+    or subtract bit-identical operands."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("day").alias("last_day"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"] * _SES_S,
+        ).alias("arr"),
+    )
+    level = F.aggregate(
+        F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))),
+        F.element_at(F.col("arr"), 1),
+        lambda acc, x: acc
+        + F.floor(
+            F.lit(_SES_ALPHA) * (x.cast("double") - acc.cast("double"))
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        "last_day",
+        (level.cast("double") / _SES_S).alias("ses_forecast"),
     )

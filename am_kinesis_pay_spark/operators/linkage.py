@@ -18,7 +18,7 @@ the system) — from payment records to arbitrary structured tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from am_kinesis_pay_spark.registry import register
 from am_kinesis_pay_spark.tables import load
@@ -175,3 +175,116 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_diversity") >= _LDIV_L).alias("l_diverse"),
         )
     )
+
+
+# Sorted-neighborhood method: window width (candidates per record).
+_SNM_W = 6
+
+
+@register(
+    "er_sorted_neighborhood",
+    oracle=f"""
+WITH ranked AS (
+  SELECT c_custkey, c_name, c_acctbal,
+    ROW_NUMBER() OVER (ORDER BY c_name) AS seq
+  FROM customer
+), pairs AS (
+  SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+    CAST(b.seq - a.seq AS INT) AS gap,
+    CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev,
+    1.0 - levenshtein(a.c_name, b.c_name)
+      / CAST(greatest(length(a.c_name), length(b.c_name)) AS DOUBLE)
+      AS name_sim,
+    1.0 - abs(a.c_acctbal - b.c_acctbal)
+      / (abs(a.c_acctbal) + abs(b.c_acctbal) + 1.0) AS bal_sim
+  FROM ranked a JOIN ranked b
+    ON b.seq - a.seq BETWEEN 1 AND {_SNM_W - 1}
+)
+SELECT custkey_a, custkey_b, gap, lev, name_sim, bal_sim,
+  {_ER_W_NAME} * name_sim + {_ER_W_BAL} * bal_sim AS score
+FROM pairs
+WHERE {_ER_W_NAME} * name_sim + {_ER_W_BAL} * bal_sim >= {_ER_TAU}
+""",
+    tags=("linkage", "join"),
+)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernandez & Stolfo 1995) —
+    the LINEAR-candidate alternative to er_customer_linkage's
+    blocking: sort records by a discriminating key (c_name), then
+    score each record only against its next w-1=5 neighbors in key
+    order. Candidates are O(n·w) by construction — no block can go
+    quadratic, which is exactly the failure mode blocking has on a
+    hot key. Same fused similarity and tau as the blocking variant.
+
+    Scale shape (how a GLOBAL sort order is used without a global
+    sort): the sequence number comes from the two-pass prefix-sum
+    rank — records bucket by a key prefix (substr of the sort key),
+    per-bucket row_numbers are offset by the cumulative counts of the
+    ordered bucket frame (bucket-count-sized window, never a
+    single-task global window; the agg_decile_lift pattern) — and
+    neighbor pairs come from an EQUI-join on the sequence block
+    floor(seq/w), each left record probing its own and the next
+    block. One shuffle to rank, one equi-shuffle to pair; w is the
+    recall/cost dial (multi-pass SNM re-runs with a second sort key,
+    a second registry entry away)."""
+    c = load(spark, sf_dir, "customer")
+    bucket = F.substring("c_name", 10, 4)
+    per_bucket = (
+        c.groupBy(bucket.alias("bkt"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "bkt", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("bkt").orderBy("c_name")
+    ranked = (
+        c.withColumn("bkt", bucket)
+        .join(F.broadcast(offsets), "bkt")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            (F.row_number().over(w_in) + F.col("off")).alias("seq"),
+        )
+    )
+    blk = F.floor((F.col("seq") - 1) / _SNM_W)
+    a = ranked.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_acctbal").alias("bal_a"),
+        F.col("seq").alias("seq_a"),
+        F.explode(F.array(blk, blk + 1)).alias("probe_blk"),
+    )
+    b = ranked.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_acctbal").alias("bal_b"),
+        F.col("seq").alias("seq_b"),
+        blk.alias("probe_blk"),
+    )
+    pairs = a.join(b, "probe_blk").filter(
+        (F.col("seq_b") - F.col("seq_a")).between(1, _SNM_W - 1)
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    name_sim = F.lit(1.0) - lev / F.greatest(
+        F.length("name_a"), F.length("name_b")
+    ).cast("double")
+    bal_sim = F.lit(1.0) - F.abs(F.col("bal_a") - F.col("bal_b")) / (
+        F.abs("bal_a") + F.abs("bal_b") + 1.0
+    )
+    scored = pairs.select(
+        "custkey_a",
+        "custkey_b",
+        (F.col("seq_b") - F.col("seq_a")).cast("int").alias("gap"),
+        lev.cast("int").alias("lev"),
+        name_sim.alias("name_sim"),
+        bal_sim.alias("bal_sim"),
+        (
+            F.lit(_ER_W_NAME) * name_sim + F.lit(_ER_W_BAL) * bal_sim
+        ).alias("score"),
+    )
+    return scored.filter(F.col("score") >= _ER_TAU)
