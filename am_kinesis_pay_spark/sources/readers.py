@@ -655,3 +655,106 @@ def source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap_agg(sink.read_as_of(1), 1).unionByName(
         snap_agg(sink.read_as_of(2), 2)
     )
+
+
+@register(
+    "source_snapshot_diff",
+    oracle="""
+WITH base AS (
+  SELECT user_id, arg_min(value, event_id) AS amount_paid,
+         CAST(MIN(event_id) AS BIGINT) AS version
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), upd AS (
+  SELECT user_id, arg_max(value, event_id) AS amount_paid,
+         CAST(MAX(event_id) AS BIGINT) AS version
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), v2 AS (
+  SELECT COALESCE(b.user_id, u.user_id) AS user_id,
+    CASE WHEN u.user_id IS NOT NULL
+          AND (b.version IS NULL OR u.version >= b.version)
+         THEN u.amount_paid ELSE b.amount_paid END AS amount_paid
+  FROM base b FULL JOIN upd u ON b.user_id = u.user_id
+)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+  CASE WHEN a.user_id IS NULL THEN 'insert'
+       WHEN b.user_id IS NULL THEN 'delete'
+       ELSE 'update' END AS change_type,
+  a.amount_paid AS old_amount,
+  b.amount_paid AS new_amount
+FROM base a FULL JOIN v2 b ON a.user_id = b.user_id
+WHERE a.user_id IS NULL OR b.user_id IS NULL
+   OR a.amount_paid IS DISTINCT FROM b.amount_paid
+""",
+    tags=("source", "merge"),
+)
+def source_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two committed versions — the Delta
+    CDF / Iceberg changelog surface (`table_changes(v1, v2)`) on the
+    same MERGE commit log ``source_time_travel`` reads: both snapshots
+    come back through ``read_as_of`` and a full-outer key diff emits
+    the per-key changelog (insert / update / delete; unchanged keys —
+    including updates that rewrote the same value — are excluded, as
+    CDF excludes no-op rewrites). This is the primitive that lets a
+    downstream consumer incrementally maintain anything derived from
+    the table without re-reading either snapshot's full state twice
+    per sync (stream_cdc_apply is the APPLY side of the same
+    contract; this op PRODUCES the feed).
+
+    Determinism: amounts are raw stored values (min_by/max_by picks,
+    no arithmetic), so the changed-value comparison is exact on both
+    engines; the oracle recomputes both snapshots from raw events and
+    replays the identical null-safe diff.
+
+    At 100 TB a table format derives the feed from its transaction
+    log's file-level add/remove sets instead of a key diff of full
+    snapshots; the full-outer join here is the format-agnostic
+    fallback, one co-partitioned shuffle on the merge key."""
+    import shutil
+
+    from am_kinesis_pay_spark.streaming.foreach_sink import MergeKeyedSink
+
+    ev = load(spark, sf_dir, "events")
+    base = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(
+            F.min_by("value", "event_id").alias("amount_paid"),
+            F.min("event_id").cast("bigint").alias("version"),
+        )
+    )
+    upd = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", "event_id").alias("amount_paid"),
+            F.max("event_id").cast("bigint").alias("version"),
+        )
+    )
+    path = scratch_path(spark, "akps_snapshot_diff")
+    shutil.rmtree(path, ignore_errors=True)
+    sink = MergeKeyedSink(spark, path, ["user_id"], "version")
+    sink.process_batch(base, 1)
+    sink.process_batch(upd, 2)
+
+    v1 = sink.read_as_of(1).select(
+        F.col("user_id").alias("uid_a"),
+        F.col("amount_paid").alias("old_amount"),
+    )
+    v2 = sink.read_as_of(2).select(
+        F.col("user_id").alias("uid_b"),
+        F.col("amount_paid").alias("new_amount"),
+    )
+    diff = v1.join(v2, v1.uid_a == v2.uid_b, "full_outer")
+    return diff.filter(
+        F.col("uid_a").isNull()
+        | F.col("uid_b").isNull()
+        | ~F.col("old_amount").eqNullSafe(F.col("new_amount"))
+    ).select(
+        F.coalesce("uid_a", "uid_b").alias("user_id"),
+        F.when(F.col("uid_a").isNull(), F.lit("insert"))
+        .when(F.col("uid_b").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+        "old_amount",
+        "new_amount",
+    )
