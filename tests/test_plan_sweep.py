@@ -27,6 +27,7 @@ _NLJ_ALLOWED = {
     "events_funnel_ordered",
     "events_gapfill_daily",
     "events_rfm_segments",  # 1-row corpus-max-date broadcast
+    "fe_target_encoding",  # 1-row global-prior broadcast
     "events_survival_km",  # 1-row horizon-max-ts broadcast
     "text_collocations_pmi",  # 1-row corpus-token-total broadcast
     "graph_pagerank",
@@ -37,6 +38,7 @@ _NLJ_ALLOWED = {
     "sink_bloom_skip_index",  # ≤3-row probe set, non-equi zone-map check
     "sink_zorder_layout",  # 1-row bounds + 1-row n_total broadcasts
     "text_bigram_nll",  # 1-row corpus-token-total broadcast
+    "text_ccnet_buckets",  # 1-row corpus-token-total broadcast
     "text_bm25_topk",  # 1-row corpus-stats (N, avgdl, df) broadcast
     "text_tfidf_topterms",
     "text_unigram_nll",
