@@ -1009,6 +1009,142 @@ SELECT vec_a, vec_b, cosine FROM e_cross
     )
 
 
+# --- Shared sign-LSH session artifacts (the vector-space twin of the
+# minhash family's _rep_index/_rep_pairs): the dup-collapse membership,
+# the rep signature frame, and the verified rep near-dup pairs are each
+# materialized ONCE per (session, sf_dir) to scratch parquet and
+# consumed by emb_dedup_cosine_lsh / _clusters / _incremental — the
+# persisted-index ingest shape at 100 TB. AKPS_FORCE_RECOMPUTE=1
+# rebuilds for stand-alone cost measurement; results are identical.
+
+_EMB_MEM_SCHEMA = "vec_id bigint, gid bigint"
+_EMB_NORM_SCHEMA = "vec_id bigint, embedding array<float>, nrm double, sig bigint"
+_EMB_PAIR_SCHEMA = "ra bigint, rb bigint, cosine double"
+_EMB_SELF_SCHEMA = "gid bigint, m bigint, cosine double"
+
+
+def _emb_members(spark, sf_dir: str) -> DataFrame:
+    """(vec_id, gid) dup-collapse of identical embedding vectors: gid =
+    min vec_id over the identical-vector group, assigned with ONE
+    window shuffle on the vector — the groupBy + join-back form ships
+    the 64-float payload through that shuffle twice."""
+
+    def build():
+        emb = load(spark, sf_dir, "embeddings")
+        w = W.partitionBy("embedding")
+        return emb.select("vec_id", F.min("vec_id").over(w).alias("gid"))
+
+    return _materialize(
+        spark, f"akps_emb_mem_{_sf_tag(sf_dir)}", build, _EMB_MEM_SCHEMA
+    )
+
+
+def _emb_rep_norms(spark, sf_dir: str) -> DataFrame:
+    """Rep signature frame: one row per distinct vector — (rep vec_id,
+    embedding, L2 norm, 16-bit sign-LSH signature)."""
+    from am_kinesis_pay_spark.llm.similarity import _dot, _lsh_signature
+
+    def build():
+        emb = load(spark, sf_dir, "embeddings")
+        reps = (
+            _emb_members(spark, sf_dir)
+            .filter(F.col("vec_id") == F.col("gid"))
+            .select("vec_id")
+        )
+        return (
+            emb.join(reps, "vec_id")
+            .select(
+                "vec_id",
+                "embedding",
+                F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+            )
+            .withColumn("sig", _lsh_signature())
+        )
+
+    return _materialize(
+        spark, f"akps_emb_norms_{_sf_tag(sf_dir)}", build, _EMB_NORM_SCHEMA
+    )
+
+
+def _emb_rep_pairs(spark, sf_dir: str) -> DataFrame:
+    """Verified rep near-dup pairs (ra < rb, cosine >= 0.45 rounded to
+    6 dp): capped band join over the rep signatures — candidates carry
+    IDS ONLY through the band shuffle and the pair dedup (the 64-float
+    payload would otherwise ride every collided pair through two
+    shuffles, ~30x the bytes); vectors join back by id once per side
+    strictly AFTER dedup, for the exact-cosine verify."""
+    from am_kinesis_pay_spark.llm.similarity import _dot, lsh_band_cols
+
+    def build():
+        norms = _emb_rep_norms(spark, sf_dir)
+        banded = norms.select(
+            "vec_id", F.explode(F.array(*lsh_band_cols())).alias("band")
+        )
+        w_cap = W.partitionBy("band").orderBy(
+            F.md5(F.col("vec_id").cast("string")), "vec_id"
+        )
+        capped = (
+            banded.withColumn("rn", F.row_number().over(w_cap))
+            .filter(F.col("rn") <= EMB_BAND_CAP)
+            .drop("rn")
+        )
+        a = capped.select(F.col("vec_id").alias("ra"), "band")
+        b = capped.select(F.col("vec_id").alias("rb"), "band")
+        rcand = (
+            a.join(b, "band")
+            .filter(F.col("ra") < F.col("rb"))
+            .select("ra", "rb")
+            .dropDuplicates(["ra", "rb"])
+        )
+        vecs = norms.select("vec_id", "embedding", "nrm")
+        rp = rcand.join(
+            vecs.select(
+                F.col("vec_id").alias("ra"),
+                F.col("embedding").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            "ra",
+        ).join(
+            vecs.select(
+                F.col("vec_id").alias("rb"),
+                F.col("embedding").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "rb",
+        )
+        cos = F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
+        return rp.select("ra", "rb", cos.alias("cosine")).filter(
+            F.col("cosine") >= 0.45
+        )
+
+    return _materialize(
+        spark, f"akps_emb_pairs_{_sf_tag(sf_dir)}", build, _EMB_PAIR_SCHEMA
+    )
+
+
+def _emb_rep_selfs(spark, sf_dir: str) -> DataFrame:
+    """Per-group stats: (gid, member count m, self-cosine) — cosine is
+    NULL when the group's self-cosine misses the 0.45 threshold (a
+    zero vector), so consumers filter rather than recompute."""
+    from am_kinesis_pay_spark.llm.similarity import _dot
+
+    def build():
+        mem = _emb_members(spark, sf_dir)
+        counts = mem.groupBy("gid").agg(F.count(F.lit(1)).alias("m"))
+        norms = _emb_rep_norms(spark, sf_dir)
+        self_cos = F.round(
+            _dot("embedding", "embedding") / (F.col("nrm") * F.col("nrm")), 6
+        )
+        selfs = norms.select(
+            F.col("vec_id").alias("gid"), self_cos.alias("cosine")
+        ).filter(F.col("cosine") >= 0.45)
+        return counts.join(selfs, "gid", "left").select("gid", "m", "cosine")
+
+    return _materialize(
+        spark, f"akps_emb_selfs_{_sf_tag(sf_dir)}", build, _EMB_SELF_SCHEMA
+    )
+
+
 @register(
     "emb_dedup_cosine_lsh",
     oracle=_emb_lsh_dedup_oracle(),
@@ -1041,70 +1177,16 @@ def emb_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (EMB_BAND_CAP, md5 order, mirrored in the oracle) bounding
     distinct-vector floods; member pairs come back arithmetically
     (intra pairs carry the group's self-cosine, cross pairs inherit
-    the rep-pair cosine). Same construction as the text family."""
-    from am_kinesis_pay_spark.llm.similarity import (
-        _dot,
-        _lsh_signature,
-        lsh_band_cols,
-    )
+    the rep-pair cosine). Same construction as the text family.
 
-    emb = load(spark, sf_dir, "embeddings")
-    egrp = emb.groupBy("embedding").agg(F.min("vec_id").alias("gid"))
-    mem = emb.join(egrp, "embedding").select("vec_id", "gid")
-    ereps = egrp.select(F.col("gid").alias("vec_id"), "embedding")
-    norms = ereps.select(
-        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
-    ).withColumn("sig", _lsh_signature())
-    # candidates carry IDs ONLY through the band join and the pair
-    # dedup — the 64-float embedding payload would otherwise ride
-    # every collided pair through two shuffles (~30x the bytes);
-    # vectors join back in by id once per side AFTER dedup
-    banded = norms.select(
-        "vec_id", F.explode(F.array(*lsh_band_cols())).alias("band")
-    )
-    w_cap = W.partitionBy("band").orderBy(
-        F.md5(F.col("vec_id").cast("string")), "vec_id"
-    )
-    capped = (
-        banded.withColumn("rn", F.row_number().over(w_cap))
-        .filter(F.col("rn") <= EMB_BAND_CAP)
-        .drop("rn")
-    )
-    a = capped.select(F.col("vec_id").alias("ra"), "band")
-    b = capped.select(F.col("vec_id").alias("rb"), "band")
-    rcand = (
-        a.join(b, "band")
-        .filter(F.col("ra") < F.col("rb"))
-        .select("ra", "rb")
-        .dropDuplicates(["ra", "rb"])
-    )
-    vecs = norms.select("vec_id", "embedding", "nrm")
-    rp = rcand.join(
-        vecs.select(
-            F.col("vec_id").alias("ra"),
-            F.col("embedding").alias("ea"),
-            F.col("nrm").alias("na"),
-        ),
-        "ra",
-    ).join(
-        vecs.select(
-            F.col("vec_id").alias("rb"),
-            F.col("embedding").alias("eb"),
-            F.col("nrm").alias("nb"),
-        ),
-        "rb",
-    )
-    cos = F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
-    rpairs = (
-        rp.select("ra", "rb", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.45)
-    )
-    self_cos = F.round(
-        _dot("embedding", "embedding") / (F.col("nrm") * F.col("nrm")), 6
-    )
-    selfs = norms.select(
-        F.col("vec_id").alias("gid"), self_cos.alias("cosine")
-    ).filter(F.col("cosine") >= 0.45)
+    r5: the collapse, signatures, and verified rep pairs are shared
+    session artifacts (_emb_members / _emb_rep_pairs / _emb_rep_selfs)
+    — this query is the pair-expansion consumer."""
+    mem = _emb_members(spark, sf_dir)
+    rpairs = _emb_rep_pairs(spark, sf_dir)
+    selfs = _emb_rep_selfs(spark, sf_dir).filter(
+        F.col("cosine").isNotNull()
+    ).select("gid", "cosine")
     ma = mem.select("gid", F.col("vec_id").alias("m_a"))
     mb = mem.select("gid", F.col("vec_id").alias("m_b"))
     intra = (
@@ -1355,74 +1437,20 @@ def emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; multi-member groups whose self-cosine clears the threshold
     get a self-edge) and member labels come back with one expansion
     join — iterations touch #distinct-vectors nodes, never the
-    member-pair count."""
-    from am_kinesis_pay_spark.llm.similarity import (
-        _dot,
-        _lsh_signature,
-        lsh_band_cols,
-    )
+    member-pair count.
 
-    emb = load(spark, sf_dir, "embeddings")
-    egrp = emb.groupBy("embedding").agg(
-        F.min("vec_id").alias("gid"), F.count(F.lit(1)).alias("m")
-    )
-    mem = emb.join(egrp.select("embedding", "gid"), "embedding").select(
-        "vec_id", "gid"
-    )
-    ereps = egrp.select(F.col("gid").alias("vec_id"), "embedding", "m")
-    norms = ereps.select(
-        "vec_id",
-        "m",
-        "embedding",
-        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
-    ).withColumn("sig", _lsh_signature())
-    banded = norms.select(
-        "vec_id", F.explode(F.array(*lsh_band_cols())).alias("band")
-    )
-    w_cap = W.partitionBy("band").orderBy(
-        F.md5(F.col("vec_id").cast("string")), "vec_id"
-    )
-    capped = (
-        banded.withColumn("rn", F.row_number().over(w_cap))
-        .filter(F.col("rn") <= EMB_BAND_CAP)
-        .drop("rn")
-    )
-    a = capped.select(F.col("vec_id").alias("ra"), "band")
-    b = capped.select(F.col("vec_id").alias("rb"), "band")
-    rcand = (
-        a.join(b, "band")
-        .filter(F.col("ra") < F.col("rb"))
-        .select("ra", "rb")
-        .dropDuplicates(["ra", "rb"])
-    )
-    vecs = norms.select("vec_id", "embedding", "nrm")
-    rp = rcand.join(
-        vecs.select(
-            F.col("vec_id").alias("ra"),
-            F.col("embedding").alias("ea"),
-            F.col("nrm").alias("na"),
-        ),
-        "ra",
-    ).join(
-        vecs.select(
-            F.col("vec_id").alias("rb"),
-            F.col("embedding").alias("eb"),
-            F.col("nrm").alias("nb"),
-        ),
-        "rb",
-    )
-    cos = F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
-    cross_e = (
-        rp.filter(cos >= 0.45).select(
-            F.col("ra").alias("a"), F.col("rb").alias("b")
-        )
-    )
-    self_cos = F.round(
-        _dot("embedding", "embedding") / (F.col("nrm") * F.col("nrm")), 6
+    r5: edges come from the same shared session artifacts as
+    emb_dedup_cosine_lsh (_emb_rep_pairs / _emb_rep_selfs) — the
+    label-propagation loop starts from materialized parquet instead of
+    re-running the sketch pipeline."""
+    mem = _emb_members(spark, sf_dir)
+    cross_e = _emb_rep_pairs(spark, sf_dir).select(
+        F.col("ra").alias("a"), F.col("rb").alias("b")
     )
     self_e = (
-        norms.filter((F.col("m") >= 2) & (self_cos >= 0.45))
-        .select(F.col("vec_id").alias("a"), F.col("vec_id").alias("b"))
+        _emb_rep_selfs(spark, sf_dir)
+        .filter((F.col("m") >= 2) & F.col("cosine").isNotNull())
+        .select(F.col("gid").alias("a"), F.col("gid").alias("b"))
     )
     labels = _min_label_components(
         cross_e.unionByName(self_e), "a", "b", "gid"
@@ -1764,61 +1792,14 @@ def emb_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding payloads join back by id strictly AFTER the id-only
     candidate dedup (the measured 30x shuffle-byte rule from
     emb_dedup_cosine_lsh). Band-width tradeoff identical to
-    emb_dedup_cosine_lsh's docstring (bits grow with corpus size)."""
-    from am_kinesis_pay_spark.llm.similarity import (
-        _dot,
-        _lsh_signature,
-        lsh_band_cols,
-    )
+    emb_dedup_cosine_lsh's docstring (bits grow with corpus size).
 
-    emb = load(spark, sf_dir, "embeddings")
-    egrp = emb.groupBy("embedding").agg(F.min("vec_id").alias("gid"))
-    mem = emb.join(egrp, "embedding").select("vec_id", "gid")
-    ereps = egrp.select(F.col("gid").alias("vec_id"), "embedding")
-    norms = ereps.select(
-        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
-    ).withColumn("sig", _lsh_signature())
-    banded = norms.select(
-        "vec_id", F.explode(F.array(*lsh_band_cols())).alias("band")
-    )
-    w_cap = W.partitionBy("band").orderBy(
-        F.md5(F.col("vec_id").cast("string")), "vec_id"
-    )
-    capped = (
-        banded.withColumn("rn", F.row_number().over(w_cap))
-        .filter(F.col("rn") <= EMB_BAND_CAP)
-        .drop("rn")
-    )
-    a = capped.select(F.col("vec_id").alias("ra"), "band")
-    b = capped.select(F.col("vec_id").alias("rb"), "band")
-    rpair = (
-        a.join(b, "band")
-        .filter(F.col("ra") < F.col("rb"))
-        .select("ra", "rb")
-        .distinct()
-    )
-    vecs = norms.select("vec_id", "embedding", "nrm")
-    rnear = (
-        rpair.join(
-            vecs.select(
-                F.col("vec_id").alias("ra"),
-                F.col("embedding").alias("ea"),
-                F.col("nrm").alias("na"),
-            ),
-            "ra",
-        )
-        .join(
-            vecs.select(
-                F.col("vec_id").alias("rb"),
-                F.col("embedding").alias("eb"),
-                F.col("nrm").alias("nb"),
-            ),
-            "rb",
-        )
-        .filter(
-            F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6) >= 0.45
-        )
-        .select("ra", "rb")
+    r5: candidates come from the shared _emb_rep_pairs session
+    artifact — this query adds only the corpus/batch minima joins."""
+    mem = _emb_members(spark, sf_dir)
+    rnear = _emb_rep_pairs(spark, sf_dir).select("ra", "rb")
+    ereps = mem.filter(F.col("vec_id") == F.col("gid")).select(
+        F.col("gid").alias("vec_id")
     )
     edges = (
         rnear.select(F.col("ra").alias("gk"), F.col("rb").alias("nk"))

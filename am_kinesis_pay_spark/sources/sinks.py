@@ -313,7 +313,15 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lineitem", "l_orderkey", lineitem_b),
     ):
         (
+            # shuffle onto the bucket key BEFORE the bucketed write:
+            # each task then owns exactly one bucket and sorts it once,
+            # instead of every input partition sorting and writing a
+            # file into all 8 buckets (input-partitions × buckets
+            # files, each a tiny re-sorted fragment) — at 100 TB that
+            # producer-side alignment is the difference between
+            # buckets and a small-file explosion
             load(spark, sf_dir, tbl)
+            .repartition(8, F.col(key))
             .write.bucketBy(8, key)
             .sortBy(key)
             .option("path", os.path.join(base, tbl))
