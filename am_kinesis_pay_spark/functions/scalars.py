@@ -611,3 +611,38 @@ def fn_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"mod": 11, "rem": 3, "threshold": 250.0},
     )
+
+
+@register(
+    "fn_sql_pipe",
+    oracle="""
+SELECT o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("scalar", "sql"),
+)
+def fn_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>`, SPARK-49555): the same
+    filter -> aggregate -> order pipeline written as sequential pipe
+    stages instead of nested clauses. Pipe stages desugar to the
+    identical logical plan Catalyst sees from classic SQL — the DuckDB
+    oracle is the classic form, so this entry pins that desugaring
+    end-to-end (same groupBy shuffle, same pushed filter). Money sums
+    go through DECIMAL per the repo's fixed-point discipline."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v_pipe")
+    return spark.sql(
+        """
+        FROM orders_v_pipe
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )

@@ -1317,3 +1317,107 @@ def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(b, ws[b] / _CLF_WS) for b in range(_CLF_BUCKETS)],
         "bucket int, weight double",
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+WITH per_doc AS (
+  SELECT source, lang, md5(text) AS h,
+    length(text) AS n_chars_c,
+    length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
+  FROM documents
+), per_lang AS (
+  SELECT source, lang, COUNT(*) AS nl FROM per_doc GROUP BY source, lang
+), src AS (
+  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_distinct,
+    SUM(n_tok) AS n_tokens_ws,
+    SUM(n_chars_c) AS n_chars_total,
+    SUM(CASE WHEN n_chars_c < 100 THEN 1 ELSE 0 END) AS n_short
+  FROM per_doc GROUP BY source
+), ent AS (
+  SELECT l.source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+    round(-SUM((CAST(nl AS DOUBLE) / s.n_docs)
+               * ln(CAST(nl AS DOUBLE) / s.n_docs)), 6) AS lang_entropy
+  FROM per_lang l JOIN src s USING (source) GROUP BY l.source
+)
+SELECT s.source,
+  CAST(s.n_docs AS BIGINT) AS n_docs,
+  CAST(s.n_tokens_ws AS BIGINT) AS n_tokens_ws,
+  round(CAST(s.n_chars_total AS DOUBLE) / s.n_docs, 6) AS avg_chars,
+  round(CAST(s.n_docs - s.n_distinct AS DOUBLE) / s.n_docs, 6) AS dup_frac,
+  round(CAST(s.n_short AS DOUBLE) / s.n_docs, 6) AS short_frac,
+  e.n_langs,
+  e.lang_entropy
+FROM src s JOIN ent e USING (source)
+""",
+    tags=("llm", "curation", "profile"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generator: the per-SOURCE corpus profile every
+    training-data release publishes (HuggingFace dataset cards, Dolma's
+    per-source tables) — document count, whitespace-token volume, mean
+    length, exact-duplicate fraction (1 - distinct md5 / n), short-doc
+    fraction, language count and language-distribution entropy — in
+    ONE pass over the corpus plus one re-aggregation of the tiny
+    (source, lang) frame.
+
+    Scale shape: the wide scan computes all per-doc arithmetic
+    (lengths, hash) map-side; one groupBy(source) with a distinct-hash
+    count (partial-aggregated) and one groupBy(source, lang) — both
+    keyed on low-cardinality columns, both shuffle O(sources×langs)
+    rows. Entropy sums a handful of per-lang doubles per source;
+    round(,6) absorbs accumulation-order divergence between engines.
+    At 100 TB this is the nightly corpus health report: every metric
+    is a partial-aggregable expression, no windows, no UDFs."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.length("text").alias("n_chars_c"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + 1
+        ).alias("n_tok"),
+    )
+    src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_distinct"),
+        F.sum("n_tok").alias("n_tokens_ws"),
+        F.sum("n_chars_c").alias("n_chars_total"),
+        F.sum(F.when(F.col("n_chars_c") < 100, 1).otherwise(0)).alias(
+            "n_short"
+        ),
+    )
+    per_lang = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    p = F.col("nl").cast("double") / F.col("n_docs")
+    ent = (
+        per_lang.join(src.select("source", "n_docs"), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+        )
+    )
+    return src.join(ent, "source").select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens_ws").cast("bigint").alias("n_tokens_ws"),
+        F.round(
+            F.col("n_chars_total").cast("double") / F.col("n_docs"), 6
+        ).alias("avg_chars"),
+        F.round(
+            (F.col("n_docs") - F.col("n_distinct")).cast("double")
+            / F.col("n_docs"),
+            6,
+        ).alias("dup_frac"),
+        F.round(F.col("n_short").cast("double") / F.col("n_docs"), 6).alias(
+            "short_frac"
+        ),
+        "n_langs",
+        "lang_entropy",
+    )

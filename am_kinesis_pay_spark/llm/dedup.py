@@ -1458,6 +1458,234 @@ def emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mem.join(labels, "gid").select("vec_id", "cluster_id")
 
 
+# SemDeDup cell cap: deterministic md5-order bound on reps per cell
+# entering the within-cell pair join (the same volume-knob pattern as
+# EMB_BAND_CAP / the triangle day cap).
+SEM_CELL_CAP = int(os.environ.get("AKPS_SEM_CELL_CAP", "1024"))
+
+_SEM_DOT = (
+    "round(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / ({na} * {nb}), 6)"
+)
+
+
+def _semdedup_oracle() -> str:
+    from am_kinesis_pay_spark.llm.similarity import IVF_K
+
+    self_cos = _SEM_DOT.format(
+        a="embedding", b="embedding", na="nrm", nb="nrm"
+    )
+    pair_cos = _SEM_DOT.format(
+        a="na.embedding", b="nb.embedding", na="na.nrm", nb="nb.nrm"
+    )
+    cent_cos = _SEM_DOT.format(a="n.embedding", b="c.cemb", na="n.nrm", nb="c.cnrm")
+    return f"""
+WITH egrp AS (
+  SELECT embedding, MIN(vec_id) AS gid FROM embeddings GROUP BY embedding
+), mem AS (
+  SELECT e.vec_id, g.gid FROM embeddings e JOIN egrp g ON e.embedding = g.embedding
+), norms AS (
+  SELECT gid AS vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM egrp
+), selfs AS (
+  SELECT vec_id AS gid, {self_cos} AS cosine
+  FROM norms
+  WHERE {self_cos} >= 0.45
+), exact AS (
+  SELECT m.vec_id, m.gid AS keep_id, s.cosine, 'exact' AS reason
+  FROM mem m JOIN selfs s ON s.gid = m.gid
+  WHERE m.vec_id <> m.gid
+), ordered AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {IVF_K}
+), cent AS (
+  SELECT embedding AS cemb,
+    sqrt(list_sum(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm,
+    CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+         AS INT) AS cell
+  FROM ordered
+), cellsims AS (
+  SELECT n.vec_id, c.cell, {cent_cos} AS csim
+  FROM norms n CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS arn
+    FROM cellsims) t
+  WHERE arn = 1
+), capped AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      ROW_NUMBER() OVER (PARTITION BY cell
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM assigned) t
+  WHERE rn <= {SEM_CELL_CAP}
+), pairs AS (
+  SELECT a.vec_id AS ra, b.vec_id AS rb, {pair_cos} AS cosine
+  FROM capped a
+  JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  WHERE {pair_cos} >= 0.45
+), sem AS (
+  SELECT rb AS vec_id, ra AS keep_id, cosine, 'semantic' AS reason
+  FROM (SELECT ra, rb, cosine,
+          ROW_NUMBER() OVER (PARTITION BY rb ORDER BY ra) AS krn
+        FROM pairs) p
+  WHERE krn = 1
+)
+SELECT vec_id, keep_id, cosine, reason FROM exact
+UNION ALL
+SELECT vec_id, keep_id, cosine, reason FROM sem
+"""
+
+
+@register(
+    "emb_semdedup",
+    oracle=_semdedup_oracle(),
+    tags=("llm", "dedup", "ann"),
+)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication scoped to coarse-quantizer CELLS — cluster the
+    corpus with k-means-style centroids, then search for near-dup
+    pairs only WITHIN each cell, dropping every vector that has a
+    smaller cell-mate above the cosine threshold. The third blocking
+    strategy in the embedding-dedup family: exact tiling
+    (emb_dedup_cosine, O(n²) compute), hash banding
+    (emb_dedup_cosine_lsh, recall p^b per band), and cluster scoping
+    (this — recall bounded by the quantizer: a pair is found iff both
+    members land in the same cell, the paper's stated trade).
+
+    Determinism (both engines, bit-identical): centroids are the
+    IVF_K corpus vectors with smallest md5(vec_id) (the vec_ann_ivf
+    quantizer — no RNG); cell assignment rounds cosine to 6 dp before
+    argmax with ties to the lowest cell; within-cell candidate reps
+    are capped per cell in md5 order (SEM_CELL_CAP); the keeper for a
+    dropped rep is its SMALLEST matching cell-mate. Exact-duplicate
+    members (identical vectors) collapse to group reps first and are
+    reported with reason 'exact'; dropped reps report 'semantic'.
+
+    Scale shape: reuses the session dup-collapse artifacts
+    (_emb_members/_emb_rep_norms/_emb_rep_selfs); only K centroids
+    touch the driver (broadcast, one matmul map pass to assign);
+    the pair join shuffles ids + cell only, vectors join back by id
+    for the verify. Within-cell work is n²/K per cell — K grows with
+    the corpus (the paper runs K≈10-50k on 100M+ docs), and the
+    md5-order cell cap bounds pathological cells exactly like the
+    LSH band cap."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from am_kinesis_pay_spark.llm.similarity import IVF_K, _dot
+
+    out_schema = (
+        "vec_id bigint, keep_id bigint, cosine double, reason string"
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    mem = _emb_members(spark, sf_dir)
+    norms = _emb_rep_norms(spark, sf_dir).select("vec_id", "embedding", "nrm")
+    selfs = _emb_rep_selfs(spark, sf_dir).filter(F.col("cosine").isNotNull())
+    exact = (
+        mem.filter(F.col("vec_id") != F.col("gid"))
+        .join(selfs.select("gid", "cosine"), "gid")
+        .select(
+            "vec_id",
+            F.col("gid").alias("keep_id"),
+            "cosine",
+            F.lit("exact").alias("reason"),
+        )
+    )
+    cent_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(IVF_K)
+        .collect()
+    )
+    if not cent_rows:
+        return spark.createDataFrame([], out_schema)
+    cent_raw = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in cent_rows]
+    )
+    cent = cent_raw / np.linalg.norm(cent_raw, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(cent)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def assign(pdfs):
+        cent_b = bc.value
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
+            # 6 dp pre-round, first-max argmax = ties to lowest cell —
+            # bit-identical to the oracle's ORDER BY csim DESC, cell
+            sims = np.round(a_n @ cent_b.T, 6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": sims.argmax(axis=1).astype("int32"),
+                }
+            )
+
+    assigned = norms.select("vec_id", "embedding").mapInPandas(
+        assign, assign_schema
+    )
+    w_cap = W.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    capped = (
+        assigned.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= SEM_CELL_CAP)
+        .drop("rn")
+    )
+    a = capped.select(F.col("vec_id").alias("ra"), "cell")
+    b = capped.select(F.col("vec_id").alias("rb"), "cell")
+    cand = a.join(b, "cell").filter(F.col("ra") < F.col("rb")).select("ra", "rb")
+    rp = cand.join(
+        norms.select(
+            F.col("vec_id").alias("ra"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        ),
+        "ra",
+    ).join(
+        norms.select(
+            F.col("vec_id").alias("rb"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "rb",
+    )
+    cos = F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6)
+    pairs = rp.select("ra", "rb", cos.alias("cosine")).filter(
+        F.col("cosine") >= 0.45
+    )
+    w_keep = W.partitionBy("rb").orderBy("ra")
+    sem = (
+        pairs.withColumn("krn", F.row_number().over(w_keep))
+        .filter(F.col("krn") == 1)
+        .select(
+            F.col("rb").alias("vec_id"),
+            F.col("ra").alias("keep_id"),
+            "cosine",
+            F.lit("semantic").alias("reason"),
+        )
+    )
+    return exact.unionByName(sem)
+
+
 @register(
     "text_dedup_incremental",
     oracle="""

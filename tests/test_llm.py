@@ -431,6 +431,25 @@ def test_emb_dedup_cosine_lsh_subset_of_exact(spark):
         assert len(lsh) / len(exact) >= 0.2, f"recall {len(lsh)/len(exact):.2f}"
 
 
+def test_emb_semdedup_semantic_subset_of_exact(spark):
+    """SemDeDup's 'semantic' drops must pair with their keeper inside
+    the exact all-pairs near-dup set (cell scoping only restricts the
+    candidate space; the verify is exact), and every 'exact' drop must
+    name its own group min as keeper."""
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in queries()["emb_dedup_cosine"](spark, SF_DIR).collect()
+    }
+    card = queries()["emb_semdedup"](spark, SF_DIR).collect()
+    for r in card:
+        lo, hi = min(r.keep_id, r.vec_id), max(r.keep_id, r.vec_id)
+        if r.reason == "semantic":
+            assert (lo, hi) in exact, (r.keep_id, r.vec_id)
+            assert r.keep_id < r.vec_id
+        else:
+            assert r.reason == "exact" and r.keep_id < r.vec_id
+
+
 def test_codec_wav_bmp_roundtrip_and_validation():
     """Real-container codecs (llm/codecs.py): encode→decode is
     bit-exact for 8/16-bit PCM WAV and 24-bit grayscale BMP (incl.
