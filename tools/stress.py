@@ -42,6 +42,8 @@ DOCS_QUERIES = [
     # r4 additions: perplexity terciles, distributed GD trainer, and
     # the MJPEG video pipeline (frames never shuffle; map-only)
     "text_ccnet_buckets", "text_classifier_train", "mm_codec_mjpeg_video",
+    # r5: one-pass per-source corpus profile
+    "pipeline_dataset_card",
 ]
 FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
@@ -72,6 +74,8 @@ CURATION_QUERIES = [
     # -> 7.4 s / 4.7 s at 10x (they were excluded in r2/r3 because the
     # 0.45-threshold 4-bit bands made their buckets quadratic in n).
     "emb_dedup_cosine_lsh", "emb_dedup_clusters",
+    # r5: cluster-scoped SemDeDup shares the same session artifacts
+    "emb_semdedup",
 ]
 
 
