@@ -1182,3 +1182,105 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "agg_ols_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+    CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), sums AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS k,
+    SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, k AS n_days,
+  CAST(k * sxy - sx * sy AS DOUBLE)
+    / CAST(k * sxx - sx * sx AS DOUBLE) AS slope,
+  (CAST(sy AS DOUBLE)
+     - (CAST(k * sxy - sx * sy AS DOUBLE)
+        / CAST(k * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+    / CAST(k AS DOUBLE) AS intercept,
+  CASE WHEN k * syy - sy * sy = 0 THEN NULL
+       ELSE (CAST(k * sxy - sx * sy AS DOUBLE)
+             * CAST(k * sxy - sx * sy AS DOUBLE))
+            / (CAST(k * sxx - sx * sx AS DOUBLE)
+               * CAST(k * syy - sy * sy AS DOUBLE))
+  END AS r2
+FROM sums
+WHERE k >= 2 AND k * sxx - sx * sx <> 0
+""",
+    tags=("agg", "stats"),
+)
+def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-volume trend via closed-form OLS — is traffic for
+    each event type growing or shrinking, and how linearly? slope,
+    intercept, and R² of y = daily count over x = day index.
+
+    Determinism (the repo's exact-sufficient-statistics discipline):
+    x and y are INTEGERS, so every sufficient statistic (k, Σx, Σy,
+    Σxy, Σx², Σy²) is an exact BIGINT in any accumulation order; the
+    doubles appear only in the final closed-form expressions, written
+    with the identical operation order in both engines — no rounding
+    step needed anywhere. The r² numerator squares in DOUBLE because
+    (kΣxy - ΣxΣy)² can overflow BIGINT at warehouse scale while the
+    unsquared term cannot.
+
+    Scale shape: one groupBy to days (the same shuffle any daily
+    rollup pays), one re-aggregation of the O(types × days) frame —
+    the regression itself costs nothing more than the rollup. The
+    same sufficient-statistics form is how regr_slope/regr_r2 are
+    computed internally, but those accumulate doubles in partition
+    order (not reproducible cross-engine), which is why this query
+    keeps the statistics integral."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    daily = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        "y",
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    s_num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    s_den = (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    r_den = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = s_num / s_den
+    return (
+        sums.filter(
+            (F.col("k") >= 2)
+            & (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
+        )
+        .select(
+            "event_type",
+            F.col("k").alias("n_days"),
+            slope.alias("slope"),
+            (
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("k").cast("double")
+            ).alias("intercept"),
+            F.when(r_den == 0, F.lit(None).cast("double"))
+            .otherwise(s_num * s_num / (s_den * r_den.cast("double")))
+            .alias("r2"),
+        )
+    )

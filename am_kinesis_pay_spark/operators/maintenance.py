@@ -33,6 +33,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from am_kinesis_pay_spark.functions.compat import dec
 from am_kinesis_pay_spark.registry import register
 from am_kinesis_pay_spark.tables import load
 
@@ -452,5 +453,91 @@ def dim_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             dsum("o_totalprice").alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle="""
+WITH state AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+  WHERE event_id % 10 <> 0 AND event_id % 20 <> 5
+  UNION ALL
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE event_id % 10 = 0
+)
+SELECT event_type, day,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(v) AS DOUBLE) AS total_value
+FROM state GROUP BY event_type, day
+""",
+    tags=("maintenance", "agg", "incremental"),
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: refresh a per-(type,
+    day) aggregate by MERGING SIGNED DELTAS into the existing snapshot
+    instead of recomputing from the base table — the IVM algebra every
+    warehouse uses to keep rollups fresh (count and decimal-SUM are
+    self-maintainable; the delta batch carries +1 rows for inserts and
+    -1 rows for deletes, groups whose count reaches zero drop out).
+
+    Fixture roles (deterministic): the standing base is event_id % 10
+    != 0; today's CDC batch inserts event_id % 10 == 0 and deletes
+    base rows with event_id % 20 == 5. The Spark side genuinely
+    executes the incremental path — snapshot aggregate ⊎ signed delta
+    aggregate, merged by one re-aggregation — while the DuckDB oracle
+    computes the post-state from first principles, so a hash match
+    PROVES the delta algebra (not just that two engines agree on one
+    formula). Sums are exact DECIMAL, so add/subtract order cannot
+    drift.
+
+    Scale shape: the snapshot side is the ALREADY-MATERIALIZED rollup
+    (O(types × days), read not recomputed — here it is rebuilt only
+    because the fixture has no standing store); the delta aggregate
+    shuffles only the CDC batch. Merge cost is O(groups touched) —
+    independent of base-table size, which is the entire point of IVM
+    at 100 TB."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.to_date("ts").alias("day"),
+        dec("value", 2).alias("v"),
+    )
+    base = ev.filter(F.col("event_id") % 10 != 0)
+    snapshot = base.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("v").alias("sum_v"),
+    )
+    inserts = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        "sign", F.lit(1)
+    )
+    deletes = base.filter(F.col("event_id") % 20 == 5).withColumn(
+        "sign", F.lit(-1)
+    )
+    delta = (
+        inserts.unionByName(deletes)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("sign").cast("bigint").alias("n_events"),
+            F.sum(F.col("v") * F.col("sign")).alias("sum_v"),
+        )
+    )
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_v").alias("sum_v"),
+        )
+        .filter(F.col("n_events") > 0)
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.col("sum_v").cast("double").alias("total_value"),
         )
     )
