@@ -1,0 +1,86 @@
+"""Session-artifact layer (am_kinesis_pay_spark/paths.py
+session_artifact): the scratch-parquet memo the minhash family, the
+embedding-dedup family, and the BPE merge table all ride on. Pins the
+three behaviors consumers depend on: (1) the build runs once per
+(session, name) and read-backs are equal, (2) a torn artifact (missing
+_SUCCESS — a killed writer) is rebuilt instead of trusted, (3)
+AKPS_FORCE_RECOMPUTE=1 rebuilds even when the memo says done, and the
+recomputed results are identical (stand-alone == memoized)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from am_kinesis_pay_spark.paths import scratch_path, session_artifact
+
+from tests.conftest import SF_DIR
+
+
+def _builder(spark, calls):
+    def build():
+        calls.append(1)
+        return spark.range(10).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        )
+
+    return build
+
+
+def test_artifact_builds_once_and_rereads(spark):
+    calls: list[int] = []
+    build = _builder(spark, calls)
+    a = session_artifact(spark, "akps_test_art_once", build, "id bigint, v bigint")
+    b = session_artifact(spark, "akps_test_art_once", build, "id bigint, v bigint")
+    assert len(calls) == 1, "second access must not rebuild"
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.count() == 10
+
+
+def test_torn_artifact_rebuilds(spark):
+    calls: list[int] = []
+    build = _builder(spark, calls)
+    session_artifact(spark, "akps_test_art_torn", build, "id bigint, v bigint")
+    assert len(calls) == 1
+    # simulate a writer killed mid-publish: data files present, no
+    # _SUCCESS marker — the memo set still remembers the path, but the
+    # marker check must win and trigger a rebuild
+    os.remove(os.path.join(scratch_path(spark, "akps_test_art_torn"), "_SUCCESS"))
+    out = session_artifact(
+        spark, "akps_test_art_torn", build, "id bigint, v bigint"
+    )
+    assert len(calls) == 2, "missing _SUCCESS must rebuild"
+    assert out.count() == 10
+
+
+def test_force_recompute_rebuilds_and_matches(spark, monkeypatch):
+    calls: list[int] = []
+    build = _builder(spark, calls)
+    first = session_artifact(
+        spark, "akps_test_art_force", build, "id bigint, v bigint"
+    ).collect()
+    monkeypatch.setenv("AKPS_FORCE_RECOMPUTE", "1")
+    second = session_artifact(
+        spark, "akps_test_art_force", build, "id bigint, v bigint"
+    ).collect()
+    assert len(calls) == 2, "AKPS_FORCE_RECOMPUTE=1 must rebuild"
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_emb_family_standalone_equals_memoized(spark, monkeypatch):
+    """The shared-artifact consumers must return identical results
+    whether they hit the memoized artifacts or rebuild from scratch —
+    the correctness contract behind the SCALE.md amortization claim."""
+    from am_kinesis_pay_spark.registry import queries
+
+    memoized = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in queries()["emb_dedup_cosine_lsh"](spark, SF_DIR).collect()
+    }
+    monkeypatch.setenv("AKPS_FORCE_RECOMPUTE", "1")
+    rebuilt = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in queries()["emb_dedup_cosine_lsh"](spark, SF_DIR).collect()
+    }
+    assert memoized == rebuilt
