@@ -381,3 +381,39 @@ def test_random_scalar_trees_agree(spark, scalar_engines, expr):
         ).fetchall()
     )
     assert got == want, (s_sql, d_sql)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pa=predicate(),
+    pb=predicate(),
+    op=st.sampled_from(
+        ["UNION ALL", "UNION", "INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"]
+    ),
+)
+def test_random_setops_agree(spark, spark_li, duck_li, pa, pb, op):
+    """Set-operation algebra under random branch predicates: bag
+    (ALL) and set (DISTINCT) variants of union/intersect/except must
+    agree on count + exact integer checksum. The same SQL text runs on
+    both engines (Spark over the registered temp view), so this sweeps
+    the dedup-before-or-after semantics and NULL-row equality rules
+    where engines drift."""
+    proj = "l_orderkey, l_linenumber, l_returnflag"
+    body = (
+        f"SELECT {proj} FROM {{t}} WHERE {pa} "
+        f"{op} "
+        f"SELECT {proj} FROM {{t}} WHERE {pb}"
+    )
+    outer = (
+        "SELECT COUNT(*), COALESCE(SUM(l_orderkey * 31 + l_linenumber), 0) "
+        "FROM ({q}) s"
+    )
+    got = spark.sql(outer.format(q=body.format(t="lineitem_fuzz"))).collect()[0]
+    want = duck_li.execute(
+        outer.format(q=body.format(t="lineitem"))
+    ).fetchone()
+    assert (got[0], got[1]) == (want[0], want[1]), (op, pa, pb)

@@ -12,6 +12,9 @@ Usage:
                                      # (curation/rollup/funnel stress)
     python tools/stress.py maint     # same 10x build; the maintenance /
                                      # runtime-filter / sketch operators
+    python tools/stress.py century   # 100x docs (500k) + 100x vecs
+                                     # (200k): the dedup/curation family
+                                     # at two orders of magnitude
 """
 
 from __future__ import annotations
@@ -79,8 +82,38 @@ CURATION_QUERIES = [
 ]
 
 
+CENTURY_QUERIES = [
+    # 100x receipts: every entry here must scale ~linearly because its
+    # heavy stages run on DISTINCT content (dup-collapse reps, value
+    # groups) or are map-only — replication grows members, not reps
+    "text_tokenize_tf", "text_gopher_rules", "pipeline_dataset_card",
+    "text_ccnet_buckets", "text_dedup_exact", "text_dedup_minhash",
+    "text_dedup_clusters", "text_dedup_keep_best", "text_dedup_substring",
+    "emb_dedup_cosine_lsh", "emb_dedup_clusters", "emb_semdedup",
+    "emb_dedup_incremental", "sample_shard_shuffle", "pipeline_corpus_filter",
+]
+
+
 def build(mode: str) -> str:
     import duckdb
+
+    if mode == "century":
+        out = "/tmp/stress100_century"
+        os.makedirs(out, exist_ok=True)
+        if not os.path.exists(os.path.join(out, "documents.parquet")):
+            con = duckdb.connect()
+            con.execute(f"""
+              COPY (SELECT doc_id + 100000 * r AS doc_id, text, lang, source, n_chars
+                    FROM '{BASE}/documents.parquet', generate_series(0, 99) g(r))
+              TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+            con.execute(f"""
+              COPY (SELECT vec_id + 100000 * r AS vec_id, embedding, label
+                    FROM '{BASE}/embeddings.parquet', generate_series(0, 99) g(r))
+              TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+            for t in ALL_TABLES:
+                if t not in ("documents", "embeddings"):
+                    shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+        return out
 
     out = f"/tmp/stress10_{mode}"
     os.makedirs(out, exist_ok=True)
@@ -132,8 +165,8 @@ def build(mode: str) -> str:
 
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "facts"
-    assert mode in ("docs", "facts", "curation", "maint"), (
-        "mode must be docs|facts|curation|maint"
+    assert mode in ("docs", "facts", "curation", "maint", "century"), (
+        "mode must be docs|facts|curation|maint|century"
     )
     sf_dir = build("curation" if mode == "maint" else mode)
 
@@ -150,6 +183,7 @@ def main() -> None:
         "facts": FACTS_QUERIES,
         "curation": CURATION_QUERIES,
         "maint": MAINT_QUERIES,
+        "century": CENTURY_QUERIES,
     }[mode]
     for name in names:
         t0 = time.perf_counter()
