@@ -1020,3 +1020,58 @@ def udaf_arrow_groupstats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_value double, max_value double"
         ),
     )
+
+
+def _arrow_hist_partials(batches):
+    """mapInArrow kernel: per-RecordBatch partial histogram — each
+    Arrow batch folds to at most 40 (bin, n) rows before anything
+    shuffles, the map-side-combine discipline expressed manually on
+    the Arrow surface."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        v = batch.column("value")
+        bins = pc.cast(
+            pc.floor(pc.divide(pc.cast(v, pa.float64()), 25.0)), pa.int32()
+        )
+        counts = pa.table({"bin": bins}).group_by("bin").aggregate(
+            [("bin", "count")]
+        )
+        yield pa.record_batch(
+            {
+                "bin": counts.column("bin").combine_chunks(),
+                "n": pc.cast(
+                    counts.column("bin_count"), pa.int64()
+                ).combine_chunks(),
+            }
+        )
+
+
+@register(
+    "agg_hist_arrow_map",
+    oracle="""
+SELECT CAST(floor(value / 25.0) AS INT) AS bin,
+  COUNT(*) AS n
+FROM events
+GROUP BY CAST(floor(value / 25.0) AS INT)
+""",
+    tags=("agg", "udaf", "arrow"),
+)
+def agg_hist_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] mapInArrow (the last §2.11 Arrow surface beside
+    applyInArrow / pandas_udf / mapInPandas): a streaming per-batch
+    kernel that receives raw pyarrow.RecordBatches and emits bounded
+    partial histograms (≤40 rows per batch), which one tiny groupBy
+    then merges — hand-rolled map-side combine on the Arrow path.
+    Bin = floor(value/25) is one IEEE divide + floor, identical in
+    both engines, so the merged counts hash-match the direct SQL
+    GROUP BY with no rounding convention. At 100 TB the shuffle
+    carries only bins × input-partitions rows — this is how a custom
+    columnar kernel (a tokenizer, a decoder stats pass) should
+    aggregate: fold inside the batch, merge small."""
+    ev = load(spark, sf_dir, "events").select("value")
+    partials = ev.mapInArrow(_arrow_hist_partials, "bin int, n bigint")
+    return partials.groupBy("bin").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
