@@ -1473,6 +1473,131 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_MAX_ROUNDS = 50
+
+_CC_ORACLE = (
+    "WITH RECURSIVE edges AS ("
+    + _REACH_EDGES_SQL.format(events="events")
+    + """
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, other) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other
+)
+SELECT node, MIN(other) AS component
+FROM reach
+GROUP BY node
+"""
+)
+
+
+@register(
+    "graph_cc_pointer_doubling",
+    oracle=_CC_ORACLE,
+    tags=("integration", "graph", "iterative"),
+)
+def graph_cc_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by min-label propagation WITH pointer
+    jumping (the large-star/small-star family, Kiveris et al. 2014
+    "Connected Components in MapReduce and Beyond"): each round first
+    adopts the min label among self + neighbors (one hop), then
+    replaces every label by its label's label (label[label] — the
+    pointer jump). Propagation alone needs O(diameter) rounds — the
+    documented failure mode of _min_label_components on path-shaped
+    graphs; the jump halves pointer chains each round, so convergence
+    is O(log n) regardless of diameter. This is the scale path the
+    label-propagation docstrings promise; registered over the same
+    co-purchase graph as graph_reachability, oracle = recursive-CTE
+    transitive closure with min-label collapse.
+
+    Invariant that makes the jump safe: labels only ever decrease and
+    label[x] <= x (a node's label is itself or something smaller), so
+    label[label[x]] <= label[x] and the jump can never skip past the
+    component minimum. Each round is two joins + one aggregation on
+    the (node, label) frame, localCheckpointed to cut lineage; the
+    frame is O(nodes), never O(edges)."""
+    ev = load(spark, sf_dir, "events")
+    day_users = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select(
+            F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+        )
+        .distinct()
+    )
+    a = day_users.select("d", F.col("user_id").alias("src"))
+    b = day_users.select("d", F.col("user_id").alias("dst"))
+    edges = (
+        a.join(b, "d")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    labels, _rounds = pointer_doubling_components(edges)
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def pointer_doubling_components(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Min-label connected components with pointer jumping over a
+    SYMMETRIC (src, dst) edge list; returns (labels(node, lbl), rounds
+    used). Split out from graph_cc_pointer_doubling so tests can pin
+    the O(log n) round count on a path graph directly."""
+    edges = edges.persist()
+    try:
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("lbl", F.col("node"))
+            .localCheckpoint()
+        )
+        for it in range(_CC_MAX_ROUNDS):
+            nbr = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.min("lbl").alias("nl"))
+            )
+            # prev_lbl is the START-of-round label: convergence means a
+            # full hop+jump round changed nothing (checking only the
+            # jump would stop early when the hop still made progress)
+            hopped = labels.join(nbr, "node", "left").select(
+                "node",
+                F.col("lbl").alias("prev_lbl"),
+                F.least(F.col("lbl"), F.coalesce("nl", F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            # pointer jump: lbl <- label[lbl]; the min-label invariant
+            # (label[x] <= x) guarantees this only moves downward
+            ptr = hopped.select(
+                F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
+            )
+            jumped = (
+                hopped.join(ptr, hopped.lbl == ptr.p_node)
+                .select(
+                    "node",
+                    "prev_lbl",
+                    F.col("p_lbl").alias("lbl"),
+                )
+                .localCheckpoint()
+            )
+            labels = jumped.select("node", "lbl")
+            if it > 0:
+                changed = (
+                    jumped.filter(F.col("prev_lbl") != F.col("lbl"))
+                    .limit(1)
+                    .count()
+                )
+                if changed == 0:
+                    return labels, it + 1
+        raise RuntimeError(
+            f"pointer-doubling CC did not converge in {_CC_MAX_ROUNDS} "
+            "rounds"
+        )
+    finally:
+        edges.unpersist()
+
+
 @register(
     "events_anomaly_rate_spike",
     oracle="""

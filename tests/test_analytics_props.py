@@ -258,3 +258,44 @@ def test_survival_km_total_churn_guard(spark, tmp_path):
     by_day = {r[0]: r for r in got}
     assert by_day[5][3] == 0.0
     assert by_day[0][3] > 0.0
+
+
+def test_pointer_doubling_log_rounds_on_path_graph(spark):
+    """The O(log n) claim, pinned: a 64-node path graph (diameter 63)
+    must converge in ~log2(64) pointer-doubling rounds — plain
+    min-label propagation would need 63. Also checks the labels: one
+    component, minimum node id wins."""
+    from am_kinesis_pay_spark.operators.integration import (
+        pointer_doubling_components,
+    )
+
+    chain = [(i, i + 1) for i in range(63)] + [(i + 1, i) for i in range(63)]
+    edges = spark.createDataFrame(chain, "src bigint, dst bigint")
+    labels, rounds = pointer_doubling_components(edges)
+    rows = labels.collect()
+    assert len(rows) == 64
+    assert {r.lbl for r in rows} == {0}
+    assert rounds <= 10, f"pointer doubling took {rounds} rounds on a path"
+
+
+def test_pointer_doubling_matches_label_propagation(spark):
+    """Same components as the plain min-label loop on a multi-component
+    random-ish graph (deterministic edge set)."""
+    from am_kinesis_pay_spark.llm.dedup import _min_label_components
+    from am_kinesis_pay_spark.operators.integration import (
+        pointer_doubling_components,
+    )
+
+    pairs = [(i, (i * 7) % 40 + (i % 3) * 40) for i in range(0, 40, 2)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    pdf = spark.createDataFrame(pairs, "a bigint, b bigint")
+    lp = {
+        (r["node"], r["cluster_id"])
+        for r in _min_label_components(pdf, "a", "b", "node").collect()
+    }
+    sym = pdf.selectExpr("a AS src", "b AS dst").unionByName(
+        pdf.selectExpr("b AS src", "a AS dst")
+    )
+    pd_labels, _ = pointer_doubling_components(sym)
+    pd_set = {(r.node, r.lbl) for r in pd_labels.collect()}
+    assert lp == pd_set
