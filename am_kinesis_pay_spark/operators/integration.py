@@ -1474,10 +1474,40 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CC_MAX_ROUNDS = 50
+# Per-day participation cap for the CC edge build (deterministic md5
+# order — the _TRI_DAY_CAP pattern): day-clique edge generation is
+# quadratic in daily actives, so the cap is the volume knob that keeps
+# the edge list linear in days at any replication factor. Mirrored in
+# the oracle.
+_CC_DAY_CAP = int(os.environ.get("AKPS_CC_DAY_CAP", "256"))
+
+_CC_EDGES_SQL = f"""
+    SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+    FROM (SELECT d, user_id FROM (
+            SELECT d, user_id,
+              ROW_NUMBER() OVER (PARTITION BY d
+                ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rn
+            FROM (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+                         user_id
+                  FROM events
+                  WHERE event_type = 'purchase' AND value > 150) du) c
+          WHERE rn <= {_CC_DAY_CAP}) a
+    JOIN (SELECT d, user_id FROM (
+            SELECT d, user_id,
+              ROW_NUMBER() OVER (PARTITION BY d
+                ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rn
+            FROM (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+                         user_id
+                  FROM events
+                  WHERE event_type = 'purchase' AND value > 150) du) c
+          WHERE rn <= {_CC_DAY_CAP}) b
+      USING (d)
+    WHERE a.user_id <> b.user_id
+"""
 
 _CC_ORACLE = (
     "WITH RECURSIVE edges AS ("
-    + _REACH_EDGES_SQL.format(events="events")
+    + _CC_EDGES_SQL
     + """
 ), nodes AS (
   SELECT DISTINCT src AS node FROM edges
@@ -1518,6 +1548,8 @@ def graph_cc_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     component minimum. Each round is two joins + one aggregation on
     the (node, label) frame, localCheckpointed to cut lineage; the
     frame is O(nodes), never O(edges)."""
+    from pyspark.sql import Window as W
+
     ev = load(spark, sf_dir, "events")
     day_users = (
         ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
@@ -1526,8 +1558,16 @@ def graph_cc_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    a = day_users.select("d", F.col("user_id").alias("src"))
-    b = day_users.select("d", F.col("user_id").alias("dst"))
+    w_day = W.partitionBy("d").orderBy(
+        F.md5(F.col("user_id").cast("string")), "user_id"
+    )
+    capped = (
+        day_users.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") <= _CC_DAY_CAP)
+        .drop("rn")
+    )
+    a = capped.select("d", F.col("user_id").alias("src"))
+    b = capped.select("d", F.col("user_id").alias("dst"))
     edges = (
         a.join(b, "d")
         .filter(F.col("src") != F.col("dst"))

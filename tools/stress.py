@@ -59,7 +59,8 @@ MAINT_QUERIES = [
     "agg_heavy_hitters", "join_bloom_runtime", "graph_reachability",
     "dq_expectations", "sample_balanced_classes", "join_asof_tolerance",
     "sample_train_split", "sink_partition_overwrite", "fn_collation_group",
-    "graph_triangle_count", "graph_triangle_doulion", "stream_stream_join",
+    "graph_triangle_count", "graph_triangle_doulion", "graph_cc_pointer_doubling",
+    "stream_stream_join",
     "events_survival_km", "stream_static_enrich", "udaf_arrow_groupstats",
 ]
 CURATION_QUERIES = [
