@@ -1284,3 +1284,143 @@ def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r2"),
         )
     )
+
+
+_CUPED_SPLIT = "2024-01-16"
+
+
+@register(
+    "agg_cuped_adjusted",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+    CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+             THEN CAST(value AS DECIMAL(18,2)) END), 0)
+         AS DECIMAL(18,2)) AS y
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS gsx, SUM(y) AS gsy,
+    SUM(x * y) AS gsxy, SUM(x * x) AS gsxx
+  FROM u
+), th AS (
+  SELECT CAST(n * gsxy - gsx * gsy AS DOUBLE)
+           / CAST(n * gsxx - gsx * gsx AS DOUBLE) AS theta,
+         CAST(gsx AS DOUBLE) / n AS mx
+  FROM g
+), a AS (
+  SELECT user_id % 2 AS arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+    SUM(y) AS sy, SUM(x) AS sx, SUM(y * y) AS syy,
+    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM u GROUP BY user_id % 2
+)
+SELECT CAST(arm AS BIGINT) AS arm, n_users,
+  CAST(sy AS DOUBLE) / n_users AS mean_y,
+  CAST(sy AS DOUBLE) / n_users
+    - th.theta * (CAST(sx AS DOUBLE) / n_users - th.mx) AS mean_y_cuped,
+  CAST(n_users * syy - sy * sy AS DOUBLE)
+    / (n_users * (n_users - 1)) AS var_y,
+  CAST(n_users * syy - sy * sy AS DOUBLE) / (n_users * (n_users - 1))
+    - 2 * th.theta * (CAST(n_users * sxy - sx * sy AS DOUBLE)
+                      / (n_users * (n_users - 1)))
+    + th.theta * th.theta * (CAST(n_users * sxx - sx * sx AS DOUBLE)
+                             / (n_users * (n_users - 1))) AS var_y_cuped,
+  th.theta AS theta
+FROM a, th
+""",
+    tags=("agg", "stats", "experiment"),
+)
+def agg_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, WSDM — "Improving
+    the Sensitivity of Online Controlled Experiments"): adjust each
+    experiment arm's post-period metric with a pre-period covariate,
+    y_adj = y - θ(x - E[x]), θ = cov(x,y)/var(x) — the standard way to
+    cut A/B-test variance without changing the point estimate. Arms
+    are the deterministic user_id % 2 split; x = the user's
+    PRE-period event count (an integer — covariates from before the
+    experiment can't be affected by it), y = the user's post-period
+    decimal spend.
+
+    Determinism: the entire computation reduces to exact sufficient
+    statistics — integer counts, DECIMAL sums of y, x·y, y² (per-user
+    y is re-cast to DECIMAL(18,2) after aggregation so squares stay
+    inside precision 38) — and doubles appear only in the final
+    closed-form mean/variance/θ expressions, written with the same
+    operation order in both engines. The per-arm adjusted MEAN is
+    computed algebraically (mean_y - θ(mean_x - E[x])) rather than by
+    summing per-user adjusted doubles, which would be
+    accumulation-order-dependent; likewise var(y_adj) expands to
+    var_y - 2θcov + θ²var_x over exact partials.
+
+    Scale shape: one groupBy(user) with conditional aggregates (the
+    same shuffle any per-user rollup pays), a 1-row global-θ
+    broadcast, and a per-arm re-aggregation of the user frame —
+    O(users) intermediate, O(arms) output."""
+    split = F.lit(f"{_CUPED_SPLIT} 00:00:00").cast("timestamp")
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= split, dec("value", 2))),
+            F.lit(0),
+        )
+        .cast("decimal(18,2)")
+        .alias("y"),
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("gsx"),
+        F.sum("y").alias("gsy"),
+        F.sum(F.col("x") * F.col("y")).alias("gsxy"),
+        F.sum(F.col("x") * F.col("x")).alias("gsxx"),
+    )
+    th = g.select(
+        (
+            (F.col("n") * F.col("gsxy") - F.col("gsx") * F.col("gsy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("gsxx") - F.col("gsx") * F.col("gsx")).cast(
+                "double"
+            )
+        ).alias("theta"),
+        (F.col("gsx").cast("double") / F.col("n")).alias("mx"),
+    )
+    a = u.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("y").alias("sy"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nn1 = F.col("n_users") * (F.col("n_users") - 1)
+    mean_y = F.col("sy").cast("double") / F.col("n_users")
+    var_y = (
+        F.col("n_users") * F.col("syy") - F.col("sy") * F.col("sy")
+    ).cast("double") / nn1
+    cov_a = (
+        F.col("n_users") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / nn1
+    var_x = (
+        F.col("n_users") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double") / nn1
+    return a.crossJoin(F.broadcast(th)).select(
+        F.col("arm").cast("bigint").alias("arm"),
+        "n_users",
+        mean_y.alias("mean_y"),
+        (
+            mean_y
+            - F.col("theta")
+            * (F.col("sx").cast("double") / F.col("n_users") - F.col("mx"))
+        ).alias("mean_y_cuped"),
+        var_y.alias("var_y"),
+        (
+            var_y
+            - F.lit(2) * F.col("theta") * cov_a
+            + F.col("theta") * F.col("theta") * var_x
+        ).alias("var_y_cuped"),
+        "theta",
+    )

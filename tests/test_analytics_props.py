@@ -299,3 +299,58 @@ def test_pointer_doubling_matches_label_propagation(spark):
     pd_labels, _ = pointer_doubling_components(sym)
     pd_set = {(r.node, r.lbl) for r in pd_labels.collect()}
     assert lp == pd_set
+
+
+def test_cuped_pooled_variance_reduction_and_mean_identity(spark):
+    """θ = cov/var is the least-squares minimizer over the POOLED
+    population, so pooled var(y - θx) = var_y - cov²/var_x <= var_y —
+    the CUPED guarantee (a single arm's variance may legitimately rise
+    when its own cov/var differs from the global θ, especially at tiny
+    n). Also: the user-weighted adjusted mean equals the raw mean via
+    the θ·Σ(x - E[x]) = 0 identity, and each arm's reported stats match
+    a direct per-user recomputation."""
+    import statistics
+
+    from am_kinesis_pay_spark.operators.aggregations import _CUPED_SPLIT
+    from am_kinesis_pay_spark.registry import queries
+    from am_kinesis_pay_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = {r.arm: r for r in queries()["agg_cuped_adjusted"](spark, SF_DIR).collect()}
+    assert len(rows) == 2
+    split = F.lit(f"{_CUPED_SPLIT} 00:00:00").cast("timestamp")
+    u = (
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ts") >= split,
+                        F.col("value").cast("decimal(18,2)"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("y"),
+        )
+        .collect()
+    )
+    xs = [float(r.x) for r in u]
+    ys = [float(r.y) for r in u]
+    n = len(xs)
+    mx = sum(xs) / n
+    cov = sum((a - mx) * (b - sum(ys) / n) for a, b in zip(xs, ys)) / (n - 1)
+    theta = cov / statistics.variance(xs)
+    assert abs(theta - rows[0].theta) < 1e-6
+    # pooled guarantee
+    adj = [b - theta * (a - mx) for a, b in zip(xs, ys)]
+    assert statistics.variance(adj) <= statistics.variance(ys) + 1e-9
+    # mean identity + per-arm recomputation
+    total = sum(r.n_users for r in rows.values())
+    raw = sum(r.mean_y * r.n_users for r in rows.values()) / total
+    madj = sum(r.mean_y_cuped * r.n_users for r in rows.values()) / total
+    assert abs(raw - madj) < 1e-9
+    for arm in (0, 1):
+        ya = [y for r, y in zip(u, adj) if r.user_id % 2 == arm]
+        assert abs(statistics.variance(ya) - rows[arm].var_y_cuped) < 1e-6
