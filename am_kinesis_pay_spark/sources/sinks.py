@@ -743,3 +743,60 @@ def sink_bloom_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bloom_counts.unionByName(zone_counts)
+
+
+@register(
+    "sink_additive_rollup",
+    oracle="""
+SELECT event_type, CAST(ts AS DATE) AS day,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+""",
+    tags=("sink", "streaming", "incremental"),
+)
+def sink_additive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ADDITIVE rollup maintenance end-to-end
+    (streaming/foreach_sink.py AdditiveRollupSink): the events table
+    is replayed as three micro-batch epochs (event_id % 3), each epoch
+    folds its per-(type, day) count/decimal-sum delta into the
+    committed snapshot — and epoch 1 is deliberately REDELIVERED, so a
+    double-count would make this query's hash mismatch the direct
+    GROUP BY oracle. This is the property last-writer-wins MERGE gets
+    for free but additive aggregates do not: at-least-once delivery +
+    epoch-marker short-circuit = exactly-once accumulation. The
+    snapshot-then-marker commit (crash between them leaves the prior
+    snapshot authoritative) is pinned separately in
+    tests/test_merge_sink.py."""
+    import shutil
+
+    from am_kinesis_pay_spark.streaming.foreach_sink import (
+        AdditiveRollupSink,
+    )
+
+    path = scratch_path(spark, "akps_additive_rollup")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "value",
+    )
+    sink = AdditiveRollupSink(spark, path, ["event_type", "day"])
+    for epoch in (0, 1, 1, 2):  # epoch 1 redelivered
+        sink.process_batch(ev.filter(F.col("event_id") % 3 == epoch), epoch)
+    try:
+        out = sink.read()
+    except FileNotFoundError:  # empty input: no epoch ever committed
+        return spark.createDataFrame(
+            [],
+            "event_type string, day date, n_events bigint, "
+            "total_value double",
+        )
+    return out.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("sum_v").cast("double").alias("total_value"),
+    )

@@ -224,3 +224,95 @@ class MergeKeyedSink:
             .option("checkpointLocation", checkpoint)
             .foreachBatch(self.process_batch)
         )
+
+
+class AdditiveRollupSink:
+    """Exactly-once ADDITIVE rollup maintenance via foreachBatch — the
+    streaming half of mv_incremental_refresh's IVM algebra: each epoch
+    folds its per-key (count, decimal-sum) delta into the standing
+    rollup snapshot. Unlike MergeKeyedSink (last-writer-wins, naturally
+    idempotent per key+version), additive aggregates DOUBLE-COUNT under
+    foreachBatch's at-least-once redelivery — so the epoch-marker
+    short-circuit here is load-bearing correctness, not an
+    optimization. Same snapshot-then-marker commit as MergeKeyedSink:
+    a crash between snapshot write and marker leaves the previous
+    committed snapshot authoritative and the redelivered epoch rebuilds
+    v{epoch} deterministically from it.
+
+    At 100 TB the batch body is one Delta/Iceberg MERGE with
+    txnAppId/txnVersion and the rollup table is partitioned by key
+    range so each epoch rewrites only touched partitions; emulated here
+    on plain parquet with the contract preserved exactly. Generalizes
+    the reference's running AMOUNT_PAID accumulation
+    (kinesis-pay.php:509) from one invoice to a keyed rollup."""
+
+    def __init__(self, spark: SparkSession, path: str, key_cols: list[str]):
+        self.spark = spark
+        self.path = path
+        self.key_cols = key_cols
+        self.commits_dir = os.path.join(path, "_commits")
+
+    def _marker(self, epoch_id: int) -> str:
+        return os.path.join(self.commits_dir, f"epoch-{epoch_id}")
+
+    def committed(self, epoch_id: int) -> bool:
+        return os.path.exists(self._marker(epoch_id))
+
+    def last_committed_epoch(self) -> int | None:
+        if not os.path.isdir(self.commits_dir):
+            return None
+        epochs = [
+            int(name.split("-", 1)[1])
+            for name in os.listdir(self.commits_dir)
+            if name.startswith("epoch-")
+        ]
+        return max(epochs) if epochs else None
+
+    def _snapshot_dir(self, epoch_id: int) -> str:
+        return os.path.join(self.path, f"v{epoch_id}")
+
+    def read(self) -> DataFrame:
+        last = self.last_committed_epoch()
+        if last is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.path}")
+        return self.spark.read.parquet(self._snapshot_dir(last))
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if self.committed(epoch_id):
+            return  # redelivered epoch: additive merge MUST NOT re-apply
+        delta = batch_df.groupBy(*self.key_cols).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_v"),
+        )
+        last = self.last_committed_epoch()
+        if last is not None:
+            base = self.spark.read.parquet(self._snapshot_dir(last))
+            merged = (
+                base.unionByName(delta)
+                .groupBy(*self.key_cols)
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("sum_v")
+                    .cast("decimal(18,2)")
+                    .alias("sum_v"),
+                )
+            )
+        else:
+            merged = delta.select(
+                *self.key_cols,
+                "n_events",
+                F.col("sum_v").cast("decimal(18,2)").alias("sum_v"),
+            )
+        merged.write.mode("overwrite").parquet(self._snapshot_dir(epoch_id))
+        os.makedirs(self.commits_dir, exist_ok=True)
+        with open(self._marker(epoch_id), "w") as fh:
+            fh.write("committed\n")
+
+    def attach(self, stream_df: DataFrame, checkpoint: str):
+        return (
+            stream_df.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(self.process_batch)
+        )

@@ -81,3 +81,62 @@ def test_merge_sink_streaming_end_to_end(spark, tmp_path_factory):
     )
     q.awaitTermination(120)
     assert _rows(sink) == [(1, "a2", 20), (2, "b", 10), (3, "c", 7)]
+
+
+def test_additive_rollup_exactly_once_and_torn_snapshot(spark, tmp_path_factory):
+    """AdditiveRollupSink: (1) a redelivered epoch must NOT double-count
+    — additive merges aren't idempotent, the marker short-circuit is
+    correctness; (2) a crash BETWEEN snapshot write and marker (torn
+    commit) leaves the previous committed snapshot authoritative and
+    the redelivery rebuilds the epoch exactly."""
+    from pyspark.sql import functions as F
+
+    from am_kinesis_pay_spark.streaming.foreach_sink import AdditiveRollupSink
+
+    path = str(tmp_path_factory.mktemp("additive_rollup"))
+    rows = [
+        Row(event_id=i, event_type="a" if i % 2 == 0 else "b", value=float(i))
+        for i in range(30)
+    ]
+    ev = spark.createDataFrame(rows)
+    sink = AdditiveRollupSink(spark, path, ["event_type"])
+
+    sink.process_batch(ev.filter(F.col("event_id") % 3 == 0), 0)
+    sink.process_batch(ev.filter(F.col("event_id") % 3 == 1), 1)
+    sink.process_batch(ev.filter(F.col("event_id") % 3 == 1), 1)  # redelivery
+    # torn commit for epoch 2: snapshot lands, marker does not
+    delta2 = ev.filter(F.col("event_id") % 3 == 2)
+    base = sink.read()
+    (
+        base.unionByName(
+            delta2.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_v"),
+            )
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_v").cast("decimal(18,2)").alias("sum_v"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "v2"))
+    )
+    # reader must still see epoch 1 (marker absent => v2 invisible)
+    assert sink.last_committed_epoch() == 1
+    # redelivery of epoch 2 commits it properly
+    sink.process_batch(delta2, 2)
+    got = {
+        (r.event_type, r.n_events, float(r.sum_v))
+        for r in sink.read().collect()
+    }
+    want = {
+        (r.event_type, r.n_events, float(r.sum_v))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_v"),
+        )
+        .collect()
+    }
+    assert got == want
