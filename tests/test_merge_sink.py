@@ -140,3 +140,53 @@ def test_additive_rollup_exactly_once_and_torn_snapshot(spark, tmp_path_factory)
         .collect()
     }
     assert got == want
+
+
+def test_additive_rollup_streaming_end_to_end(spark, tmp_path_factory):
+    """Real readStream drive of AdditiveRollupSink: two source files
+    drained by availableNow, rollup equals the batch GROUP BY of the
+    union — and the per-epoch markers make a checkpoint-replayed
+    restart a no-op (exactly-once accumulation)."""
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("additive_stream")
+    src = str(base / "src")
+    path = str(base / "table")
+    ckpt = str(base / "ckpt")
+
+    from am_kinesis_pay_spark.streaming.foreach_sink import AdditiveRollupSink
+
+    rows1 = [Row(event_type="a", value=10.0), Row(event_type="b", value=5.5)]
+    rows2 = [Row(event_type="a", value=2.25), Row(event_type="a", value=1.0)]
+    spark.createDataFrame(rows1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("event_type string, value double").parquet(src)
+    sink = AdditiveRollupSink(spark, path, ["event_type"])
+    q = sink.attach(stream, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    want = {
+        (r.event_type, r.n_events, float(r.sum_v))
+        for r in spark.createDataFrame(rows1 + rows2)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_v"),
+        )
+        .collect()
+    }
+    got = {
+        (r.event_type, r.n_events, float(r.sum_v))
+        for r in sink.read().collect()
+    }
+    assert got == want
+    # restart over the same checkpoint: nothing new to process; even if
+    # the last epoch were redelivered, the marker makes it a no-op
+    q2 = sink.attach(stream, ckpt).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    got2 = {
+        (r.event_type, r.n_events, float(r.sum_v))
+        for r in sink.read().collect()
+    }
+    assert got2 == want
