@@ -374,6 +374,191 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid table as a session artifact: (cell, embedding) for
+    the IVF_K deterministic md5-order centroids — the ~2 KB frame a
+    production index stores next to the assignments."""
+    from am_kinesis_pay_spark.paths import (
+        session_artifact as _materialize,
+        sf_tag as _sf_tag,
+    )
+
+    def build():
+        emb = load(spark, sf_dir, "embeddings")
+        w = W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        return (
+            emb.select("vec_id", "embedding")
+            .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+            .limit(IVF_K)
+            .select(
+                (F.row_number().over(w) - 1).cast("int").alias("cell"),
+                "embedding",
+            )
+        )
+
+    return _materialize(
+        spark,
+        f"akps_ivf_cent_{_sf_tag(sf_dir)}",
+        build,
+        "cell int, embedding array<float>",
+    )
+
+
+def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted file as a session artifact: (vec_id, cell) for the
+    whole corpus — built once per (session, sf) by the same broadcast
+    matmul assignment pass vec_ann_ivf runs inline; daily ingest
+    appends to this table instead of recomputing it."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from am_kinesis_pay_spark.paths import (
+        session_artifact as _materialize,
+        sf_tag as _sf_tag,
+    )
+
+    def build():
+        emb = load(spark, sf_dir, "embeddings")
+        cent_rows = _ivf_centroids(spark, sf_dir).orderBy("cell").collect()
+        if not cent_rows:
+            return spark.createDataFrame([], "vec_id bigint, cell int")
+        cent_raw = np.stack(
+            [np.asarray(r.embedding, dtype=np.float64) for r in cent_rows]
+        )
+        cent = cent_raw / np.linalg.norm(cent_raw, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast(cent)
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("cell", T.IntegerType()),
+            ]
+        )
+
+        def assign(pdfs):
+            cent_b = bc.value
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
+                sims = np.round(a_n @ cent_b.T, 6)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cell": sims.argmax(axis=1).astype("int32"),
+                    }
+                )
+
+        return emb.select("vec_id", "embedding").mapInPandas(assign, schema)
+
+    return _materialize(
+        spark,
+        f"akps_ivf_assign_{_sf_tag(sf_dir)}",
+        build,
+        "vec_id bigint, cell int",
+    )
+
+
+@register(
+    "vec_ann_ivf_indexed",
+    oracle=_IVF_ORACLE,
+    tags=("llm", "similarity", "ann", "incremental"),
+)
+def vec_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_ann_ivf with the index PERSISTED: centroids and the
+    inverted file (vec_id -> cell) are session artifacts
+    (_ivf_centroids/_ivf_assignments) built once per (session, sf) and
+    probed by every search — the build-once/search-many shape a
+    production ANN service runs, where the index is a maintained table
+    and queries pay only probe + re-rank. Identical semantics and the
+    IDENTICAL DuckDB oracle as vec_ann_ivf (the index changes where
+    the assignment lives, never what it is); at 100 TB the assignments
+    table is bucketed by cell so a probe reads only its cells' buckets,
+    and daily ingest appends new vectors' assignments instead of
+    recomputing the corpus."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = _ivf_centroids(spark, sf_dir).orderBy("cell").collect()
+    if not cent_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    cent_raw = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in cent_rows]
+    )
+    cent = cent_raw / np.linalg.norm(cent_raw, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(cent)
+    assigned = _ivf_assignments(spark, sf_dir)
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def probes(pdfs):
+        cent_b = bc.value
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
+            sims = np.round(a_n @ cent_b.T, 6)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :IVF_NPROBE]
+            qids = np.repeat(pdf["vec_id"].to_numpy(), IVF_NPROBE)
+            yield pd.DataFrame(
+                {"query_id": qids, "cell": top.ravel().astype("int32")}
+            )
+
+    q_probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .mapInPandas(probes, probe_schema)
+    )
+    norms = _norms(emb)
+    cand = (
+        q_probes.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    q = norms.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = norms.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _plane_weights() -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: weight(p, d) derives
     from md5(f"{p}:{d}") — no RNG, identical across runs/engines.
