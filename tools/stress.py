@@ -60,6 +60,8 @@ MAINT_QUERIES = [
     "dq_expectations", "sample_balanced_classes", "join_asof_tolerance",
     "sample_train_split", "sink_partition_overwrite", "fn_collation_group",
     "graph_triangle_count", "graph_triangle_doulion", "graph_cc_pointer_doubling",
+    "mv_incremental_refresh", "sink_additive_rollup", "agg_cuped_adjusted",
+    "agg_ols_trend", "agg_hist_arrow_map",
     "stream_stream_join",
     "events_survival_km", "stream_static_enrich", "udaf_arrow_groupstats",
 ]
@@ -79,7 +81,7 @@ CURATION_QUERIES = [
     # 0.45-threshold 4-bit bands made their buckets quadratic in n).
     "emb_dedup_cosine_lsh", "emb_dedup_clusters",
     # r5: cluster-scoped SemDeDup shares the same session artifacts
-    "emb_semdedup",
+    "emb_semdedup", "vec_ann_ivf_indexed",
 ]
 
 
