@@ -1424,3 +1424,51 @@ def agg_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("var_y_cuped"),
         "theta",
     )
+
+
+@register(
+    "agg_ordered_listagg",
+    oracle="""
+WITH l AS (
+  SELECT user_id,
+    string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_list
+  FROM events GROUP BY user_id
+)
+SELECT user_id, type_list,
+  CAST(length(type_list) - length(replace(type_list, ',', '')) + 1
+       AS BIGINT) AS n_types
+FROM l
+""",
+    tags=("agg", "sql"),
+)
+def agg_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 `listagg ... WITHIN GROUP`,
+    SQL:2016 F441 — DuckDB's string_agg ORDER BY twin): each user's
+    distinct event types joined in lexical order. The determinism
+    point this entry pins: bare collect_list/collect_set (and an
+    unordered string_agg) emit in PARTITION-ARRIVAL order, which is
+    run- and engine-dependent — an explicit WITHIN GROUP order is the
+    only hash-stable way to aggregate strings. The aggregation is one
+    groupBy with map-side partials; per-group state is bounded by the
+    distinct-type alphabet, not the row count. (n_types derives from
+    the joined string: Spark 4.1 hits an internal ClassCastException
+    when a listagg-DISTINCT-WITHIN-GROUP shares its aggregate with a
+    second DISTINCT aggregate, so the count is one string expression
+    instead.)"""
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_v_listagg")
+    return spark.sql(
+        """
+        WITH l AS (
+          SELECT user_id,
+            listagg(DISTINCT event_type, ',')
+              WITHIN GROUP (ORDER BY event_type) AS type_list
+          FROM events_v_listagg
+          GROUP BY user_id
+        )
+        SELECT user_id, type_list,
+          CAST(length(type_list) - length(replace(type_list, ',', '')) + 1
+               AS BIGINT) AS n_types
+        FROM l
+        """
+    )
