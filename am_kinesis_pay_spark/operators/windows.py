@@ -1075,3 +1075,65 @@ def agg_hist_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("bin").agg(
         F.sum("n").cast("bigint").alias("n")
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+WITH fs AS (
+  SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id, event_type
+), days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), newt AS (
+  SELECT user_id, first_day AS day, COUNT(*) AS n_new
+  FROM fs GROUP BY user_id, first_day
+)
+SELECT d.user_id, d.day,
+  CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_types,
+  CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+         PARTITION BY d.user_id ORDER BY d.day) AS BIGINT)
+    AS cum_distinct_types
+FROM days d LEFT JOIN newt n ON n.user_id = d.user_id AND n.day = d.day
+""",
+    tags=("window", "agg"),
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user — cumulative distinct event
+    types by day — via the first-seen + prefix-sum rewrite: a distinct
+    value contributes exactly once, on the day it first appears, so
+    cumulative-distinct = running SUM of per-day first-appearance
+    counts. The naive form (COUNT(DISTINCT) OVER a growing frame, or
+    collect_set + size) carries the whole distinct SET as per-row
+    window state — O(alphabet) memory per row and unsupported /
+    quadratic in most engines; the rewrite needs one (user, type)
+    aggregate, one (user, day) aggregate, and a per-user running sum
+    over day rows. The same trick scales to any
+    cumulative-distinct-cardinality question (new customers per week,
+    first-touch attribution) at 100 TB: every stage is a bounded
+    hash aggregate and the window input is O(users × days), never
+    O(events)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    )
+    fs = ev.groupBy("user_id", "event_type").agg(
+        F.min("day").alias("first_day")
+    )
+    days = ev.select("user_id", "day").distinct()
+    newt = fs.groupBy(
+        "user_id", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    w = W.partitionBy("user_id").orderBy("day")
+    joined = days.join(newt, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_new", F.lit(0)).alias("n_new_raw"),
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.col("n_new_raw").cast("bigint").alias("n_new_types"),
+        F.sum("n_new_raw").over(w).cast("bigint").alias(
+            "cum_distinct_types"
+        ),
+    )
