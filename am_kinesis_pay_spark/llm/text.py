@@ -1618,3 +1618,98 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perdoc.join(F.broadcast(lab), ["lang", "avg_nll"]).select(
         "doc_id", "lang", "avg_nll", "ppl_bucket"
     )
+
+
+@register(
+    "text_source_divergence",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), tok2 AS (
+  SELECT source, token FROM tok WHERE token <> ''
+), sc AS (
+  SELECT source, token, COUNT(*) AS c FROM tok2 GROUP BY source, token
+), st AS (
+  SELECT source, SUM(c) AS t FROM sc GROUP BY source
+), gc AS (
+  SELECT token, SUM(c) AS g FROM sc GROUP BY token
+), gt AS (
+  SELECT SUM(g) AS tg FROM gc
+), grid AS (
+  SELECT s.source, g.token,
+    CAST(COALESCE(x.c, 0) AS DOUBLE) / s.t AS p,
+    CAST(g.g AS DOUBLE) / gt.tg AS q
+  FROM st s
+  CROSS JOIN gc g
+  CROSS JOIN gt
+  LEFT JOIN sc x ON x.source = s.source AND x.token = g.token
+)
+SELECT source,
+  round(SUM(
+    CASE WHEN p > 0 THEN 0.5 * p * ln(2 * p / (p + q)) ELSE 0 END
+    + 0.5 * q * ln(2 * q / (p + q))
+  ), 6) AS js_divergence,
+  CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_src,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens_corpus
+FROM grid
+GROUP BY source
+""",
+    tags=("llm", "text", "profile"),
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: Jensen-Shannon divergence (in nats)
+    between each SOURCE's unigram distribution and the whole corpus —
+    the distribution-shift gate a training pipeline runs when a new
+    crawl snapshot or source lands (CCNet/Dolma-style mixture
+    monitoring). JS rather than KL because it is symmetric, bounded by
+    ln 2, and defined when a source is missing corpus tokens (the
+    q-only half still contributes).
+
+    Determinism: probabilities are single divisions of exact integer
+    counts; each grid cell's contribution is the identical double
+    expression in both engines, and the final per-source SUM over the
+    vocabulary-sized grid rounds to 6 dp — the same
+    accumulation-order-absorbing convention as the entropy column in
+    pipeline_dataset_card (vocabulary ≪ corpus, so fp error is ~1e-12
+    against a 1e-6 rounding grain).
+
+    Scale shape: token counting is the tokenize shuffle every text
+    query pays; the scoring grid is sources × DISTINCT-vocab (a
+    broadcast-sized frame at any corpus size — vocabulary grows
+    sublinearly), never O(corpus). The corpus-side totals are one
+    1-row broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    sc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("t"))
+    gc = sc.groupBy("token").agg(F.sum("c").alias("g"))
+    gt = gc.agg(F.sum("g").alias("tg"))
+    grid = (
+        st.crossJoin(F.broadcast(gc))
+        .crossJoin(F.broadcast(gt))
+        .join(sc, ["source", "token"], "left")
+        .select(
+            "source",
+            "token",
+            (F.coalesce("c", F.lit(0)).cast("double") / F.col("t")).alias(
+                "p"
+            ),
+            (F.col("g").cast("double") / F.col("tg")).alias("q"),
+        )
+    )
+    contrib = F.when(
+        F.col("p") > 0,
+        0.5 * F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("q"))),
+    ).otherwise(F.lit(0.0)) + 0.5 * F.col("q") * F.log(
+        2 * F.col("q") / (F.col("p") + F.col("q"))
+    )
+    return grid.groupBy("source").agg(
+        F.round(F.sum(contrib), 6).alias("js_divergence"),
+        F.sum(F.when(F.col("p") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens_src"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_corpus"),
+    )

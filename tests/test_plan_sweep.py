@@ -41,6 +41,7 @@ _NLJ_ALLOWED = {
     "text_bigram_nll",  # 1-row corpus-token-total broadcast
     "text_ccnet_buckets",  # 1-row corpus-token-total broadcast
     "text_bm25_topk",  # 1-row corpus-stats (N, avgdl, df) broadcast
+    "text_source_divergence",  # sources × DISTINCT-vocab scoring grid — the cross product IS the semantics, both sides broadcast-sized at any corpus scale
     "text_tfidf_topterms",
     "text_unigram_nll",
     "vec_cosine_topk",
