@@ -746,3 +746,113 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _LATERAL_SQL.format(nation="nation_v_lat", customer="customer_v_lat")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_us,
+    CASE WHEN event_type = 'view' THEN event_id END AS view_id
+  FROM events WHERE event_type IN ('purchase', 'view')
+), marked AS (
+  SELECT user_id, event_id, ts, event_type,
+    last_value(view_us IGNORE NULLS) OVER w_prev AS prev_us,
+    last_value(view_id IGNORE NULLS) OVER w_prev AS prev_id,
+    first_value(view_us IGNORE NULLS) OVER w_next AS next_us,
+    first_value(view_id IGNORE NULLS) OVER w_next AS next_id
+  FROM ev
+  WINDOW
+    w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id AS purchase_id,
+  CASE WHEN next_us IS NULL THEN prev_id
+       WHEN prev_us IS NULL THEN next_id
+       WHEN epoch_us(ts) - prev_us <= next_us - epoch_us(ts) THEN prev_id
+       ELSE next_id END AS matched_view_id,
+  CASE WHEN next_us IS NULL THEN epoch_us(ts) - prev_us
+       WHEN prev_us IS NULL THEN next_us - epoch_us(ts)
+       WHEN epoch_us(ts) - prev_us <= next_us - epoch_us(ts)
+            THEN epoch_us(ts) - prev_us
+       ELSE next_us - epoch_us(ts) END AS gap_us
+FROM marked
+WHERE event_type = 'purchase' AND (prev_us IS NOT NULL OR next_us IS NOT NULL)
+""",
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join — each purchase matched to the
+    closest view by |time difference| in either direction (ties go to
+    the earlier/backward match): the sensor-fusion / clickstream
+    variant of J7's backward-only as-of, which DuckDB's ASOF JOIN
+    cannot express (it is backward-only) — so the oracle builds the
+    same two-window construction explicitly. Gaps are exact integer
+    microseconds (unix_micros ↔ epoch_us — both engines read the
+    TIMESTAMP(NANOS) parquet at µs truncation).
+
+    Scale shape: union-tag + ONE Exchange/Sort per user serves both
+    directions (the backward pass reads the frame up to CURRENT ROW,
+    the forward pass from CURRENT ROW — Spark plans them over the
+    same sort because partition key and order match); no join node at
+    all, so there is nothing to skew. Same single-shuffle discipline
+    as join_asof_rate."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.when(
+                F.col("event_type") == "view", F.unix_micros("ts")
+            ).alias("view_us"),
+            F.when(F.col("event_type") == "view", F.col("event_id")).alias(
+                "view_id"
+            ),
+        )
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last("view_us", ignorenulls=True).over(w_prev).alias("prev_us"),
+        F.last("view_id", ignorenulls=True).over(w_prev).alias("prev_id"),
+        F.first("view_us", ignorenulls=True).over(w_next).alias("next_us"),
+        F.first("view_id", ignorenulls=True).over(w_next).alias("next_id"),
+    )
+    us = F.unix_micros("ts")
+    prev_gap = us - F.col("prev_us")
+    next_gap = F.col("next_us") - us
+    pick_prev = F.col("next_us").isNull() | (
+        F.col("prev_us").isNotNull() & (prev_gap <= next_gap)
+    )
+    return (
+        marked.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("prev_us").isNotNull() | F.col("next_us").isNotNull())
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.when(pick_prev, F.col("prev_id"))
+            .otherwise(F.col("next_id"))
+            .alias("matched_view_id"),
+            F.when(pick_prev, prev_gap).otherwise(next_gap).alias("gap_us"),
+        )
+    )
