@@ -45,8 +45,8 @@ DOCS_QUERIES = [
     # r4 additions: perplexity terciles, distributed GD trainer, and
     # the MJPEG video pipeline (frames never shuffle; map-only)
     "text_ccnet_buckets", "text_classifier_train", "mm_codec_mjpeg_video",
-    # r5: one-pass per-source corpus profile
-    "pipeline_dataset_card",
+    # r5: one-pass per-source corpus profile + drift monitor
+    "pipeline_dataset_card", "text_source_divergence",
 ]
 FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
@@ -61,7 +61,8 @@ MAINT_QUERIES = [
     "sample_train_split", "sink_partition_overwrite", "fn_collation_group",
     "graph_triangle_count", "graph_triangle_doulion", "graph_cc_pointer_doubling",
     "mv_incremental_refresh", "sink_additive_rollup", "agg_cuped_adjusted",
-    "agg_ols_trend", "agg_hist_arrow_map",
+    "agg_ols_trend", "agg_hist_arrow_map", "agg_ordered_listagg",
+    "win_running_distinct", "join_asof_nearest",
     "stream_stream_join",
     "events_survival_km", "stream_static_enrich", "udaf_arrow_groupstats",
 ]
