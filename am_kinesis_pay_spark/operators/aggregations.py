@@ -1472,3 +1472,67 @@ def agg_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM l
         """
     )
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+WITH r AS (
+  SELECT c_mktsegment AS seg, CAST(c_acctbal AS DECIMAL(12,2)) AS x,
+    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal, c_custkey) AS BIGINT) AS i
+  FROM customer
+), s AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(i * x) AS six
+  FROM r GROUP BY seg
+)
+SELECT seg, n,
+  CAST(sx AS DOUBLE) AS total_bal,
+  2.0 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+    - (CAST(n AS DOUBLE) + 1) / n AS gini
+FROM s
+WHERE sx <> 0
+""",
+    tags=("agg", "stats"),
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration audit: the Gini coefficient of account balances
+    per market segment — the inequality measure behind "what share of
+    revenue do the top customers hold" questions — via the rank
+    formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending-sorted x.
+
+    Determinism: i·x_i is BIGINT × DECIMAL (exact, any accumulation
+    order), ranks come from an explicit (balance, custkey) sort order
+    — equal balances contribute the same Σi·x regardless of tie
+    order, so the statistic is tie-stable by construction — and the
+    one double expression is written identically in both engines.
+
+    Scale shape: one Exchange+Sort per segment for the rank window
+    (the same shuffle any per-group ordering pays; at 100 TB swap the
+    global per-group sort for the two-pass prefix-sum rank the
+    agg_decile_lift docstring documents), then a per-segment
+    aggregation of exact partials."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        dec("c_acctbal", 2).alias("x"),
+        "c_acctbal",
+        "c_custkey",
+    )
+    w = W.partitionBy("seg").orderBy("c_acctbal", "c_custkey")
+    r = c.withColumn("i", F.row_number().over(w).cast("bigint"))
+    s = r.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return s.filter(F.col("sx") != 0).select(
+        "seg",
+        "n",
+        F.col("sx").cast("double").alias("total_bal"),
+        (
+            F.lit(2.0)
+            * F.col("six").cast("double")
+            / (F.col("n") * F.col("sx").cast("double"))
+            - (F.col("n").cast("double") + 1) / F.col("n")
+        ).alias("gini"),
+    )
