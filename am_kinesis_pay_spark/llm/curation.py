@@ -279,13 +279,13 @@ WITH cand AS (
   FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 ), kept AS (
   SELECT doc_id, lang, embedding,
-    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    coalesce(sqrt(nullif(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0) AS nrm
   FROM cand
   WHERE rn = 1 AND n_tokens BETWEEN 20 AND 1000
     AND avg_token_len BETWEEN 3.0 AND 12.0
 ), q AS (
   SELECT vec_id AS query_id, embedding,
-    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    coalesce(sqrt(nullif(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0) AS nrm
   FROM embeddings WHERE vec_id < {_RAG_QUERIES}
 ), scored AS (
   SELECT q.query_id, k.doc_id, k.lang,
@@ -314,7 +314,7 @@ def pipeline_retrieval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-modality pipelines."""
     from pyspark.sql import Window as W
 
-    from am_kinesis_pay_spark.llm.similarity import _dot
+    from am_kinesis_pay_spark.llm.similarity import _dot, safe_sqrt_norm
 
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
@@ -340,7 +340,7 @@ def pipeline_retrieval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "embedding",
-        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+        safe_sqrt_norm(_dot("embedding", "embedding")).alias("nrm"),
     )
     q = (
         emb.filter(F.col("vec_id") < _RAG_QUERIES)
@@ -348,7 +348,7 @@ def pipeline_retrieval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
         )
-        .withColumn("qn", F.sqrt(_dot("qe", "qe")))
+        .withColumn("qn", safe_sqrt_norm(_dot("qe", "qe")))
     )
     scored = (
         F.broadcast(q)

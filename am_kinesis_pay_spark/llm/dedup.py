@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from am_kinesis_pay_spark.registry import REGISTRY, register
 from am_kinesis_pay_spark.tables import load
+from am_kinesis_pay_spark.llm.nputil import nan_to_neginf, unit_rows
 
 N_PERM = 8  # minhash permutations
 BAND_W = 2  # rows per LSH band → 4 bands, catches J ≳ 0.5
@@ -811,7 +812,7 @@ def text_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COSINE_DEDUP_ORACLE = """
 WITH norms AS (
   SELECT vec_id, embedding,
-    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    coalesce(sqrt(nullif(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0) AS nrm
   FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -886,7 +887,7 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 a_ids = pdf["vec_id"].to_numpy()
                 a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
+                a_n = unit_rows(a)
                 sims = a_n @ mat_b.T
                 # upper triangle only (vec_a < vec_b), threshold pre-round
                 mask = (sims >= 0.45) & (a_ids[:, None] < ids_b[None, :])
@@ -917,7 +918,7 @@ def emb_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             return None
         ids_t = tile["vec_id"].to_numpy()
         mat_t = np.stack(tile["embedding"].to_numpy()).astype(np.float64)
-        mat_t = mat_t / np.linalg.norm(mat_t, axis=1, keepdims=True)
+        mat_t = unit_rows(mat_t)
         bc = spark.sparkContext.broadcast((ids_t, mat_t))
         try:
             path = os.path.join(out_dir, f"tile-{t:05d}")
@@ -1042,7 +1043,7 @@ def _emb_members(spark, sf_dir: str) -> DataFrame:
 def _emb_rep_norms(spark, sf_dir: str) -> DataFrame:
     """Rep signature frame: one row per distinct vector — (rep vec_id,
     embedding, L2 norm, 16-bit sign-LSH signature)."""
-    from am_kinesis_pay_spark.llm.similarity import _dot, _lsh_signature
+    from am_kinesis_pay_spark.llm.similarity import _dot, _lsh_signature, safe_sqrt_norm
 
     def build():
         emb = load(spark, sf_dir, "embeddings")
@@ -1056,7 +1057,7 @@ def _emb_rep_norms(spark, sf_dir: str) -> DataFrame:
             .select(
                 "vec_id",
                 "embedding",
-                F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+                safe_sqrt_norm(_dot("embedding", "embedding")).alias("nrm"),
             )
             .withColumn("sig", _lsh_signature())
         )
@@ -1486,8 +1487,8 @@ WITH egrp AS (
   SELECT e.vec_id, g.gid FROM embeddings e JOIN egrp g ON e.embedding = g.embedding
 ), norms AS (
   SELECT gid AS vec_id, embedding,
-    sqrt(list_sum(list_transform(embedding,
-         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    coalesce(sqrt(nullif(list_sum(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0) AS nrm
   FROM egrp
 ), selfs AS (
   SELECT vec_id AS gid, {self_cos} AS cosine
@@ -1503,8 +1504,8 @@ WITH egrp AS (
   LIMIT {IVF_K}
 ), cent AS (
   SELECT embedding AS cemb,
-    sqrt(list_sum(list_transform(embedding,
-         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm,
+    coalesce(sqrt(nullif(list_sum(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0) AS cnrm,
     CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
          AS INT) AS cell
   FROM ordered
@@ -1612,7 +1613,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_raw = np.stack(
         [np.asarray(r.embedding, dtype=np.float64) for r in cent_rows]
     )
-    cent = cent_raw / np.linalg.norm(cent_raw, axis=1, keepdims=True)
+    cent = unit_rows(cent_raw)
     bc = spark.sparkContext.broadcast(cent)
 
     assign_schema = T.StructType(
@@ -1628,10 +1629,10 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
+            a_n = unit_rows(a)
             # 6 dp pre-round, first-max argmax = ties to lowest cell —
             # bit-identical to the oracle's ORDER BY csim DESC, cell
-            sims = np.round(a_n @ cent_b.T, 6)
+            sims = nan_to_neginf(np.round(a_n @ cent_b.T, 6))
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],

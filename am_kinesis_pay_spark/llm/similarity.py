@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from am_kinesis_pay_spark.registry import register
 from am_kinesis_pay_spark.tables import load
+from am_kinesis_pay_spark.llm.nputil import nan_to_neginf, unit_rows
 
 N_QUERIES = 10  # query set: vec_id < 10
 TOP_K = 5
@@ -30,19 +31,28 @@ def _dot(a: str, b: str):
     )
 
 
+def safe_sqrt_norm(d):
+    """Zero-norm clamp for cosine divisors: a zero vector keeps norm 1.0
+    (cosine 0 against everything) instead of a 0 divisor, which is an
+    ANSI-mode DIVIDE_BY_ZERO crash on dirty data. The SQL oracles clamp
+    identically via coalesce(sqrt(nullif(s, 0)), 1.0), so both engines
+    agree bit-for-bit with or without zero vectors (ADVICE r5)."""
+    return F.when(d == F.lit(0.0), F.lit(1.0)).otherwise(F.sqrt(d))
+
+
 def _norms(emb: DataFrame) -> DataFrame:
     return emb.select(
         "vec_id",
         "label",
         "embedding",
-        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+        safe_sqrt_norm(_dot("embedding", "embedding")).alias("nrm"),
     )
 
 
 _TOPK_ORACLE = f"""
 WITH norms AS (
   SELECT vec_id, label, embedding,
-    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    coalesce(sqrt(nullif(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0) AS nrm
   FROM embeddings
 ), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
@@ -103,7 +113,7 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_ORACLE = f"""
 WITH norms AS (
   SELECT vec_id, label, embedding,
-    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    coalesce(sqrt(nullif(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0) AS nrm
   FROM embeddings
 ), scored AS (
   SELECT q.vec_id AS query_id, q.label AS true_label,
@@ -197,12 +207,12 @@ WITH ordered AS (
   LIMIT {IVF_K}
 ), cent AS (
   SELECT embedding AS cemb,
-    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm,
+    coalesce(sqrt(nullif(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0) AS cnrm,
     CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell
   FROM ordered
 ), norms AS (
   SELECT vec_id, embedding,
-    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    coalesce(sqrt(nullif(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0) AS nrm
   FROM embeddings
 ), cellsims AS (
   SELECT n.vec_id, c.cell,
@@ -279,7 +289,7 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
     cent_raw = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent_rows])
-    cent = cent_raw / np.linalg.norm(cent_raw, axis=1, keepdims=True)
+    cent = unit_rows(cent_raw)
     bc = spark.sparkContext.broadcast(cent)
 
     assign_schema = T.StructType(
@@ -295,10 +305,10 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
+            a_n = unit_rows(a)
             # round to 6 dp BEFORE argmax (ties -> lowest cell) so the
             # picked cell is bit-identical to the SQL oracle's
-            sims = np.round(a_n @ cent_b.T, 6)
+            sims = nan_to_neginf(np.round(a_n @ cent_b.T, 6))
             cells = sims.argmax(axis=1)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "cell": cells.astype("int32")}
@@ -321,10 +331,10 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
+            a_n = unit_rows(a)
             # same 6 dp pre-round; stable sort breaks ties by lowest
             # cell, matching ORDER BY csim DESC, cell in the oracle
-            sims = np.round(a_n @ cent_b.T, 6)
+            sims = nan_to_neginf(np.round(a_n @ cent_b.T, 6))
             top = np.argsort(-sims, axis=1, kind="stable")[:, :IVF_NPROBE]
             qids = np.repeat(pdf["vec_id"].to_numpy(), IVF_NPROBE)
             yield pd.DataFrame(
@@ -426,7 +436,7 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent_raw = np.stack(
             [np.asarray(r.embedding, dtype=np.float64) for r in cent_rows]
         )
-        cent = cent_raw / np.linalg.norm(cent_raw, axis=1, keepdims=True)
+        cent = unit_rows(cent_raw)
         bc = spark.sparkContext.broadcast(cent)
 
         schema = T.StructType(
@@ -442,8 +452,8 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if pdf.empty:
                     continue
                 a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
-                sims = np.round(a_n @ cent_b.T, 6)
+                a_n = unit_rows(a)
+                sims = nan_to_neginf(np.round(a_n @ cent_b.T, 6))
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"],
@@ -491,7 +501,7 @@ def vec_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_raw = np.stack(
         [np.asarray(r.embedding, dtype=np.float64) for r in cent_rows]
     )
-    cent = cent_raw / np.linalg.norm(cent_raw, axis=1, keepdims=True)
+    cent = unit_rows(cent_raw)
     bc = spark.sparkContext.broadcast(cent)
     assigned = _ivf_assignments(spark, sf_dir)
 
@@ -508,8 +518,8 @@ def vec_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
-            sims = np.round(a_n @ cent_b.T, 6)
+            a_n = unit_rows(a)
+            sims = nan_to_neginf(np.round(a_n @ cent_b.T, 6))
             top = np.argsort(-sims, axis=1, kind="stable")[:, :IVF_NPROBE]
             qids = np.repeat(pdf["vec_id"].to_numpy(), IVF_NPROBE)
             yield pd.DataFrame(
@@ -642,7 +652,7 @@ _SIG_SQL_CTES = """planes (p, wts) AS (
     {planes}
 ), norms AS (
   SELECT vec_id, embedding,
-    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    coalesce(sqrt(nullif(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0) AS nrm
   FROM {src}
 ), dots AS (
   SELECT n.vec_id, pl.p,
@@ -681,7 +691,7 @@ WITH planes (p, wts) AS (
     {planes}
 ), norms AS (
   SELECT vec_id, embedding,
-    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    coalesce(sqrt(nullif(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0) AS nrm
   FROM embeddings
 ), dots AS (
   SELECT n.vec_id, pl.p,
@@ -922,7 +932,7 @@ def vec_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     if train.empty:
         return spark.createDataFrame([], out_schema)
     tmat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
-    tmat /= np.linalg.norm(tmat, axis=1, keepdims=True)
+    tmat = unit_rows(tmat)
     books = _pq_train(tmat)  # (m, k, dsub)
 
     qpdf = (
@@ -931,7 +941,7 @@ def vec_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toPandas()
     )
     qmat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = unit_rows(qmat)
     m, k, dsub = books.shape
     # ADC tables: tabs[q, s, j] = <query_q subspace s, codeword j>
     tabs = np.einsum("qsd,sjd->qsj", qmat.reshape(len(qmat), m, dsub), books)
@@ -946,7 +956,7 @@ def vec_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            a = unit_rows(a)
             sub = a.reshape(len(a), mm, dd)
             # encode: nearest codeword per subspace (B, m)
             d2 = ((sub[:, :, None, :] - books_b[None, :, :, :]) ** 2).sum(
@@ -1059,8 +1069,8 @@ rank_of AS (
       ORDER BY round(
         list_sum(list_transform(list_zip(q.e, c.e),
                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        / (sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           * sqrt(list_sum(list_transform(c.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        / (coalesce(sqrt(nullif(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0)
+           * coalesce(sqrt(nullif(list_sum(list_transform(c.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0)), 6)
         DESC, c.vec_id
     ) AS rank
   FROM full_v q JOIN full_v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
@@ -1071,8 +1081,8 @@ rank_of AS (
       ORDER BY round(
         list_sum(list_transform(list_zip(q.e, c.e),
                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        / (sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           * sqrt(list_sum(list_transform(c.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        / (coalesce(sqrt(nullif(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0)
+           * coalesce(sqrt(nullif(list_sum(list_transform(c.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0)), 6)
         DESC, c.vec_id
     ) AS rank
   FROM pref q JOIN pref c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
@@ -1109,7 +1119,7 @@ def vec_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = df.select(
             "vec_id",
             col.alias("e"),
-        ).withColumn("nrm", F.sqrt(_dot("e", "e")))
+        ).withColumn("nrm", safe_sqrt_norm(_dot("e", "e")))
         q = n.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
@@ -1311,13 +1321,13 @@ def vec_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_raw = np.stack(
         [np.asarray(r.embedding, dtype=np.float64) for r in cent_rows]
     )
-    cent = cent_raw / np.linalg.norm(cent_raw, axis=1, keepdims=True)
+    cent = unit_rows(cent_raw)
 
     train = (
         emb.orderBy("vec_id").limit(PQ_TRAIN).select("embedding").toPandas()
     )
     tmat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
-    tmat /= np.linalg.norm(tmat, axis=1, keepdims=True)
+    tmat = unit_rows(tmat)
     books = _pq_train(tmat)  # (m, k, dsub)
     m, k, dsub = books.shape
 
@@ -1330,7 +1340,7 @@ def vec_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     if qpdf.empty:
         return spark.createDataFrame([], out_schema)
     qmat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = unit_rows(qmat)
     qids = qpdf["vec_id"].to_numpy()
     # 6 dp pre-round + stable sort: identical cell picks to vec_ann_ivf
     qsims = np.round(qmat @ cent.T, 6)
@@ -1353,7 +1363,7 @@ def vec_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a_n = a / np.linalg.norm(a, axis=1, keepdims=True)
+            a_n = unit_rows(a)
             cells = np.round(a_n @ cent_b.T, 6).argmax(axis=1)
             sub = a_n.reshape(len(a_n), mm, dd)
             d2 = ((sub[:, :, None, :] - books_b[None, :, :, :]) ** 2).sum(
@@ -1427,7 +1437,7 @@ def vec_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRIPLET_ORACLE = f"""
 WITH norms AS (
   SELECT vec_id, label, embedding,
-    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    coalesce(sqrt(nullif(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0) AS nrm
   FROM embeddings
 ), scored AS (
   SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
@@ -1553,8 +1563,8 @@ WITH toks AS (
   GROUP BY q.doc_id, c.doc_id
 ), norms AS (
   SELECT vec_id, embedding,
-    sqrt(list_sum(list_transform(embedding,
-         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    coalesce(sqrt(nullif(list_sum(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0) AS nrm
   FROM embeddings
 ), scored AS (
   SELECT cand.query_id, cand.cand_id,

@@ -1035,14 +1035,17 @@ def _arrow_hist_partials(batches):
         bins = pc.cast(
             pc.floor(pc.divide(pc.cast(v, pa.float64()), 25.0)), pa.int32()
         )
+        # count_all, not the default only_valid count: a NULL value row
+        # lands in the null bin and the oracle's COUNT(*) counts it —
+        # pyarrow's ("bin", "count") would report that group as 0
         counts = pa.table({"bin": bins}).group_by("bin").aggregate(
-            [("bin", "count")]
+            [([], "count_all")]
         )
         yield pa.record_batch(
             {
                 "bin": counts.column("bin").combine_chunks(),
                 "n": pc.cast(
-                    counts.column("bin_count"), pa.int64()
+                    counts.column("count_all"), pa.int64()
                 ).combine_chunks(),
             }
         )

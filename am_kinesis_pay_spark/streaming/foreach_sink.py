@@ -282,11 +282,24 @@ class AdditiveRollupSink:
 
         if self.committed(epoch_id):
             return  # redelivered epoch: additive merge MUST NOT re-apply
+        last = self.last_committed_epoch()
+        # Monotonicity guard: read() resolves the current snapshot as the
+        # MAX committed epoch, so an uncommitted epoch arriving BELOW the
+        # high-water mark would fold its delta into v{earlier} while
+        # readers keep returning v{later} — the delta would be silently
+        # dropped. foreachBatch delivers epochs monotonically; this only
+        # fires when process_batch is driven manually out of order, and
+        # failing loudly is the correct behavior there.
+        if last is not None and epoch_id < last:
+            raise ValueError(
+                f"out-of-order epoch {epoch_id}: epoch {last} is already "
+                f"committed under {self.path}; an additive delta applied "
+                "below the high-water mark would be invisible to read()"
+            )
         delta = batch_df.groupBy(*self.key_cols).agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_v"),
         )
-        last = self.last_committed_epoch()
         if last is not None:
             base = self.spark.read.parquet(self._snapshot_dir(last))
             merged = (

@@ -853,3 +853,54 @@ def test_bpe_remat_spill_preserves_ladder(spark, monkeypatch):
     monkeypatch.setattr(TX, "_BPE_REMAT_ROUNDS", 10**9)
     without, r2 = TX._bpe_train_merges(spark, SF_DIR, 8, 1)
     assert with_spill == without and r1 == r2
+
+
+def test_zero_norm_embedding_kernels_safe(spark, tmp_path_factory):
+    """ADVICE r5: a zero-norm embedding (or a zero-norm centroid drawn
+    from it) must not poison the numpy assignment kernels — a plain
+    divide makes a NaN row and np.argmax treats NaN as maximal, so one
+    zero vector could capture EVERY cell assignment. unit_rows clamps
+    the norm; end-to-end, vec_ann_ivf and emb_semdedup must run on a
+    fixture containing zero vectors and never let the zero vector's
+    cell swallow the corpus."""
+    import numpy as np
+
+    from am_kinesis_pay_spark.llm.nputil import nan_to_neginf, unit_rows
+
+    a = np.array([[0.0, 0.0], [3.0, 4.0]])
+    u = unit_rows(a)
+    assert not np.isnan(u).any()
+    assert np.allclose(u, [[0.0, 0.0], [0.6, 0.8]])
+    sims = nan_to_neginf(np.array([[np.nan, 0.2], [0.9, np.nan]]))
+    assert sims.argmax(axis=1).tolist() == [1, 0]
+
+    # end-to-end: copy sf0.001 embeddings, zero out a handful of rows
+    # (including one early enough to be picked as a centroid candidate)
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path_factory.mktemp("zero_norm_sf"))
+    con = duckdb.connect()
+    con.execute(f"""
+      COPY (SELECT vec_id,
+                   CASE WHEN vec_id % 7 = 0
+                        THEN CAST(list_transform(embedding, x -> CAST(0.0 AS FLOAT)) AS FLOAT[])
+                        ELSE embedding END AS embedding,
+                   label
+            FROM '{src}/embeddings.parquet')
+      TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.close()
+
+    from am_kinesis_pay_spark.registry import queries
+
+    qs = queries()
+    ivf = qs["vec_ann_ivf"](spark, out).collect()
+    assert len(ivf) > 0
+    # the semdedup path also builds centroids + assignments from scratch
+    sem = qs["emb_semdedup"](spark, out)
+    n_total = spark.read.parquet(f"{out}/embeddings.parquet").count()
+    kept = sem.count()
+    # zero vectors have cosine 0 to everything (below every threshold),
+    # so they can never be flagged dups of each other or anything else;
+    # a NaN-poisoned argmax would instead pile the corpus into one cell
+    assert 0 < kept <= n_total

@@ -142,6 +142,34 @@ def test_additive_rollup_exactly_once_and_torn_snapshot(spark, tmp_path_factory)
     assert got == want
 
 
+def test_additive_rollup_rejects_out_of_order_epoch(spark, tmp_path_factory):
+    """ADVICE r5: read() resolves the snapshot as the MAX committed
+    epoch, so an UNCOMMITTED epoch applied below the high-water mark
+    would fold its delta into an invisible v{earlier}. process_batch
+    must fail loudly on that (manual drives only — foreachBatch is
+    monotonic), while a redelivered already-committed epoch stays a
+    silent no-op."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from am_kinesis_pay_spark.streaming.foreach_sink import AdditiveRollupSink
+
+    path = str(tmp_path_factory.mktemp("additive_ooo"))
+    ev = spark.createDataFrame(
+        [Row(event_id=i, event_type="a", value=float(i)) for i in range(6)]
+    )
+    sink = AdditiveRollupSink(spark, path, ["event_type"])
+    sink.process_batch(ev, 5)
+    before = [(r.event_type, r.n_events, float(r.sum_v)) for r in sink.read().collect()]
+    # committed epoch below the mark: exactly-once no-op, no error
+    sink.process_batch(ev, 5)
+    # UNcommitted epoch below the mark: must raise, state unchanged
+    with pytest.raises(ValueError, match="out-of-order epoch"):
+        sink.process_batch(ev, 3)
+    after = [(r.event_type, r.n_events, float(r.sum_v)) for r in sink.read().collect()]
+    assert before == after and sink.last_committed_epoch() == 5
+
+
 def test_additive_rollup_streaming_end_to_end(spark, tmp_path_factory):
     """Real readStream drive of AdditiveRollupSink: two source files
     drained by availableNow, rollup equals the batch GROUP BY of the
