@@ -29,5 +29,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query."""
+    """DuckDB-equivalent SQL for every SQL-expressible query.
+
+    Two entries are DELIBERATELY absent — ``agg_approx_distinct`` and
+    ``agg_hll_partitioned`` use Spark's HLL sketches, which no DuckDB
+    SQL reproduces (different estimator, different hash). Per the
+    driver contract their check is rows-only BY DESIGN, not an error;
+    their exact twins (``agg_distinct_users``, ``agg_bitmap_distinct``)
+    are oracle-checked, and since r6 each sketch row carries its own
+    ``within_tol`` audit column (approx vs exact, 3-sigma rtol)
+    asserted in tests/test_engine.py, so even a rows-only sample shows
+    estimator sanity inline."""
     return _registry.oracle_sql()

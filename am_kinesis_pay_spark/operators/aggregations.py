@@ -114,12 +114,35 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3b [DRV]: HyperLogLog++ approximate distinct — the 100 TB path
     where exact distinct would shuffle every key. rsd=0.02 balances
     sketch size against precision (0.01 quadruples the register file
-    for one extra significant digit; Spark's default is 0.05). No
-    oracle (duckdb's approx sketch differs); rows-only check."""
+    for one extra significant digit; Spark's default is 0.05).
+
+    DELIBERATELY absent from oracle_sql(): DuckDB's approx sketch is a
+    different estimator, so no cross-engine hash can exist and the
+    driver records a rows-only check. To make that check still prove
+    estimator sanity, the result CARRIES its own tolerance audit: the
+    exact twin (the driver-green agg_distinct_users aggregation) rides
+    along per row with ``within_tol`` = |approx-exact| <= max(2,
+    3*rsd*exact) — asserted all-true in pytest, and visible in any
+    rows-only sample the driver takes. The exact column is the
+    self-check's cost, not the production plan: at 100 TB you ship
+    only the sketch and audit a sampled slice."""
+    tol = F.greatest(F.lit(2.0), F.lit(3 * 0.02) * F.col("n_users_exact"))
     return (
         load(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+            F.countDistinct("user_id").alias("n_users_exact"),
+        )
+        .select(
+            "event_type",
+            "n_users_approx",
+            "n_users_exact",
+            (
+                F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
+                <= tol
+            ).alias("within_tol"),
+        )
     )
 
 
@@ -728,19 +751,42 @@ def agg_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     thing any rollup window rescans: each sketch is ~KB regardless of
     day volume, merging is associative/commutative, and the estimate is
     identical to sketching the raw union directly (pinned in
-    test_engine.py). Rows-only: DuckDB's HLL is a different sketch, so
-    no cross-engine oracle exists — the engine-internal merge≡direct
-    equality is the check instead."""
+    test_engine.py).
+
+    DELIBERATELY absent from oracle_sql(): DuckDB's HLL is a different
+    sketch, so no cross-engine oracle exists — the engine-internal
+    merge≡direct equality is pinned in pytest instead, and since r6 the
+    result also carries its own tolerance audit (``within_tol`` vs the
+    exact distinct, 3-sigma of the default-precision sketch ≈ 5%) so
+    the driver's rows-only sample still shows estimator sanity."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.to_date(F.date_trunc("day", "ts")).alias("d"), "event_type"
     ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "approx_distinct_users"
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct_users")
+    )
+    tol = F.greatest(
+        F.lit(2.0), F.lit(0.12) * F.col("exact_distinct_users")
+    )
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
-                "approx_distinct_users"
-            )
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "approx_distinct_users",
+            "exact_distinct_users",
+            (
+                F.abs(
+                    F.col("approx_distinct_users")
+                    - F.col("exact_distinct_users")
+                )
+                <= tol
+            ).alias("within_tol"),
         )
         .orderBy("event_type")
     )

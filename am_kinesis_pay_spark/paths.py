@@ -61,6 +61,70 @@ def _artifact_lock():
     return _ARTIFACT_LOCK
 
 
+_GC_DONE = False
+# Every scratch path this package writes starts with this prefix; the
+# janitor only ever considers these, never arbitrary tmpdir contents.
+_SCRATCH_PREFIX = "akps_"
+
+
+def _tree_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path, onerror=lambda e: None):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def gc_scratch(
+    keep_token: str | None = None, budget_bytes: int | None = None
+) -> list[str]:
+    """Size-bounded LRU janitor for the session-artifact layer: scratch
+    dirs accumulate per (session, sf) — on a box that runs the suite
+    repeatedly (CI, the per-round driver) they would otherwise grow
+    without bound. Scans tempdir for ``akps_*`` dirs NOT owned by the
+    current session, keeps the most-recently-touched ones within
+    ``budget_bytes`` (env ``AKPS_SCRATCH_GB``, default 8 GiB), deletes
+    the rest, and returns the deleted paths. Runs once per process,
+    lazily before the first artifact build, so the budget bounds disk
+    across repeated sessions without ever racing this session's own
+    writes (another LIVE session's artifacts self-heal: its
+    session_artifact re-builds on the missing ``_SUCCESS``)."""
+    import shutil
+    import tempfile as _tf
+
+    if budget_bytes is None:
+        budget_bytes = int(
+            float(os.environ.get("AKPS_SCRATCH_GB", "8")) * (1 << 30)
+        )
+    tmp = _tf.gettempdir()
+    candidates = []
+    try:
+        entries = os.listdir(tmp)
+    except OSError:
+        return []
+    for e in entries:
+        p = os.path.join(tmp, e)
+        if not e.startswith(_SCRATCH_PREFIX) or not os.path.isdir(p):
+            continue
+        if keep_token and e.endswith(keep_token):
+            continue
+        try:
+            candidates.append((os.path.getmtime(p), _tree_bytes(p), p))
+        except OSError:
+            continue
+    candidates.sort(reverse=True)  # newest first
+    deleted, used = [], 0
+    for _mtime, size, p in candidates:
+        used += size
+        if used > budget_bytes:
+            shutil.rmtree(p, ignore_errors=True)
+            deleted.append(p)
+    return deleted
+
+
 def session_artifact(spark: SparkSession, name: str, build, schema=None):
     """Session-scoped scratch-parquet memo: build() the frame and write
     it on first use, read it back on every use. AKPS_FORCE_RECOMPUTE=1
@@ -74,11 +138,15 @@ def session_artifact(spark: SparkSession, name: str, build, schema=None):
     is the persisted-index ingest shape: expensive shared stages (a
     signature index, a tokenizer merge table) are tables maintained
     once and probed by every consumer."""
+    global _GC_DONE
     path = scratch_path(spark, name)
     force_env = os.environ.get("AKPS_FORCE_RECOMPUTE", "") not in ("", "0")
     # serialized build: concurrent driver threads (a parallel harness)
     # must not race the overwrite of a shared artifact path
     with _artifact_lock():
+        if not _GC_DONE:
+            _GC_DONE = True
+            gc_scratch(keep_token=session_token(spark))
         force = force_env and path not in _FORCE_REBUILT
         if (
             force

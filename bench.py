@@ -71,23 +71,41 @@ def main() -> None:
         tags = REGISTRY[name].tags
         fam = tags[0] if tags else "other"
         families[fam] = round(families.get(fam, 0.0) + sec, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_seconds_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "families": families,
-                "sf": _sf_from_dir(SF_DIR),
-                "n_queries": len(times),
-                "errors": errors,
-                # coverage grows round over round; normalize so totals
-                # stay comparable across rounds
-                "sec_per_query": round(total / max(1, len(times)), 4),
-            }
-        )
-    )
+    payload = {
+        "metric": "total_wall_seconds_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "families": families,
+        "sf": _sf_from_dir(SF_DIR),
+        "n_queries": len(times),
+        "errors": errors,
+        # coverage grows round over round; normalize so totals
+        # stay comparable across rounds
+        "sec_per_query": round(total / max(1, len(times)), 4),
+    }
+    print(json.dumps(payload))
+    # The driver's BENCH_r{N}.json keeps only a 2000-char tail of this
+    # line, which loses per-query numbers for most of the alphabet.
+    # Persist the full dict in-repo so any round can diff any query
+    # without rerunning (tools/bench_diff.py reads these).
+    # The round number keys off the driver's OWN BENCH_r{N}.json files:
+    # every bench run this round (including the driver's final one)
+    # overwrites the same BENCH_local_r{N+1}.json, so the file left
+    # behind is the round's last run.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        driver_rounds = [
+            int(f[len("BENCH_r"):-len(".json")])
+            for f in os.listdir(here)
+            if f.startswith("BENCH_r") and f.endswith(".json")
+            and f[len("BENCH_r"):-len(".json")].isdigit()
+        ]
+        n = 1 + max(driver_rounds, default=0)
+        with open(os.path.join(here, f"BENCH_local_r{n}.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout line is still complete
 
 
 if __name__ == "__main__":

@@ -84,3 +84,43 @@ def test_emb_family_standalone_equals_memoized(spark, monkeypatch):
         for r in queries()["emb_dedup_cosine_lsh"](spark, SF_DIR).collect()
     }
     assert memoized == rebuilt
+
+
+def test_gc_scratch_lru_budget(tmp_path, monkeypatch):
+    """The artifact janitor (VERDICT r5 #8): akps_* scratch dirs from
+    PAST sessions are kept newest-first within the byte budget, older
+    ones deleted; the current session's dirs and non-akps tmpdir
+    contents are never touched."""
+    import os
+    import tempfile
+    import time
+
+    import am_kinesis_pay_spark.paths as P
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    def mk(name, size, age_s):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(b"x" * size)
+        old = time.time() - age_s
+        os.utime(d, (old, old))
+        return str(d)
+
+    newest = mk("akps_a_sess1", 600, 10)
+    middle = mk("akps_b_sess1", 600, 20)
+    oldest = mk("akps_c_sess2", 600, 30)
+    mine = mk("akps_d_current", 600, 99999)  # current session: immune
+    other = mk("not_akps_dir", 600, 99999)   # foreign tmp content: immune
+
+    deleted = P.gc_scratch(keep_token="current", budget_bytes=1300)
+    # newest(600) + middle(600) fit in 1300; oldest busts the budget
+    assert deleted == [oldest]
+    assert os.path.isdir(newest) and os.path.isdir(middle)
+    assert os.path.isdir(mine) and os.path.isdir(other)
+    assert not os.path.exists(oldest)
+
+    # zero budget: every non-current akps dir goes
+    deleted2 = set(P.gc_scratch(keep_token="current", budget_bytes=0))
+    assert deleted2 == {newest, middle}
+    assert os.path.isdir(mine) and os.path.isdir(other)

@@ -99,3 +99,48 @@ def test_hll_merge_equals_direct_sketch(spark):
     }
     for et, est in merged.items():
         assert abs(est - exact[et]) <= max(2, 0.05 * exact[et]), (et, est, exact[et])
+
+
+def test_listagg_distinct_upstream_bug(spark):
+    """Upstream pin (VERDICT r5 #7): Spark 4.1 throws an internal
+    ClassCastException when a listagg(DISTINCT ...) WITHIN GROUP shares
+    its aggregate with a SECOND distinct aggregate — the reason
+    agg_ordered_listagg derives n_types from the joined string instead
+    (operators/aggregations.py agg_ordered_listagg docstring). This
+    xfail(strict) fires the NAIVE form on purpose: the day the image's
+    Spark fixes it, this test FAILS (xpass) and the workaround can be
+    deleted."""
+    import pytest
+
+    from am_kinesis_pay_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    ev = load(spark, SF_DIR, "events")
+    ev.createOrReplaceTempView("events_v_listagg_bug")
+    naive = spark.sql(
+        """
+        SELECT user_id,
+          listagg(DISTINCT event_type, ',')
+            WITHIN GROUP (ORDER BY event_type) AS type_list,
+          COUNT(DISTINCT event_type) AS n_types
+        FROM events_v_listagg_bug
+        GROUP BY user_id
+        """
+    )
+    with pytest.raises(Exception) as exc_info:
+        naive.collect()
+    msg = str(exc_info.value)
+    assert "ClassCastException" in msg or "INTERNAL" in msg.upper(), msg
+
+
+def test_sketch_entries_within_tolerance(spark):
+    """The two deliberately-oracle-less sketch entries carry their own
+    tolerance audit column; it must be all-true at every test SF (the
+    driver's rows-only sample then shows estimator sanity inline)."""
+    from am_kinesis_pay_spark.registry import queries
+
+    qs = queries()
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for name in ("agg_approx_distinct", "agg_hll_partitioned"):
+            rows = qs[name](spark, sf_dir).collect()
+            assert rows and all(r.within_tol for r in rows), (name, sf_dir, rows)
