@@ -18,6 +18,8 @@ the system) — from payment records to arbitrary structured tables.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from am_kinesis_pay_spark.registry import register
@@ -29,6 +31,13 @@ from am_kinesis_pay_spark.tables import load
 _ER_W_NAME = 0.7
 _ER_W_BAL = 0.3
 _ER_TAU = 0.85
+# Deterministic per-block membership cap (the dedup.py BAND_CAP /
+# integration.py _CC_DAY_CAP pattern): a hot blocking key's candidate
+# set is quadratic in block size, so block membership is bounded to the
+# first _ER_BLOCK_CAP records in md5(custkey) order — a no-op at the
+# test SFs (max block 152 at sf0.1) that bounds any block to
+# C(256,2)=32,640 pairs at any scale. Mirrored verbatim in the oracle.
+_ER_BLOCK_CAP = int(os.environ.get("AKPS_ER_BLOCK_CAP", "256"))
 # k-anonymity / l-diversity audit parameters
 _KANON_K = 5
 _LDIV_L = 3
@@ -37,7 +46,14 @@ _LDIV_L = 3
 @register(
     "er_customer_linkage",
     oracle=f"""
-WITH pairs AS (
+WITH capped AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY c_nationkey, c_mktsegment
+        ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+    FROM customer) c
+  WHERE rn <= {_ER_BLOCK_CAP}
+), pairs AS (
   SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
     CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev,
     1.0 - levenshtein(a.c_name, b.c_name)
@@ -45,7 +61,7 @@ WITH pairs AS (
       AS name_sim,
     1.0 - abs(a.c_acctbal - b.c_acctbal)
       / (abs(a.c_acctbal) + abs(b.c_acctbal) + 1.0) AS bal_sim
-  FROM customer a JOIN customer b
+  FROM capped a JOIN capped b
     ON a.c_nationkey = b.c_nationkey
    AND a.c_mktsegment = b.c_mktsegment
    AND a.c_custkey < b.c_custkey
@@ -79,16 +95,27 @@ def er_customer_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold. Candidate count is quadratic in BLOCK size, linear
     in block count — the blocking key's selectivity is the scale knob
     (the same lever as the MinHash band count in llm/dedup.py; for
-    dirty keys the upgrades are sorted-neighborhood windows or LSH
-    blocking, which change the key derivation, not this plan). A hot
-    block (skewed nation×segment) is AQE skew-join territory; the
-    deterministic per-bucket cap pattern (dedup.py BAND_CAP) applies
-    unchanged if a block must be bounded.
+    dirty keys the upgrades are er_sorted_neighborhood and
+    er_lsh_blocking below, which change the key derivation, not this
+    plan). Since r6, block membership is BOUNDED: each block keeps its
+    first _ER_BLOCK_CAP=256 records in md5(custkey) order (mirrored in
+    the oracle) — a no-op at the test SFs (max block 152 at sf0.1),
+    and at any scale no block exceeds C(256,2) pairs, so total work is
+    linear in block count. 10x stress receipt in SCALE.md (linkage
+    row); a hot nation×segment additionally gets AQE skew-split.
 
     Reference parity: kinesis-pay.php:515-518 treats records with the
     same payment key as one entity; this generalizes same-entity
     detection to fuzzy multi-field evidence."""
-    c = load(spark, sf_dir, "customer")
+    cust = load(spark, sf_dir, "customer")
+    w_blk = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    c = (
+        cust.withColumn("rn", F.row_number().over(w_blk))
+        .filter(F.col("rn") <= _ER_BLOCK_CAP)
+        .drop("rn")
+    )
     a = c.select(
         F.col("c_custkey").alias("custkey_a"),
         F.col("c_name").alias("name_a"),
@@ -288,3 +315,186 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     return scored.filter(F.col("score") >= _ER_TAU)
+
+
+# LSH blocking parameters: 8 md5 minhash permutations in 4 bands of 2
+# (the dedup.py N_PERM/BAND_W convention), per-bucket cap 64, gram
+# document-frequency ceiling 20%. Tau is higher than the blocking
+# variant's because banded candidates are name-similar BY CONSTRUCTION.
+_LSH_PERM = 8
+_LSH_BAND_W = 2
+_LSH_BUCKET_CAP = int(os.environ.get("AKPS_ER_LSH_CAP", "64"))
+_LSH_DF_MAX = 0.20
+_ER_LSH_TAU = 0.93
+
+
+@register(
+    "er_lsh_blocking",
+    oracle=f"""
+WITH grams AS (
+  SELECT DISTINCT c_custkey, substr(c_name, CAST(i AS INT), 3) AS g
+  FROM customer, unnest(range(1, length(c_name) - 1)) t(i)
+), df AS (
+  SELECT g, COUNT(*) AS df FROM grams GROUP BY g
+), n AS (SELECT COUNT(*) AS n FROM customer),
+rare AS (
+  SELECT gr.c_custkey, gr.g FROM grams gr JOIN df ON df.g = gr.g, n
+  WHERE df.df <= {_LSH_DF_MAX} * n.n
+), mh AS (
+  SELECT c_custkey, s.seed,
+    MIN(md5(concat(CAST(s.seed AS VARCHAR), ':', g))) AS h
+  FROM rare, generate_series(0, {_LSH_PERM - 1}) AS s(seed)
+  GROUP BY c_custkey, s.seed
+), bands AS (
+  SELECT c_custkey, seed // {_LSH_BAND_W} AS band,
+    string_agg(h, '|' ORDER BY seed) AS band_val
+  FROM mh GROUP BY c_custkey, seed // {_LSH_BAND_W}
+), capped AS (
+  SELECT c_custkey, band, band_val FROM (
+    SELECT c_custkey, band, band_val,
+      ROW_NUMBER() OVER (PARTITION BY band, band_val
+                         ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey)
+        AS rn
+    FROM bands) c
+  WHERE rn <= {_LSH_BUCKET_CAP}
+), cand AS (
+  SELECT DISTINCT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.band_val = b.band_val
+   AND a.c_custkey < b.c_custkey
+), pairs AS (
+  SELECT c.custkey_a, c.custkey_b,
+    CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev,
+    1.0 - levenshtein(a.c_name, b.c_name)
+      / CAST(greatest(length(a.c_name), length(b.c_name)) AS DOUBLE)
+      AS name_sim,
+    1.0 - abs(a.c_acctbal - b.c_acctbal)
+      / (abs(a.c_acctbal) + abs(b.c_acctbal) + 1.0) AS bal_sim
+  FROM cand c
+  JOIN customer a ON a.c_custkey = c.custkey_a
+  JOIN customer b ON b.c_custkey = c.custkey_b
+)
+SELECT custkey_a, custkey_b, lev, name_sim, bal_sim,
+  {_ER_W_NAME} * name_sim + {_ER_W_BAL} * bal_sim AS score
+FROM pairs
+WHERE {_ER_W_NAME} * name_sim + {_ER_W_BAL} * bal_sim >= {_ER_LSH_TAU}
+""",
+    tags=("linkage", "join"),
+)
+def er_lsh_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH blocking for DIRTY keys — the third blocking strategy in the
+    ER family (er_customer_linkage: clean categorical key;
+    er_sorted_neighborhood: sortable key; here: no usable key at all).
+    Candidates come from MinHash-banded character 3-grams of the name
+    itself — the llm/dedup.py machinery verbatim (md5 permutations,
+    4 bands of 2, deterministic per-bucket cap in md5 order) applied
+    to a structured field.
+
+    The one ER-specific addition is gram DOCUMENT-FREQUENCY filtering:
+    names share boilerplate ('Customer#000...' here; 'Inc', 'LLC',
+    'Street' in real rosters), and boilerplate grams dominate every
+    minhash — measured on this fixture, raw grams put 87% of the
+    corpus into ONE band bucket. Dropping grams present in more than
+    20% of records (the stopword-removal standard in ER blocking)
+    leaves the discriminating grams: max bucket falls 13,067 -> 482 at
+    sf0.1 before the cap even applies.
+
+    At 100 TB every stage is bounded: gram/DF/minhash passes are
+    linear scans with map-side combines; buckets are capped at 64 in
+    deterministic md5 order (hot-boilerplate buckets truncate, other
+    bands recover the recall — the dedup.py argument); candidate pairs
+    are <= C(64,2) per bucket, linear in bucket count; scoring touches
+    candidates only. Tau=0.93 (vs 0.85) because banded candidates are
+    name-similar by construction.
+
+    Reference parity: same record-hygiene surface as er_customer_linkage
+    (kinesis-pay.php:515-518), keyed on fuzzy name evidence instead of
+    exact payment keys."""
+    cust = load(spark, sf_dir, "customer").filter(F.length("c_name") >= 3)
+    grams = cust.select(
+        "c_custkey",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("c_name") - 2),
+                    lambda i: F.col("c_name").substr(i, F.lit(3)),
+                )
+            )
+        ).alias("g"),
+    )
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+    rare = grams.join(df_counts, "g").crossJoin(F.broadcast(n)).filter(
+        F.col("df") <= F.lit(_LSH_DF_MAX) * F.col("n")
+    )
+    # one agg computes all 8 permutation minima (the _rep_index shape)
+    sigs = rare.groupBy("c_custkey").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("g")))).alias(f"h{s}")
+            for s in range(_LSH_PERM)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"h{s}")
+                    for s in range(b * _LSH_BAND_W, (b + 1) * _LSH_BAND_W)
+                ],
+            ).alias("band_val"),
+        )
+        for b in range(_LSH_PERM // _LSH_BAND_W)
+    ]
+    bands = sigs.select(
+        "c_custkey", F.explode(F.array(*band_structs)).alias("bv")
+    ).select(
+        "c_custkey",
+        F.col("bv.band").alias("band"),
+        F.col("bv.band_val").alias("band_val"),
+    )
+    w_cap = Window.partitionBy("band", "band_val").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    capped = (
+        bands.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= _LSH_BUCKET_CAP)
+        .drop("rn")
+    )
+    cand = (
+        capped.select(F.col("c_custkey").alias("custkey_a"), "band", "band_val")
+        .join(
+            capped.select(
+                F.col("c_custkey").alias("custkey_b"), "band", "band_val"
+            ),
+            ["band", "band_val"],
+        )
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .select("custkey_a", "custkey_b")
+        .distinct()
+    )
+    fields = ["c_custkey", "c_name", "c_acctbal"]
+    pairs = cand.join(
+        cust.select(*fields).toDF("custkey_a", "name_a", "bal_a"), "custkey_a"
+    ).join(
+        cust.select(*fields).toDF("custkey_b", "name_b", "bal_b"), "custkey_b"
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    name_sim = F.lit(1.0) - lev / F.greatest(
+        F.length("name_a"), F.length("name_b")
+    ).cast("double")
+    bal_sim = F.lit(1.0) - F.abs(F.col("bal_a") - F.col("bal_b")) / (
+        F.abs("bal_a") + F.abs("bal_b") + F.lit(1.0)
+    )
+    scored = pairs.select(
+        "custkey_a",
+        "custkey_b",
+        lev.cast("int").alias("lev"),
+        name_sim.alias("name_sim"),
+        bal_sim.alias("bal_sim"),
+        (
+            F.lit(_ER_W_NAME) * name_sim + F.lit(_ER_W_BAL) * bal_sim
+        ).alias("score"),
+    )
+    return scored.filter(F.col("score") >= _ER_LSH_TAU)

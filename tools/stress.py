@@ -65,6 +65,11 @@ MAINT_QUERIES = [
     "win_running_distinct", "join_asof_nearest",
     "stream_stream_join",
     "events_survival_km", "stream_static_enrich", "udaf_arrow_groupstats",
+    # r6: the ER family at 10x customer (replicas keep their block, so
+    # blocks genuinely grow 10x — the hot-block / hot-bucket stress the
+    # r5 verdict asked to measure; caps bound both)
+    "er_customer_linkage", "er_sorted_neighborhood", "er_lsh_blocking",
+    "dq_k_anonymity",
 ]
 CURATION_QUERIES = [
     "text_decontaminate", "text_chunk_sliding", "text_pack_sequences",
@@ -147,7 +152,19 @@ def build(mode: str) -> str:
                            event_type, value, props
                     FROM '{BASE}/events.parquet', generate_series(0, 9) g(r))
               TO '{out}/events.parquet' (FORMAT PARQUET)""")
-            scaled = {"documents", "embeddings", "events"}
+            # r6: customer 10x for the linkage family — replicas keep
+            # their (nation, segment) block and get fresh names/keys,
+            # so ER blocks genuinely grow 10x (the hot-block stress)
+            con.execute(f"""
+              COPY (SELECT c_custkey + 1000000 * r AS c_custkey,
+                           CASE WHEN r = 0 THEN c_name
+                                ELSE concat('Customer#', lpad(CAST(c_custkey + 1000000 * r AS VARCHAR), 9, '0'))
+                           END AS c_name,
+                           c_nationkey, c_mktsegment,
+                           c_acctbal + r AS c_acctbal
+                    FROM '{BASE}/customer.parquet', generate_series(0, 9) g(r))
+              TO '{out}/customer.parquet' (FORMAT PARQUET)""")
+            scaled = {"documents", "embeddings", "events", "customer"}
         else:
             con.execute(f"""
               COPY (SELECT l_orderkey + 10000000 * r AS l_orderkey, l_partkey,
