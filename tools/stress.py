@@ -15,6 +15,9 @@ Usage:
     python tools/stress.py century   # 100x docs (500k) + 100x vecs
                                      # (200k): the dedup/curation family
                                      # at two orders of magnitude
+    python tools/stress.py century_facts  # 100x events (10M) + lineitem
+                                     # (60M) + orders (15M): the agg/
+                                     # window/join/streaming families
 """
 
 from __future__ import annotations
@@ -91,6 +94,19 @@ CURATION_QUERIES = [
 ]
 
 
+CENTURY_FACTS_QUERIES = [
+    # 100x receipts for the relational/agg/window/streaming families
+    # (10M events / 60M lineitem / 15M orders): each entry names its
+    # sub-linear mechanism in SCALE.md — bounded group cardinality,
+    # single-shuffle windows, partial aggregation, broadcast dims
+    "agg_pricing_summary", "agg_status_counts", "agg_grouping_sets",
+    "agg_time_rollup", "join_inner_equi", "q_shipping_priority",
+    "sort_global", "win_sessionize", "win_running_total",
+    "events_funnel_ordered", "join_asof_rate",
+    "stream_state_machine_batch", "stream_dedup_payment",
+    "agg_hll_partitioned", "agg_bitmap_distinct",
+]
+
 CENTURY_QUERIES = [
     # 100x receipts: every entry here must scale ~linearly because its
     # heavy stages run on DISTINCT content (dup-collapse reps, value
@@ -105,6 +121,32 @@ CENTURY_QUERIES = [
 
 def build(mode: str) -> str:
     import duckdb
+
+    if mode == "century_facts":
+        out = "/tmp/stress100_facts"
+        os.makedirs(out, exist_ok=True)
+        if not os.path.exists(os.path.join(out, "lineitem.parquet")):
+            con = duckdb.connect()
+            con.execute(f"""
+              COPY (SELECT event_id + 1000000 * r AS event_id, ts,
+                           user_id + 100 * r AS user_id, event_type, value, props
+                    FROM '{BASE}/events.parquet', generate_series(0, 99) g(r))
+              TO '{out}/events.parquet' (FORMAT PARQUET)""")
+            con.execute(f"""
+              COPY (SELECT l_orderkey + 10000000 * r AS l_orderkey, l_partkey,
+                           l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+                    FROM '{BASE}/lineitem.parquet', generate_series(0, 99) g(r))
+              TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+            con.execute(f"""
+              COPY (SELECT o_orderkey + 10000000 * r AS o_orderkey, o_custkey,
+                           o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+                    FROM '{BASE}/orders.parquet', generate_series(0, 99) g(r))
+              TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+            for t in ALL_TABLES:
+                if t not in ("events", "lineitem", "orders"):
+                    shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+        return out
 
     if mode == "century":
         out = "/tmp/stress100_century"
@@ -186,9 +228,9 @@ def build(mode: str) -> str:
 
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "facts"
-    assert mode in ("docs", "facts", "curation", "maint", "century"), (
-        "mode must be docs|facts|curation|maint|century"
-    )
+    assert mode in (
+        "docs", "facts", "curation", "maint", "century", "century_facts"
+    ), "mode must be docs|facts|curation|maint|century|century_facts"
     sf_dir = build("curation" if mode == "maint" else mode)
 
     from am_kinesis_pay_spark.registry import queries
@@ -205,6 +247,7 @@ def main() -> None:
         "curation": CURATION_QUERIES,
         "maint": MAINT_QUERIES,
         "century": CENTURY_QUERIES,
+        "century_facts": CENTURY_FACTS_QUERIES,
     }[mode]
     for name in names:
         t0 = time.perf_counter()
