@@ -16,8 +16,10 @@ a from-scratch DCT signal codec (llm/codecs.py, bounded-error oracle
 ``mm_codec_jpeg_roundtrip``; compressed audio for real via the
 from-scratch IMA-ADPCM codec, ``mm_codec_adpcm_roundtrip``; the MP4
 CONTAINER demuxes for real via the from-scratch ISO BMFF parser,
-``mm_codec_mp4_container``). Only the codec INSIDE MP4 samples
-(H.264-class entropy+transform) remains gated: this image has no codec LIBRARIES, so that kernel is a
+``mm_codec_mp4_container``; inter-frame predictive video for real
+via the from-scratch motion-compensated MPV1 codec,
+``mm_codec_pframe_video``). Only FOREIGN video bitstreams
+(H.264/H.265) remain gated: this image has no codec LIBRARIES, so that kernel is a
 deterministic byte-level fallback behind an import-try —
 ``_decode_image`` raises NotImplementedError if someone flips
 ``USE_REAL_CODECS`` without PIL present. Everything
@@ -132,8 +134,10 @@ def _container_decode(payload: bytes) -> bytes | None:
     not from a bit-exact contract. IMA-ADPCM WAV decodes for real too
     (decode_wav dispatches on wFormatTag), and MP4 whose samples are
     all JPEG (MJPEG) decodes end-to-end: demux + per-frame T.81.
-    Only inter-frame predictive video codecs (H.264/H.265) still need
-    USE_REAL_CODECS plus a codec library."""
+    MPV1 GOPs (JPEG I-frame + motion-compensated P-frames) decode
+    end-to-end through the chained predictive decoder. Only FOREIGN
+    bitstream codecs (H.264/H.265) still need USE_REAL_CODECS plus a
+    codec library — a library matter, not a capability class."""
     from am_kinesis_pay_spark.llm import codecs
 
     b = bytes(payload)
@@ -155,14 +159,24 @@ def _container_decode(payload: bytes) -> bytes | None:
             return gray.tobytes()
         if len(b) >= 8 and b[4:8] == b"ftyp":
             # real ISO BMFF demux; MJPEG samples (every frame sniffs
-            # as JPEG) decode fully through the T.81 parser — true
-            # video decode. Other sample codecs (H.264 etc.) stay
-            # gated: their concatenated sample bytes feed the head.
+            # as JPEG) decode fully through the T.81 parser, and MPV1
+            # GOPs (JPEG I-frame + MPVP P-frames) decode through the
+            # motion-compensated chain — true video decode for both
+            # intra- and inter-frame coding. Foreign bitstreams
+            # (H.264 etc.) stay gated: their concatenated sample
+            # bytes feed the head.
             _, frames = codecs.decode_mp4(b)
             if frames and all(f[:2] == b"\xff\xd8" for f in frames):
                 return b"".join(
                     codecs.decode_jpeg(f)[1].tobytes() for f in frames
                 )
+            if (
+                len(frames) >= 2
+                and frames[0][:2] == b"\xff\xd8"
+                and all(f[:4] == codecs._PVID_MAGIC for f in frames[1:])
+            ):
+                _, gop = codecs.decode_pvideo(b)
+                return b"".join(fr.tobytes() for fr in gop)
             return b"".join(frames)
     except ValueError:
         return None

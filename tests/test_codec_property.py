@@ -527,3 +527,93 @@ def test_mjpeg_container_decode_dispatch():
 
     bad = encode_mp4([jpegs[0], b"\xff\xd8corrupt-not-a-jpeg"])
     assert _container_decode(bad) is None
+
+
+from am_kinesis_pay_spark.llm import codecs as C
+
+
+class TestPVideo:
+    """MPV1 motion-compensated P-frame codec (r6): roundtrip bounds,
+    closed-loop determinism, motion-search correctness on pure
+    translation, GOP chain-break quarantine, structural validation."""
+
+    def _frames(self, seed=7, n=4, side=32, shift=2):
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 256, (side + shift * n, side), dtype=np.uint8)
+        return [base[shift * f : shift * f + side, :].copy() for f in range(n)]
+
+    def test_roundtrip_bounded_error(self):
+        frames = self._frames()
+        blob = C.encode_pvideo(frames)
+        meta, got = C.decode_pvideo(blob)
+        assert meta["n_samples"] == len(frames) and meta["codec"] == "mpv1"
+        for g, f in zip(got, frames):
+            assert g.shape == f.shape
+            err = int(np.abs(g.astype(np.int64) - f.astype(np.int64)).max())
+            assert err <= C._PVID_TOL, err
+
+    def test_encode_deterministic(self):
+        frames = self._frames(seed=11)
+        assert C.encode_pvideo(frames) == C.encode_pvideo(frames)
+
+    def test_motion_search_finds_pure_translation(self):
+        # a frame that is EXACTLY the reference shifted down-right by
+        # (3, 5) must yield mv (3, 5) for every interior macroblock and
+        # a near-zero residual (only the entering border is new)
+        rng = np.random.default_rng(3)
+        ref = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+        cur = np.roll(np.roll(ref, -3, axis=0), -5, axis=1)
+        mvs = C._pvid_motion_search(cur, ref)
+        # interior MBs (not touching the wrap-around edges)
+        grid = mvs.reshape(4, 4, 2)
+        assert np.all(grid[:3, :3] == np.array([3, 5]))
+
+    def test_pframe_residual_exact_on_perfect_prediction(self):
+        # if cur == ref the residual quantizes to all-zero and the
+        # reconstruction is bit-exact
+        rng = np.random.default_rng(5)
+        ref = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+        sample, recon = C.encode_pframe(ref.copy(), ref)
+        assert np.array_equal(recon, ref)
+        assert np.array_equal(C.decode_pframe(sample, ref), ref)
+
+    def test_corrupt_pframe_quarantines_tail_not_iframe(self):
+        frames = self._frames(seed=13)
+        blob = C.encode_pvideo(frames)
+        i = blob.index(C._PVID_MAGIC)
+        bad = blob[:i] + b"XXXX" + blob[i + 4 :]
+        _, samples = C.decode_mp4(bad)  # container walk survives
+        _, recon = C.decode_jpeg(samples[0])  # I-frame survives
+        ok = 1
+        for s in samples[1:]:
+            try:
+                recon = C.decode_pframe(s, recon)
+                ok += 1
+            except ValueError:
+                break
+        assert ok == 1  # P1 and its dependents quarantine
+
+    def test_validation_errors(self):
+        frames = self._frames(seed=17)
+        ref = frames[0]
+        sample, _ = C.encode_pframe(frames[1], ref)
+        with pytest.raises(ValueError, match="magic"):
+            C.decode_pframe(b"JUNK" + sample[4:], ref)
+        with pytest.raises(ValueError, match="dims disagree"):
+            C.decode_pframe(sample, np.zeros((48, 48), dtype=np.uint8))
+        with pytest.raises(ValueError, match="motion vector"):
+            # mv byte 0 -> dy = -8, outside the +/-7 search range
+            C.decode_pframe(sample[:9] + b"\x00" + sample[10:], ref)
+        with pytest.raises(ValueError, match="length disagrees"):
+            C.decode_pframe(sample + b"\x00", ref)
+        with pytest.raises(ValueError):
+            C.decode_pframe(sample[:-3], ref)
+
+    def test_container_decode_sniffs_mpv1(self):
+        from am_kinesis_pay_spark.llm.multimodal import _container_decode
+
+        frames = self._frames(seed=19)
+        blob = C.encode_pvideo(frames)
+        decoded = _container_decode(blob)
+        assert decoded is not None
+        assert len(decoded) == sum(f.size for f in frames)

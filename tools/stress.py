@@ -48,6 +48,8 @@ DOCS_QUERIES = [
     # r4 additions: perplexity terciles, distributed GD trainer, and
     # the MJPEG video pipeline (frames never shuffle; map-only)
     "text_ccnet_buckets", "text_classifier_train", "mm_codec_mjpeg_video",
+    # r6: inter-frame predictive video (MPV1 motion-compensated GOPs)
+    "mm_codec_pframe_video",
     # r5: one-pass per-source corpus profile + drift monitor
     "pipeline_dataset_card", "text_source_divergence",
 ]
