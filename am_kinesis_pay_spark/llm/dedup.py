@@ -2194,3 +2194,118 @@ def text_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_len", "n_grams")
     )
+
+
+# Content-defined chunking: boundary after any position whose trailing
+# 8-gram md5 is < '04' (a 4/256 = 1/64 boundary rate -> ~64-char mean
+# chunks), so an insertion early in a document RESYNCS at the next
+# content boundary instead of shifting every later chunk — the property
+# fixed-size blocks lack and the reason storage dedup (LBFS, Venti,
+# restic/borg) is content-defined.
+_CDC_GRAM = 8
+_CDC_BOUND = "04"
+
+
+@register(
+    "text_dedup_cdc",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, text, i
+  FROM documents, unnest(range({_CDC_GRAM}, length(text) + 1)) t(i)
+  WHERE md5(substr(text, CAST(i AS INT) - {_CDC_GRAM - 1}, {_CDC_GRAM}))
+        < '{_CDC_BOUND}'
+), bounds AS (
+  SELECT doc_id, text, i,
+    LAG(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM pos
+), lastb AS (
+  SELECT doc_id, MAX(i) AS mx FROM pos GROUP BY doc_id
+), chunks AS (
+  SELECT doc_id, substr(text, CAST(prev AS INT) + 1, CAST(i - prev AS INT))
+    AS chunk
+  FROM bounds
+  UNION ALL
+  SELECT d.doc_id,
+    substr(d.text, CAST(COALESCE(l.mx, 0) AS INT) + 1,
+           CAST(length(d.text) - COALESCE(l.mx, 0) AS INT)) AS chunk
+  FROM documents d LEFT JOIN lastb l ON d.doc_id = l.doc_id
+  WHERE length(d.text) > COALESCE(l.mx, 0)
+)
+SELECT md5(chunk) AS chunk_hash,
+  CAST(MIN(length(chunk)) AS INT) AS chunk_len,
+  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM chunks
+GROUP BY md5(chunk)
+HAVING COUNT(*) > 1
+""",
+    tags=("llm", "dedup"),
+)
+def text_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup — the STORAGE-SYSTEM dedup class
+    (LBFS 2001 / Venti 2002; restic, borg, and every dedup appliance),
+    complementing the document-level families: documents split at
+    content-derived boundaries (trailing-8-gram hash below a 1/64
+    threshold -> ~64-char expected chunks), identical chunks found
+    across the corpus by one hash groupBy. Unlike fixed-size blocks, an
+    edit RESYNCS at the next content boundary, so shared passages
+    behind shifted prefixes still dedup — the substring-level recall
+    text_dedup_exact cannot have at sub-document granularity, without
+    text_dedup_substring's gram multiplicity.
+
+    Plan shape at 100 TB: boundary detection is a map-only explode
+    (one row per character position, filtered to ~1/64 before anything
+    shuffles — the filter sits INSIDE the generate stage); chunk
+    assembly is one per-doc window (gaps-and-islands over boundary
+    positions); the dedup itself is a single hash aggregation keyed on
+    chunk md5, map-side combined. Output is bounded by duplicate chunk
+    TYPES. Chunk-tiling exactness (every doc's chunks concatenate back
+    to the doc) is pinned in test_llm.py."""
+    docs = load(spark, sf_dir, "documents")
+    g = _CDC_GRAM
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(g), F.length("text")),
+                lambda i: F.md5(F.col("text").substr(i - (g - 1), F.lit(g)))
+                < _CDC_BOUND,
+            )
+        ).alias("i"),
+    )
+    w_prev = W.partitionBy("doc_id").orderBy("i")
+    bounds = pos.withColumn(
+        "prev", F.coalesce(F.lag("i", 1).over(w_prev), F.lit(0))
+    )
+    body = bounds.select(
+        "doc_id",
+        F.col("text").substr(
+            (F.col("prev") + 1).cast("int"), (F.col("i") - F.col("prev")).cast("int")
+        ).alias("chunk"),
+    )
+    lastb = pos.groupBy("doc_id").agg(F.max("i").alias("mx"))
+    tail = (
+        docs.join(lastb, "doc_id", "left")
+        .withColumn("mx0", F.coalesce("mx", F.lit(0)))
+        .filter(F.length("text") > F.col("mx0"))
+        .select(
+            "doc_id",
+            F.col("text").substr(
+                (F.col("mx0") + 1).cast("int"),
+                (F.length("text") - F.col("mx0")).cast("int"),
+            ).alias("chunk"),
+        )
+    )
+    chunks = body.unionByName(tail)
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.min(F.length("chunk")).cast("int").alias("chunk_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

@@ -1713,3 +1713,109 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens_src"),
         F.count(F.lit(1)).cast("bigint").alias("n_tokens_corpus"),
     )
+
+
+_KN_D = 0.75  # absolute-discount mass (the standard KN default)
+
+
+@register(
+    "text_kneser_ney",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+), bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bigrams GROUP BY w1, w2
+), fw AS (
+  SELECT w1, CAST(SUM(cb) AS DOUBLE) AS c1,
+    CAST(COUNT(*) AS DOUBLE) AS n1p
+  FROM bi GROUP BY w1
+), bw AS (
+  SELECT w2, CAST(COUNT(*) AS DOUBLE) AS n1b FROM bi GROUP BY w2
+), tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM bi
+), scored AS (
+  SELECT g.doc_id,
+    CAST(round(-ln(
+      (greatest(CAST(b.cb AS DOUBLE) - {_KN_D}, 0.0) / f.c1)
+      + (({_KN_D} * f.n1p) / f.c1) * (bw.n1b / t.nt)
+    ), 6) AS DECIMAL(18,6)) AS nll
+  FROM bigrams g
+  JOIN bi b ON b.w1 = g.w1 AND b.w2 = g.w2
+  JOIN fw f ON f.w1 = g.w1
+  JOIN bw ON bw.w2 = g.w2
+  CROSS JOIN tot t
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS kn_nll
+FROM scored GROUP BY doc_id
+""",
+    tags=("llm", "text"),
+)
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen
+    & Goodman 1998's recommended smoothing) — the quality-filter
+    upgrade over text_bigram_nll's naive interpolation: absolute
+    discounting (d=0.75) redistributes mass from seen bigrams, and the
+    lower-order model is the CONTINUATION distribution P_cont(w2) =
+    |{{w1 : c(w1,w2)>0}}| / |bigram types| — "how many contexts does
+    this word complete" — rather than raw unigram frequency, which is
+    exactly what stops high-frequency-but-single-context tokens
+    (boilerplate markers) from looking probable everywhere.
+
+    Plan shape matches text_bigram_nll: map-only bigram extraction
+    inside the scan stage, three bounded count aggregations (bigram
+    types, per-w1 continuation stats, per-w2 continuation counts — all
+    vocabulary-sized, broadcast here / term-partitioned at 100 TB),
+    scoring joins keyed on the bigram shuffle AQE already produced.
+    Per-pair nll rounds to 6 dp then accumulates in DECIMAL (the
+    order-independent float convention)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bi = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    fw = bi.groupBy("w1").agg(
+        F.sum("cb").cast("double").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("n1p"),
+    )
+    bw = bi.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("n1b"))
+    tot = bi.agg(F.count(F.lit(1)).cast("double").alias("nt"))
+    p_kn = (
+        F.greatest(F.col("cb").cast("double") - _KN_D, F.lit(0.0))
+        / F.col("c1")
+    ) + ((F.lit(_KN_D) * F.col("n1p")) / F.col("c1")) * (
+        F.col("n1b") / F.col("nt")
+    )
+    scored = (
+        bigrams.join(bi, ["w1", "w2"])
+        .join(F.broadcast(fw), "w1")
+        .join(F.broadcast(bw), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(-F.log(p_kn), 6).cast("decimal(18,6)").alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (F.sum("nll").cast("double") / F.count(F.lit(1))).alias("kn_nll"),
+    )

@@ -2471,3 +2471,113 @@ def ts_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_day",
         (level.cast("double") / _SES_S).alias("ses_forecast"),
     )
+
+
+@register(
+    "ts_autocorrelation",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(n) AS BIGINT) AS s
+  FROM daily GROUP BY event_type
+), dev AS (
+  SELECT d.event_type, d.day, st.m, (st.m * d.n - st.s) AS dv
+  FROM daily d JOIN stats st ON st.event_type = d.event_type
+), led AS (
+  SELECT event_type, m, dv,
+    LEAD(dv, 1) OVER w AS dv1,
+    LEAD(dv, 2) OVER w AS dv2,
+    LEAD(dv, 3) OVER w AS dv3
+  FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), agg AS (
+  SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_days,
+    CAST(SUM(dv * dv) AS BIGINT) AS den,
+    CAST(SUM(dv * dv1) AS BIGINT) AS num1,
+    CAST(SUM(dv * dv2) AS BIGINT) AS num2,
+    CAST(SUM(dv * dv3) AS BIGINT) AS num3
+  FROM led GROUP BY event_type
+)
+SELECT event_type, CAST(lag AS INT) AS lag, n_days,
+  CAST(num AS DOUBLE) / den AS acf
+FROM (
+  SELECT event_type, n_days, den, 1 AS lag, num1 AS num FROM agg
+  UNION ALL
+  SELECT event_type, n_days, den, 2, num2 FROM agg
+  UNION ALL
+  SELECT event_type, n_days, den, 3, num3 FROM agg
+)
+WHERE den <> 0
+""",
+    tags=("timeseries", "window"),
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of each event type's daily-count
+    series at lags 1-3 — the seasonality/momentum detector behind
+    every forecasting pipeline (a weekly cycle shows as an acf spike
+    at lag 7; near-1 lag-1 acf says "use yesterday as the forecast").
+
+    Determinism by INTEGER arithmetic, no rounding anywhere: with m
+    days and total S, the deviation is scaled to m*n_t - S (exact
+    BIGINT; the m^2 scale factor cancels in the ratio), so numerator
+    and denominator are exact integer sums and the single final
+    division is bit-stable across engines — the ts_seasonal_decompose
+    convention extended to second-order statistics.
+
+    Plan shape: one hash aggregation to daily counts (map-side
+    combined), a broadcast of the per-type (m, S) stats, ONE window
+    pass producing all three leads, one aggregation to (type, den,
+    num1..3), then a 3-way stack of a types-sized frame. Series state
+    is days x types — invariant to event-row growth, the same 100 TB
+    argument as agg_time_rollup."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("n").cast("bigint").alias("s"),
+    )
+    dev = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "m",
+        (F.col("m") * F.col("n") - F.col("s")).alias("dv"),
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    led = dev.select(
+        "event_type",
+        "m",
+        "dv",
+        F.lead("dv", 1).over(w).alias("dv1"),
+        F.lead("dv", 2).over(w).alias("dv2"),
+        F.lead("dv", 3).over(w).alias("dv3"),
+    )
+    agg = led.groupBy("event_type").agg(
+        F.max("m").cast("bigint").alias("n_days"),
+        F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("den"),
+        F.sum(F.col("dv") * F.col("dv1")).cast("bigint").alias("num1"),
+        F.sum(F.col("dv") * F.col("dv2")).cast("bigint").alias("num2"),
+        F.sum(F.col("dv") * F.col("dv3")).cast("bigint").alias("num3"),
+    )
+    stacked = agg.select(
+        "event_type",
+        "n_days",
+        "den",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("lag"), F.col("num1").alias("num")),
+                F.struct(F.lit(2).alias("lag"), F.col("num2").alias("num")),
+                F.struct(F.lit(3).alias("lag"), F.col("num3").alias("num")),
+            )
+        ).alias("p"),
+    )
+    return stacked.filter(F.col("den") != 0).select(
+        "event_type",
+        F.col("p.lag").cast("int").alias("lag"),
+        "n_days",
+        (F.col("p.num").cast("double") / F.col("den")).alias("acf"),
+    )

@@ -904,3 +904,49 @@ def test_zero_norm_embedding_kernels_safe(spark, tmp_path_factory):
     # so they can never be flagged dups of each other or anything else;
     # a NaN-poisoned argmax would instead pile the corpus into one cell
     assert 0 < kept <= n_total
+
+
+def test_cdc_chunks_tile_exactly(spark):
+    """text_dedup_cdc's chunking must TILE: per doc, chunk lengths sum
+    to the doc length (no gap, no overlap) — the invariant that makes
+    chunk-hash dedup equal substring dedup at chunk granularity."""
+    from pyspark.sql import Window as W, functions as F
+
+    from am_kinesis_pay_spark.llm.dedup import _CDC_BOUND, _CDC_GRAM
+    from am_kinesis_pay_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    g = _CDC_GRAM
+    pos = docs.select(
+        "doc_id",
+        F.length("text").alias("lt"),
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(g), F.length("text")),
+                lambda i: F.md5(F.col("text").substr(i - (g - 1), F.lit(g)))
+                < _CDC_BOUND,
+            )
+        ).alias("i"),
+    )
+    w = W.partitionBy("doc_id").orderBy("i")
+    lens = pos.withColumn(
+        "prev", F.coalesce(F.lag("i", 1).over(w), F.lit(0))
+    ).groupBy("doc_id").agg(
+        F.max("lt").alias("lt"),
+        F.sum(F.col("i") - F.col("prev")).alias("body"),
+        F.max("i").alias("mx"),
+    )
+    bad = (
+        docs.select("doc_id", F.length("text").alias("lt0"))
+        .join(lens, "doc_id", "left")
+        .withColumn(
+            "total",
+            F.coalesce("body", F.lit(0))
+            + F.greatest(
+                F.col("lt0") - F.coalesce("mx", F.lit(0)), F.lit(0)
+            ),
+        )
+        .filter(F.col("total") != F.col("lt0"))
+        .count()
+    )
+    assert bad == 0

@@ -40,6 +40,7 @@ _NLJ_ALLOWED = {
     "sink_bloom_skip_index",  # ≤3-row probe set, non-equi zone-map check
     "sink_zorder_layout",  # 1-row bounds + 1-row n_total broadcasts
     "text_bigram_nll",  # 1-row corpus-token-total broadcast
+    "text_kneser_ney",  # 1-row bigram-type-total broadcast
     "text_ccnet_buckets",  # 1-row corpus-token-total broadcast
     "text_bm25_topk",  # 1-row corpus-stats (N, avgdl, df) broadcast
     "text_source_divergence",  # sources × DISTINCT-vocab scoring grid — the cross product IS the semantics, both sides broadcast-sized at any corpus scale
