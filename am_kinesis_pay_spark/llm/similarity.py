@@ -1716,3 +1716,242 @@ def pipeline_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "r_lex", "r_dense", "rrf", "rank")
     )
+
+
+# --- Graph ANN (NSW-style greedy beam over a bucketed k-NN graph) ------
+
+_NSW_DEG = 8      # out-degree of the neighbor graph
+_NSW_BEAM = 16    # beam width per hop
+_NSW_HOPS = 3     # fixed hop count (unrolled in the SQL oracle)
+_NSW_GCAP = 256   # per-bucket cap during graph construction (md5 order)
+
+
+def _nsw_oracle() -> str:
+    """DuckDB replica of the FULL graph-ANN pipeline — bucketed k-NN
+    graph construction and the 3-hop greedy beam search unrolled as
+    CTE chains. Like _lsh_oracle, everything is deterministic by
+    construction (md5 planes, 6-dp pre-round, id tie-breaks), which is
+    what makes a graph index exactly oracle-checkable at all."""
+    cos_q = (
+        "round(list_sum(list_transform(list_zip(q.qe, n.embedding), "
+        "pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) "
+        "/ (q.qn * n.nrm), 6)"
+    )
+    hops = []
+    prev = "beam0"
+    for hop in range(1, _NSW_HOPS + 1):
+        hops.append(f""", cand{hop} AS (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM {prev}
+    UNION ALL
+    SELECT b.query_id, e.dst AS node FROM {prev} b JOIN edges e ON e.src = b.node
+  ) u WHERE node <> query_id
+), scored{hop} AS (
+  SELECT c.query_id, c.node, {cos_q} AS cosine
+  FROM cand{hop} c
+  JOIN queries q ON q.query_id = c.query_id
+  JOIN norms n ON n.vec_id = c.node
+), beam{hop} AS (
+  SELECT query_id, node, cosine FROM (
+    SELECT query_id, node, cosine,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, node) AS rn
+    FROM scored{hop}) b
+  WHERE rn <= {_NSW_BEAM}
+)""")
+        prev = f"beam{hop}"
+    return f"""
+WITH {sig_sql_ctes()}, gbuckets AS (
+  SELECT vec_id, band FROM (
+    SELECT vec_id, band,
+      ROW_NUMBER() OVER (PARTITION BY band
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM banded) t
+  WHERE rn <= {_NSW_GCAP}
+), gpairs AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM gbuckets a JOIN gbuckets b ON a.band = b.band
+  WHERE a.vec_id <> b.vec_id
+), gscored AS (
+  SELECT g.src, g.dst,
+    round(list_sum(list_transform(list_zip(sa.embedding, sb.embedding),
+          pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+          / (sa.nrm * sb.nrm), 6) AS cosine
+  FROM gpairs g
+  JOIN norms sa ON sa.vec_id = g.src
+  JOIN norms sb ON sb.vec_id = g.dst
+), edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+    FROM gscored) e
+  WHERE rn <= {_NSW_DEG}
+), entry AS (
+  SELECT vec_id FROM norms WHERE vec_id >= {N_QUERIES}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+), queries AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+  FROM norms WHERE vec_id < {N_QUERIES}
+), beam0 AS (
+  SELECT q.query_id, e.vec_id AS node FROM queries q CROSS JOIN entry e
+){''.join(hops)}
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, node AS neighbor_id, cosine,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, node) AS INT) AS rank
+  FROM beam{_NSW_HOPS}) f
+WHERE rank <= {TOP_K}
+"""
+
+
+def _nsw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NSW neighbor graph as a session artifact: per-node top-8
+    out-edges by exact cosine among LSH-bucket peers (buckets capped at
+    256 in md5 order). Built once per (session, sf) — the index a
+    production graph-ANN service maintains by daily upserts; searches
+    read edges, never candidates."""
+    from am_kinesis_pay_spark.paths import (
+        session_artifact as _materialize,
+        sf_tag as _sf_tag,
+    )
+
+    def build():
+        emb = load(spark, sf_dir, "embeddings")
+        banded = (
+            _norms(emb)
+            .withColumn("sig", _lsh_signature())
+            .select("vec_id", "embedding", "nrm",
+                    F.explode(F.array(*lsh_band_cols())).alias("band"))
+        )
+        w_cap = W.partitionBy("band").orderBy(
+            F.md5(F.col("vec_id").cast("string")), "vec_id"
+        )
+        buckets = (
+            banded.withColumn("rn", F.row_number().over(w_cap))
+            .filter(F.col("rn") <= _NSW_GCAP)
+            .drop("rn")
+        )
+        a = buckets.select(
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+            "band",
+        )
+        b = buckets.select(
+            F.col("vec_id").alias("dst"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+            "band",
+        )
+        pairs = (
+            a.join(b, "band")
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        scored = pairs.select(
+            "src",
+            "dst",
+            F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        w_deg = W.partitionBy("src").orderBy(
+            F.col("cosine").desc(), F.col("dst")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w_deg))
+            .filter(F.col("rn") <= _NSW_DEG)
+            .select("src", "dst")
+        )
+
+    return _materialize(
+        spark,
+        f"akps_nsw_edges_{_sf_tag(sf_dir)}",
+        build,
+        "src bigint, dst bigint",
+    )
+
+
+@register("vec_ann_nsw", oracle=_nsw_oracle(), tags=("llm", "similarity", "ann"))
+def vec_ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN — the modern index family (NSW, Malkov et al. 2014;
+    HNSW's single-layer ancestor), completing the ladder beside
+    LSH/IVF/PQ: a k-NN GRAPH (per-node top-8 cosine edges among
+    LSH-bucket peers, a session artifact like the IVF inverted file)
+    searched by GREEDY BEAM — start every query at one deterministic
+    entry node, expand the beam's out-edges, keep the best 16 by exact
+    cosine, repeat 3 hops, emit the top-5. Simplified from production
+    HNSW exactly where determinism demands it: fixed hop count instead
+    of convergence detection, one layer instead of a hierarchy — which
+    is what lets the ENTIRE pipeline (graph construction included)
+    hash-match a DuckDB oracle, something no other engine's HNSW can
+    claim. Recall vs the exact brute-force baseline is additionally
+    pinned in tests/test_llm.py.
+
+    At 100 TB: construction is the indexing cost (bucketed candidates,
+    capped at 256/bucket, one shuffle to rank edges per node; daily
+    ingest appends new nodes' edges); a search touches beam x degree
+    nodes per hop — independent of corpus size, the property that makes
+    graph ANN the production default. The edges table is the only
+    thing searches read; it bucket-joins against the beam frontier."""
+    emb = load(spark, sf_dir, "embeddings")
+    norms = _norms(emb)
+    edges = _nsw_edges(spark, sf_dir)
+    entry = (
+        norms.filter(F.col("vec_id") >= N_QUERIES)
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("node"))
+    )
+    queries = norms.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    corpus = norms.select(
+        F.col("vec_id").alias("node"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    beam = queries.select("query_id").crossJoin(F.broadcast(entry))
+    for _hop in range(_NSW_HOPS):
+        frontier = beam.select("query_id", "node")
+        expanded = frontier.unionByName(
+            frontier.join(
+                edges, frontier.node == edges.src
+            ).select("query_id", F.col("dst").alias("node"))
+        ).dropDuplicates(["query_id", "node"]).filter(
+            F.col("node") != F.col("query_id")
+        )
+        scored = (
+            expanded.join(F.broadcast(queries), "query_id")
+            .join(corpus, "node")
+            .select(
+                "query_id",
+                "node",
+                F.round(
+                    _dot("qe", "ne") / (F.col("qn") * F.col("nn")), 6
+                ).alias("cosine"),
+            )
+        )
+        w_beam = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("node")
+        )
+        beam = (
+            scored.withColumn("rn", F.row_number().over(w_beam))
+            .filter(F.col("rn") <= _NSW_BEAM)
+            .drop("rn")
+        )
+    w_final = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("node")
+    )
+    return (
+        beam.withColumn("rank", F.row_number().over(w_final).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

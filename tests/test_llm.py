@@ -950,3 +950,25 @@ def test_cdc_chunks_tile_exactly(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_ann_nsw_recall_vs_exact(spark):
+    """vec_ann_nsw's beam search must find a useful fraction of the
+    exact top-5 from ONE entry point in 3 hops — the recall anchor the
+    whole ANN ladder carries (exact path = vec_cosine_topk)."""
+    from am_kinesis_pay_spark.registry import queries
+
+    qs = queries()
+    exact = {}
+    for r in qs["vec_cosine_topk"](spark, SF_DIR).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in qs["vec_ann_nsw"](spark, SF_DIR).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(got) == set(exact)  # every query answered, exactly top-5 rows
+    hits = sum(len(got[q] & exact[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    # measured 0.62 at sf0.001; assert a floor with slack for future
+    # fixture regeneration, and that it beats random (which would be ~0)
+    assert recall >= 0.3, recall

@@ -46,6 +46,7 @@ _NLJ_ALLOWED = {
     "text_source_divergence",  # sources × DISTINCT-vocab scoring grid — the cross product IS the semantics, both sides broadcast-sized at any corpus scale
     "text_tfidf_topterms",
     "text_unigram_nll",
+    "vec_ann_nsw",  # 1-row entry-node broadcast onto the 10-row query set
     "vec_cosine_topk",
     "vec_matryoshka_recall",
     "vec_knn_label",
