@@ -1582,3 +1582,88 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n").cast("double") + 1) / F.col("n")
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_quantile_rollup",
+    oracle="""
+WITH h AS (
+  SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(floor(value / 5.0) AS BIGINT)
+), c AS (
+  SELECT event_type, bin, n,
+    SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+    SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM h
+)
+SELECT event_type,
+  CAST(MAX(total) AS BIGINT) AS n_events,
+  CAST(5.0 * (MIN(CASE WHEN cum >= 0.50 * total THEN bin END) + 1) AS DOUBLE)
+    AS p50_edge,
+  CAST(5.0 * (MIN(CASE WHEN cum >= 0.95 * total THEN bin END) + 1) AS DOUBLE)
+    AS p95_edge,
+  CAST(5.0 * (MIN(CASE WHEN cum >= 0.99 * total THEN bin END) + 1) AS DOUBLE)
+    AS p99_edge
+FROM c GROUP BY event_type
+""",
+    tags=("agg", "sketch", "incremental"),
+)
+def agg_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE rollup — the continuous-aggregate property of
+    agg_time_rollup applied to percentiles, which raw percentile state
+    cannot give (order statistics don't add; sketches like t-digest
+    trade exactness for it). Equi-width integer histograms DO add:
+    the Spark side genuinely maintains per-(type, day) histogram
+    partials (the daily sketch table a rollup pipeline would persist)
+    and merges them by bin-count addition; quantile-at-p is the first
+    bin whose cumulative count reaches p*total, reported as the bin's
+    upper edge — error bounded by the bin width (5.0), a STATED bound,
+    unlike an engine sketch's. The DuckDB oracle computes the same
+    quantiles directly from the raw table, so the hash match PROVES
+    histogram-merge associativity, exactly the mv_incremental_refresh
+    trick — and the reason this entry is oracle-checkable while
+    agg_percentile_approx/agg_hll_partitioned never can be. All
+    arithmetic is integer counts plus one p*total comparison of exact
+    integers; nothing accumulates in float.
+
+    At 100 TB: the daily histogram table is O(days x types x occupied
+    bins) — KBs — and any rollup window (weekly p99, trailing-30-day
+    p50) rescans sketches, never events."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") / 5.0).cast("bigint").alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    merged = daily.groupBy("event_type", "bin").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+    w_cum = W.partitionBy("event_type").orderBy("bin")
+    w_tot = W.partitionBy("event_type")
+    c = merged.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+
+    def edge(p):
+        return (
+            F.lit(5.0)
+            * (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.lit(p) * F.col("total"), F.col("bin")
+                    )
+                )
+                + 1
+            )
+        ).cast("double")
+
+    return c.groupBy("event_type").agg(
+        F.max("total").cast("bigint").alias("n_events"),
+        edge(0.50).alias("p50_edge"),
+        edge(0.95).alias("p95_edge"),
+        edge(0.99).alias("p99_edge"),
+    )

@@ -446,3 +446,66 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(
         F.broadcast(cust), ev.user_id == cust.c_custkey
     ).select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+
+
+@register(
+    "stream_outer_join",
+    oracle="""
+SELECT a.event_id AS click_id,
+  b.event_id AS purchase_id,
+  a.user_id AS user_id,
+  CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS lag_sec
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+""",
+    tags=("streaming", "join"),
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] stream-stream LEFT OUTER interval join, batch
+    specification — the abandonment detector that the inner form
+    (stream_stream_join) cannot express: every click appears, matched
+    to its within-5-minute purchases OR with NULL purchase columns
+    when none arrives. In the incremental form this is exactly the
+    join class watermarks exist for: the engine may emit the NULL row
+    only once the watermark passes click_ts + 5 minutes (no purchase
+    can still arrive), so BOTH sides need watermarks and the outer
+    row's latency equals the allowed lateness — the
+    completeness-vs-latency trade stated as a join type
+    (tests/test_streaming.py::test_stream_outer_join_matches_batch
+    replays this plan on a real readStream). State stays
+    O(rate x (watermark + band)) per side keyed on user_id, as in the
+    inner form; the unmatched-click scan is the state store's expiry
+    sweep, not a second pass. Reference parity: payments whose status
+    callback never arrives are precisely the rows the reference's
+    expiry path reaps (kinesis-pay.php:210,264-268)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 5 MINUTES")
+        ),
+        "left",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).cast("bigint").alias("lag_sec"),
+    )
