@@ -1421,3 +1421,122 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "lang_entropy",
     )
+
+
+_KCENTER_K = 6
+
+_KC_COS = (
+    "round(list_sum(list_transform(list_zip(n.embedding, c.embedding), "
+    "pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (n.nrm * c.nrm), 6)"
+)
+
+
+def _kcenter_oracle() -> str:
+    """Farthest-first traversal unrolled to K rounds of CTEs: round r
+    picks the vector maximizing its min cosine-distance to the r
+    already-picked centers (ties -> smaller vec_id). Greedy k-center
+    is deterministic given the entry point, so the whole selection is
+    SQL-checkable."""
+    ctes = ["""norms AS (
+  SELECT vec_id, embedding,
+    coalesce(sqrt(nullif(list_sum(list_transform(embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0) AS nrm
+  FROM embeddings
+), sel0 AS (
+  SELECT vec_id FROM norms
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+), m0 AS (
+  SELECT n.vec_id, 1 - {cos} AS mind
+  FROM norms n JOIN norms c ON c.vec_id = (SELECT vec_id FROM sel0)
+  WHERE n.vec_id <> (SELECT vec_id FROM sel0)
+)""".format(cos=_KC_COS)]
+    for r in range(1, _KCENTER_K):
+        ctes.append("""p{r} AS (
+  SELECT vec_id, mind FROM m{prev} ORDER BY mind DESC, vec_id LIMIT 1
+), m{r} AS (
+  SELECT m.vec_id, LEAST(m.mind, 1 - {cos}) AS mind
+  FROM m{prev} m
+  JOIN norms n ON n.vec_id = m.vec_id
+  JOIN norms c ON c.vec_id = (SELECT vec_id FROM p{r})
+  WHERE m.vec_id <> (SELECT vec_id FROM p{r})
+)""".format(r=r, prev=r - 1, cos=_KC_COS))
+    tail = ["SELECT CAST(0 AS INT) AS round, vec_id, CAST(NULL AS DOUBLE) AS dist FROM sel0"]
+    for r in range(1, _KCENTER_K):
+        tail.append(
+            f"SELECT CAST({r} AS INT), vec_id, CAST(mind AS DOUBLE) FROM p{r}"
+        )
+    return "WITH " + ", ".join(ctes) + "\n" + "\nUNION ALL\n".join(tail)
+
+
+@register(
+    "sample_kcenter",
+    oracle=_kcenter_oracle(),
+    tags=("llm", "sampling", "vector"),
+)
+def sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity selection by greedy k-center (farthest-first
+    traversal — Gonzalez 1985, the 2-approximation that underpins
+    coreset construction and diverse data selection for training
+    mixes): start from a deterministic entry vector, then repeatedly
+    pick the vector FARTHEST (max-min cosine distance) from everything
+    picked so far. The complement of the sampling family's
+    frequency-based entries: temperature/importance reweight what is
+    COMMON, k-center guarantees coverage of what is RARE (every corpus
+    vector ends within the selection radius of some center).
+
+    Deterministic by construction — md5 entry point, 6-dp pre-rounded
+    cosines, vec_id tie-breaks — so the full greedy trajectory
+    hash-matches an unrolled-CTE oracle. Each round is ONE distributed
+    pass: the standing min-distance frame (vec_id, mind) folds the new
+    center in with least(), and the argmax collects exactly one row
+    (K tiny collects total — the emb_kmeans centroid convention). At
+    100 TB the mind frame is the corpus-sized-but-thin state, centers
+    broadcast; rounds = K is the budget knob, and the same loop over
+    IVF-cell representatives instead of raw vectors gives the
+    hierarchical variant."""
+    from am_kinesis_pay_spark.llm.similarity import _dot, safe_sqrt_norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id",
+        "embedding",
+        safe_sqrt_norm(_dot("embedding", "embedding")).alias("nrm"),
+    ).localCheckpoint()
+    entry = (
+        norms.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(1)
+        .collect()
+    )
+    if not entry:
+        return spark.createDataFrame([], "round int, vec_id bigint, dist double")
+    picked = [(0, int(entry[0].vec_id), None)]
+
+    def dist_to(center_row):
+        c_emb = F.array(*[F.lit(float(x)) for x in center_row.embedding])
+        c_nrm = F.lit(float(center_row.nrm))
+        return F.lit(1) - F.round(
+            _dot("embedding", c_emb) / (F.col("nrm") * c_nrm), 6
+        )
+
+    mind = norms.filter(F.col("vec_id") != picked[0][1]).select(
+        "vec_id", "embedding", "nrm", dist_to(entry[0]).alias("mind")
+    )
+    for r in range(1, _KCENTER_K):
+        top = mind.orderBy(F.col("mind").desc(), "vec_id").limit(1).collect()
+        if not top:
+            break
+        picked.append((r, int(top[0].vec_id), float(top[0].mind)))
+        center = norms.filter(F.col("vec_id") == top[0].vec_id).collect()[0]
+        mind = (
+            mind.filter(F.col("vec_id") != top[0].vec_id)
+            .select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                F.least(F.col("mind"), dist_to(center)).alias("mind"),
+            )
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        picked, "round int, vec_id bigint, dist double"
+    )

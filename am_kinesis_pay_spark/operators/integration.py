@@ -1548,6 +1548,15 @@ def graph_cc_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     component minimum. Each round is two joins + one aggregation on
     the (node, label) frame, localCheckpointed to cut lineage; the
     frame is O(nodes), never O(edges)."""
+    edges = _cc_edges(spark, sf_dir)
+    labels, _rounds = pointer_doubling_components(edges)
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared co-purchase edge set (symmetric, day-capped — the
+    Spark twin of _CC_EDGES_SQL) used by graph_cc_pointer_doubling and
+    graph_label_propagation."""
     from pyspark.sql import Window as W
 
     ev = load(spark, sf_dir, "events")
@@ -1568,14 +1577,12 @@ def graph_cc_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = capped.select("d", F.col("user_id").alias("src"))
     b = capped.select("d", F.col("user_id").alias("dst"))
-    edges = (
+    return (
         a.join(b, "d")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
-    labels, _rounds = pointer_doubling_components(edges)
-    return labels.select("node", F.col("lbl").alias("component"))
 
 
 def pointer_doubling_components(edges: DataFrame) -> tuple[DataFrame, int]:
@@ -2580,4 +2587,100 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.lag").cast("int").alias("lag"),
         "n_days",
         (F.col("p.num").cast("double") / F.col("den")).alias("acf"),
+    )
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """Synchronous label propagation unrolled to _LPA_ROUNDS rounds of
+    CTEs over the shared co-purchase edge set — fixed rounds and the
+    (count DESC, label) tie-break make community assignment exactly
+    reproducible, so a graph community algorithm gets a real SQL
+    oracle (cf. graph_cc's recursive-CTE closure)."""
+    rounds = []
+    prev = "labels0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f""", votes{r} AS (
+  SELECT e.src AS node, l.lbl, COUNT(*) AS c
+  FROM edges e JOIN {prev} l ON l.node = e.dst
+  GROUP BY e.src, l.lbl
+), best{r} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM votes{r}) v
+  WHERE rn = 1
+), labels{r} AS (
+  SELECT p.node, COALESCE(b.lbl, p.lbl) AS lbl
+  FROM {prev} p LEFT JOIN best{r} b ON b.node = p.node
+)""")
+        prev = f"labels{r}"
+    return (
+        "WITH edges AS ("
+        + _CC_EDGES_SQL
+        + """
+), labels0 AS (
+  SELECT DISTINCT src AS node, src AS lbl FROM edges
+)"""
+        + "".join(rounds)
+        + f"""
+SELECT node AS user_id, lbl AS community FROM labels{_LPA_ROUNDS}
+"""
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("integration", "graph", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the shared co-purchase graph: every node starts
+    as its own community, and each round adopts the MODE of its
+    neighbors' labels (ties broken toward the smaller label —
+    determinism where vanilla LPA is famously run-order dependent).
+    Three fixed synchronous rounds, so the full algorithm — votes,
+    argmax, carry-forward for isolated nodes — unrolls into an exact
+    SQL oracle, which no asynchronous LPA can offer. Complements the
+    components family: CC answers "who is connected at all",
+    LPA's denser-than-surroundings communities answer "who clusters".
+
+    Scale shape: each round is one shuffle of (edge endpoint, label)
+    pairs into a (node, label) count + one window argmax on the
+    candidate frame — all O(edges) with map-side combines, labels
+    never wider than a bigint. Fixed round count (not convergence
+    polling) keeps the DAG static; at 100 TB rounds are the budget
+    knob exactly as in graph_cc_pointer_doubling, and the same
+    _CC_DAY_CAP bounds the edge build."""
+    from pyspark.sql import Window as W
+
+    edges = _cc_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _r in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w_best = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+        best = (
+            votes.withColumn("rn", F.row_number().over(w_best))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("node").alias("user_id"), F.col("lbl").alias("community")
     )

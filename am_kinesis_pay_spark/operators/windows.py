@@ -1140,3 +1140,80 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_distinct_types"
         ),
     )
+
+
+@register(
+    "win_pattern_match",
+    oracle="""
+WITH sym AS (
+  SELECT user_id, ts, event_id,
+    CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+         WHEN 'purchase' THEN 'p' ELSE 'o' END AS s
+  FROM events
+), paths AS (
+  SELECT user_id, string_agg(s, '' ORDER BY ts, event_id) AS path,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sym GROUP BY user_id
+)
+SELECT user_id, n_events,
+  CAST(len(regexp_extract_all(path, 'cv*p')) AS BIGINT) AS n_funnels,
+  CAST(len(regexp_extract_all(path, 'pp+')) AS BIGINT) AS n_buy_streaks,
+  path LIKE '%p' AS ends_converted
+FROM paths
+""",
+    tags=("window", "sql"),
+)
+def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching over ordered event sequences — the SQL:2016
+    MATCH_RECOGNIZE capability (R010) that neither engine ships,
+    expressed through its classical equivalence: a per-key ORDERED
+    symbol string + regular expressions (patterns over rows ARE a
+    regular language over the event alphabet). Each user's events
+    collapse to a path string in (ts, event_id) order — click 'c',
+    view 'v', purchase 'p', other 'o' — and the funnel pattern
+    ``cv*p`` (click, any views, purchase), purchase streaks ``pp+``,
+    and terminal conversion are counted by non-overlapping leftmost
+    regex matching, identical in RE2 and the JVM for star-only
+    patterns (no alternation ambiguity).
+
+    Order determinism is the load-bearing part: the string is built by
+    sorting each user's collected (ts, event_id, sym) structs — an
+    explicit total order, never collect-order. One shuffle on user_id;
+    per-user state is the path string (bounded by events-per-user, the
+    session-length bound every MATCH_RECOGNIZE engine also carries —
+    a user's pattern state never leaves its partition). At 100 TB the
+    alphabet-projection trick is also the STORAGE answer: pattern
+    queries scan a symbols column, not the event payload."""
+    ev = load(spark, sf_dir, "events")
+    sym = ev.select(
+        "user_id",
+        F.struct(
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "click", "c")
+            .when(F.col("event_type") == "view", "v")
+            .when(F.col("event_type") == "purchase", "p")
+            .otherwise("o")
+            .alias("s"),
+        ).alias("e"),
+    )
+    paths = sym.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda e: e["s"]
+            ),
+            "",
+        ).alias("path"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return paths.select(
+        "user_id",
+        "n_events",
+        F.size(F.expr("regexp_extract_all(path, 'cv*p', 0)"))
+        .cast("bigint")
+        .alias("n_funnels"),
+        F.size(F.expr("regexp_extract_all(path, 'pp+', 0)"))
+        .cast("bigint")
+        .alias("n_buy_streaks"),
+        F.col("path").endswith("p").alias("ends_converted"),
+    )
