@@ -1819,3 +1819,89 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         (F.sum("nll").cast("double") / F.count(F.lit(1))).alias("kn_nll"),
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+), freqs AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY w
+), ranked AS (
+  SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, w) AS BIGINT) AS r
+  FROM freqs
+), pts AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y,
+         CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE)), 6)
+              AS DECIMAL(28,6)) AS xy,
+         CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 6)
+              AS DECIMAL(28,6)) AS xx
+  FROM ranked
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+    CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT n AS n_types,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+    AS zipf_intercept
+FROM s
+""",
+    tags=("llm", "text"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token distribution — OLS slope of
+    ln(frequency) on ln(rank) (Zipf 1949: natural language sits near
+    -1; generated/templated corpora drift flat or steep, which makes
+    the slope a one-number corpus-health check next to
+    pipeline_dataset_card's inventory). Closed-form OLS over the
+    log-log points: slope = (n·Σxy − ΣxΣy) / (n·Σxx − (Σx)²).
+
+    Determinism: ranks are exact integers (frequency-desc, token
+    tie-break), each log/product rounds to 6 dp BEFORE the DECIMAL
+    accumulation (the text_bigram_nll convention), and the closed form
+    divides once at the end — no iterative fitting, no float
+    accumulation order anywhere. One token-count aggregation, one
+    vocabulary-sized global rank (two-pass at 100 TB exactly like
+    win_global_running_total), one 5-number reduce."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("w")
+    )
+    freqs = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    w_rank = W.orderBy(F.col("f").desc(), "w")
+    ranked = freqs.select(
+        "f", F.row_number().over(w_rank).cast("bigint").alias("r")
+    )
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("f").cast("double"))
+    pts = ranked.select(
+        F.round(lx, 6).cast("decimal(18,6)").alias("x"),
+        F.round(ly, 6).cast("decimal(18,6)").alias("y"),
+        F.round(lx * ly, 6).cast("decimal(28,6)").alias("xy"),
+        F.round(lx * lx, 6).cast("decimal(28,6)").alias("xx"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    )

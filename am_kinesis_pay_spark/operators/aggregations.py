@@ -1667,3 +1667,61 @@ def agg_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         edge(0.95).alias("p95_edge"),
         edge(0.99).alias("p99_edge"),
     )
+
+
+@register(
+    "dq_benford",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+              AS INT) AS d
+  FROM orders WHERE o_totalprice >= 1
+), counts AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+SELECT c.d AS leading_digit, c.n,
+  CAST(c.n AS DOUBLE) / t.t AS observed_p,
+  round(log10(1.0 + 1.0 / c.d), 6) AS benford_p,
+  round(abs(CAST(c.n AS DOUBLE) / t.t - round(log10(1.0 + 1.0 / c.d), 6)), 6)
+    AS abs_dev
+FROM counts c CROSS JOIN tot t
+""",
+    tags=("agg", "dq"),
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classical fraud / fabricated-data screen (Benford 1938; Nigrini's
+    forensic-accounting standard): naturally-occurring multiplicative
+    amounts put digit d first with probability log10(1 + 1/d) (~30.1%
+    ones, ~4.6% nines), and a ledger that deviates hard was rounded,
+    capped, or invented. Reports per-digit observed vs expected and
+    the absolute deviation — the audit table a release gate thresholds
+    on (the distribution-level sibling of dq_expectations' row-level
+    checks).
+
+    Exactness: the leading digit comes from the DECIMAL(18,2) string
+    rendering (identical in both engines; no float log/floor digit
+    extraction), counts are integers, and the two divisions are single
+    float ops on exact operands. One hash aggregation to 9 rows + a
+    1-row total broadcast; at 100 TB it is one scan of one column."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    benford_p = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d")), 6)
+    obs = F.col("n").cast("double") / F.col("t")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("leading_digit"),
+        "n",
+        obs.alias("observed_p"),
+        benford_p.alias("benford_p"),
+        F.round(F.abs(obs - benford_p), 6).alias("abs_dev"),
+    )
