@@ -25,6 +25,7 @@ _NLJ_ALLOWED = {
     "agg_skew_profile",
     "emb_kmeans",
     "emb_triplet_mine",  # ≤10-row anchor set joined with a != predicate
+    "dq_benford",  # 1-row digit-total broadcast onto the 9-row frame
     "er_lsh_blocking",  # 1-row corpus-count broadcast (gram-DF threshold)
     "events_funnel_ordered",
     "events_gapfill_daily",
