@@ -52,6 +52,9 @@ DOCS_QUERIES = [
     "mm_codec_pframe_video",
     # r5: one-pass per-source corpus profile + drift monitor
     "pipeline_dataset_card", "text_source_divergence",
+    # r6: content-defined chunking dedup, KN-smoothed LM scoring,
+    # Zipf corpus fit
+    "text_dedup_cdc", "text_kneser_ney", "text_zipf_fit",
 ]
 FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
@@ -75,6 +78,11 @@ MAINT_QUERIES = [
     # r5 verdict asked to measure; caps bound both)
     "er_customer_linkage", "er_sorted_neighborhood", "er_lsh_blocking",
     "dq_k_anonymity",
+    # r6: join-view IVM, mergeable quantile rollup, outer stream join,
+    # pattern matching, LPA communities, integer-exact ACF, Benford
+    "mv_join_delta", "agg_quantile_rollup", "stream_outer_join",
+    "win_pattern_match", "graph_label_propagation", "ts_autocorrelation",
+    "dq_benford",
 ]
 CURATION_QUERIES = [
     "text_decontaminate", "text_chunk_sliding", "text_pack_sequences",
@@ -93,6 +101,9 @@ CURATION_QUERIES = [
     "emb_dedup_cosine_lsh", "emb_dedup_clusters",
     # r5: cluster-scoped SemDeDup shares the same session artifacts
     "emb_semdedup", "vec_ann_ivf_indexed",
+    # r6: graph ANN (persisted k-NN graph + beam search) and k-center
+    # diverse selection
+    "vec_ann_nsw", "sample_kcenter",
 ]
 
 
