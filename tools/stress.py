@@ -60,6 +60,8 @@ FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
     "q_market_share", "q_nation_profit", "q_sole_late_shipper",
     "sort_global", "q_forecast_revenue", "join_range_bucketed",
+    # r6: these scale with orders/lineitem, so they stress here
+    "mv_join_delta", "dq_benford",
 ]
 MAINT_QUERIES = [
     "dim_scd2_build", "dim_scd2_point_in_time", "stream_cdc_apply",
@@ -80,9 +82,8 @@ MAINT_QUERIES = [
     "dq_k_anonymity",
     # r6: join-view IVM, mergeable quantile rollup, outer stream join,
     # pattern matching, LPA communities, integer-exact ACF, Benford
-    "mv_join_delta", "agg_quantile_rollup", "stream_outer_join",
+    "agg_quantile_rollup", "stream_outer_join",
     "win_pattern_match", "graph_label_propagation", "ts_autocorrelation",
-    "dq_benford",
 ]
 CURATION_QUERIES = [
     "text_decontaminate", "text_chunk_sliding", "text_pack_sequences",
