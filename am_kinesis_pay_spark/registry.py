@@ -60,7 +60,12 @@ def _load_all() -> None:
         windows,
     )
     from am_kinesis_pay_spark.functions import scalars, signing, udtf_ops  # noqa: F401
-    from am_kinesis_pay_spark.sources import pyds_writer, readers, sinks  # noqa: F401
+    from am_kinesis_pay_spark.sources import (  # noqa: F401
+        delta_protocol,
+        pyds_writer,
+        readers,
+        sinks,
+    )
     from am_kinesis_pay_spark.streaming import batch_equiv  # noqa: F401
     from am_kinesis_pay_spark.llm import (  # noqa: F401
         codecs,
