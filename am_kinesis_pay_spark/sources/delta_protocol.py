@@ -179,6 +179,43 @@ class DeltaProtocolTable:
         self._commit(v, actions)
         return v
 
+    # --- txn actions: the protocol's exactly-once streaming mechanism ----
+
+    def txn_version(self, app_id: str) -> int | None:
+        """Highest ``txn`` action version recorded for app_id — what
+        delta-spark consults to make foreachBatch idempotent."""
+        latest: int | None = None
+        for v in self.versions():
+            with open(self._log_path(v)) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    t = action.get("txn")
+                    if t and t.get("appId") == app_id:
+                        if latest is None or t["version"] > latest:
+                            latest = t["version"]
+        return latest
+
+    def append_txn(self, df: DataFrame, app_id: str, version: int) -> bool:
+        """Exactly-once append: the commit carries a ``txn`` action
+        (appId, version); a redelivered (app_id, version) at or below
+        the recorded high-water mark is a silent no-op — the Delta
+        protocol's txnAppId/txnVersion contract, which is what turns
+        foreachBatch's at-least-once into exactly-once on this table.
+        Returns True if the batch committed, False if skipped."""
+        last = self.txn_version(app_id)
+        if last is not None and version <= last:
+            return False
+        v = (self.latest_version() or 0) + 1
+        actions = [{"txn": {"appId": app_id, "version": version}}]
+        actions += self._stage(df, v)
+        actions.append(
+            {"commitInfo": {"operation": "STREAMING UPDATE", "mode": "Append"}}
+        )
+        self._commit(v, actions)
+        return True
+
     def overwrite_where(self, df: DataFrame, keep_predicate) -> int:
         """Copy-on-write rewrite (the MERGE/DELETE building block): the
         new version removes EVERY current file and adds files holding

@@ -99,3 +99,61 @@ def test_log_is_json_per_spec_shape(spark, tmp_path_factory):
             "dataChange"} <= set(add)
     proto = actions[0]["protocol"]
     assert proto["minReaderVersion"] == 1
+
+
+def test_txn_action_exactly_once(spark, tmp_path_factory):
+    """The protocol's txn (appId, version) contract: a redelivered
+    micro-batch at or below the recorded high-water mark is a silent
+    no-op, distinct appIds track independently — at-least-once
+    foreachBatch becomes exactly-once on this table."""
+    path = str(tmp_path_factory.mktemp("delta_txn"))
+    tbl = DeltaProtocolTable(spark, path)
+    tbl.create(_df(spark, [(1, "a")]))
+    assert tbl.append_txn(_df(spark, [(2, "b")]), "etl", 0) is True
+    assert tbl.append_txn(_df(spark, [(2, "b")]), "etl", 0) is False  # replay
+    assert tbl.append_txn(_df(spark, [(3, "c")]), "etl", 1) is True
+    # a lower-or-equal version from the same app never re-applies
+    assert tbl.append_txn(_df(spark, [(9, "x")]), "etl", 1) is False
+    # a different app has its own watermark
+    assert tbl.append_txn(_df(spark, [(4, "d")]), "backfill", 0) is True
+    assert _state(tbl) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    assert tbl.txn_version("etl") == 1 and tbl.txn_version("backfill") == 0
+
+
+def test_txn_drives_real_stream(spark, tmp_path_factory):
+    """End-to-end: a readStream driven through foreachBatch into
+    append_txn (epoch_id as txnVersion) lands each file's rows exactly
+    once, even when process_batch is replayed manually afterwards."""
+    base = str(tmp_path_factory.mktemp("delta_stream"))
+    data_dir = os.path.join(base, "data")
+    os.makedirs(data_dir)
+    for i in range(3):
+        _df(spark, [(i * 10 + j, f"r{i}{j}") for j in range(4)]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(data_dir, f"batch_{i}"))
+
+    tbl = DeltaProtocolTable(spark, os.path.join(base, "table"))
+    tbl.create(_df(spark, [(-1, "seed")]))
+
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(data_dir, "batch_*"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option(
+            "checkpointLocation", os.path.join(base, "ckpt")
+        )
+        .foreachBatch(
+            lambda df, epoch: tbl.append_txn(df, "stream", epoch)
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    n = tbl.read().count()
+    assert n == 1 + 12
+    # manual replay of an old epoch: no-op
+    assert tbl.append_txn(_df(spark, [(999, "dup")]), "stream", 0) is False
+    assert tbl.read().count() == n
