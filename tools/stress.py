@@ -119,6 +119,9 @@ CENTURY_FACTS_QUERIES = [
     "events_funnel_ordered", "join_asof_rate",
     "stream_state_machine_batch", "stream_dedup_payment",
     "agg_hll_partitioned", "agg_bitmap_distinct",
+    # r6 additions over the same 100x events/facts
+    "agg_quantile_rollup", "ts_autocorrelation", "win_pattern_match",
+    "stream_outer_join", "mv_join_delta", "dq_benford",
 ]
 
 CENTURY_QUERIES = [
@@ -130,6 +133,9 @@ CENTURY_QUERIES = [
     "text_dedup_clusters", "text_dedup_keep_best", "text_dedup_substring",
     "emb_dedup_cosine_lsh", "emb_dedup_clusters", "emb_semdedup",
     "emb_dedup_incremental", "sample_shard_shuffle", "pipeline_corpus_filter",
+    # r6: CDC dedup is character-bound (linear by contract); the graph
+    # ANN build is cap-bounded; k-center is K fixed rounds
+    "text_dedup_cdc", "vec_ann_nsw", "sample_kcenter",
 ]
 
 
