@@ -856,3 +856,97 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(pick_prev, prev_gap).otherwise(next_gap).alias("gap_us"),
         )
     )
+
+
+@register(
+    "join_allocation_fifo",
+    oracle="""
+WITH inv AS (
+  SELECT o_custkey AS user_id, o_orderkey,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS amt,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS cum_hi
+  FROM orders
+), pay AS (
+  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS amt,
+    SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS cum_hi
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, o_orderkey, event_id,
+  CAST(hi - lo AS DOUBLE) AS allocated
+FROM (
+  SELECT i.user_id, i.o_orderkey, p.event_id,
+    -- CASE, not LEAST/GREATEST: DuckDB's LEAST coerces DECIMAL(38,2)
+    -- to DOUBLE, which would break exact parity with Spark's decimal
+    CASE WHEN i.cum_hi < p.cum_hi THEN i.cum_hi ELSE p.cum_hi END AS hi,
+    CASE WHEN i.cum_hi - i.amt > p.cum_hi - p.amt
+         THEN i.cum_hi - i.amt ELSE p.cum_hi - p.amt END AS lo
+  FROM inv i JOIN pay p ON i.user_id = p.user_id
+) t
+WHERE hi > lo
+""",
+    tags=("join", "window", "finance"),
+)
+def join_allocation_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO payment-to-invoice allocation — the waterfall every billing
+    ledger runs (apply each incoming payment to the customer's OLDEST
+    open invoice, spill the remainder forward), and the set-based
+    rewrite of the reference's running AMOUNT_PAID accumulation
+    against an invoice total (kinesis-pay.php:509), generalized from
+    one invoice to a per-customer ledger with partial fills across
+    many payments.
+
+    The classical procedural loop becomes ONE declarative plan via the
+    cumulative-interval identity: lay invoices and payments each on the
+    customer's cumulative money line (invoice i occupies
+    [cum_hi-amt, cum_hi), payment j likewise), and FIFO allocation is
+    exactly the INTERVAL OVERLAP — allocated(i,j) = max(0,
+    min(hi_i, hi_j) - max(lo_i, lo_j)). Two per-key window cumsums +
+    one equi-join + a filter replace the row-at-a-time loop; output is
+    the sparse fill matrix (O(n+m) positive cells per customer, since
+    both interval chains are totally ordered).
+
+    Determinism: every quantity is exact DECIMAL (ordered cumsums with
+    explicit id tie-breaks), the overlap is decimal min/max arithmetic,
+    and only the final allocated value casts to double. At 100 TB both
+    sides shuffle once on the customer key (the equi-join reuses that
+    partitioning), window state is per-customer, and the overlap filter
+    runs inside the join — no range explosion beyond the true fills."""
+    o = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+    w_inv = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    inv = o.select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("i_amt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w_inv)
+        .alias("i_hi"),
+    )
+    w_pay = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pay = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("value").cast("decimal(18,2)").alias("p_amt"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w_pay)
+            .alias("p_hi"),
+        )
+    )
+    lo = F.greatest(
+        F.col("i_hi") - F.col("i_amt"), F.col("p_hi") - F.col("p_amt")
+    )
+    hi = F.least(F.col("i_hi"), F.col("p_hi"))
+    return (
+        inv.join(pay, "user_id")
+        .filter(hi > lo)
+        .select(
+            "user_id",
+            "o_orderkey",
+            "event_id",
+            (hi - lo).cast("double").alias("allocated"),
+        )
+    )
