@@ -61,7 +61,7 @@ FACTS_QUERIES = [
     "q_market_share", "q_nation_profit", "q_sole_late_shipper",
     "sort_global", "q_forecast_revenue", "join_range_bucketed",
     # r6: these scale with orders/lineitem, so they stress here
-    "mv_join_delta", "dq_benford",
+    "mv_join_delta", "dq_benford", "join_allocation_fifo",
 ]
 MAINT_QUERIES = [
     "dim_scd2_build", "dim_scd2_point_in_time", "stream_cdc_apply",
