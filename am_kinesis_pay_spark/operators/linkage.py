@@ -523,7 +523,7 @@ SELECT c_nationkey, c_mktsegment,
     + round(-(1.0 / {_DP_EPSILON})
             * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
             * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_count,
-  {_DP_EPSILON} AS epsilon
+  CAST({_DP_EPSILON} AS DOUBLE) AS epsilon
 FROM seeded
 """,
     tags=("linkage", "dq"),
