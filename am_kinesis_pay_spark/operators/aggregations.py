@@ -1725,3 +1725,89 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         benford_p.alias("benford_p"),
         F.round(F.abs(obs - benford_p), 6).alias("abs_dev"),
     )
+
+
+@register(
+    "agg_mann_whitney",
+    oracle="""
+WITH two AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('click', 'purchase')
+), ranked AS (
+  SELECT event_type,
+    RANK() OVER (ORDER BY value) AS rmin,
+    COUNT(*) OVER (PARTITION BY value) AS ties
+  FROM two
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(2 * rmin + ties - 1) AS BIGINT) AS r2
+  FROM ranked GROUP BY event_type
+), u AS (
+  SELECT
+    MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+    MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+    MAX(CASE WHEN event_type = 'click' THEN r2 END) AS r2_1
+  FROM agg
+)
+SELECT n1, n2,
+  CAST(r2_1 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+  round((CAST(r2_1 - n1 * (n1 + 1) AS DOUBLE) / 2
+         - CAST(n1 AS DOUBLE) * n2 / 2)
+        / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12), 6) AS z
+FROM u
+""",
+    tags=("agg", "stats"),
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test (Wilcoxon rank-sum) between two event
+    populations — the NONPARAMETRIC two-sample test that replaces
+    agg_ab_ttest when values are skewed/heavy-tailed (payment amounts
+    always are): compare summed RANKS instead of means, so no moment
+    assumptions and outliers cannot dominate.
+
+    Exactness under ties, with no float ranks: the tied-value midrank
+    is (min_rank + max_rank)/2, and 2*midrank = 2*RANK() + ties - 1 is
+    an exact INTEGER (one global rank window + one per-value count
+    window), so the rank sums accumulate in BIGINT and the single
+    final U/z computation is a handful of float ops on exact operands
+    — the ts_autocorrelation integer-arithmetic convention applied to
+    order statistics. The global rank is the two-pass-at-scale caveat
+    (win_global_running_total pattern); everything else is one
+    aggregation to a 2-row frame."""
+    ev = load(spark, sf_dir, "events")
+    two = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type", "value"
+    )
+    w_rank = W.orderBy("value")
+    w_ties = W.partitionBy("value")
+    ranked = two.select(
+        "event_type",
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_ties)
+            - 1
+        ).alias("m2"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("m2").cast("bigint").alias("r2"),
+    )
+    u = agg.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias(
+            "n2"
+        ),
+        F.max(F.when(F.col("event_type") == "click", F.col("r2"))).alias(
+            "r2_1"
+        ),
+    )
+    u1 = (F.col("r2_1") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2
+    z = (
+        u1 - F.col("n1").cast("double") * F.col("n2") / 2
+    ) / F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n2")
+        * (F.col("n1") + F.col("n2") + 1)
+        / 12
+    )
+    return u.select("n1", "n2", u1.alias("u1"), F.round(z, 6).alias("z"))

@@ -1217,3 +1217,63 @@ def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_buy_streaks"),
         F.col("path").endswith("p").alias("ends_converted"),
     )
+
+
+@register(
+    "win_drawdown",
+    oracle="""
+WITH running AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+    SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+  FROM events
+), peaks AS (
+  SELECT user_id, event_id, ts, bal,
+    MAX(bal) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM running
+)
+SELECT user_id,
+  CAST(MAX(peak - bal) AS DOUBLE) AS max_drawdown,
+  CAST(MAX(peak) AS DOUBLE) AS peak_balance,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM peaks GROUP BY user_id
+""",
+    tags=("window", "finance"),
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user — the risk statistic every ledger /
+    portfolio monitor computes (largest peak-to-trough fall of the
+    running balance): one cumulative-sum window, one running-max
+    window over it, one aggregation of the gap. Composes W4's running
+    total with a second stacked frame — the point this entry pins is
+    that BOTH windows share the identical partitioning and ordering,
+    so Catalyst evaluates them in ONE Window operator after ONE
+    shuffle (visible in the plan: a single Exchange, a single sort,
+    two window functions in the same node). Exact DECIMAL throughout;
+    the per-user drawdown maximum is order-deterministic via the
+    (ts, event_id) tie-break. At 100 TB: per-user state, one shuffle,
+    output user-sized — the same envelope as win_running_total."""
+    ev = load(spark, sf_dir, "events")
+    # both windows share (partition, order, frame): one Exchange, one
+    # Sort, one Window node evaluates cumsum and running-max-of-cumsum
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    bal = F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+    frame = ev.select(
+        "user_id",
+        bal.alias("bal"),
+        F.max(bal).over(w).alias("peak"),
+    )
+    return frame.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("bal")).cast("double").alias(
+            "max_drawdown"
+        ),
+        F.max("peak").cast("double").alias("peak_balance"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
