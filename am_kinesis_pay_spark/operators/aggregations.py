@@ -1811,3 +1811,151 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 12
     )
     return u.select("n1", "n2", u1.alias("u1"), F.round(z, 6).alias("z"))
+
+
+@register(
+    "agg_ks_test",
+    oracle="""
+WITH two AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('click', 'purchase')
+), pts AS (
+  SELECT value,
+    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      OVER (ORDER BY value) AS c1,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      OVER (ORDER BY value) AS c2
+  FROM two
+), ns AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n1,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n2
+  FROM two
+)
+SELECT n1, n2,
+  CAST(MAX(abs(c1 * n2 - c2 * n1)) AS DOUBLE) / (n1 * n2) AS ks_d,
+  round(sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))
+        * CAST(MAX(abs(c1 * n2 - c2 * n1)) AS DOUBLE) / (n1 * n2), 6)
+    AS ks_stat
+FROM pts CROSS JOIN ns
+GROUP BY n1, n2
+""",
+    tags=("agg", "stats"),
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    purchase value distributions — the SHAPE test beside
+    agg_mann_whitney's location test (KS catches variance or tail
+    differences a rank test misses; together they are the standard
+    drift-detection pair for model-input monitoring).
+
+    Exact integer arithmetic throughout: D = max|F1 - F2| is computed
+    as max|c1*n2 - c2*n1| / (n1*n2), where the cumulative counts are
+    window-summed INTEGERS over the combined value order — no float
+    ECDF anywhere, so the supremum is bit-stable across engines (the
+    ts_autocorrelation convention applied to distribution distance).
+    Tie handling is identical by construction: both cumulative counts
+    advance through a tied block before the next distinct value is
+    evaluated, and max() over all rows includes every within-block
+    state on both engines equally. The global cumulative window is the
+    two-pass-at-scale caveat (win_global_running_total pattern); the
+    rest is one aggregation to a single row."""
+    ev = load(spark, sf_dir, "events")
+    two = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type", "value"
+    )
+    w = W.orderBy("value")
+    pts = two.select(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).over(w).alias("c1"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w).alias("c2"),
+    )
+    ns = two.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    joined = pts.crossJoin(F.broadcast(ns))
+    d_num = F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+    return joined.groupBy("n1", "n2").agg(
+        (d_num.cast("double") / (F.col("n1") * F.col("n2"))).alias("ks_d"),
+        F.round(
+            F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / (F.col("n1") + F.col("n2"))
+            )
+            * d_num.cast("double")
+            / (F.col("n1") * F.col("n2")),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@register(
+    "agg_entropy_profile",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+), totals AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+    CAST(COUNT(*) AS BIGINT) AS k
+  FROM counts GROUP BY user_id
+), terms AS (
+  SELECT c.user_id, t.n, t.k,
+    CAST(round(-(CAST(c.c AS DOUBLE) / t.n)
+               * ln(CAST(c.c AS DOUBLE) / t.n), 6)
+         AS DECIMAL(18,6)) AS term
+  FROM counts c JOIN totals t ON t.user_id = c.user_id
+)
+SELECT user_id, n AS n_events, k AS n_types,
+  CAST(SUM(term) AS DOUBLE) AS entropy_nats
+FROM terms GROUP BY user_id, n, k
+""",
+    tags=("agg", "stats"),
+)
+def agg_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    information-theoretic behavior profile (a bot replays one action,
+    entropy ~0; an engaged user spreads across the alphabet, entropy
+    near ln k), the standard anomaly/segmentation feature beside
+    events_rfm_segments' recency/frequency/monetary axes.
+
+    -sum(p ln p) with the repo's order-independent float convention:
+    each type's term rounds to 6 dp then accumulates in DECIMAL, so
+    the per-user sum is engine-exact despite ln(). Two hash
+    aggregations (type counts, then user totals re-joined — the
+    totals join is on the same user_id shuffle AQE already produced)
+    and one decimal re-aggregation; state is users x alphabet."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = counts.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    terms = counts.join(totals, "user_id").select(
+        "user_id",
+        "n",
+        "k",
+        F.round(-p * F.log(p), 6).cast("decimal(18,6)").alias("term"),
+    )
+    return terms.groupBy("user_id", "n", "k").agg(
+        F.sum("term").cast("double").alias("entropy_nats")
+    ).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_types"),
+        "entropy_nats",
+    )

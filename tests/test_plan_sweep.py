@@ -22,6 +22,7 @@ _NLJ_ALLOWED = {
     "agg_cuped_adjusted",  # 1-row global-theta broadcast
     "agg_decile_lift",  # 1-row totals broadcast onto the 10-row frame
     "agg_histogram_equidepth",
+    "agg_ks_test",  # 1-row (n1, n2) totals broadcast onto the ECDF frame
     "agg_skew_profile",
     "emb_kmeans",
     "emb_triplet_mine",  # ≤10-row anchor set joined with a != predicate
