@@ -758,3 +758,77 @@ def source_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_amount",
         "new_amount",
     )
+
+
+_FOOTER_COLS = ("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
+
+
+@register("source_parquet_footer_stats", oracle=None, tags=("source", "maintenance"))
+def source_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer introspection as a TABLE: per (row group, column)
+    value counts, null counts, and min/max statistics read from the
+    file metadata — the zone maps that every data-skipping claim in
+    this repo (sink_zorder_layout, sink_bloom_skip_index, predicate
+    pushdown) ultimately stands on, surfaced so a pipeline can AUDIT
+    its layout (a row group whose min==max is constant; one spanning
+    the full domain skips nothing).
+
+    Distributed shape: one row per file fans out to executors and each
+    partition reads ONLY footers via pyarrow (never data pages) — the
+    metadata-scan pattern table formats use for planning, linear in
+    file count and independent of row count. Rows-only by necessity:
+    oracle SQL is static while file paths vary per SF — so instead the
+    cross-engine check is pinned in pytest (test_engine.py) against
+    DuckDB's parquet_metadata() at BOTH test SFs, value-exact
+    including the stringified min/max rendering."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("file", T.StringType()),
+            T.StructField("row_group", T.IntegerType()),
+            T.StructField("column", T.StringType()),
+            T.StructField("num_values", T.LongType()),
+            T.StructField("null_count", T.LongType()),
+            T.StructField("min_val", T.StringType()),
+            T.StructField("max_val", T.StringType()),
+        ]
+    )
+
+    def read_footers(pdfs):
+        import pyarrow.parquet as pq
+
+        for pdf in pdfs:
+            out = {k.name: [] for k in schema.fields}
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                base = os.path.basename(path)
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    for c_i in range(rg.num_columns):
+                        col = rg.column(c_i)
+                        if col.path_in_schema not in _FOOTER_COLS:
+                            continue
+                        st = col.statistics
+                        out["file"].append(base)
+                        out["row_group"].append(rg_i)
+                        out["column"].append(col.path_in_schema)
+                        out["num_values"].append(col.num_values)
+                        out["null_count"].append(
+                            st.null_count if st is not None else None
+                        )
+                        out["min_val"].append(
+                            str(st.min) if st is not None and st.has_min_max
+                            else None
+                        )
+                        out["max_val"].append(
+                            str(st.max) if st is not None and st.has_min_max
+                            else None
+                        )
+            yield pd.DataFrame(out)
+
+    files = spark.createDataFrame(
+        [(os.path.join(sf_dir, "lineitem.parquet"),)], "path string"
+    )
+    return files.mapInPandas(read_footers, schema)

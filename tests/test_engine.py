@@ -144,3 +144,41 @@ def test_sketch_entries_within_tolerance(spark):
         for name in ("agg_approx_distinct", "agg_hll_partitioned"):
             rows = qs[name](spark, sf_dir).collect()
             assert rows and all(r.within_tol for r in rows), (name, sf_dir, rows)
+
+
+def test_parquet_footer_stats_match_duckdb(spark):
+    """source_parquet_footer_stats (rows-only) pinned value-exact
+    against DuckDB's parquet_metadata() at both test SFs — footer
+    num_values/null_count/min/max including the stringified rendering
+    of min/max (ints '0', floats '1.0', timestamps ISO)."""
+    import duckdb
+
+    from am_kinesis_pay_spark.registry import queries
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(
+            (r.row_group, r.column, r.num_values, r.null_count,
+             r.min_val, r.max_val)
+            for r in queries()["source_parquet_footer_stats"](
+                spark, sf_dir
+            ).collect()
+        )
+        want = sorted(
+            map(
+                tuple,
+                duckdb.sql(f"""
+        SELECT row_group_id, path_in_schema, num_values,
+               stats_null_count, stats_min_value, stats_max_value
+        FROM parquet_metadata('{sf_dir}/lineitem.parquet')
+        WHERE path_in_schema IN
+              ('l_orderkey', 'l_quantity', 'l_shipdate', 'l_returnflag')
+        """).fetchall(),
+            )
+        )
+        assert len(got) == len(want) and len(got) > 0
+        for g, w in zip(got, want):
+            # timestamps render differently ('1996-03-15 00:00:00' vs
+            # pyarrow's datetime str) — compare prefix-normalized
+            gn = tuple(str(x)[:19] if x is not None else None for x in g)
+            wn = tuple(str(x)[:19] if x is not None else None for x in w)
+            assert gn == wn, (g, w)
