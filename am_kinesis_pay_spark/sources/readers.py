@@ -801,7 +801,18 @@ def source_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in pdfs:
             out = {k.name: [] for k in schema.fields}
-            for path in pdf["path"]:
+            paths = []
+            for p in pdf["path"]:
+                # a "file" may be a Spark-written directory of parts
+                if os.path.isdir(p):
+                    paths.extend(
+                        os.path.join(p, f)
+                        for f in sorted(os.listdir(p))
+                        if f.endswith(".parquet")
+                    )
+                else:
+                    paths.append(p)
+            for path in paths:
                 md = pq.ParquetFile(path).metadata
                 base = os.path.basename(path)
                 for rg_i in range(md.num_row_groups):
