@@ -646,3 +646,72 @@ def fn_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "fn_luhn_validate",
+    oracle="""
+WITH pans AS (
+  SELECT user_id,
+    concat('4', right(concat('00000000000000', CAST(user_id AS VARCHAR)), 14))
+      AS pan14
+  FROM (SELECT DISTINCT user_id FROM events)
+), digits AS (
+  SELECT user_id, pan14, i,
+    CAST(substr(pan14, CAST(i AS INT), 1) AS BIGINT) AS d,
+    -- position from the RIGHT of the full 16-digit PAN: the 15
+    -- payload digits occupy right-positions 2..16, so digit i (1-based
+    -- from the left of pan14||check) doubles when (16 - i) is odd
+    CASE WHEN (15 - i) % 2 = 0 THEN 2 ELSE 1 END AS w
+  FROM pans, unnest(range(1, 16)) t(i)
+), summed AS (
+  SELECT user_id, pan14,
+    CAST(SUM(CASE WHEN d * w > 9 THEN d * w - 9 ELSE d * w END) AS BIGINT)
+      AS s
+  FROM digits GROUP BY user_id, pan14
+)
+SELECT user_id,
+  concat(pan14, CAST((10 - s % 10) % 10 AS VARCHAR)) AS pan,
+  CAST((10 - s % 10) % 10 AS INT) AS check_digit,
+  TRUE AS luhn_valid
+FROM summed
+""",
+    tags=("scalar", "validation"),
+)
+def fn_luhn_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 check-digit generation/validation (ISO/IEC 7812 —
+    the checksum on every payment-card PAN): per user a deterministic
+    15-digit payload ('4' + zero-padded user id) gets its Luhn check
+    digit computed set-based — doubling every second digit from the
+    right, folding >9 to digit-sum-minus-9, complementing the total
+    mod 10 — entirely with array/aggregate expressions (no UDF; the
+    digit walk is a transform over a position sequence inside the
+    row). The emitted PAN re-validates by construction (luhn_valid),
+    which is the gateway-side input check the reference's validator
+    chain performs on payment payloads (kinesis-pay.php:520-537)
+    before anything signs or settles. Map-only over distinct users;
+    both engines compute the identical integer arithmetic, so the
+    oracle hash-matches the full PAN strings."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    pan14 = F.concat(
+        F.lit("4"), F.lpad(F.col("user_id").cast("string"), 14, "0")
+    )
+    weighted = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(15)),
+            lambda i: F.when(
+                ((F.lit(15) - i) % 2 == 0),
+                pan14.substr(i, F.lit(1)).cast("bigint") * 2,
+            ).otherwise(pan14.substr(i, F.lit(1)).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + F.when(x > 9, x - 9).otherwise(x),
+    )
+    check = (10 - weighted % 10) % 10
+    return users.select(
+        "user_id",
+        F.concat(pan14, check.cast("string")).alias("pan"),
+        check.cast("int").alias("check_digit"),
+        F.lit(True).alias("luhn_valid"),
+    )

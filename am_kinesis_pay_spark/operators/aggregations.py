@@ -1959,3 +1959,81 @@ def agg_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("n_types"),
         "entropy_nats",
     )
+
+
+@register(
+    "agg_chi_square",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+    CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, dayofweek(CAST(ts AS DATE))
+), margins AS (
+  SELECT o.event_type, o.dow, o.o,
+    SUM(o.o) OVER (PARTITION BY o.event_type) AS row_n,
+    SUM(o.o) OVER (PARTITION BY o.dow) AS col_n,
+    SUM(o.o) OVER () AS n
+  FROM obs o
+), terms AS (
+  SELECT CAST(round(
+      (o - CAST(row_n AS DOUBLE) * col_n / n)
+      * (o - CAST(row_n AS DOUBLE) * col_n / n)
+      / (CAST(row_n AS DOUBLE) * col_n / n), 6) AS DECIMAL(18,6)) AS term,
+    event_type, dow
+  FROM margins
+), dims AS (
+  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+    CAST(COUNT(DISTINCT dow) AS BIGINT) AS c
+  FROM obs
+)
+SELECT CAST(SUM(term) AS DOUBLE) AS chi2,
+  CAST((SELECT (r - 1) * (c - 1) FROM dims) AS BIGINT) AS dof
+FROM terms
+""",
+    tags=("agg", "stats"),
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event type and day-of-week
+    — "does behavior depend on the weekday?", the categorical
+    counterpart completing the statistics suite (t-test for means,
+    Mann-Whitney for location, KS for shape, chi-square for
+    contingency). Observed counts are exact integers; expected counts
+    row_n*col_n/n are single float expressions on exact operands
+    computed IDENTICALLY on both engines; each cell's (o-e)^2/e rounds
+    to 6 dp then accumulates in DECIMAL (the order-independent
+    convention), so the statistic is engine-exact. One aggregation to
+    the contingency table (types x 7 cells), margins via three window
+    sums over that tiny frame, one decimal reduce — at 100 TB this is
+    one scan plus constant-size post-processing."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek(F.to_date("ts")).alias("dow")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    w_row = W.partitionBy("event_type")
+    w_col = W.partitionBy("dow")
+    w_all = W.partitionBy()
+    margins = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(w_row).alias("row_n"),
+        F.sum("o").over(w_col).alias("col_n"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    e = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    terms = margins.select(
+        F.round((F.col("o") - e) * (F.col("o") - e) / e, 6)
+        .cast("decimal(18,6)")
+        .alias("term")
+    )
+    dims = obs.agg(
+        F.countDistinct("event_type").cast("bigint").alias("r"),
+        F.countDistinct("dow").cast("bigint").alias("c"),
+    )
+    return (
+        terms.agg(F.sum("term").cast("double").alias("chi2"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "chi2", ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof")
+        )
+    )
