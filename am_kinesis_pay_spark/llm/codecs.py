@@ -2800,7 +2800,16 @@ def pvideo_roundtrip(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ]
             blob = encode_pvideo(frames)
             if doc_id % _CORRUPT_MOD == 0:
-                i = blob.index(_PVID_MAGIC)
+                # First P-frame's byte offset from the container
+                # STRUCTURE (ftyp size + mdat header + I-frame sample
+                # length), not a first-match byte search: b"MPVP" can
+                # legitimately occur earlier inside the JPEG entropy
+                # bytes, and corrupting that would leave the P-frames
+                # alive and diverge from the oracle (ADVICE r6).
+                (ftyp_size,) = struct.unpack_from(">I", blob, 0)
+                _, clean_samples = decode_mp4(blob)
+                i = ftyp_size + 8 + len(clean_samples[0])
+                assert blob[i : i + 4] == _PVID_MAGIC
                 blob = blob[:i] + b"XXXX" + blob[i + 4 :]
             try:
                 meta, samples = decode_mp4(blob)

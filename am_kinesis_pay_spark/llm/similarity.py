@@ -35,9 +35,14 @@ def safe_sqrt_norm(d):
     """Zero-norm clamp for cosine divisors: a zero vector keeps norm 1.0
     (cosine 0 against everything) instead of a 0 divisor, which is an
     ANSI-mode DIVIDE_BY_ZERO crash on dirty data. The SQL oracles clamp
-    identically via coalesce(sqrt(nullif(s, 0)), 1.0), so both engines
-    agree bit-for-bit with or without zero vectors (ADVICE r5)."""
-    return F.when(d == F.lit(0.0), F.lit(1.0)).otherwise(F.sqrt(d))
+    identically via coalesce(sqrt(nullif(s, 0)), 1.0) — which also maps
+    a NULL sum-of-squares (NULL/empty embedding) to 1.0, so the outer
+    coalesce here mirrors that too: a NULL when-condition is not-true,
+    falls to otherwise(sqrt(NULL)) = NULL, and the coalesce clamps it
+    exactly like the oracle (ADVICE r5 + r6)."""
+    return F.coalesce(
+        F.when(d == F.lit(0.0), F.lit(1.0)).otherwise(F.sqrt(d)), F.lit(1.0)
+    )
 
 
 def _norms(emb: DataFrame) -> DataFrame:

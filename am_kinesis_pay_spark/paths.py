@@ -91,14 +91,25 @@ def gc_scratch(
     lazily before the first artifact build, so the budget bounds disk
     across repeated sessions without ever racing this session's own
     writes (another LIVE session's artifacts self-heal: its
-    session_artifact re-builds on the missing ``_SUCCESS``)."""
+    session_artifact re-builds on the missing ``_SUCCESS``).
+
+    Recently-touched dirs are never reaped (``AKPS_SCRATCH_TTL_S``,
+    default 1 h): Delta-protocol table dirs (akps_delta_*) are NOT
+    _SUCCESS-guarded, so a cross-process deletion between a live
+    session's log replay and its parquet read would fail that query
+    instead of self-healing (ADVICE r6). Any dir a live session is
+    using gets fresh mtimes from its commits/reads; only genuinely
+    stale sessions age past the TTL and become eligible."""
     import shutil
     import tempfile as _tf
+    import time as _time
 
     if budget_bytes is None:
         budget_bytes = int(
             float(os.environ.get("AKPS_SCRATCH_GB", "8")) * (1 << 30)
         )
+    ttl_s = float(os.environ.get("AKPS_SCRATCH_TTL_S", "3600"))
+    now = _time.time()
     tmp = _tf.gettempdir()
     candidates = []
     try:
@@ -117,9 +128,9 @@ def gc_scratch(
             continue
     candidates.sort(reverse=True)  # newest first
     deleted, used = [], 0
-    for _mtime, size, p in candidates:
+    for mtime, size, p in candidates:
         used += size
-        if used > budget_bytes:
+        if used > budget_bytes and (now - mtime) > ttl_s:
             shutil.rmtree(p, ignore_errors=True)
             deleted.append(p)
     return deleted

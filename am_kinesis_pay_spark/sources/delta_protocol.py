@@ -4,41 +4,65 @@ The Delta protocol (public spec: github.com/delta-io/delta PROTOCOL.md)
 is a directory convention, not a jar: a table is parquet data files
 plus an ordered ``_delta_log/{version:020d}.json`` of newline-delimited
 ACTIONS — ``add`` (file enters the table), ``remove`` (file leaves),
-``metaData``/``protocol`` (bootstrap), ``commitInfo`` (audit). A reader
-replays the log in version order, accumulating adds minus removes; the
-surviving file set IS the table state, and stopping the replay early is
-time travel. This module implements exactly that contract with no
-Delta jar, which closes the VERDICT's "real lakehouse MERGE/time-travel"
-gap at the PROTOCOL level: the directory this writer produces is
-structurally what delta-spark produces (single-writer, no checkpoint
-parquet — documented simplifications), and the reader is a genuine
-log-replay reader, not a directory listing.
+``metaData``/``protocol`` (bootstrap), ``txn`` (streaming idempotence),
+``commitInfo`` (audit). A reader replays the log in version order,
+accumulating adds minus removes; the surviving file set IS the table
+state, and stopping the replay early is time travel. This module
+implements that contract with no Delta jar, and since r7 speaks BOTH
+halves the r6 version documented as simplifications:
+
+- **Optimistic concurrency** (PROTOCOL.md "Delta Log Entries" — a
+  commit is a put-if-absent of the next version file): ``_commit``
+  publishes via ``os.link`` (atomic create-if-absent on POSIX), so two
+  writers racing to the same version produce exactly one winner; the
+  loser raises ``DeltaConcurrentCommitError`` and the public writer
+  ops rebase-and-retry (``append`` re-reads the latest version,
+  ``append_txn`` re-checks the txn high-water mark, ``overwrite_where``
+  re-reads the table state before re-staging). Data files carry a
+  writer-unique token in their names, so a losing writer's staged
+  parquet can never be overwritten by the winner's — it just becomes
+  an unreferenced orphan that ``vacuum`` reaps (ADVICE r6: staging
+  under shared ``v{N}-part-*`` names let the loser's bytes win).
+- **Checkpoints** (PROTOCOL.md "Checkpoints"): every
+  ``checkpoint_interval`` commits the writer materializes the replayed
+  state (protocol, metaData, active adds, txn high-water marks) as
+  ``{version:020d}.checkpoint.parquet`` plus a ``_last_checkpoint``
+  pointer. Readers seed from the checkpoint and replay only the JSON
+  suffix — O(commits since checkpoint) instead of O(commits) per read.
+  Time travel to a pre-checkpoint version falls back to full JSON
+  replay (log files are retained).
+- **vacuum(retention_versions=N)**: deletes data files not active in
+  any retained version (and stale orphans), bounding the table dir
+  under repeated MERGE/overwrite churn; time travel within the
+  retention window still works, pinned in tests.
 
 Correctness properties (pinned in tests/test_delta_protocol.py):
 - atomicity: data files are invisible until their commit JSON lands —
   a crash between staging parquet and writing the log leaves the
-  previous version authoritative (same snapshot-then-marker shape as
-  streaming/foreach_sink.py, but in the industry-standard format);
-- remove semantics: a logically-deleted file stays on disk (vacuum is
-  a separate concern) yet never reaches a reader;
-- time travel: ``read(version=N)`` replays only log entries <= N.
+  previous version authoritative;
+- remove semantics: a logically-deleted file stays on disk until
+  vacuum yet never reaches a reader;
+- time travel: ``read(version=N)`` replays only log entries <= N;
+- checkpointed reads are bit-equivalent to full-replay reads;
+- two interleaved writers never lose a commit (put-if-absent + rebase).
 
 Reference parity: the versioned invoice-state history the reference
 mutates in place (kinesis-pay.php:176,509) becomes an auditable
 append-only commit log — every state the table ever had stays
-readable.
+readable within the vacuum retention window.
 
 At 100 TB the log stays tiny (actions, not rows); readers list one
-directory and read only surviving files, and MERGE rewrites only the
-files whose key range intersects the batch (emulated here as a
-full-state rewrite at fixture scale, the same documented simplification
-as sources/sinks.py's MergeKeyedSink).
+directory, seed from the newest checkpoint, and read only surviving
+files; MERGE rewrites only the files whose key range intersects the
+batch (emulated here as a full-state rewrite at fixture scale, the
+same documented simplification as sources/sinks.py's MergeKeyedSink).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -46,28 +70,54 @@ from am_kinesis_pay_spark.registry import register
 from am_kinesis_pay_spark.tables import load
 
 _LOG_DIR = "_delta_log"
+_LAST_CKPT = "_last_checkpoint"
+
+
+class DeltaConcurrentCommitError(ValueError):
+    """Another writer won the put-if-absent race for this version."""
 
 
 class DeltaProtocolTable:
-    """Minimal single-writer Delta-protocol table: parquet data files +
-    a JSON action log replayed by the reader."""
+    """Delta-protocol table: parquet data files + a JSON action log
+    replayed by the reader, with checkpoint acceleration and
+    optimistic-concurrency commits."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    #: bounded rebase attempts before a writer gives up (each attempt
+    #: re-reads the log, so livelock needs a pathological writer storm)
+    MAX_COMMIT_ATTEMPTS = 10
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        checkpoint_interval: int | None = 10,
+    ):
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
+        self.checkpoint_interval = checkpoint_interval
+        # writer identity: makes staged data-file names collision-free
+        # across concurrent writers (never influences table CONTENT)
+        self._writer_token = uuid.uuid4().hex[:12]
+        #: diagnostics for tests: did the last replay seed from a
+        #: checkpoint, and how many JSON commits did it still walk?
+        self.last_read_used_checkpoint = False
+        self.last_read_json_commits = 0
 
     # --- log plumbing ---------------------------------------------------
 
     def _log_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:020d}.json")
 
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
+
     def versions(self) -> list[int]:
         if not os.path.isdir(self.log_dir):
             return []
         out = []
         for name in os.listdir(self.log_dir):
-            if name.endswith(".json"):
+            if name.endswith(".json") and not name.endswith(".tmp"):
                 try:
                     out.append(int(name[: -len(".json")]))
                 except ValueError:
@@ -79,23 +129,63 @@ class DeltaProtocolTable:
         return vs[-1] if vs else None
 
     def _commit(self, version: int, actions: list[dict]) -> None:
+        """Put-if-absent commit: write the actions to a writer-unique
+        temp file, then ``os.link`` it to the version path — on POSIX
+        the link either creates the name or fails with EEXIST, so two
+        writers racing the same version get exactly one winner and the
+        loser's bytes never land (the protocol's single contention
+        point). Readers can never observe a half-written commit because
+        the name appears only after the bytes are durable."""
         os.makedirs(self.log_dir, exist_ok=True)
         target = self._log_path(version)
         if os.path.exists(target):
-            raise ValueError(f"version {version} already committed")
-        # write-then-rename: the JSON appears atomically, so a reader
-        # can never observe a half-written commit
-        tmp = target + ".tmp"
+            raise DeltaConcurrentCommitError(
+                f"version {version} already committed"
+            )
+        tmp = f"{target}.{self._writer_token}.tmp"
         with open(tmp, "w") as fh:
             for action in actions:
                 fh.write(json.dumps(action, sort_keys=True) + "\n")
-        os.rename(tmp, target)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise DeltaConcurrentCommitError(
+                f"version {version} already committed"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        self._maybe_checkpoint(version)
 
-    def active_files(self, version: int | None = None) -> list[str]:
-        """Replay the action log up to ``version`` (latest if None):
-        adds accumulate, removes retract — the surviving paths are the
-        table state. Unknown action keys are ignored (forward
-        compatibility, per the spec's reader rules)."""
+    # --- state replay (checkpoint-seeded where possible) ------------------
+
+    def _read_last_checkpoint(self) -> int | None:
+        try:
+            with open(os.path.join(self.log_dir, _LAST_CKPT)) as fh:
+                v = int(json.load(fh)["version"])
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            return None
+        return v if os.path.exists(self._ckpt_path(v)) else None
+
+    def _apply(self, state: dict, action: dict) -> None:
+        if "add" in action:
+            state["adds"][action["add"]["path"]] = action["add"]
+        elif "remove" in action:
+            state["adds"].pop(action["remove"]["path"], None)
+        elif "txn" in action:
+            t = action["txn"]
+            prev = state["txns"].get(t["appId"])
+            if prev is None or t["version"] > prev:
+                state["txns"][t["appId"]] = t["version"]
+        elif "metaData" in action:
+            state["metaData"] = action["metaData"]
+        elif "protocol" in action:
+            state["protocol"] = action["protocol"]
+        # unknown action kinds are ignored (spec's forward-compat rule)
+
+    def _replay_state(self, version: int | None = None) -> dict:
+        """Reconstruct table state at ``version`` (latest if None):
+        seed from the newest usable checkpoint, then replay only the
+        JSON suffix. Records which path was taken for test pinning."""
         vs = self.versions()
         if version is not None:
             vs = [v for v in vs if v <= version]
@@ -105,33 +195,136 @@ class DeltaProtocolTable:
                 )
         elif not vs:
             raise FileNotFoundError(f"not a Delta-protocol table: {self.path}")
-        active: dict[str, bool] = {}
+        state: dict = {"adds": {}, "txns": {}, "metaData": None,
+                       "protocol": None}
+        ckpt_v = self._read_last_checkpoint()
+        self.last_read_used_checkpoint = False
+        if ckpt_v is not None and ckpt_v <= vs[-1] and ckpt_v in vs:
+            self._load_checkpoint(ckpt_v, state)
+            vs = [v for v in vs if v > ckpt_v]
+            self.last_read_used_checkpoint = True
+        self.last_read_json_commits = len(vs)
         for v in vs:
             with open(self._log_path(v)) as fh:
                 for line in fh:
-                    if not line.strip():
-                        continue
-                    action = json.loads(line)
-                    if "add" in action:
-                        active[action["add"]["path"]] = True
-                    elif "remove" in action:
-                        active.pop(action["remove"]["path"], None)
-        return sorted(active)
+                    if line.strip():
+                        self._apply(state, json.loads(line))
+        return state
+
+    def active_files(self, version: int | None = None) -> list[str]:
+        """Surviving data-file paths at ``version`` — adds accumulate,
+        removes retract, checkpoint-seeded when one covers the prefix."""
+        return sorted(self._replay_state(version)["adds"])
+
+    # --- checkpoints -------------------------------------------------------
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        k = self.checkpoint_interval
+        if k and version > 0 and version % k == 0:
+            self.write_checkpoint(version)
+
+    def write_checkpoint(self, version: int) -> str:
+        """Materialize the replayed state at ``version`` as a parquet
+        checkpoint (one row per retained action: protocol, metaData,
+        active adds, txn high-water marks) plus the ``_last_checkpoint``
+        pointer readers consult first — the spec's log-compaction
+        mechanism. Full JSON replay builds the state (checkpoints must
+        not chain off possibly-stale state), pyarrow writes the file
+        (a KB-scale metadata object; no Spark job needed)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # full replay on purpose: do NOT seed from an older checkpoint
+        prev = self._read_last_checkpoint()
+        state = self._full_replay(version)
+        rows = []
+        if state["protocol"] is not None:
+            rows.append(("protocol", None, None, None, None,
+                         json.dumps({"protocol": state["protocol"]},
+                                    sort_keys=True)))
+        if state["metaData"] is not None:
+            rows.append(("metaData", None, None, None, None,
+                         json.dumps({"metaData": state["metaData"]},
+                                    sort_keys=True)))
+        for app_id in sorted(state["txns"]):
+            rows.append(("txn", None, None, app_id, state["txns"][app_id],
+                         json.dumps({"txn": {"appId": app_id,
+                                             "version": state["txns"][app_id]}},
+                                    sort_keys=True)))
+        for p in sorted(state["adds"]):
+            add = state["adds"][p]
+            rows.append(("add", p, add.get("size"), None, None,
+                         json.dumps({"add": add}, sort_keys=True)))
+        table = pa.table(
+            {
+                "kind": pa.array([r[0] for r in rows], pa.string()),
+                "path": pa.array([r[1] for r in rows], pa.string()),
+                "size": pa.array([r[2] for r in rows], pa.int64()),
+                "app_id": pa.array([r[3] for r in rows], pa.string()),
+                "txn_version": pa.array([r[4] for r in rows], pa.int64()),
+                "action_json": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        ckpt = self._ckpt_path(version)
+        tmp = f"{ckpt}.{self._writer_token}.tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, ckpt)
+        # pointer is advisory: readers fall back to JSON replay if the
+        # parquet is missing, so a torn pointer update is harmless
+        ptr_tmp = os.path.join(
+            self.log_dir, f"{_LAST_CKPT}.{self._writer_token}.tmp"
+        )
+        with open(ptr_tmp, "w") as fh:
+            json.dump({"version": version, "size": len(rows)}, fh)
+        os.replace(ptr_tmp, os.path.join(self.log_dir, _LAST_CKPT))
+        if prev is not None and prev != version:
+            # previous checkpoint parquet is now unreferenced
+            try:
+                os.unlink(self._ckpt_path(prev))
+            except OSError:
+                pass
+        return ckpt
+
+    def _full_replay(self, version: int) -> dict:
+        state: dict = {"adds": {}, "txns": {}, "metaData": None,
+                       "protocol": None}
+        for v in self.versions():
+            if v > version:
+                break
+            with open(self._log_path(v)) as fh:
+                for line in fh:
+                    if line.strip():
+                        self._apply(state, json.loads(line))
+        return state
+
+    def _load_checkpoint(self, version: int, state: dict) -> None:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(self._ckpt_path(version),
+                              columns=["action_json"])
+        for blob in table.column("action_json").to_pylist():
+            self._apply(state, json.loads(blob))
 
     # --- writer operations ----------------------------------------------
 
-    def _stage(self, df: DataFrame, version: int) -> list[dict]:
-        """Write df's rows as parquet data files OUTSIDE the log (a
-        staging dir per version), then describe them as add actions.
-        Files are invisible to every reader until _commit."""
-        stage_dir = os.path.join(self.path, f"_staged_v{version}")
+    def _stage(self, df: DataFrame) -> list[dict]:
+        """Write df's rows as parquet data files OUTSIDE the log under
+        WRITER-UNIQUE names (part-{writer}-{batch}-{i}), then describe
+        them as add actions. Unique names mean a concurrent writer can
+        never clobber these bytes (ADVICE r6); files stay invisible to
+        every reader until _commit links the log entry, and an aborted
+        stage leaves only orphans for vacuum."""
+        batch = uuid.uuid4().hex[:8]
+        stage_dir = os.path.join(
+            self.path, f"_staged_{self._writer_token}_{batch}"
+        )
         df.write.mode("overwrite").parquet(stage_dir)
         adds = []
         i = 0
         for name in sorted(os.listdir(stage_dir)):
             if not name.endswith(".parquet"):
                 continue
-            rel = f"v{version}-part-{i:05d}.parquet"
+            rel = f"part-{self._writer_token}-{batch}-{i:05d}.parquet"
             os.replace(
                 os.path.join(stage_dir, name), os.path.join(self.path, rel)
             )
@@ -154,7 +347,9 @@ class DeltaProtocolTable:
         return adds
 
     def create(self, df: DataFrame) -> int:
-        """Version 0: protocol + metaData bootstrap plus the first data."""
+        """Version 0: protocol + metaData bootstrap plus the first data.
+        No retry: losing the race for v0 means the table already
+        exists, which is a caller error, not a rebase."""
         actions = [
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
             {
@@ -167,35 +362,37 @@ class DeltaProtocolTable:
                 }
             },
         ]
-        actions += self._stage(df, 0)
+        actions += self._stage(df)
         actions.append({"commitInfo": {"operation": "CREATE TABLE AS SELECT"}})
         self._commit(0, actions)
         return 0
 
     def append(self, df: DataFrame) -> int:
-        v = (self.latest_version() or 0) + 1
-        actions = self._stage(df, v)
-        actions.append({"commitInfo": {"operation": "WRITE", "mode": "Append"}})
-        self._commit(v, actions)
-        return v
+        """Blind append with rebase-retry: appends commute with any
+        concurrent commit, so losing the version race just means
+        re-reading the latest version and re-linking — the staged
+        files (version-independent names) are reused as-is."""
+        adds = self._stage(df)
+        actions = adds + [
+            {"commitInfo": {"operation": "WRITE", "mode": "Append"}}
+        ]
+        last_err: Exception | None = None
+        for _ in range(self.MAX_COMMIT_ATTEMPTS):
+            v = (self.latest_version() or 0) + 1
+            try:
+                self._commit(v, actions)
+                return v
+            except DeltaConcurrentCommitError as e:
+                last_err = e
+        raise last_err  # pathological contention: surface it
 
     # --- txn actions: the protocol's exactly-once streaming mechanism ----
 
     def txn_version(self, app_id: str) -> int | None:
         """Highest ``txn`` action version recorded for app_id — what
-        delta-spark consults to make foreachBatch idempotent."""
-        latest: int | None = None
-        for v in self.versions():
-            with open(self._log_path(v)) as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    action = json.loads(line)
-                    t = action.get("txn")
-                    if t and t.get("appId") == app_id:
-                        if latest is None or t["version"] > latest:
-                            latest = t["version"]
-        return latest
+        delta-spark consults to make foreachBatch idempotent
+        (checkpoint-seeded like every other state read)."""
+        return self._replay_state()["txns"].get(app_id)
 
     def append_txn(self, df: DataFrame, app_id: str, version: int) -> bool:
         """Exactly-once append: the commit carries a ``txn`` action
@@ -203,42 +400,106 @@ class DeltaProtocolTable:
         the recorded high-water mark is a silent no-op — the Delta
         protocol's txnAppId/txnVersion contract, which is what turns
         foreachBatch's at-least-once into exactly-once on this table.
-        Returns True if the batch committed, False if skipped."""
-        last = self.txn_version(app_id)
-        if last is not None and version <= last:
-            return False
-        v = (self.latest_version() or 0) + 1
-        actions = [{"txn": {"appId": app_id, "version": version}}]
-        actions += self._stage(df, v)
-        actions.append(
-            {"commitInfo": {"operation": "STREAMING UPDATE", "mode": "Append"}}
-        )
-        self._commit(v, actions)
-        return True
+        The high-water check reruns on every rebase attempt, so a
+        concurrent writer landing the same (app, version) first turns
+        this call into the no-op it should be (its staged files orphan
+        for vacuum). Returns True if the batch committed."""
+        staged: list[dict] | None = None
+        last_err: Exception | None = None
+        for _ in range(self.MAX_COMMIT_ATTEMPTS):
+            last = self.txn_version(app_id)
+            if last is not None and version <= last:
+                return False
+            if staged is None:
+                staged = self._stage(df)
+            v = (self.latest_version() or 0) + 1
+            actions = [{"txn": {"appId": app_id, "version": version}}]
+            actions += staged
+            actions.append(
+                {"commitInfo": {"operation": "STREAMING UPDATE",
+                                "mode": "Append"}}
+            )
+            try:
+                self._commit(v, actions)
+                return True
+            except DeltaConcurrentCommitError as e:
+                last_err = e
+        raise last_err
 
     def overwrite_where(self, df: DataFrame, keep_predicate) -> int:
         """Copy-on-write rewrite (the MERGE/DELETE building block): the
         new version removes EVERY current file and adds files holding
         (current rows passing keep_predicate) plus df's rows — the
-        reader of version v-1 still sees the old state untouched."""
-        v = (self.latest_version() or 0) + 1
-        current = self.read()
-        survivors = current.filter(keep_predicate)
-        merged = survivors.unionByName(df)
-        actions = [
-            {
-                "remove": {
-                    "path": p,
-                    "deletionTimestamp": 0,
-                    "dataChange": True,
+        reader of version v-1 still sees the old state untouched.
+        Rewrites do NOT commute, so a lost race triggers a FULL rebase:
+        re-read the (new) current state, re-filter, re-stage, retry —
+        delta-spark's ConcurrentModification resolution for
+        overlapping transactions."""
+        last_err: Exception | None = None
+        for _ in range(self.MAX_COMMIT_ATTEMPTS):
+            base_v = self.latest_version() or 0
+            current = self.read()
+            merged = current.filter(keep_predicate).unionByName(df)
+            actions = [
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
                 }
-            }
-            for p in self.active_files()
-        ]
-        actions += self._stage(merged, v)
-        actions.append({"commitInfo": {"operation": "MERGE"}})
-        self._commit(v, actions)
-        return v
+                for p in self.active_files()
+            ]
+            actions += self._stage(merged)
+            actions.append({"commitInfo": {"operation": "MERGE"}})
+            try:
+                self._commit(base_v + 1, actions)
+                return base_v + 1
+            except DeltaConcurrentCommitError as e:
+                last_err = e  # state moved under us: rebase fully
+        raise last_err
+
+    # --- maintenance -------------------------------------------------------
+
+    def vacuum(
+        self, retention_versions: int = 2, min_age_s: float = 0.0
+    ) -> list[str]:
+        """Delete data files no retained version references: the
+        survivors are the union of active_files(v) for the newest
+        ``retention_versions`` commits, everything else — files removed
+        by old rewrites AND orphans from aborted/lost-race stages —
+        is reaped, bounding the table dir under MERGE churn. Time
+        travel within the retention window keeps working (pinned in
+        tests); older reads may fail on missing files, exactly the
+        delta-spark trade. ``min_age_s`` guards a live concurrent
+        writer's not-yet-committed staging from the reaper (real Delta
+        uses a retention-hours mtime check for the same race)."""
+        import time
+
+        latest = self.latest_version()
+        if latest is None:
+            return []
+        retained = [v for v in self.versions()
+                    if v > latest - retention_versions]
+        keep: set[str] = set()
+        for v in retained:
+            keep.update(self.active_files(v))
+        now = time.time()
+        deleted = []
+        for name in sorted(os.listdir(self.path)):
+            full = os.path.join(self.path, name)
+            if not name.endswith(".parquet") or not os.path.isfile(full):
+                continue
+            if name in keep:
+                continue
+            try:
+                if min_age_s and (now - os.path.getmtime(full)) < min_age_s:
+                    continue
+                os.unlink(full)
+                deleted.append(name)
+            except OSError:
+                continue
+        return deleted
 
     # --- reader ----------------------------------------------------------
 
@@ -255,25 +516,29 @@ def _build_events_table(spark: SparkSession, sf_dir: str) -> DeltaProtocolTable:
     """The deterministic 3-commit fixture both registered queries read:
     v0 CREATE with click events, v1 APPEND purchase events, v2 MERGE
     that drops low-value clicks (value <= 100) while keeping purchases.
-    Built once per (session, sf) under the scratch convention."""
-    from am_kinesis_pay_spark.paths import scratch_path, sf_tag
+    Built once per (session, sf) under the scratch convention; the
+    build (rmtree + three commits) holds the artifact lock so parallel
+    harness threads cannot interleave a read with a rebuild (ADVICE
+    r6)."""
+    from am_kinesis_pay_spark.paths import _artifact_lock, scratch_path, sf_tag
 
     path = scratch_path(spark, f"akps_delta_tbl_{sf_tag(sf_dir)}")
     tbl = DeltaProtocolTable(spark, path)
-    if tbl.latest_version() != 2:
-        import shutil
+    with _artifact_lock():
+        if tbl.latest_version() != 2:
+            import shutil
 
-        shutil.rmtree(path, ignore_errors=True)
-        ev = load(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value"
-        )
-        tbl.create(ev.filter(F.col("event_type") == "click"))
-        tbl.append(ev.filter(F.col("event_type") == "purchase"))
-        tbl.overwrite_where(
-            df=tbl.read().limit(0),  # pure delete: no new rows
-            keep_predicate=(F.col("event_type") == "purchase")
-            | (F.col("value") > 100),
-        )
+            shutil.rmtree(path, ignore_errors=True)
+            ev = load(spark, sf_dir, "events").select(
+                "event_id", "user_id", "event_type", "value"
+            )
+            tbl.create(ev.filter(F.col("event_type") == "click"))
+            tbl.append(ev.filter(F.col("event_type") == "purchase"))
+            tbl.overwrite_where(
+                df=tbl.read().limit(0),  # pure delete: no new rows
+                keep_predicate=(F.col("event_type") == "purchase")
+                | (F.col("value") > 100),
+            )
     return tbl
 
 
@@ -300,11 +565,12 @@ def source_delta_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed final state, and the oracle computes the same post-state
     from first principles — a hash match proves the log replay, the
     remove semantics, and the rewrite all compose correctly.
-    Atomicity (staged files invisible until the commit JSON renames
-    in), torn-commit recovery, and version time travel are pinned in
+    Atomicity (staged files invisible until the commit JSON links in),
+    torn-commit recovery, version time travel, optimistic concurrency,
+    checkpointed reads, and vacuum are pinned in
     tests/test_delta_protocol.py. At 100 TB the log is actions (KBs),
-    not rows; readers list one directory; MERGE rewrites only
-    intersecting files (full-state rewrite here is the documented
+    not rows; readers seed from the newest checkpoint; MERGE rewrites
+    only intersecting files (full-state rewrite here is the documented
     fixture-scale simplification, as in MergeKeyedSink)."""
     tbl = _build_events_table(spark, sf_dir)
     return (
@@ -358,6 +624,70 @@ def source_delta_protocol_history(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
+def _build_checkpointed_table(
+    spark: SparkSession, sf_dir: str
+) -> DeltaProtocolTable:
+    """12-commit fixture for the checkpointed-read query: CREATE with
+    the event_id%12==0 slice, 11 appends of the remaining residues →
+    final state is EXACTLY the events table, and the auto-checkpoint
+    (interval 10) fires at v10, so the default read seeds from the
+    checkpoint parquet and replays only the v11 JSON suffix."""
+    from am_kinesis_pay_spark.paths import _artifact_lock, scratch_path, sf_tag
+
+    path = scratch_path(spark, f"akps_delta_ckpt_{sf_tag(sf_dir)}")
+    tbl = DeltaProtocolTable(spark, path, checkpoint_interval=10)
+    with _artifact_lock():
+        if tbl.latest_version() != 11:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            ev = load(spark, sf_dir, "events").select(
+                "event_id", "event_type", "value"
+            )
+            tbl.create(ev.filter(F.col("event_id") % 12 == 0))
+            for r in range(1, 12):
+                tbl.append(ev.filter(F.col("event_id") % 12 == r))
+    return tbl
+
+
+@register(
+    "source_delta_checkpoint",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+    tags=("source", "merge", "incremental"),
+)
+def source_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-accelerated Delta read (the spec's log-compaction
+    half, closing the r6 "O(commits) replay" gap): the fixture lands
+    12 commits (CREATE + 11 residue appends whose union is exactly the
+    events table); the auto-checkpoint at v10 materializes the replayed
+    state as {v:020d}.checkpoint.parquet + _last_checkpoint, and this
+    reader seeds from that parquet and replays ONLY the JSON suffix
+    (v11) — O(commits since checkpoint) instead of O(commits). The
+    oracle is the plain events aggregate, so a hash match proves
+    checkpoint state == replayed state action-for-action (that the
+    checkpoint path was actually taken is pinned separately in
+    tests/test_delta_protocol.py::test_checkpoint_read_equivalence).
+    At 100 TB with thousands of commits this is the difference between
+    a constant-time table open and a linear log walk."""
+    tbl = _build_checkpointed_table(spark, sf_dir)
+    out = (
+        tbl.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    assert tbl.last_read_used_checkpoint, "checkpoint seeding did not engage"
+    return out
+
+
 @register(
     "sink_delta_txn",
     oracle="""
@@ -381,30 +711,32 @@ def sink_delta_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the same contract MergeKeyedSink/AdditiveRollupSink pin on
     the snapshot+marker layout, now in the industry-standard log
     format (delta_protocol.append_txn; real readStream drive in
-    tests/test_delta_protocol.py::test_txn_drives_real_stream)."""
-    from am_kinesis_pay_spark.paths import scratch_path, sf_tag
+    tests/test_delta_protocol.py::test_txn_drives_real_stream). The
+    fixture build holds the artifact lock (ADVICE r6: unguarded scratch
+    mutation raced parallel harness threads)."""
+    from am_kinesis_pay_spark.paths import _artifact_lock, scratch_path, sf_tag
 
     ev = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
     path = scratch_path(spark, f"akps_delta_txn_{sf_tag(sf_dir)}")
     tbl = DeltaProtocolTable(spark, path)
-    if tbl.latest_version() is None:
-        tbl.create(ev.filter(F.col("event_id") % 3 == 0))
-        # CREATE is epoch 0's commit in this fixture; record its txn
-        # by replaying epoch 0 through the guarded path (no-op iff the
-        # guard works — version 0 is claimed below before the poison)
-    if tbl.txn_version("kpay_stream") is None:
-        tbl.append_txn(
-            ev.filter(F.col("event_id") % 3 == 1), "kpay_stream", 1
-        )
-        # redelivery of an OLD epoch with poisoned rows: must be a no-op
-        tbl.append_txn(
-            ev.filter(F.col("event_id") % 3 == 2), "kpay_stream", 1
-        )
-        tbl.append_txn(
-            ev.filter(F.col("event_id") % 3 == 2), "kpay_stream", 0
-        )
+    with _artifact_lock():
+        if tbl.latest_version() is None:
+            tbl.create(ev.filter(F.col("event_id") % 3 == 0))
+            # CREATE is epoch 0's commit in this fixture; version 0 is
+            # claimed below before the poison replays
+        if tbl.txn_version("kpay_stream") is None:
+            tbl.append_txn(
+                ev.filter(F.col("event_id") % 3 == 1), "kpay_stream", 1
+            )
+            # redelivery of an OLD epoch with poisoned rows: must no-op
+            tbl.append_txn(
+                ev.filter(F.col("event_id") % 3 == 2), "kpay_stream", 1
+            )
+            tbl.append_txn(
+                ev.filter(F.col("event_id") % 3 == 2), "kpay_stream", 0
+            )
     return (
         tbl.read()
         .groupBy("event_type")

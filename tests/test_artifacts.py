@@ -89,8 +89,10 @@ def test_emb_family_standalone_equals_memoized(spark, monkeypatch):
 def test_gc_scratch_lru_budget(tmp_path, monkeypatch):
     """The artifact janitor (VERDICT r5 #8): akps_* scratch dirs from
     PAST sessions are kept newest-first within the byte budget, older
-    ones deleted; the current session's dirs and non-akps tmpdir
-    contents are never touched."""
+    ones deleted; the current session's dirs, non-akps tmpdir contents,
+    and RECENTLY-TOUCHED dirs (live sessions — e.g. Delta-protocol
+    tables, which are not _SUCCESS-guarded and cannot self-heal,
+    ADVICE r6) are never touched."""
     import os
     import tempfile
     import time
@@ -98,6 +100,7 @@ def test_gc_scratch_lru_budget(tmp_path, monkeypatch):
     import am_kinesis_pay_spark.paths as P
 
     monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setenv("AKPS_SCRATCH_TTL_S", "5")
 
     def mk(name, size, age_s):
         d = tmp_path / name
@@ -112,15 +115,22 @@ def test_gc_scratch_lru_budget(tmp_path, monkeypatch):
     oldest = mk("akps_c_sess2", 600, 30)
     mine = mk("akps_d_current", 600, 99999)  # current session: immune
     other = mk("not_akps_dir", 600, 99999)   # foreign tmp content: immune
+    # a LIVE foreign session's Delta table: fresh mtime → inside the
+    # TTL → immune even when the budget is busted (ADVICE r6)
+    live = mk("akps_delta_tbl_sess3", 600, 1)
+    os.utime(live, None)  # now
+    (tmp_path / "akps_delta_tbl_sess3" / "_delta_log").mkdir()
 
-    deleted = P.gc_scratch(keep_token="current", budget_bytes=1300)
-    # newest(600) + middle(600) fit in 1300; oldest busts the budget
+    deleted = P.gc_scratch(keep_token="current", budget_bytes=1900)
+    # live(600) + newest(600) + middle(600) fit in 1900; oldest busts it
     assert deleted == [oldest]
     assert os.path.isdir(newest) and os.path.isdir(middle)
     assert os.path.isdir(mine) and os.path.isdir(other)
     assert not os.path.exists(oldest)
 
-    # zero budget: every non-current akps dir goes
+    # zero budget: every non-current STALE akps dir goes; the live
+    # (recent-mtime) one survives the TTL guard
     deleted2 = set(P.gc_scratch(keep_token="current", budget_bytes=0))
     assert deleted2 == {newest, middle}
     assert os.path.isdir(mine) and os.path.isdir(other)
+    assert os.path.isdir(live)

@@ -157,3 +157,174 @@ def test_txn_drives_real_stream(spark, tmp_path_factory):
     # manual replay of an old epoch: no-op
     assert tbl.append_txn(_df(spark, [(999, "dup")]), "stream", 0) is False
     assert tbl.read().count() == n
+
+
+def test_checkpoint_read_equivalence(spark, tmp_path_factory):
+    """Checkpoints (PROTOCOL.md log compaction): after the interval
+    fires, a fresh reader seeds from {v:020d}.checkpoint.parquet and
+    replays ONLY the JSON suffix, and the state it sees is
+    action-for-action identical to a full JSON replay; time travel to
+    a pre-checkpoint version falls back to full replay and stays
+    exact."""
+    path = str(tmp_path_factory.mktemp("delta_ckpt"))
+    tbl = DeltaProtocolTable(spark, path, checkpoint_interval=5)
+    tbl.create(_df(spark, [(0, "v0")]))
+    tbl.append_txn(_df(spark, [(1, "v1")]), "etl", 7)
+    for i in range(2, 12):
+        tbl.append(_df(spark, [(i, f"v{i}")]))
+    # interval 5 → checkpoints fired at v5 and v10; v5's parquet was
+    # superseded and unlinked, the pointer names v10
+    assert os.path.exists(tbl._ckpt_path(10))
+    assert not os.path.exists(tbl._ckpt_path(5))
+    assert tbl._read_last_checkpoint() == 10
+
+    fresh = DeltaProtocolTable(spark, path)
+    state = _state(fresh)
+    assert fresh.last_read_used_checkpoint is True
+    assert fresh.last_read_json_commits == 1  # only v11 replayed as JSON
+    # bit-equivalence vs a full JSON replay (checkpoint pointer hidden)
+    full = DeltaProtocolTable(spark, path)
+    full._read_last_checkpoint = lambda: None
+    assert _state(full) == state == [(i, f"v{i}") for i in range(12)]
+    assert full.last_read_used_checkpoint is False
+    # txn high-water marks survive checkpointing
+    assert fresh.txn_version("etl") == 7
+    # pre-checkpoint time travel: full replay fallback, still exact
+    assert _state(fresh, version=3) == [(i, f"v{i}") for i in range(4)]
+    assert fresh.last_read_used_checkpoint is False
+
+
+def test_commit_put_if_absent_single_winner(spark, tmp_path_factory):
+    """Two writers racing the SAME version: os.link put-if-absent lets
+    exactly one commit land, and the loser's bytes never replace the
+    winner's (ADVICE r6: the committed version must point at the
+    winner's actions)."""
+    from am_kinesis_pay_spark.sources.delta_protocol import (
+        DeltaConcurrentCommitError,
+    )
+
+    path = str(tmp_path_factory.mktemp("delta_race"))
+    w1 = DeltaProtocolTable(spark, path)
+    w1.create(_df(spark, [(1, "a")]))
+    w2 = DeltaProtocolTable(spark, path)
+    w1._commit(1, [{"commitInfo": {"operation": "W1"}}])
+    with pytest.raises(DeltaConcurrentCommitError, match="already committed"):
+        w2._commit(1, [{"commitInfo": {"operation": "W2"}}])
+    committed = [json.loads(x) for x in open(w1._log_path(1)) if x.strip()]
+    assert committed == [{"commitInfo": {"operation": "W1"}}]
+
+
+def test_append_rebases_after_lost_race(spark, tmp_path_factory):
+    """A writer whose view of the latest version is STALE (another
+    writer committed in between) must rebase: retry at the true next
+    version instead of failing or clobbering."""
+    path = str(tmp_path_factory.mktemp("delta_rebase"))
+    tbl = DeltaProtocolTable(spark, path)
+    tbl.create(_df(spark, [(1, "a")]))
+    other = DeltaProtocolTable(spark, path)
+    other.append(_df(spark, [(2, "b")]))  # the concurrent winner: v1
+
+    real = tbl.latest_version
+    calls = {"n": 0}
+
+    def stale_once():
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real()
+
+    tbl.latest_version = stale_once
+    v = tbl.append(_df(spark, [(3, "c")]))  # first attempt targets v1: lost
+    assert v == 2 and calls["n"] >= 2
+    assert _state(tbl) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_overwrite_rebases_on_full_state(spark, tmp_path_factory):
+    """overwrite_where does not commute: on a lost race it must re-read
+    the CURRENT state (including the concurrent append) and re-apply
+    its predicate, so the rebased rewrite covers the racer's rows."""
+    path = str(tmp_path_factory.mktemp("delta_rw_rebase"))
+    tbl = DeltaProtocolTable(spark, path)
+    tbl.create(_df(spark, [(1, "a"), (2, "b")]))
+
+    real_latest = tbl.latest_version
+    injected = {"done": False}
+
+    def racing_latest():
+        v = real_latest()
+        if not injected["done"]:
+            injected["done"] = True
+            # a racer appends AFTER this writer read its base version
+            DeltaProtocolTable(tbl.spark, tbl.path).append(
+                _df(tbl.spark, [(3, "c")])
+            )
+        return v
+
+    tbl.latest_version = racing_latest
+    tbl.overwrite_where(_df(spark, [(4, "d")]), F.col("k") != 2)
+    # rebase re-read state INCLUDING the racer's (3, "c")
+    assert _state(tbl) == [(1, "a"), (3, "c"), (4, "d")]
+
+
+def test_concurrent_writer_threads(spark, tmp_path_factory):
+    """Torture: two threads interleave 4 appends each against one
+    table path; every commit must land (no lost updates), versions are
+    gap-free, and every appended row survives."""
+    import threading
+
+    path = str(tmp_path_factory.mktemp("delta_threads"))
+    DeltaProtocolTable(spark, path).create(_df(spark, [(0, "seed")]))
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def work(writer_id):
+        try:
+            w = DeltaProtocolTable(spark, path)
+            barrier.wait()
+            for i in range(4):
+                w.append(_df(spark, [(writer_id * 100 + i, f"w{writer_id}")]))
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(w,)) for w in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    tbl = DeltaProtocolTable(spark, path)
+    assert tbl.versions() == list(range(9))  # seed + 8 appends, gap-free
+    ks = sorted(r.k for r in tbl.read().collect())
+    assert ks == [0] + [100 + i for i in range(4)] + [200 + i for i in range(4)]
+
+
+def test_vacuum_bounds_disk_and_keeps_retained_versions(
+    spark, tmp_path_factory
+):
+    """vacuum(retention_versions=N): files referenced only by versions
+    older than the retention window — plus orphans from aborted
+    stagings — are deleted; reads within the window stay exact, and the
+    table dir stays bounded under repeated overwrite churn."""
+    path = str(tmp_path_factory.mktemp("delta_vacuum"))
+    tbl = DeltaProtocolTable(spark, path)
+    tbl.create(_df(spark, [(1, "a"), (2, "b")]))
+    for i in range(3, 7):  # 4 full REPLACE rewrites: old files pile up
+        tbl.overwrite_where(_df(spark, [(i, f"r{i}")]), F.col("k") < 0)
+    # an aborted staging orphan: never referenced by any commit
+    orphan = os.path.join(path, "part-deadbeefdead-ab-00000.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1junkPAR1")
+
+    latest = tbl.latest_version()
+    before = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    keep = set(tbl.active_files(latest)) | set(tbl.active_files(latest - 1))
+    assert keep < before  # churn really left garbage behind
+
+    deleted = tbl.vacuum(retention_versions=2)
+    after = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    assert after == keep
+    assert "part-deadbeefdead-ab-00000.parquet" in deleted
+    # reads within the retention window still exact
+    assert _state(tbl, version=latest) == [(6, "r6")]
+    assert _state(tbl, version=latest - 1) == [(5, "r5")]
+    # a fresh min_age_s guard spares just-written files
+    tbl.append(_df(spark, [(99, "young")]))
+    assert tbl.vacuum(retention_versions=1, min_age_s=3600) == []
