@@ -795,12 +795,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     single row, broadcast back via cross join. Per-term contributions
     are rounded to 6 dp and accumulated in DECIMAL in a fixed textual
     order, so the cross-engine float chain is exact (repo convention;
-    ln() ulp skew absorbed by the rounding). Top-10 by score is a
-    row_number window over the (pre-filtered to matching docs) frame —
-    at 100 TB swap for TakeOrderedAndProject by ordering+limiting
-    without the rank column, or keep per-partition top-10 pre-pruning.
-    Skew: the explode's shuffle key is doc_id (uniform), never the
-    term, so heavy-hitter terms cost nothing here.
+    ln() ulp skew absorbed by the rounding). Top-10 by score is
+    orderBy().limit(10) — Spark plans TakeOrderedAndProject, a
+    per-partition top-10 merged on the driver, NEVER a global sort —
+    and the rank column is a window over the surviving ≤10 rows
+    (allowlisted in test_plan_sweep's global-window lint; VERDICT r6
+    flagged the previous global row_number form). Skew: the explode's
+    shuffle key is doc_id (uniform), never the term, so heavy-hitter
+    terms cost nothing here.
     """
     k1, b = _BM25_K1, _BM25_B
     docs = load(spark, sf_dir, "documents")
@@ -853,10 +855,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(any_match)
         .select("doc_id", total.alias("bm25"))
     )
+    top10 = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
     w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
+        top10.withColumn("rnk", F.row_number().over(w))
         .select("doc_id", F.col("bm25").cast("double").alias("bm25"), "rnk")
     )
 
@@ -1063,11 +1065,13 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_tok))
         .select("w1", "w2", "cb", pmi.alias("pmi"))
     )
+    # top-20 via orderBy().limit() — TakeOrderedAndProject (distributed
+    # per-partition top-k), never a global row_number sort over the
+    # bigram-type frame (VERDICT r6 class); rank the 20 survivors only
+    top20 = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(20)
     w = W.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select("w1", "w2", "cb", "pmi", "rnk")
+    return top20.withColumn("rnk", F.row_number().over(w)).select(
+        "w1", "w2", "cb", "pmi", "rnk"
     )
 
 

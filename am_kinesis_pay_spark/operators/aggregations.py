@@ -1733,21 +1733,22 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH two AS (
   SELECT event_type, value FROM events
   WHERE event_type IN ('click', 'purchase')
-), ranked AS (
-  SELECT event_type,
-    RANK() OVER (ORDER BY value) AS rmin,
-    COUNT(*) OVER (PARTITION BY value) AS ties
-  FROM two
-), agg AS (
-  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-    CAST(SUM(2 * rmin + ties - 1) AS BIGINT) AS r2
-  FROM ranked GROUP BY event_type
+), vals AS (
+  SELECT value,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n1v,
+    CAST(COUNT(*) AS BIGINT) AS tv
+  FROM two GROUP BY value
+), pre AS (
+  SELECT n1v, tv,
+    COALESCE(SUM(tv) OVER (ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM vals
 ), u AS (
-  SELECT
-    MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
-    MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
-    MAX(CASE WHEN event_type = 'click' THEN r2 END) AS r2_1
-  FROM agg
+  SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+    CAST(SUM(tv - n1v) AS BIGINT) AS n2,
+    CAST(SUM(n1v * (2 * cb + tv + 1)) AS BIGINT) AS r2_1
+  FROM pre
 )
 SELECT n1, n2,
   CAST(r2_1 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
@@ -1765,41 +1766,47 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     always are): compare summed RANKS instead of means, so no moment
     assumptions and outliers cannot dominate.
 
-    Exactness under ties, with no float ranks: the tied-value midrank
-    is (min_rank + max_rank)/2, and 2*midrank = 2*RANK() + ties - 1 is
-    an exact INTEGER (one global rank window + one per-value count
-    window), so the rank sums accumulate in BIGINT and the single
-    final U/z computation is a handful of float ops on exact operands
-    — the ts_autocorrelation integer-arithmetic convention applied to
-    order statistics. The global rank is the two-pass-at-scale caveat
-    (win_global_running_total pattern); everything else is one
-    aggregation to a 2-row frame."""
+    DISTINCT-VALUE prefix-sum form (VERDICT r6: the row-scale global
+    rank window was the repo's last single-task sort). One hash
+    aggregation reduces the two populations to the distinct-value
+    frame (value, n_clicks, total) — value is 2-dp money, so this
+    frame is VALUE-DOMAIN-sized and saturates while rows grow 100×
+    (sf0.1: 13k distinct vs 40k rows; at 10^9 rows it is still the
+    price domain) — then one window prefix-sums totals over ordered
+    distinct values. Exact midranks under ties survive arithmetically:
+    every row tied at value v has midrank cum_before(v) + (t_v + 1)/2,
+    so the click rank-sum doubles to the exact INTEGER
+    sum(n1_v * (2*cum_before + t_v + 1)) and accumulates in BIGINT —
+    the ts_autocorrelation integer convention applied to order
+    statistics; the final U/z is a handful of float ops on exact
+    operands. The window's input is the reduced frame (allowlisted in
+    test_plan_sweep's global-window lint with this proof)."""
     ev = load(spark, sf_dir, "events")
     two = ev.filter(F.col("event_type").isin("click", "purchase")).select(
         "event_type", "value"
     )
-    w_rank = W.orderBy("value")
-    w_ties = W.partitionBy("value")
-    ranked = two.select(
-        "event_type",
-        (
-            F.lit(2) * F.rank().over(w_rank)
-            + F.count(F.lit(1)).over(w_ties)
-            - 1
-        ).alias("m2"),
+    vals = two.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1v"),
+        F.count(F.lit(1)).cast("bigint").alias("tv"),
     )
-    agg = ranked.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("m2").cast("bigint").alias("r2"),
+    w_pre = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    pre = vals.select(
+        "n1v",
+        "tv",
+        F.coalesce(F.sum("tv").over(w_pre), F.lit(0))
+        .cast("bigint")
+        .alias("cb"),
     )
-    u = agg.agg(
-        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
-        F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias(
-            "n2"
-        ),
-        F.max(F.when(F.col("event_type") == "click", F.col("r2"))).alias(
-            "r2_1"
-        ),
+    u = pre.agg(
+        F.sum("n1v").cast("bigint").alias("n1"),
+        F.sum(F.col("tv") - F.col("n1v")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("n1v") * (F.lit(2) * F.col("cb") + F.col("tv") + 1)
+        )
+        .cast("bigint")
+        .alias("r2_1"),
     )
     u1 = (F.col("r2_1") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2
     z = (
@@ -1819,20 +1826,23 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH two AS (
   SELECT event_type, value FROM events
   WHERE event_type IN ('click', 'purchase')
-), pts AS (
+), vals AS (
   SELECT value,
-    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-      OVER (ORDER BY value) AS c1,
-    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-      OVER (ORDER BY value) AS c2
-  FROM two
-), ns AS (
-  SELECT
     CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
-      AS n1,
+      AS c1v,
     CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-      AS n2
-  FROM two
+      AS c2v
+  FROM two GROUP BY value
+), pts AS (
+  SELECT
+    SUM(c1v) OVER (ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+    SUM(c2v) OVER (ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+  FROM vals
+), ns AS (
+  SELECT CAST(SUM(c1v) AS BIGINT) AS n1, CAST(SUM(c2v) AS BIGINT) AS n2
+  FROM vals
 )
 SELECT n1, n2,
   CAST(MAX(abs(c1 * n2 - c2 * n1)) AS DOUBLE) / (n1 * n2) AS ks_d,
@@ -1851,37 +1861,40 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences a rank test misses; together they are the standard
     drift-detection pair for model-input monitoring).
 
-    Exact integer arithmetic throughout: D = max|F1 - F2| is computed
-    as max|c1*n2 - c2*n1| / (n1*n2), where the cumulative counts are
-    window-summed INTEGERS over the combined value order — no float
-    ECDF anywhere, so the supremum is bit-stable across engines (the
+    DISTINCT-VALUE prefix-sum form (VERDICT r6): one hash aggregation
+    reduces the rows to per-distinct-value counts (c1_v, c2_v) — a
+    VALUE-DOMAIN-sized frame for 2-dp money, saturating while rows
+    grow — then ONE window cumulative-sums both counts over ordered
+    distinct values. This is exactly the row-level ECDF at every jump
+    point: the ECDF only changes at distinct values, and the previous
+    row-scale RANGE-frame window assigned every tied row the block-end
+    cumulative anyway, so the supremum over the distinct frame equals
+    the supremum over rows bit-for-bit. D = max|c1*n2 - c2*n1|/(n1*n2)
+    stays all-integer until two final float ops (the
     ts_autocorrelation convention applied to distribution distance).
-    Tie handling is identical by construction: both cumulative counts
-    advance through a tied block before the next distinct value is
-    evaluated, and max() over all rows includes every within-block
-    state on both engines equally. The global cumulative window is the
-    two-pass-at-scale caveat (win_global_running_total pattern); the
-    rest is one aggregation to a single row."""
+    The 1-row (n1, n2) totals broadcast is the allowlisted NLJ; the
+    prefix window's input is the reduced frame (allowlisted in
+    test_plan_sweep's global-window lint with this proof)."""
     ev = load(spark, sf_dir, "events")
     two = ev.filter(F.col("event_type").isin("click", "purchase")).select(
         "event_type", "value"
     )
-    w = W.orderBy("value")
-    pts = two.select(
-        F.sum(
-            F.when(F.col("event_type") == "click", 1).otherwise(0)
-        ).over(w).alias("c1"),
-        F.sum(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).over(w).alias("c2"),
-    )
-    ns = two.agg(
+    vals = two.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
         .cast("bigint")
-        .alias("n1"),
+        .alias("c1v"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("bigint")
-        .alias("n2"),
+        .alias("c2v"),
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pts = vals.select(
+        F.sum("c1v").over(w).alias("c1"),
+        F.sum("c2v").over(w).alias("c2"),
+    )
+    ns = vals.agg(
+        F.sum("c1v").cast("bigint").alias("n1"),
+        F.sum("c2v").cast("bigint").alias("n2"),
     )
     joined = pts.crossJoin(F.broadcast(ns))
     d_num = F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))

@@ -759,15 +759,21 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Monetary (exact-DECIMAL spend), each quartiled into 1..4 (1 =
     best) and concatenated into the '111'-style segment label.
 
-    Plan shape: ONE hash aggregate reduces the fact table to a
+    Plan shape (rewritten off the 3× global-NTILE single-task sort,
+    VERDICT r6): ONE hash aggregate reduces the fact table to a
     row-per-purchaser frame; the corpus max date is a 1-row broadcast.
-    The three NTILE windows run on the AGGREGATED frame (users, not
-    events) and here share one single-partition sort — fine at user
-    cardinality, and the documented 100 TB form replaces global NTILE
-    with approx_percentile quartile BOUNDARIES (computed in one pass,
-    broadcast, applied map-side — the agg_histogram_equidepth
-    pattern), which changes no downstream semantics. Ties break on
-    user_id so both engines assign identical quartiles."""
+    Each axis then gets an EXACT global row_number via the two-pass
+    prefix pattern (win_global_running_total): rows bucket by the axis
+    value (recency/frequency are small integer domains; monetary
+    buckets by floor(monetary), a value-RANGE-sized domain), pass 1
+    prefix-sums per-bucket counts over ordered buckets (a tiny
+    bucket-frame window, never a row-scale one), pass 2 row_numbers
+    WITHIN each bucket (partitioned window, parallel across buckets)
+    and adds the broadcast offset. NTILE(4) is then pure arithmetic on
+    (row_number, n): the first n%4 tiles take ceil(n/4) rows, the rest
+    floor(n/4) — bit-identical to the oracle's NTILE, ties broken on
+    user_id in both engines. Wall-clock scales with the largest
+    bucket, not the user count."""
     ev = load(spark, sf_dir, "events")
     maxd = ev.agg(F.max(F.col("ts").cast("date")).alias("corpus_max"))
     per_user = (
@@ -790,10 +796,68 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r_q = F.ntile(4).over(W.orderBy(F.asc("recency_days"), F.asc("user_id")))
-    f_q = F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
-    m_q = F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
-    return per_user.select(
+
+    def axis_rownum(val: str, bucket, descending: bool, out: str):
+        """Exact global row_number over (val, user_id) without a global
+        sort: per-bucket counts -> exclusive prefix offsets (bucket-
+        frame window), then a PARTITIONED row_number within buckets
+        plus the broadcast offset. Buckets are contiguous under the
+        axis order because the bucket fn is monotonic in val."""
+        b = per_user.select("user_id", val).withColumn("_b", bucket)
+        counts = b.groupBy("_b").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c")
+        )
+        w_off = W.orderBy(
+            F.desc("_b") if descending else F.asc("_b")
+        ).rowsBetween(W.unboundedPreceding, -1)
+        offs = counts.select(
+            "_b",
+            F.coalesce(F.sum("_c").over(w_off), F.lit(0))
+            .cast("bigint")
+            .alias("_off"),
+        )
+        order = (
+            [F.desc(val), F.asc("user_id")]
+            if descending
+            else [F.asc(val), F.asc("user_id")]
+        )
+        w_in = W.partitionBy("_b").orderBy(*order)
+        return b.join(F.broadcast(offs), "_b").select(
+            "user_id",
+            (F.row_number().over(w_in) + F.col("_off"))
+            .cast("bigint")
+            .alias(out),
+        )
+
+    n_row = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    ranked = (
+        per_user.join(
+            axis_rownum("recency_days", F.col("recency_days"), False, "_rn_r"),
+            "user_id",
+        )
+        .join(
+            axis_rownum("frequency", F.col("frequency"), True, "_rn_f"),
+            "user_id",
+        )
+        .join(
+            axis_rownum("monetary", F.floor("monetary"), True, "_rn_m"),
+            "user_id",
+        )
+        .crossJoin(F.broadcast(n_row))
+    )
+
+    def tile(rn):
+        # NTILE(4) from (row_number, n): q = n div 4, rem = n mod 4;
+        # rows 1..rem*(q+1) fall in the first rem (larger) tiles.
+        q = F.floor(F.col("_n") / 4).cast("bigint")
+        rem = (F.col("_n") % 4).cast("bigint")
+        head = rem * (q + 1)
+        in_head = F.floor((F.col(rn) + q) / (q + 1))  # ceil(rn/(q+1))
+        in_tail = rem + F.floor((F.col(rn) - head + q - 1) / q)
+        return F.when(F.col(rn) <= head, in_head).otherwise(in_tail)
+
+    r_q, f_q, m_q = tile("_rn_r"), tile("_rn_f"), tile("_rn_m")
+    return ranked.select(
         "user_id",
         "recency_days",
         "frequency",
@@ -802,7 +866,9 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_q.cast("int").alias("f_q"),
         m_q.cast("int").alias("m_q"),
         F.concat(
-            r_q.cast("string"), f_q.cast("string"), m_q.cast("string")
+            r_q.cast("int").cast("string"),
+            f_q.cast("int").cast("string"),
+            m_q.cast("int").cast("string"),
         ).alias("segment"),
     )
 

@@ -1,10 +1,19 @@
-"""Engine-wide plan hygiene sweep: NO registered query may plan a
-CartesianProduct, and BroadcastNestedLoopJoin is allowed only where a
-deliberately tiny broadcast side makes it the right plan (scalar
-subquery results, the ≤10-row ANN query set). Everything else must be
-a hash/sort-merge join — the property that decides whether a query
-survives a 100× scale-up, enforced for the WHOLE surface instead of
-per-query spot checks."""
+"""Engine-wide plan hygiene sweep over every registered query:
+
+1. NO query may plan a CartesianProduct.
+2. BroadcastNestedLoopJoin only where a deliberately tiny broadcast
+   side makes it the right plan (scalar subquery results, the ≤10-row
+   ANN query set) — allowlisted with justifications.
+3. NO query may plan an UNPARTITIONED Window over a row-scale frame
+   (VERDICT r6: a global Window sort serializes into one task at
+   100 TB — the class that let agg_mann_whitney/agg_ks_test ship with
+   single-task global rank windows). Every Window whose partitionSpec
+   is empty must sit above a PROVABLY REDUCED frame and be allowlisted
+   with the proof.
+
+These are the properties that decide whether a query survives a 100×
+scale-up, enforced for the WHOLE surface instead of per-query spot
+checks."""
 
 from __future__ import annotations
 
@@ -31,7 +40,7 @@ _NLJ_ALLOWED = {
     "er_lsh_blocking",  # 1-row corpus-count broadcast (gram-DF threshold)
     "events_funnel_ordered",
     "events_gapfill_daily",
-    "events_rfm_segments",  # 1-row corpus-max-date broadcast
+    "events_rfm_segments",  # 1-row corpus-max-date + 1-row n broadcasts
     "fe_target_encoding",  # 1-row global-prior broadcast
     "events_survival_km",  # 1-row horizon-max-ts broadcast
     "text_collocations_pmi",  # 1-row corpus-token-total broadcast
@@ -55,9 +64,61 @@ _NLJ_ALLOWED = {
     "vec_knn_label",
 }
 
+# Unpartitioned-Window allowlist: every entry names the REDUCED frame
+# the window runs over (the proof it is not a row-scale global sort).
+# Frames are reduced by a hash aggregation BELOW the window; their
+# cardinality is a DOMAIN size (days, buckets, distinct values, vocab,
+# languages, ≤K survivors of a limit), which saturates while row count
+# grows — the win_global_running_total / agg_decile_lift pattern.
+_GLOBAL_WINDOW_ALLOWED = {
+    "agg_chi_square": "contingency frame: |event_types| x 7 weekday cells",
+    "agg_decile_lift": "decile/bucket prefix frames (<= ~100 buckets)",
+    "agg_ks_test": "distinct-value frame (2-dp money domain; 13k @ 40k rows, saturating)",
+    "agg_mann_whitney": "distinct-value frame (2-dp money domain, saturating)",
+    "agg_model_auc": "score-bucket prefix frame (fixed bucket count)",
+    "er_sorted_neighborhood": "key-prefix bucket-count prefix frames (2x)",
+    "events_anomaly_rate_spike": "per-day frame (calendar domain)",
+    "events_path_analysis": "distinct 3-step path frame (|event_types|^3)",
+    "events_rfm_segments": "3x per-axis bucket-count prefix frames (value-domain buckets, not users)",
+    "events_survival_km": "distinct event-time (day) frames",
+    "sample_shard_shuffle": "shard-bucket-count prefix frame (fixed shard count)",
+    "sample_temperature": "per-language frame (|langs| rows)",
+    "sink_zorder_layout": "file-bucket-count prefix frame (fixed file count)",
+    "text_bm25_topk": "<=10-row frame after orderBy().limit(10) (TakeOrderedAndProject)",
+    "text_bpe_encode": "merge-table vocab frame (bounded merge count)",
+    "text_collocations_pmi": "<=20-row frame after orderBy().limit(20)",
+    "text_zipf_fit": "distinct-vocab frequency frame",
+    "win_global_running_total": "per-day totals prefix frame (the two-pass pattern itself)",
+}
+
+
+def _count_global_windows(df) -> int:
+    """Walk the optimized logical plan (children + subquery plans) and
+    count Window nodes with an EMPTY partitionSpec — each one is a
+    single-task sort of its input frame at execution time."""
+    found = 0
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            found += 1
+        children = node.children()
+        for i in range(children.length()):
+            stack.append(children.apply(i))
+        try:
+            subs = node.subqueries()
+            for i in range(subs.length()):
+                stack.append(subs.apply(i))
+        except Exception:
+            pass  # node kinds without subquery support
+    return found
+
 
 @pytest.mark.parametrize("name", sorted(queries().keys()))
-def test_no_accidental_cross_product(spark, name):
+def test_plan_hygiene(spark, name):
     df = queries()[name](spark, SF_DIR)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
@@ -66,4 +127,12 @@ def test_no_accidental_cross_product(spark, name):
     if name not in _NLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans an unexpected nested-loop join"
+        )
+    n_global = _count_global_windows(df)
+    if name not in _GLOBAL_WINDOW_ALLOWED:
+        assert n_global == 0, (
+            f"{name} plans {n_global} unpartitioned Window(s) — a global "
+            "single-task sort at scale; reduce the frame first (distinct-"
+            "value / bucket prefix / orderBy().limit()) and allowlist with "
+            "the proof"
         )
