@@ -18,6 +18,15 @@ Usage:
     python tools/stress.py century_facts  # 100x events (10M) + lineitem
                                      # (60M) + orders (15M): the agg/
                                      # window/join/streaming families
+    python tools/stress.py century_linkage  # 100x customer (1.5M rows,
+                                     # replicas keep their block): the
+                                     # ER family two decades up
+    python tools/stress.py base q1 q2 ...  # 1x baseline at sf0.1 for
+                                     # the named queries (same harness:
+                                     # warm session, noop sink)
+
+Any mode accepts trailing query names to restrict the sweep:
+    python tools/stress.py century_facts agg_mann_whitney agg_ks_test
 """
 
 from __future__ import annotations
@@ -122,6 +131,19 @@ CENTURY_FACTS_QUERIES = [
     # r6 additions over the same 100x events/facts
     "agg_quantile_rollup", "ts_autocorrelation", "win_pattern_match",
     "stream_outer_join", "mv_join_delta", "dq_benford",
+    # r7: the statistics family post-rewrite (distinct-value prefix
+    # frames) + RFM post-rewrite (bucketed two-pass NTILE) — the r6
+    # verdict's weak pair must show its century receipt
+    "agg_mann_whitney", "agg_ks_test", "agg_chi_square",
+    "events_rfm_segments",
+]
+
+CENTURY_LINKAGE_QUERIES = [
+    # 100x customer with replicas INSIDE their (nation, segment) block:
+    # the ER caps' saturation receipt (blocks grow 100x, pair work must
+    # go flat once a block crosses its cap, like vec_ann_nsw's)
+    "er_customer_linkage", "er_sorted_neighborhood", "er_lsh_blocking",
+    "dq_k_anonymity",
 ]
 
 CENTURY_QUERIES = [
@@ -167,6 +189,30 @@ def build(mode: str) -> str:
                 if t not in ("events", "lineitem", "orders"):
                     shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
         return out
+
+    if mode == "century_linkage":
+        out = "/tmp/stress100_linkage"
+        os.makedirs(out, exist_ok=True)
+        if not os.path.exists(os.path.join(out, "customer.parquet")):
+            con = duckdb.connect()
+            # replicas keep their (nation, segment) block and get fresh
+            # names/keys — every ER block genuinely grows 100x
+            con.execute(f"""
+              COPY (SELECT c_custkey + 1000000 * r AS c_custkey,
+                           CASE WHEN r = 0 THEN c_name
+                                ELSE concat('Customer#', lpad(CAST(c_custkey + 1000000 * r AS VARCHAR), 9, '0'))
+                           END AS c_name,
+                           c_nationkey, c_mktsegment,
+                           c_acctbal + r AS c_acctbal
+                    FROM '{BASE}/customer.parquet', generate_series(0, 99) g(r))
+              TO '{out}/customer.parquet' (FORMAT PARQUET)""")
+            for t in ALL_TABLES:
+                if t != "customer":
+                    shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+        return out
+
+    if mode == "base":
+        return BASE
 
     if mode == "century":
         out = "/tmp/stress100_century"
@@ -248,9 +294,12 @@ def build(mode: str) -> str:
 
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "facts"
+    only = sys.argv[2:]
     assert mode in (
-        "docs", "facts", "curation", "maint", "century", "century_facts"
-    ), "mode must be docs|facts|curation|maint|century|century_facts"
+        "docs", "facts", "curation", "maint", "century", "century_facts",
+        "century_linkage", "base",
+    ), ("mode must be docs|facts|curation|maint|century|century_facts|"
+        "century_linkage|base")
     sf_dir = build("curation" if mode == "maint" else mode)
 
     from am_kinesis_pay_spark.registry import queries
@@ -268,7 +317,11 @@ def main() -> None:
         "maint": MAINT_QUERIES,
         "century": CENTURY_QUERIES,
         "century_facts": CENTURY_FACTS_QUERIES,
+        "century_linkage": CENTURY_LINKAGE_QUERIES,
+        "base": [],
     }[mode]
+    if only:
+        names = [n for n in names if n in only] or list(only)
     for name in names:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
