@@ -715,3 +715,103 @@ def fn_luhn_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         check.cast("int").alias("check_digit"),
         F.lit(True).alias("luhn_valid"),
     )
+
+
+@register(
+    "fn_pan_mask",
+    oracle="""
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+), cand AS (
+  SELECT user_id,
+    concat('4', lpad(CAST(user_id AS VARCHAR), 14, '0')) AS pan15
+  FROM users
+), luhn AS (
+  SELECT user_id, pan15,
+    CAST(list_sum(list_transform(generate_series(1, 15),
+      i -> CASE WHEN (15 - i) % 2 = 0 THEN
+             CASE WHEN CAST(substr(pan15, i, 1) AS BIGINT) * 2 > 9
+                  THEN CAST(substr(pan15, i, 1) AS BIGINT) * 2 - 9
+                  ELSE CAST(substr(pan15, i, 1) AS BIGINT) * 2 END
+           ELSE CAST(substr(pan15, i, 1) AS BIGINT) END))
+      AS BIGINT) AS wsum
+  FROM cand
+), pans AS (
+  SELECT user_id,
+    concat(pan15, CAST(CASE WHEN user_id % 2 = 0
+      THEN (10 - wsum % 10) % 10
+      ELSE ((10 - wsum % 10) % 10 + 1) % 10 END AS VARCHAR)) AS candidate,
+    user_id % 2 = 0 AS luhn_valid
+  FROM luhn
+)
+SELECT user_id, candidate, luhn_valid,
+  CASE WHEN luhn_valid
+       THEN concat('**** **** **** ', substr(candidate, 13, 4))
+       ELSE candidate END AS masked
+FROM pans
+""",
+    tags=("function", "dq"),
+)
+def fn_pan_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-GATED card-number masking — the reference's audit-log card
+    redaction (kinesis-pay.php:302-304,446-462 masks payment
+    references before logging) with the false-positive protection a
+    bare digit-run regex lacks: a 16-digit candidate is masked to
+    '**** **** **** 1234' ONLY if its Luhn mod-10 checksum validates
+    (ISO/IEC 7812); a non-validating digit run is NOT a PAN and passes
+    through untouched — exactly how production log scrubbers avoid
+    destroying order ids and timestamps. The fixture makes the gate
+    observable: each user gets a deterministic candidate whose check
+    digit is correct for even user ids and off-by-one for odd ones, so
+    the oracle hash-proves both branches (mask applied / withheld) on
+    every row, not just the happy path. Validation is the same
+    set-based digit walk as fn_luhn_validate (double every second
+    digit from the right, fold >9, sum mod 10) — array expressions
+    inside the row, no UDF, map-only over distinct users; at 100 TB
+    this composes into any scan as a projection."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    pan15 = F.concat(
+        F.lit("4"), F.lpad(F.col("user_id").cast("string"), 14, "0")
+    )
+    wsum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(15)),
+            lambda i: F.when(
+                ((F.lit(15) - i) % 2 == 0),
+                pan15.substr(i, F.lit(1)).cast("bigint") * 2,
+            ).otherwise(pan15.substr(i, F.lit(1)).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + F.when(x > 9, x - 9).otherwise(x),
+    )
+    good_check = (10 - wsum % 10) % 10
+    check = F.when(F.col("user_id") % 2 == 0, good_check).otherwise(
+        (good_check + 1) % 10
+    )
+    candidate = F.concat(pan15, check.cast("string"))
+    # re-validate the emitted candidate set-based: the mask decision
+    # consumes ONLY the candidate string, never the construction flag
+    wsum16 = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.when(
+                ((F.lit(16) - i) % 2 == 1),
+                candidate.substr(i, F.lit(1)).cast("bigint") * 2,
+            ).otherwise(candidate.substr(i, F.lit(1)).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + F.when(x > 9, x - 9).otherwise(x),
+    )
+    luhn_valid = (wsum16 % 10) == 0
+    return users.select(
+        "user_id",
+        candidate.alias("candidate"),
+        luhn_valid.alias("luhn_valid"),
+        F.when(
+            luhn_valid,
+            F.concat(F.lit("**** **** **** "), candidate.substr(13, 4)),
+        )
+        .otherwise(candidate)
+        .alias("masked"),
+    )

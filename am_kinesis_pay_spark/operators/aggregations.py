@@ -2050,3 +2050,85 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2", ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof")
         )
     )
+
+
+@register(
+    "agg_anova_oneway",
+    oracle="""
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+    SUM(CAST(value AS DECIMAL(18,2))) AS s_g,
+    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS ss_g
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n, SUM(s_g) AS s,
+    CAST(COUNT(*) AS BIGINT) AS k
+  FROM g
+), terms AS (
+  SELECT
+    CAST(round(CAST(ss_g AS DOUBLE)
+               - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, 6)
+         AS DECIMAL(28,6)) AS ssw_term,
+    CAST(round(n_g * (CAST(s_g AS DOUBLE) / n_g - CAST(s AS DOUBLE) / n)
+                   * (CAST(s_g AS DOUBLE) / n_g - CAST(s AS DOUBLE) / n), 6)
+         AS DECIMAL(28,6)) AS ssb_term,
+    n, k
+  FROM g CROSS JOIN tot
+)
+SELECT k, n,
+  CAST(SUM(ssb_term) AS DOUBLE) AS ssb,
+  CAST(SUM(ssw_term) AS DOUBLE) AS ssw,
+  round((CAST(SUM(ssb_term) AS DOUBLE) / (k - 1))
+        / (CAST(SUM(ssw_term) AS DOUBLE) / (n - k)), 6) AS f_stat
+FROM terms GROUP BY k, n
+""",
+    tags=("agg", "stats"),
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic of event value across event types —
+    the K-GROUP mean test completing the statistics suite (t-test for
+    two means, Mann-Whitney for location, KS for shape, chi-square for
+    contingency, ANOVA for k-way means): does ANY event type's mean
+    value differ from the others?
+
+    Exactness: per-group sufficient statistics (n, sum, sum-of-squares)
+    accumulate in DECIMAL — value is 2-dp money, so value^2 is exact at
+    4 dp and the sums are engine-exact integers-in-decimal. The
+    between/within square terms are single float expressions on those
+    exact operands computed IDENTICALLY on both engines, rounded to
+    6 dp, then DECIMAL-accumulated across the k groups (the
+    order-independent float convention), so F = (SSB/(k-1))/(SSW/(n-k))
+    is bit-stable. Plan: ONE map-side-combined hash aggregation to the
+    k-group frame, a 1-row grand-total broadcast (allowlisted NLJ), and
+    a k-row decimal reduce — at 100 TB one scan plus constant-size
+    post-processing, the same shape as agg_chi_square."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(v).alias("s_g"),
+        F.sum(v * v).alias("ss_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    sd = F.col("s_g").cast("double")
+    ssw_term = F.round(
+        F.col("ss_g").cast("double") - sd * sd / F.col("n_g"), 6
+    ).cast("decimal(28,6)")
+    dev = sd / F.col("n_g") - F.col("s").cast("double") / F.col("n")
+    ssb_term = F.round(F.col("n_g") * dev * dev, 6).cast("decimal(28,6)")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        ssw_term.alias("ssw_term"), ssb_term.alias("ssb_term"), "n", "k"
+    )
+    ssb = F.sum("ssb_term").cast("double")
+    ssw = F.sum("ssw_term").cast("double")
+    return terms.groupBy("k", "n").agg(
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )

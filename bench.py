@@ -104,8 +104,36 @@ def main() -> None:
         n = 1 + max(driver_rounds, default=0)
         with open(os.path.join(here, f"BENCH_local_r{n}.json"), "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
+        _write_benchdiff(here)
     except OSError:
         pass  # read-only checkout: the stdout line is still complete
+
+
+def _write_benchdiff(here: str) -> None:
+    """Refresh BENCHDIFF.md from the latest two BENCH_local snapshots
+    (VERDICT r6 #7: the per-query diff must be produced automatically,
+    not extracted by hand from truncated driver tails). Non-fatal: a
+    single snapshot or a diff failure never breaks the bench run."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "bench_diff.py")],
+            capture_output=True, text=True, timeout=60,
+        )
+        if out.returncode != 0:
+            return  # e.g. only one snapshot exists yet
+        with open(os.path.join(here, "BENCHDIFF.md"), "w") as fh:
+            fh.write(
+                "# BENCHDIFF — per-query deltas vs the previous round\n\n"
+                "Auto-written by bench.py after each snapshot "
+                "(tools/bench_diff.py over the latest two "
+                "BENCH_local_r*.json files).\n\n```\n"
+            )
+            fh.write(out.stdout)
+            fh.write("```\n")
+    except (OSError, subprocess.SubprocessError):
+        pass
 
 
 if __name__ == "__main__":

@@ -354,3 +354,71 @@ def test_cuped_pooled_variance_reduction_and_mean_identity(spark):
     for arm in (0, 1):
         ya = [y for r, y in zip(u, adj) if r.user_id % 2 == arm]
         assert abs(statistics.variance(ya) - rows[arm].var_y_cuped) < 1e-6
+
+
+def test_anova_matches_hand_computation(spark):
+    """One-way ANOVA F re-derived from raw event rows with the textbook
+    between/within decomposition (exact-decimal group sums mirrored via
+    2-dp cents arithmetic)."""
+    rows = (
+        load(spark, SF_DIR, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    groups: dict[str, list[int]] = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append(round(r.value * 100))
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    s_all = sum(sum(v) for v in groups.values()) / 100.0
+    ssb = sum(
+        round(
+            len(v) * (sum(v) / 100.0 / len(v) - s_all / n) ** 2, 6
+        )
+        for v in groups.values()
+    )
+    ssw = sum(
+        round(
+            sum(x * x for x in v) / 10000.0
+            - (sum(v) / 100.0) ** 2 / len(v),
+            6,
+        )
+        for v in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+
+    got = queries()["agg_anova_oneway"](spark, SF_DIR).collect()[0]
+    assert got.k == k and got.n == n
+    assert math.isclose(got.ssb, ssb, rel_tol=1e-9)
+    assert math.isclose(got.ssw, ssw, rel_tol=1e-9)
+    assert math.isclose(got.f_stat, round(f, 6), rel_tol=1e-6)
+
+
+def test_pan_mask_luhn_gate(spark):
+    """The mask decision must agree row-for-row with a textbook Python
+    Luhn validator run on the emitted candidate string — and the
+    fixture guarantees both branches occur."""
+
+    def luhn_ok(pan: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(pan)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    rows = queries()["fn_pan_mask"](spark, SF_DIR).collect()
+    assert rows
+    seen = {True: 0, False: 0}
+    for r in rows:
+        expect = luhn_ok(r.candidate)
+        assert r.luhn_valid == expect, r
+        seen[expect] += 1
+        if expect:
+            assert r.masked == "**** **** **** " + r.candidate[-4:]
+        else:
+            assert r.masked == r.candidate
+    assert seen[True] > 0 and seen[False] > 0  # both branches exercised

@@ -28,6 +28,7 @@ from tests.conftest import SF_DIR
 #   the ≤10-row ANN query set joined with a != predicate, or the
 #   gapfill date spine.
 _NLJ_ALLOWED = {
+    "agg_anova_oneway",  # 1-row grand-total broadcast onto the k-group frame
     "agg_chi_square",  # 1-row (r, c) dims broadcast onto the 1-row chi2
     "agg_cuped_adjusted",  # 1-row global-theta broadcast
     "agg_decile_lift",  # 1-row totals broadcast onto the 10-row frame
