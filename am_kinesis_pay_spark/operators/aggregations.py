@@ -2132,3 +2132,113 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
         ).alias("f_stat"),
     )
+
+
+_KMV_K = 64  # sketch size; relative std error ~ 1/sqrt(K-2) ~ 12.7%
+
+
+@register(
+    "agg_kmv_distinct",
+    oracle=f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_exact
+  FROM hashes
+), sk AS (
+  SELECT event_type, MIN(n_exact) AS n_exact,
+    CAST(COUNT(*) AS BIGINT) AS n_sketch,
+    MAX(CASE WHEN rn = {_KMV_K}
+        THEN CAST(('0x' || substr(h, 1, 15)) AS BIGINT) END) AS kth
+  FROM ranked WHERE rn <= {_KMV_K}
+  GROUP BY event_type
+), est AS (
+  SELECT event_type, n_exact, n_sketch,
+    CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_sketch AS DOUBLE)
+         ELSE round(({_KMV_K} - 1)
+              / (CAST(kth AS DOUBLE) / 1152921504606846976), 6)
+    END AS kmv_estimate
+  FROM sk
+)
+SELECT event_type, n_exact, n_sketch, kmv_estimate,
+  abs(kmv_estimate - n_exact) / n_exact
+    <= 3.0 / sqrt({_KMV_K} - 2.0) AS within_tol
+FROM est
+""",
+    tags=("agg", "sketch"),
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct sketch (Bar-Yossef et al. 2002, the
+    Theta-sketch ancestor) — the MERGEABLE distinct counter whose
+    estimate, unlike HLL's, is EXACTLY oracle-checkable: the hash is
+    md5, so the K smallest hash values per group — and therefore the
+    estimate (K-1)/v_K — are pure deterministic functions of the data
+    that DuckDB recomputes bit-for-bit. This gives the sketch family
+    an entry where the driver hash-checks the ESTIMATE itself, where
+    agg_approx_distinct/agg_hll_partitioned are rows-only by nature.
+
+    The Spark side deliberately runs the MERGEABLE path the oracle
+    does NOT: per-(type, day) partial sketches (K smallest distinct
+    hashes within each day — a PARTITIONED window over day-sized
+    groups), unioned and re-truncated to the K smallest per type. The
+    oracle computes the direct global K-minimum. The hash match
+    therefore PROVES the sketch-merge identity (K smallest of a union
+    of per-partition K-smallest = global K smallest — every global
+    top-K hash is top-K within its own day), which is the entire
+    reason KMV scales: daily sketches are K rows each, merge cost is
+    sketch-count-sized, and the fact scan never reruns. Groups with
+    fewer than K distinct hashes report exactly (the sketch IS the
+    set); estimate accuracy carries an inline 3-sigma within_tol
+    audit mirrored in SQL. At 100 TB: one scan to day-partials
+    (map-side distinct), then kilobyte-sized merges — the same
+    partial/merge shape as agg_hll_partitioned with proof instead of
+    trust."""
+    ev = load(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    pairs = ev.select(
+        "event_type", F.to_date("ts").alias("day"), h.alias("h")
+    ).distinct()
+    w_day = W.partitionBy("event_type", "day").orderBy("h")
+    partials = (
+        pairs.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    merged = partials.distinct()
+    w_type = W.partitionBy("event_type").orderBy("h")
+    topk = merged.withColumn("rn", F.row_number().over(w_type)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    frac = F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint") / F.lit(
+        float(1 << 60)
+    )
+    sk = topk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+        F.max(F.when(F.col("rn") == _KMV_K, frac)).alias("vk"),
+    )
+    exact = (
+        ev.select("event_type", h.alias("h"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    est = F.when(
+        F.col("n_sketch") < _KMV_K, F.col("n_sketch").cast("double")
+    ).otherwise(F.round((_KMV_K - 1) / F.col("vk"), 6))
+    return (
+        sk.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_sketch",
+            est.alias("kmv_estimate"),
+        )
+        .withColumn(
+            "within_tol",
+            F.abs(F.col("kmv_estimate") - F.col("n_exact")) / F.col("n_exact")
+            <= 3.0 / float((_KMV_K - 2) ** 0.5),
+        )
+    )

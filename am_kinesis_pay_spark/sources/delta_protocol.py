@@ -91,11 +91,16 @@ class DeltaProtocolTable:
         spark: SparkSession,
         path: str,
         checkpoint_interval: int | None = 10,
+        stats_cols: tuple = (),
     ):
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
         self.checkpoint_interval = checkpoint_interval
+        # columns whose per-file min/max land in each add action's
+        # `stats` JSON (the spec's file-skipping field); numRecords is
+        # always recorded
+        self.stats_cols = tuple(stats_cols)
         # writer identity: makes staged data-file names collision-free
         # across concurrent writers (never influences table CONTENT)
         self._writer_token = uuid.uuid4().hex[:12]
@@ -337,6 +342,9 @@ class DeltaProtocolTable:
                         # fixed mtime keeps table state deterministic
                         "modificationTime": 0,
                         "dataChange": True,
+                        "stats": self._file_stats(
+                            os.path.join(self.path, rel)
+                        ),
                     }
                 }
             )
@@ -345,6 +353,77 @@ class DeltaProtocolTable:
             os.remove(os.path.join(stage_dir, leftover))
         os.rmdir(stage_dir)
         return adds
+
+    def _file_stats(self, full_path: str) -> str:
+        """Per-file stats JSON for the add action (the spec's `stats`
+        field): numRecords always, minValues/maxValues for
+        ``stats_cols`` — lifted straight from the parquet footer (no
+        data read), which is what makes file skipping free to write."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(full_path).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        if self.stats_cols:
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for col in self.stats_cols:
+                ci = idx.get(col)
+                if ci is None:
+                    continue
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is not None:
+                    mins[col] = lo
+                    maxs[col] = hi
+        out: dict = {"numRecords": md.num_rows}
+        if mins:
+            out["minValues"] = mins
+            out["maxValues"] = maxs
+        return json.dumps(out, sort_keys=True)
+
+    def files_where(self, col: str, lo=None, hi=None) -> tuple[list, int]:
+        """Data skipping off the add-action stats: return (surviving
+        file paths, total active files). A file is pruned only when
+        its recorded [min, max] for ``col`` provably cannot intersect
+        [lo, hi]; files without stats are always scanned (the spec's
+        conservative rule)."""
+        state = self._replay_state()
+        keep = []
+        for p in sorted(state["adds"]):
+            add = state["adds"][p]
+            scan = True
+            try:
+                st = json.loads(add.get("stats") or "{}")
+                fmin = st.get("minValues", {}).get(col)
+                fmax = st.get("maxValues", {}).get(col)
+                if fmin is not None and fmax is not None:
+                    if (lo is not None and fmax < lo) or (
+                        hi is not None and fmin > hi
+                    ):
+                        scan = False
+            except (ValueError, TypeError):
+                pass  # malformed stats: scan conservatively
+            if scan:
+                keep.append(p)
+        return keep, len(state["adds"])
+
+    def read_where(self, col: str, lo=None, hi=None) -> tuple[DataFrame, int, int]:
+        """Stats-pruned read: (frame over surviving files, files
+        scanned, files total). The caller still applies the row-level
+        predicate — skipping is an optimization, never a filter."""
+        files, total = self.files_where(col, lo, hi)
+        if not files:
+            raise FileNotFoundError("predicate prunes every file")
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+        return df, len(files), total
 
     def create(self, df: DataFrame) -> int:
         """Version 0: protocol + metaData bootstrap plus the first data.
@@ -746,4 +825,103 @@ def sink_delta_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
+    )
+
+
+def _build_skipping_table(
+    spark: SparkSession, sf_dir: str
+) -> DeltaProtocolTable:
+    """Value-clustered fixture for the data-skipping query: one commit
+    per value bucket (floor(value/100) capped at 9), one data file per
+    commit (coalesce(1)), so every file's [min, max] on value is a
+    tight 100-wide band and a value predicate can prove most files
+    irrelevant from the log alone."""
+    from am_kinesis_pay_spark.paths import _artifact_lock, scratch_path, sf_tag
+
+    path = scratch_path(spark, f"akps_delta_skip_{sf_tag(sf_dir)}")
+    tbl = DeltaProtocolTable(spark, path, stats_cols=("value",))
+    with _artifact_lock():
+        if tbl.latest_version() is None:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            ev = load(spark, sf_dir, "events").select(
+                "event_id", "event_type", "value"
+            )
+            bkt = F.least(
+                F.floor(F.col("value") / 100).cast("bigint"), F.lit(9)
+            )
+            buckets = [
+                r[0]
+                for r in ev.select(bkt.alias("b"))
+                .where(F.col("b").isNotNull())
+                .distinct()
+                .orderBy("b")
+                .collect()
+            ]
+            if not buckets:  # empty input: a valid zero-row table
+                tbl.create(ev.limit(0).coalesce(1))
+            first = True
+            for b in buckets:
+                batch = ev.filter(bkt == b).coalesce(1)
+                if first:
+                    tbl.create(batch)
+                    first = False
+                else:
+                    tbl.append(batch)
+    return tbl
+
+
+@register(
+    "source_delta_skipping",
+    oracle="""
+WITH b AS (
+  SELECT event_type, value,
+    LEAST(CAST(floor(value / 100) AS BIGINT), 9) AS bkt
+  FROM events WHERE value IS NOT NULL
+), f AS (
+  SELECT CAST(COUNT(DISTINCT bkt) AS BIGINT) AS files_total,
+    CAST(COUNT(DISTINCT CASE WHEN bkt >= 3 THEN bkt END) AS BIGINT)
+      AS files_scanned
+  FROM b
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  (SELECT files_scanned FROM f) AS files_scanned,
+  (SELECT files_total FROM f) AS files_total
+FROM b WHERE value >= 300
+GROUP BY event_type
+""",
+    tags=("source", "merge", "incremental"),
+)
+def source_delta_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE SKIPPING off Delta add-action stats (the spec's `stats`
+    JSON: numRecords + minValues/maxValues, lifted from parquet
+    footers at write time): the fixture clusters each commit's single
+    data file on a 100-wide value band, and a `value >= 300` read
+    prunes every file whose recorded [min, max] cannot intersect —
+    from the LOG alone, before any parquet footer or row is touched.
+    The query returns the filtered aggregate PLUS the measured
+    (files_scanned, files_total); the oracle recomputes both from
+    first principles (bucket b >= 3 must scan, b < 3 must prune), so
+    the hash match proves the pruning is exact — no file wrongly
+    skipped (the aggregate would lose rows), none wrongly scanned
+    (files_scanned would differ). Files without stats scan
+    conservatively per the spec. This is the zone-map story
+    (sink_zorder_layout, source_parquet_footer_stats) landed in the
+    transaction log itself, which is where Delta actually keeps it at
+    100 TB: planning reads KBs of log, not a million footers."""
+    tbl = _build_skipping_table(spark, sf_dir)
+    df, scanned, total = tbl.read_where("value", lo=300.0)
+    return (
+        df.filter(F.col("value") >= 300)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .withColumn("files_scanned", F.lit(scanned).cast("bigint"))
+        .withColumn("files_total", F.lit(total).cast("bigint"))
     )

@@ -7,6 +7,8 @@ session needed; hypothesis drives the numpy kernels directly."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
@@ -617,3 +619,81 @@ class TestPVideo:
         decoded = _container_decode(blob)
         assert decoded is not None
         assert len(decoded) == sum(f.size for f in frames)
+
+
+class TestKFLC:
+    """KFLC lossless audio (FLAC-class fixed LPC + planar Rice)."""
+
+    def _cases(self):
+        import numpy as np
+
+        return [
+            np.array([7], dtype=np.int16),
+            np.array([0, 0, 0], dtype=np.int16),
+            np.arange(-5000, 5000, 7, dtype=np.int16),   # linear ramp
+            np.full(700, -123, dtype=np.int16),           # constant
+            np.array(
+                [int(8000 * math.sin(i / 9)) for i in range(3000)],
+                dtype=np.int16,
+            ),
+            np.array([32767, -32768] * 300, dtype=np.int16),  # worst case
+            np.frombuffer(bytes(range(256)) * 5, dtype="<i2").copy(),
+        ]
+
+    def test_roundtrip_lossless(self):
+        import numpy as np
+
+        from am_kinesis_pay_spark.llm.codecs import decode_kflc, encode_kflc
+
+        for pcm in self._cases():
+            meta, got = decode_kflc(encode_kflc(pcm))
+            assert np.array_equal(got, pcm)
+            assert meta["n_samples"] == len(pcm)
+            assert meta["n_blocks"] == -(-len(pcm) // 256)
+
+    def test_smooth_signals_actually_compress(self):
+        from am_kinesis_pay_spark.llm.codecs import encode_kflc
+
+        ramp, const, sine = self._cases()[2], self._cases()[3], self._cases()[4]
+        for pcm in (ramp, const):  # near-zero residuals: >4x smaller
+            assert len(encode_kflc(pcm)) < 2 * len(pcm) / 4
+        # a fast sine still beats raw PCM (residuals ~8 bits/sample)
+        assert len(encode_kflc(sine)) < 2 * len(sine)
+
+    def test_checksum_detects_corruption(self):
+        import pytest as _pytest
+
+        from am_kinesis_pay_spark.llm.codecs import decode_kflc, encode_kflc
+
+        for pcm in self._cases():
+            blob = bytearray(encode_kflc(pcm))
+            blob[12 + 4] ^= 0xFF  # first block's integrity word
+            with _pytest.raises(ValueError, match="checksum"):
+                decode_kflc(bytes(blob))
+
+    def test_residual_bitflip_is_caught_by_checksum(self):
+        """The error class Rice coding alone cannot see: flip a bit in
+        the REMAINDER section — the stream still parses, the samples
+        are plausibly wrong, only the integrity word notices."""
+        import numpy as np
+        import pytest as _pytest
+
+        from am_kinesis_pay_spark.llm.codecs import decode_kflc, encode_kflc
+
+        pcm = np.array(
+            [int(8000 * math.sin(i / 9)) for i in range(256)], dtype=np.int16
+        )
+        blob = bytearray(encode_kflc(pcm))
+        blob[-1] ^= 0x80  # inside the last block's k-bit section
+        with _pytest.raises(ValueError):
+            decode_kflc(bytes(blob))
+
+    def test_validation_errors(self):
+        import pytest as _pytest
+
+        from am_kinesis_pay_spark.llm.codecs import decode_kflc, encode_kflc
+
+        with _pytest.raises(ValueError, match="KFLC"):
+            decode_kflc(b"NOPE" + b"\x00" * 20)
+        with _pytest.raises(ValueError):
+            decode_kflc(encode_kflc(self._cases()[4])[:40])  # truncated

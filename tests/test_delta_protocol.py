@@ -328,3 +328,37 @@ def test_vacuum_bounds_disk_and_keeps_retained_versions(
     # a fresh min_age_s guard spares just-written files
     tbl.append(_df(spark, [(99, "young")]))
     assert tbl.vacuum(retention_versions=1, min_age_s=3600) == []
+
+
+def test_add_action_stats_and_file_skipping(spark, tmp_path_factory):
+    """add actions carry the spec's stats JSON (numRecords +
+    minValues/maxValues for stats_cols); files_where prunes exactly
+    the files whose recorded range cannot intersect, and a file
+    WITHOUT stats is scanned conservatively."""
+    path = str(tmp_path_factory.mktemp("delta_stats"))
+    tbl = DeltaProtocolTable(spark, path, stats_cols=("v",))
+    tbl.create(_df(spark, [(1, "a"), (2, "b")]).selectExpr(
+        "k", "CAST(k * 10 AS DOUBLE) AS v").coalesce(1))
+    tbl.append(_df(spark, [(5, "e"), (6, "f")]).selectExpr(
+        "k", "CAST(k * 10 AS DOUBLE) AS v").coalesce(1))
+    state = tbl._replay_state()
+    stats = [json.loads(a["stats"]) for a in state["adds"].values()]
+    assert all(s["numRecords"] == 2 for s in stats)
+    assert sorted(s["minValues"]["v"] for s in stats) == [10.0, 50.0]
+    assert sorted(s["maxValues"]["v"] for s in stats) == [20.0, 60.0]
+
+    keep, total = tbl.files_where("v", lo=45.0)
+    assert total == 2 and len(keep) == 1  # [10,20] pruned, [50,60] kept
+    df, scanned, tot = tbl.read_where("v", lo=45.0)
+    assert (scanned, tot) == (1, 2)
+    assert sorted(r.k for r in df.collect()) == [5, 6]
+    # boundary: lo exactly at a file max -> the file must be scanned
+    keep, _ = tbl.files_where("v", lo=20.0)
+    assert len(keep) == 2
+    # a stats-less writer's file is never pruned
+    blind = DeltaProtocolTable(spark, path)  # stats_cols=()
+    blind.append(_df(spark, [(9, "z")]).selectExpr(
+        "k", "CAST(90.0 AS DOUBLE) AS v").coalesce(1))
+    keep, total = tbl.files_where("v", hi=0.0)  # intersects nothing
+    assert total == 3
+    assert len(keep) == 1  # only the stats-less file survives (conservative)

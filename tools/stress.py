@@ -64,6 +64,8 @@ DOCS_QUERIES = [
     # r6: content-defined chunking dedup, KN-smoothed LM scoring,
     # Zipf corpus fit
     "text_dedup_cdc", "text_kneser_ney", "text_zipf_fit",
+    # r7: lossless audio (KFLC fixed-LPC + planar Rice; map-only)
+    "mm_codec_lossless_audio",
 ]
 FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
@@ -93,6 +95,8 @@ MAINT_QUERIES = [
     # pattern matching, LPA communities, integer-exact ACF, Benford
     "agg_quantile_rollup", "stream_outer_join",
     "win_pattern_match", "graph_label_propagation", "ts_autocorrelation",
+    # r7: oracle-exact mergeable KMV sketch (daily partials + merge)
+    "agg_kmv_distinct",
 ]
 CURATION_QUERIES = [
     "text_decontaminate", "text_chunk_sliding", "text_pack_sequences",
