@@ -697,3 +697,20 @@ class TestKFLC:
             decode_kflc(b"NOPE" + b"\x00" * 20)
         with _pytest.raises(ValueError):
             decode_kflc(encode_kflc(self._cases()[4])[:40])  # truncated
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=2, max_size=4096))
+def test_kflc_roundtrip_fuzz(payload: bytes):
+    """KFLC must be LOSSLESS on arbitrary int16 content — hypothesis
+    hammers the predictor-order choice, Rice parameter, block padding,
+    and planar bit-packing edges the fixed cases cannot enumerate."""
+    from am_kinesis_pay_spark.llm.codecs import decode_kflc, encode_kflc
+
+    pcm = np.frombuffer(payload[: len(payload) // 2 * 2], dtype="<i2")
+    if len(pcm) < 1:
+        return
+    meta, got = decode_kflc(encode_kflc(pcm))
+    assert np.array_equal(got, pcm)
+    assert meta["n_samples"] == len(pcm)
+    assert meta["n_blocks"] == -(-len(pcm) // 256)

@@ -362,3 +362,61 @@ def test_add_action_stats_and_file_skipping(spark, tmp_path_factory):
     keep, total = tbl.files_where("v", hi=0.0)  # intersects nothing
     assert total == 3
     assert len(keep) == 1  # only the stats-less file survives (conservative)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_model_based_random_ops(spark, tmp_path_factory, seed):
+    """Model-based check: a deterministic pseudo-random interleaving of
+    append / overwrite_where / append_txn (with replays) / vacuum must
+    keep the table bit-equal to a trivial in-memory model at EVERY
+    committed version still inside the vacuum retention window — the
+    differential-fuzz strategy applied to the transaction log."""
+    path = str(tmp_path_factory.mktemp(f"delta_model_{seed}"))
+    tbl = DeltaProtocolTable(spark, path, checkpoint_interval=4)
+    model: dict[int, str] = {0: "seed"}
+    tbl.create(_df(spark, [(0, "seed")]))
+    history = {0: dict(model)}
+    txn_hw: dict[str, int] = {}
+    vacuumed_before = -1  # versions <= this may have lost files
+    next_k = 1
+    x = seed
+    for step in range(12):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        op = x % 4
+        if op == 0:  # append 1-3 fresh rows
+            n = 1 + x % 3
+            rows = [(next_k + i, f"a{step}") for i in range(n)]
+            next_k += n
+            v = tbl.append(_df(spark, rows))
+            model.update({k: s for k, s in rows})
+        elif op == 1:  # copy-on-write delete + insert
+            m, r = 2 + x % 3, x % 2
+            rows = [(next_k, f"o{step}")]
+            next_k += 1
+            v = tbl.overwrite_where(
+                _df(spark, rows), (F.col("k") % m) != r
+            )
+            model = {k: s for k, s in model.items() if k % m != r}
+            model.update({k: s for k, s in rows})
+        elif op == 2:  # txn append, sometimes a REPLAY of an old epoch
+            app = f"app{x % 2}"
+            ver = (x // 7) % 4
+            rows = [(next_k, f"t{step}")]
+            applied = tbl.append_txn(_df(spark, rows), app, ver)
+            should = txn_hw.get(app) is None or ver > txn_hw[app]
+            assert applied is should
+            if should:
+                next_k += 1
+                txn_hw[app] = ver
+                model.update({k: s for k, s in rows})
+            v = tbl.latest_version()
+        else:  # vacuum: retained time travel must keep working
+            tbl.vacuum(retention_versions=3)
+            v = tbl.latest_version()
+            vacuumed_before = max(vacuumed_before, v - 3)
+        history[tbl.latest_version()] = dict(model)
+
+    assert dict(_state(tbl)) == model
+    for v, snap in history.items():
+        if v > vacuumed_before:
+            assert dict(_state(tbl, version=v)) == snap, f"version {v}"
