@@ -1070,3 +1070,88 @@ def test_stream_outer_join_matches_batch(spark, stream_dir):
     assert got_nulls <= want_nulls
     # and the outer semantics genuinely fired: at least one NULL row
     assert got_nulls or not want_nulls
+
+
+def test_stream_kmv_partials_through_delta_txn_equal_batch_sketch(
+    spark, stream_dir, tmp_path_factory
+):
+    """Composes the round's three pieces end-to-end: each micro-batch
+    computes a PARTIAL KMV sketch (K smallest md5 hashes per
+    event_type within the batch), lands it exactly-once through the
+    Delta txn action, and the merged table — re-truncated to K per
+    type — must equal the direct batch K-minimum over ALL events. The
+    merge identity is what makes KMV streamable (partials are K rows
+    per key per batch, never raw traffic); append_txn is what makes
+    the landing idempotent; the final equality is the proof both held.
+    A manual replay of epoch 0 with poison rows must change nothing."""
+    from pyspark.sql import Window as W
+
+    from am_kinesis_pay_spark.sources.delta_protocol import DeltaProtocolTable
+    from am_kinesis_pay_spark.tables import load
+
+    K = 8
+    tbl_path = str(tmp_path_factory.mktemp("kmv_delta"))
+    tbl = DeltaProtocolTable(spark, tbl_path)
+    tbl.create(
+        spark.createDataFrame([], "event_type string, h string")
+    )
+
+    def partial_sketch(df):
+        w = W.partitionBy("event_type").orderBy("h")
+        return (
+            df.select(
+                "event_type",
+                F.md5(F.col("user_id").cast("string")).alias("h"),
+            )
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= K)
+            .select("event_type", "h")
+        )
+
+    q = (
+        events_stream(spark, stream_dir)
+        .writeStream.outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(tmp_path_factory.mktemp("kmv_ckpt")),
+        )
+        .foreachBatch(
+            lambda df, epoch: tbl.append_txn(
+                partial_sketch(df), "kmv_stream", epoch
+            )
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    def topk(df):
+        w = W.partitionBy("event_type").orderBy("h")
+        return (
+            df.distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= K)
+            .select("event_type", "h")
+        )
+
+    merged = sorted(map(tuple, topk(tbl.read()).collect()))
+    direct = sorted(
+        map(
+            tuple,
+            topk(
+                load(spark, SF_DIR, "events").select(
+                    "event_type",
+                    F.md5(F.col("user_id").cast("string")).alias("h"),
+                )
+            ).collect(),
+        )
+    )
+    assert merged == direct and len(merged) > 0
+
+    # replay epoch 0 with poison: the txn high-water mark must no-op it
+    poison = spark.createDataFrame(
+        [("poison", "0" * 32)], "event_type string, h string"
+    )
+    assert tbl.append_txn(poison, "kmv_stream", 0) is False
+    assert sorted(map(tuple, topk(tbl.read()).collect())) == direct
