@@ -1540,3 +1540,67 @@ def sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picked, "round int, vec_id bigint, dist double"
     )
+
+
+_FH_DIMS = 64  # hashed feature space (2^6; collisions intended)
+
+
+@register(
+    "fe_feature_hashing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS token
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(token), 1, 4)) AS BIGINT) % {_FH_DIMS} AS dim,
+    CASE WHEN CAST(('0x' || substr(md5(token), 5, 1)) AS BIGINT) % 2 = 0
+         THEN 1 ELSE -1 END AS sign
+  FROM toks
+)
+SELECT doc_id, dim, CAST(SUM(sign) AS BIGINT) AS weight,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM hashed GROUP BY doc_id, dim
+HAVING SUM(sign) <> 0
+""",
+    tags=("llm", "curation"),
+)
+def fe_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009, "Feature Hashing for
+    Large Scale Multitask Learning") — the fixed-width featurizer every
+    large-scale linear/logistic pipeline uses when the vocabulary
+    cannot be enumerated: token -> md5 -> dimension in a FIXED
+    {_FH_DIMS}-dim space, with the signed-sum trick (a second hash bit
+    chooses +/-1) that makes collision noise zero-mean instead of
+    additive. Output is the sparse (doc, dim, weight) triple form —
+    zero-sum cells dropped, exactly what a trainer ingests. No
+    vocabulary table, no fit step, no join: stateless math, which is
+    the entire point at 100 TB (compare text_tokenize_tf, which must
+    carry the vocab). One explode + one hash aggregation; shuffle key
+    (doc_id, dim) is uniform by construction — md5 makes hot tokens
+    spread across dims, so no key skew survives featurization. Both
+    engines compute identical integer md5 arithmetic, so weights are
+    hash-exact."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    dim = (
+        F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("bigint")
+        % _FH_DIMS
+    )
+    sign = F.when(
+        F.conv(F.substring(F.md5("token"), 5, 1), 16, 10).cast("bigint") % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    hashed = toks.select("doc_id", dim.alias("dim"), sign.alias("sign"))
+    return (
+        hashed.groupBy("doc_id", "dim")
+        .agg(
+            F.sum("sign").cast("bigint").alias("weight"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("weight") != 0)
+    )

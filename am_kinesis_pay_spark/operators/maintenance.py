@@ -617,3 +617,113 @@ def mv_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_sum").cast("double").alias("revenue"),
         )
     )
+
+
+_CMS_D = 4    # hash rows
+_CMS_W = 32   # buckets per row — deliberately small so collisions and
+              # the min-over-rows recovery are OBSERVABLE at fixture SF
+
+
+@register(
+    "agg_count_min",
+    oracle=f"""
+WITH rows_h AS (
+  SELECT user_id, r.r,
+    CAST(('0x' || substr(md5(concat(CAST(r.r AS VARCHAR), ':',
+                                    CAST(user_id AS VARCHAR))), 1, 4))
+         AS BIGINT) % {_CMS_W} AS bkt
+  FROM events CROSS JOIN (SELECT unnest(range({_CMS_D})) AS r) r
+), counters AS (
+  SELECT r, bkt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM rows_h GROUP BY r, bkt
+), truth AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM events GROUP BY user_id
+), probes AS (
+  SELECT user_id, true_n FROM truth
+  ORDER BY true_n DESC, user_id ASC LIMIT 5
+), probe_cells AS (
+  SELECT p.user_id, p.true_n, r.r,
+    CAST(('0x' || substr(md5(concat(CAST(r.r AS VARCHAR), ':',
+                                    CAST(p.user_id AS VARCHAR))), 1, 4))
+         AS BIGINT) % {_CMS_W} AS bkt
+  FROM probes p CROSS JOIN (SELECT unnest(range({_CMS_D})) AS r) r
+)
+SELECT pc.user_id, MIN(pc.true_n) AS true_n,
+  MIN(c.c) AS cms_estimate,
+  MIN(c.c) - MIN(pc.true_n) AS overestimate,
+  MIN(c.c) >= MIN(pc.true_n) AS never_undercounts
+FROM probe_cells pc
+JOIN counters c ON c.r = pc.r AND c.bkt = pc.bkt
+GROUP BY pc.user_id
+""",
+    tags=("agg", "sketch", "maintenance"),
+)
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) — the COUNTER
+    sketch beside the repo's membership (bloom), distinct (HLL/bitmap/
+    KMV) and quantile (mergeable histogram) families: d x w integer
+    counters, every arrival increments one bucket per hash row, a
+    point query reads the MIN over its d cells. Like agg_kmv_distinct
+    the hash is md5, so the whole sketch AND its estimates are
+    deterministic and the oracle recomputes them bit-for-bit —
+    including the one-sided error contract (never_undercounts is TRUE
+    for every probe: CMS can only overestimate, and w={_CMS_W} is kept
+    deliberately small so collisions actually occur at fixture SF and
+    the min-over-rows recovery is doing real work, not vacuously
+    passing). Probes are the top-5 true heavy users (deterministic
+    tie-break). Plan: the counter build is ONE hash aggregation over
+    a d-way row expansion (map-side combined; state is d*w cells, not
+    rows), probes broadcast onto the 128-cell counter frame. At 100 TB
+    the sketch is the entire reduce state — this is how you count keys
+    you cannot afford to enumerate, and counters from disjoint
+    partitions merge by cell-wise addition (same partial/merge shape
+    the oracle's single pass proves)."""
+    ev = load(spark, sf_dir, "events")
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(_CMS_D)])
+    ).alias("r")
+    bkt = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_W
+    )
+    expanded = ev.select("user_id", rows).select("user_id", "r", bkt.alias("bkt"))
+    counters = expanded.groupBy("r", "bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    truth = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    probes = truth.orderBy(F.desc("true_n"), F.asc("user_id")).limit(5)
+    probe_cells = probes.select(
+        "user_id", "true_n", rows
+    ).select("user_id", "true_n", "r", bkt.alias("bkt"))
+    est = (
+        probe_cells.join(F.broadcast(counters), ["r", "bkt"])
+        .groupBy("user_id")
+        .agg(
+            F.min("true_n").alias("true_n"),
+            F.min("c").alias("cms_estimate"),
+        )
+    )
+    return est.select(
+        "user_id",
+        "true_n",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_n")).alias("overestimate"),
+        (F.col("cms_estimate") >= F.col("true_n")).alias("never_undercounts"),
+    )

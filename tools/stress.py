@@ -65,7 +65,8 @@ DOCS_QUERIES = [
     # Zipf corpus fit
     "text_dedup_cdc", "text_kneser_ney", "text_zipf_fit",
     # r7: lossless audio (KFLC fixed-LPC + planar Rice; map-only)
-    "mm_codec_lossless_audio",
+    # and the hashing-trick featurizer (stateless, no vocab join)
+    "mm_codec_lossless_audio", "fe_feature_hashing",
 ]
 FACTS_QUERIES = [
     "agg_pricing_summary", "join_inner_equi", "q_shipping_priority",
@@ -96,7 +97,8 @@ MAINT_QUERIES = [
     "agg_quantile_rollup", "stream_outer_join",
     "win_pattern_match", "graph_label_propagation", "ts_autocorrelation",
     # r7: oracle-exact mergeable KMV sketch (daily partials + merge)
-    "agg_kmv_distinct",
+    # and count-min counters (d x w cells ARE the reduce state)
+    "agg_kmv_distinct", "agg_count_min",
 ]
 CURATION_QUERIES = [
     "text_decontaminate", "text_chunk_sliding", "text_pack_sequences",
