@@ -2242,3 +2242,128 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 3.0 / float((_KMV_K - 2) ** 0.5),
         )
     )
+
+
+_BOOT_B = 32  # bootstrap resamples; md5-seeded so both engines agree
+# Poisson(1) inverse-CDF thresholds (cumulative, 6 dp): the Poisson
+# bootstrap's per-row weight — the distributed-systems form of
+# resampling (Chamandy et al., Google 2012): multiplicities are
+# independent per row, so no global n is needed at draw time.
+_BOOT_CDF = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340)
+
+
+def _boot_cdf_sql(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {_BOOT_CDF[0]} THEN 0 "
+        f"WHEN {u} < {_BOOT_CDF[1]} THEN 1 "
+        f"WHEN {u} < {_BOOT_CDF[2]} THEN 2 "
+        f"WHEN {u} < {_BOOT_CDF[3]} THEN 3 "
+        f"WHEN {u} < {_BOOT_CDF[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@register(
+    "agg_bootstrap_ci",
+    oracle=f"""
+WITH purch AS (
+  SELECT event_id, CAST(round(value, 3) AS DECIMAL(18,6)) AS v
+  FROM events WHERE event_type = 'purchase'
+), draws AS (
+  SELECT b.b, v,
+    {_boot_cdf_sql(
+        "CAST(('0x' || substr(md5(concat(CAST(b.b AS VARCHAR), ':', "
+        "CAST(event_id AS VARCHAR))), 1, 12)) AS BIGINT)"
+        " / CAST(281474976710656 AS DOUBLE)")} AS w
+  FROM purch CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+), means AS (
+  SELECT b, round(CAST(SUM(v * w) AS DOUBLE) / SUM(w), 6) AS m
+  FROM draws GROUP BY b
+), sorted AS (
+  SELECT list_sort(list(m)) AS ms FROM means
+), full_mean AS (
+  SELECT round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_value
+  FROM purch
+)
+SELECT CAST({_BOOT_B} AS BIGINT) AS n_resamples,
+  mean_value, ms[2] AS boot_lo, ms[{_BOOT_B - 1}] AS boot_hi,
+  mean_value BETWEEN ms[2] AND ms[{_BOOT_B - 1}] AS covered
+FROM sorted CROSS JOIN full_mean
+""",
+    tags=("agg", "stats"),
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean purchase value via
+    the POISSON bootstrap (Chamandy et al. 2012, "Estimating
+    uncertainty for massive data streams" — Google's distributed
+    resampling): instead of drawing n-from-n (which needs global
+    coordination), each row enters resample b with an independent
+    Poisson(1) multiplicity, which converges to the multinomial
+    bootstrap and — the point — needs only per-row state, so the
+    whole resampling is one map + one aggregation at any scale.
+
+    Deterministic everywhere a textbook bootstrap uses an RNG: the
+    per-(row, b) uniform is md5-derived (the dq_dp_noise seeding
+    convention) and the Poisson draw is a fixed inverse-CDF when-chain
+    — so both engines produce the SAME {_BOOT_B} resample means and
+    the oracle hash-checks the interval itself, not a tolerance
+    around it. Resample means round to 6 dp from exact DECIMAL
+    weighted sums; the CI is the sorted means' 2nd and {_BOOT_B - 1}th
+    elements (~94% coverage at B={_BOOT_B}), extracted from ONE
+    sort_array over a {_BOOT_B}-element list — no window, no second
+    pass. Plan: a {_BOOT_B}-way row expansion feeding one map-side-
+    combined hash agg to {_BOOT_B} rows; at 100 TB the expansion is
+    the honest cost of B resamples and the reduce state is B cells."""
+    ev = load(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.round("value", 3).cast("decimal(18,6)").alias("v")
+    )
+    b = F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("b")
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint") / F.lit(float(1 << 48))
+    w = (
+        F.when(u < _BOOT_CDF[0], 0)
+        .when(u < _BOOT_CDF[1], 1)
+        .when(u < _BOOT_CDF[2], 2)
+        .when(u < _BOOT_CDF[3], 3)
+        .when(u < _BOOT_CDF[4], 4)
+        .otherwise(5)
+    )
+    draws = purch.select("event_id", "v", b).select("v", "b", w.alias("w"))
+    means = draws.groupBy("b").agg(
+        F.round(
+            F.sum(F.col("v") * F.col("w")).cast("double") / F.sum("w"), 6
+        ).alias("m")
+    )
+    sorted_ms = means.agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    full_mean = purch.agg(
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_value"
+        )
+    )
+    lo = F.element_at("ms", 2)
+    hi = F.element_at("ms", _BOOT_B - 1)
+    return (
+        sorted_ms.crossJoin(F.broadcast(full_mean))
+        .select(
+            F.lit(_BOOT_B).cast("bigint").alias("n_resamples"),
+            "mean_value",
+            lo.alias("boot_lo"),
+            hi.alias("boot_hi"),
+            ((F.col("mean_value") >= lo) & (F.col("mean_value") <= hi)).alias(
+                "covered"
+            ),
+        )
+    )

@@ -29,6 +29,7 @@ from tests.conftest import SF_DIR
 #   gapfill date spine.
 _NLJ_ALLOWED = {
     "agg_anova_oneway",  # 1-row grand-total broadcast onto the k-group frame
+    "agg_bootstrap_ci",  # 1-row full-mean broadcast onto the 1-row CI frame
     "agg_chi_square",  # 1-row (r, c) dims broadcast onto the 1-row chi2
     "agg_cuped_adjusted",  # 1-row global-theta broadcast
     "agg_decile_lift",  # 1-row totals broadcast onto the 10-row frame
