@@ -122,7 +122,7 @@ class DeltaProtocolTable:
             return []
         out = []
         for name in os.listdir(self.log_dir):
-            if name.endswith(".json") and not name.endswith(".tmp"):
+            if name.endswith(".json"):
                 try:
                     out.append(int(name[: -len(".json")]))
                 except ValueError:
@@ -159,7 +159,14 @@ class DeltaProtocolTable:
             ) from None
         finally:
             os.unlink(tmp)
-        self._maybe_checkpoint(version)
+        # checkpointing is an OPTIMIZATION on top of a commit that is
+        # already durable: a failed checkpoint write (disk full, racing
+        # pointer swap) must never report the commit as failed — a
+        # harness-level retry would then re-apply the batch
+        try:
+            self._maybe_checkpoint(version)
+        except Exception:
+            pass
 
     # --- state replay (checkpoint-seeded where possible) ------------------
 
@@ -202,12 +209,26 @@ class DeltaProtocolTable:
             raise FileNotFoundError(f"not a Delta-protocol table: {self.path}")
         state: dict = {"adds": {}, "txns": {}, "metaData": None,
                        "protocol": None}
+        # liveness marker for the scratch janitor: READS refresh the
+        # table dir's mtime too, so gc_scratch's TTL guard sees a
+        # querying session as live, not just a committing one
+        try:
+            os.utime(self.path, None)
+        except OSError:
+            pass
         ckpt_v = self._read_last_checkpoint()
         self.last_read_used_checkpoint = False
         if ckpt_v is not None and ckpt_v <= vs[-1] and ckpt_v in vs:
-            self._load_checkpoint(ckpt_v, state)
-            vs = [v for v in vs if v > ckpt_v]
-            self.last_read_used_checkpoint = True
+            try:
+                self._load_checkpoint(ckpt_v, state)
+                vs = [v for v in vs if v > ckpt_v]
+                self.last_read_used_checkpoint = True
+            except OSError:
+                # the pointer's parquet vanished between the existence
+                # check and the read (a concurrent write_checkpoint
+                # swap): fall back to full JSON replay
+                state["adds"].clear()
+                state["txns"].clear()
         self.last_read_json_commits = len(vs)
         for v in vs:
             with open(self._log_path(v)) as fh:
@@ -541,7 +562,7 @@ class DeltaProtocolTable:
     # --- maintenance -------------------------------------------------------
 
     def vacuum(
-        self, retention_versions: int = 2, min_age_s: float = 0.0
+        self, retention_versions: int = 2, min_age_s: float = 3600.0
     ) -> list[str]:
         """Delete data files no retained version references: the
         survivors are the union of active_files(v) for the newest
@@ -550,9 +571,13 @@ class DeltaProtocolTable:
         is reaped, bounding the table dir under MERGE churn. Time
         travel within the retention window keeps working (pinned in
         tests); older reads may fail on missing files, exactly the
-        delta-spark trade. ``min_age_s`` guards a live concurrent
-        writer's not-yet-committed staging from the reaper (real Delta
-        uses a retention-hours mtime check for the same race)."""
+        delta-spark trade. ``min_age_s`` (default 1 h, like real
+        Delta's retention-hours check) guards a live concurrent
+        writer's staged-but-not-yet-committed files from the reaper —
+        _stage moves data files into the table root BEFORE the commit
+        links, so a zero-age vacuum racing a writer would delete bytes
+        its commit is about to reference; pass 0 only in single-writer
+        contexts."""
         import time
 
         latest = self.latest_version()
@@ -763,7 +788,8 @@ def source_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
-    assert tbl.last_read_used_checkpoint, "checkpoint seeding did not engage"
+    if not tbl.last_read_used_checkpoint:  # never stripped under -O
+        raise RuntimeError("checkpoint seeding did not engage")
     return out
 
 
@@ -840,25 +866,27 @@ def _build_skipping_table(
 
     path = scratch_path(spark, f"akps_delta_skip_{sf_tag(sf_dir)}")
     tbl = DeltaProtocolTable(spark, path, stats_cols=("value",))
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    bkt = F.least(F.floor(F.col("value") / 100).cast("bigint"), F.lit(9))
     with _artifact_lock():
-        if tbl.latest_version() is None:
+        buckets = [
+            r[0]
+            for r in ev.select(bkt.alias("b"))
+            .where(F.col("b").isNotNull())
+            .distinct()
+            .orderBy("b")
+            .collect()
+        ]
+        # rebuild guard checks the EXACT final version (one commit per
+        # bucket), like the sibling builders — a crash mid-build must
+        # trigger a rebuild, never a silently short table
+        expected = max(0, len(buckets) - 1)
+        if tbl.latest_version() != expected:
             import shutil
 
             shutil.rmtree(path, ignore_errors=True)
-            ev = load(spark, sf_dir, "events").select(
-                "event_id", "event_type", "value"
-            )
-            bkt = F.least(
-                F.floor(F.col("value") / 100).cast("bigint"), F.lit(9)
-            )
-            buckets = [
-                r[0]
-                for r in ev.select(bkt.alias("b"))
-                .where(F.col("b").isNotNull())
-                .distinct()
-                .orderBy("b")
-                .collect()
-            ]
             if not buckets:  # empty input: a valid zero-row table
                 tbl.create(ev.limit(0).coalesce(1))
             first = True

@@ -318,16 +318,17 @@ def test_vacuum_bounds_disk_and_keeps_retained_versions(
     keep = set(tbl.active_files(latest)) | set(tbl.active_files(latest - 1))
     assert keep < before  # churn really left garbage behind
 
-    deleted = tbl.vacuum(retention_versions=2)
+    deleted = tbl.vacuum(retention_versions=2, min_age_s=0)
     after = {f for f in os.listdir(path) if f.endswith(".parquet")}
     assert after == keep
     assert "part-deadbeefdead-ab-00000.parquet" in deleted
     # reads within the retention window still exact
     assert _state(tbl, version=latest) == [(6, "r6")]
     assert _state(tbl, version=latest - 1) == [(5, "r5")]
-    # a fresh min_age_s guard spares just-written files
+    # the DEFAULT min_age_s guard spares just-written files — a live
+    # concurrent writer's staged bytes are safe unless explicitly aged
     tbl.append(_df(spark, [(99, "young")]))
-    assert tbl.vacuum(retention_versions=1, min_age_s=3600) == []
+    assert tbl.vacuum(retention_versions=1) == []
 
 
 def test_add_action_stats_and_file_skipping(spark, tmp_path_factory):
@@ -411,7 +412,7 @@ def test_model_based_random_ops(spark, tmp_path_factory, seed):
                 model.update({k: s for k, s in rows})
             v = tbl.latest_version()
         else:  # vacuum: retained time travel must keep working
-            tbl.vacuum(retention_versions=3)
+            tbl.vacuum(retention_versions=3, min_age_s=0)
             v = tbl.latest_version()
             vacuumed_before = max(vacuumed_before, v - 3)
         history[tbl.latest_version()] = dict(model)

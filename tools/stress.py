@@ -327,7 +327,9 @@ def main() -> None:
         "base": [],
     }[mode]
     if only:
-        names = [n for n in names if n in only] or list(only)
+        unknown = [n for n in only if n not in qs]
+        assert not unknown, f"unknown queries: {unknown}"
+        names = list(only)  # run exactly what was asked, in given order
     for name in names:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
