@@ -115,6 +115,18 @@ def er_customer_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.withColumn("rn", F.row_number().over(w_blk))
         .filter(F.col("rn") <= _ER_BLOCK_CAP)
         .drop("rn")
+        # Explicit rebalance of the JOIN PROBE side: AQE coalesces the
+        # window stage's output by BYTES (a few MB of capped rows), but
+        # every probe row fans out to up to C(256,2) levenshtein pairs
+        # in the broadcast hash join — the cheap-input/expensive-
+        # downstream blind spot that serialized the whole pair stage
+        # into one task (measured 15.3 s at 10x coalesced vs 2.3 s
+        # spread; SCALE.md r7 linkage table). The partition count is
+        # EXPLICIT because AQE would re-coalesce a column-only
+        # repartition by the same bytes heuristic; repartition cost is
+        # the capped frame itself: <= blocks x 256 thin rows at any
+        # scale.
+        .repartition(32, F.col("c_custkey"))
     )
     a = c.select(
         F.col("c_custkey").alias("custkey_a"),
