@@ -305,7 +305,15 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").alias("seq_b"),
         blk.alias("probe_blk"),
     )
-    pairs = a.join(b, "probe_blk").filter(
+    # pinned spread on the join key: the ranked frame is byte-small
+    # out of its window stage, so AQE coalesces the neighbor join into
+    # few tasks while every row fans out to w-1 levenshtein pairs —
+    # the same cheap-input/expensive-projection blind spot fixed in
+    # er_customer_linkage (measured 3.1 s coalesced vs 1.3 s spread at
+    # 10x); explicit numPartitions because AQE re-coalesces otherwise
+    pairs = a.repartition(32, "probe_blk").join(
+        b.repartition(32, "probe_blk"), "probe_blk"
+    ).filter(
         (F.col("seq_b") - F.col("seq_a")).between(1, _SNM_W - 1)
     )
     lev = F.levenshtein("name_a", "name_b")
