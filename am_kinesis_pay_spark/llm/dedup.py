@@ -1653,7 +1653,18 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = capped.select(F.col("vec_id").alias("ra"), "cell")
     b = capped.select(F.col("vec_id").alias("rb"), "cell")
-    cand = a.join(b, "cell").filter(F.col("ra") < F.col("rb")).select("ra", "rb")
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
+        # pinned spread before the vector joins: the id-only candidate
+        # frame is byte-tiny, so AQE coalesces it into few tasks while
+        # the downstream per-pair dot product is the query's real CPU
+        # (the er_customer_linkage blind spot; 1.8 s coalesced vs
+        # 0.9 s spread at sf0.1, warm); explicit numPartitions because
+        # AQE re-coalesces column-only repartitions
+        .repartition(32, "ra")
+    )
     rp = cand.join(
         norms.select(
             F.col("vec_id").alias("ra"),

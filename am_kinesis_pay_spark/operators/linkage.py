@@ -493,6 +493,11 @@ def er_lsh_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("custkey_a") < F.col("custkey_b"))
         .select("custkey_a", "custkey_b")
         .distinct()
+        # pinned spread before the field joins + levenshtein scoring:
+        # the id-only candidate frame is byte-tiny post-distinct, so
+        # AQE coalesces the scoring stage (the er_customer_linkage
+        # blind spot; ~1.5x warm at sf0.1)
+        .repartition(32, "custkey_a")
     )
     fields = ["c_custkey", "c_name", "c_acctbal"]
     pairs = cand.join(

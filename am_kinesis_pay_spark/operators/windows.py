@@ -264,8 +264,17 @@ def udaf_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        zscore, "event_id long, user_id long, zscore double"
+    # pinned spread: AQE coalesces the groupBy exchange by BYTES (a
+    # thin frame), serializing the per-group PYTHON kernels into few
+    # tasks — the cheap-input/expensive-compute blind spot, which is
+    # even sharper when the downstream cost is an Arrow round trip per
+    # group (measured 2.9 s coalesced vs 0.9 s spread at sf0.1). The
+    # explicit repartition carries the same hash key, so the groupBy
+    # adds no second exchange.
+    return (
+        ev.repartition(32, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(zscore, "event_id long, user_id long, zscore double")
     )
 
 
