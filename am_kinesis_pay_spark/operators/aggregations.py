@@ -2367,3 +2367,116 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# SPRT design constants (Wald 1945): fixed BEFORE the data arrives,
+# like any sequential design. H0: conversion p0, H1: p1 (the minimum
+# lift worth shipping); alpha = beta = 0.05 gives symmetric
+# log-boundaries ln((1-beta)/alpha) = -ln(beta/(1-alpha)) = ln(19).
+_SPRT_P0 = 0.20
+_SPRT_P1 = 0.25
+_SPRT_BOUND = 2.944439  # round(ln(19), 6); compared against ROUNDED llr
+
+
+@register(
+    "agg_sprt_sequential",
+    oracle=f"""
+WITH trials AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS k
+  FROM events
+  WHERE user_id % 2 = 1 AND event_type IN ('click', 'purchase')
+  GROUP BY CAST(ts AS DATE)
+), cum AS (
+  SELECT day,
+    CAST(SUM(n) OVER w AS BIGINT) AS n_cum,
+    CAST(SUM(k) OVER w AS BIGINT) AS k_cum
+  FROM trials
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+), scored AS (
+  SELECT day, n_cum, k_cum,
+    round(k_cum * ln({_SPRT_P1} / {_SPRT_P0})
+          + (n_cum - k_cum) * ln((1 - {_SPRT_P1}) / (1 - {_SPRT_P0})), 6)
+      AS llr
+  FROM cum
+), decided AS (
+  SELECT day, n_cum, k_cum, llr,
+    CASE WHEN llr >= {_SPRT_BOUND} THEN 'accept_h1'
+         WHEN llr <= -{_SPRT_BOUND} THEN 'accept_h0'
+         ELSE 'continue' END AS decision
+  FROM scored
+), stop AS (
+  SELECT MIN(day) AS stop_day FROM decided WHERE decision <> 'continue'
+)
+SELECT d.day, d.n_cum, d.k_cum, d.llr, d.decision,
+  (SELECT stop_day FROM stop) AS stop_day
+FROM decided d
+""",
+    tags=("agg", "stats"),
+)
+def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test (SPRT, 1945) on the
+    test variant's conversion rate — the EARLY-STOPPING companion to
+    the fixed-horizon suite (agg_ab_ttest / agg_cuped_adjusted decide
+    at a planned n; SPRT decides the moment the evidence crosses a
+    boundary, the optimal sequential design and the ancestor of every
+    always-valid-inference product). Per day, the cumulative
+    conversions/trials update the log-likelihood ratio
+    k*ln(p1/p0) + (n-k)*ln((1-p1)/(1-p0)); the run reports each day's
+    LLR, its decision against the ln(19) boundaries, and the first
+    stopping day.
+
+    Exactness: cumulative (k, n) are integers from one hash agg +
+    a DAY-frame prefix window (calendar-sized, allowlisted in the
+    global-window lint — never row-scale); the LLR is two integer
+    multiplications by log-constants folded identically from the same
+    literals on both engines, rounded to 6 dp BEFORE the boundary
+    comparison so the decision column is hash-stable (ulp skew in
+    ln() is ~1e-13 at fixture scale against a 5e-7 rounding
+    boundary). The 1-row stop-day broadcast is the allowlisted NLJ.
+    At 100 TB this is the one-scan + calendar-frame shape of
+    ts_seasonal_decompose: the fact scan dominates, everything after
+    the first agg is days-sized."""
+    ev = load(spark, sf_dir, "events")
+    trials = (
+        ev.filter(
+            (F.col("user_id") % 2 == 1)
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = trials.select(
+        "day",
+        F.sum("n").over(w).alias("n_cum"),
+        F.sum("k").over(w).alias("k_cum"),
+    )
+    llr = F.round(
+        F.col("k_cum") * F.log(F.lit(_SPRT_P1) / F.lit(_SPRT_P0))
+        + (F.col("n_cum") - F.col("k_cum"))
+        * F.log(F.lit(1 - _SPRT_P1) / F.lit(1 - _SPRT_P0)),
+        6,
+    )
+    decided = cum.select(
+        "day",
+        "n_cum",
+        "k_cum",
+        llr.alias("llr"),
+        F.when(llr >= _SPRT_BOUND, "accept_h1")
+        .when(llr <= -_SPRT_BOUND, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+    stop = decided.filter(F.col("decision") != "continue").agg(
+        F.min("day").alias("stop_day")
+    )
+    return decided.crossJoin(F.broadcast(stop))

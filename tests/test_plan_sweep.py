@@ -30,6 +30,7 @@ from tests.conftest import SF_DIR
 _NLJ_ALLOWED = {
     "agg_anova_oneway",  # 1-row grand-total broadcast onto the k-group frame
     "agg_bootstrap_ci",  # 1-row full-mean broadcast onto the 1-row CI frame
+    "agg_sprt_sequential",  # 1-row stop-day broadcast onto the day frame
     "agg_chi_square",  # 1-row (r, c) dims broadcast onto the 1-row chi2
     "agg_cuped_adjusted",  # 1-row global-theta broadcast
     "agg_decile_lift",  # 1-row totals broadcast onto the 10-row frame
@@ -78,6 +79,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "agg_ks_test": "distinct-value frame (2-dp money domain; 13k @ 40k rows, saturating)",
     "agg_mann_whitney": "distinct-value frame (2-dp money domain, saturating)",
     "agg_model_auc": "score-bucket prefix frame (fixed bucket count)",
+    "agg_sprt_sequential": "per-day cumulative frame (calendar domain)",
     "er_sorted_neighborhood": "key-prefix bucket-count prefix frames (2x)",
     "events_anomaly_rate_spike": "per-day frame (calendar domain)",
     "events_path_analysis": "distinct 3-step path frame (|event_types|^3)",

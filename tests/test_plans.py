@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from am_kinesis_pay_spark.registry import queries
@@ -501,3 +503,32 @@ def test_auc_and_decile_have_no_global_rank_window(spark):
 
     wins = _re.findall(r"row_number\(\) windowspecdefinition\((.*?)\)", lift_plan)
     assert wins and all("bkt" in w for w in wins), wins or lift_plan[:3000]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "er_customer_linkage",
+        "er_sorted_neighborhood",
+        "er_lsh_blocking",
+        "emb_semdedup",
+        "udaf_user_zscore",
+    ],
+)
+def test_fanout_stages_keep_their_pinned_spread(spark, name):
+    """Regression pin for the r7 AQE blind-spot fixes: these queries
+    feed a byte-small frame (capped blocks, id-only pair candidates,
+    grouped-map input) into a fan-out/CPU-heavy stage, and rely on an
+    EXPLICIT fixed-width repartition to stop AQE from coalescing the
+    stage into one task (measured 2-4x wall-clock; SCALE.md r7). A
+    refactor that drops the pin would pass every correctness test and
+    silently reintroduce the serialization — so the plan itself is
+    asserted: a user-specified repartitioning must survive into the
+    optimized plan."""
+    from am_kinesis_pay_spark.registry import queries
+
+    df = queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert (
+        "REPARTITION_BY_NUM" in plan or "RepartitionByExpression" in plan
+    ), f"{name} lost its pinned fan-out spread"

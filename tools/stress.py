@@ -141,7 +141,7 @@ CENTURY_FACTS_QUERIES = [
     # frames) + RFM post-rewrite (bucketed two-pass NTILE) — the r6
     # verdict's weak pair must show its century receipt
     "agg_mann_whitney", "agg_ks_test", "agg_chi_square",
-    "events_rfm_segments", "agg_bootstrap_ci",
+    "events_rfm_segments", "agg_bootstrap_ci", "agg_sprt_sequential",
 ]
 
 CENTURY_LINKAGE_QUERIES = [
