@@ -194,11 +194,19 @@ class DeltaProtocolTable:
             state["protocol"] = action["protocol"]
         # unknown action kinds are ignored (spec's forward-compat rule)
 
-    def _replay_state(self, version: int | None = None) -> dict:
+    def _replay_state(
+        self, version: int | None = None, snapshot: list[int] | None = None
+    ) -> dict:
         """Reconstruct table state at ``version`` (latest if None):
         seed from the newest usable checkpoint, then replay only the
-        JSON suffix. Records which path was taken for test pinning."""
-        vs = self.versions()
+        JSON suffix. Records which path was taken for test pinning.
+
+        ``snapshot`` pins the replay to a version listing the CALLER
+        already took, instead of re-listing here — the single-snapshot
+        derivation append_txn needs (ADVICE r7): deriving the txn
+        high-water mark and the commit version from two separate
+        listings lets a concurrent commit land invisibly between them."""
+        vs = self.versions() if snapshot is None else sorted(snapshot)
         if version is not None:
             vs = [v for v in vs if v <= version]
             if not vs:
@@ -249,6 +257,60 @@ class DeltaProtocolTable:
         if k and version > 0 and version % k == 0:
             self.write_checkpoint(version)
 
+    @staticmethod
+    def _checkpoint_schema():
+        """PROTOCOL.md "Checkpoint Schema": one column PER ACTION KIND,
+        each a struct mirroring the JSON action's fields, exactly one
+        non-null per row. This is the shape delta-spark / delta-rs
+        readers expect (ADVICE r7: the flat kind/action_json layout was
+        consumable only by this module). ``remove`` is present in the
+        schema but always null — this writer checkpoints live state
+        only, never tombstones (vacuum replays the retained JSON log
+        directly, so expired-tombstone bookkeeping has nothing to
+        read from a checkpoint here)."""
+        import pyarrow as pa
+
+        str_map = pa.map_(pa.string(), pa.string())
+        return pa.schema(
+            [
+                ("protocol", pa.struct([
+                    ("minReaderVersion", pa.int32()),
+                    ("minWriterVersion", pa.int32()),
+                ])),
+                ("metaData", pa.struct([
+                    ("id", pa.string()),
+                    ("name", pa.string()),
+                    ("description", pa.string()),
+                    ("format", pa.struct([
+                        ("provider", pa.string()),
+                        ("options", str_map),
+                    ])),
+                    ("schemaString", pa.string()),
+                    ("partitionColumns", pa.list_(pa.string())),
+                    ("configuration", str_map),
+                    ("createdTime", pa.int64()),
+                ])),
+                ("txn", pa.struct([
+                    ("appId", pa.string()),
+                    ("version", pa.int64()),
+                    ("lastUpdated", pa.int64()),
+                ])),
+                ("add", pa.struct([
+                    ("path", pa.string()),
+                    ("partitionValues", str_map),
+                    ("size", pa.int64()),
+                    ("modificationTime", pa.int64()),
+                    ("dataChange", pa.bool_()),
+                    ("stats", pa.string()),
+                ])),
+                ("remove", pa.struct([
+                    ("path", pa.string()),
+                    ("deletionTimestamp", pa.int64()),
+                    ("dataChange", pa.bool_()),
+                ])),
+            ]
+        )
+
     def write_checkpoint(self, version: int) -> str:
         """Materialize the replayed state at ``version`` as a parquet
         checkpoint (one row per retained action: protocol, metaData,
@@ -256,41 +318,28 @@ class DeltaProtocolTable:
         pointer readers consult first — the spec's log-compaction
         mechanism. Full JSON replay builds the state (checkpoints must
         not chain off possibly-stale state), pyarrow writes the file
-        (a KB-scale metadata object; no Spark job needed)."""
+        (a KB-scale metadata object; no Spark job needed). The parquet
+        uses the spec's per-action STRUCT columns (_checkpoint_schema),
+        so a real Delta reader can consume it; _load_checkpoint proves
+        the columns are self-sufficient by reading them back itself."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         # full replay on purpose: do NOT seed from an older checkpoint
         prev = self._read_last_checkpoint()
         state = self._full_replay(version)
-        rows = []
+        rows: list[dict] = []
         if state["protocol"] is not None:
-            rows.append(("protocol", None, None, None, None,
-                         json.dumps({"protocol": state["protocol"]},
-                                    sort_keys=True)))
+            rows.append({"protocol": state["protocol"]})
         if state["metaData"] is not None:
-            rows.append(("metaData", None, None, None, None,
-                         json.dumps({"metaData": state["metaData"]},
-                                    sort_keys=True)))
+            rows.append({"metaData": state["metaData"]})
         for app_id in sorted(state["txns"]):
-            rows.append(("txn", None, None, app_id, state["txns"][app_id],
-                         json.dumps({"txn": {"appId": app_id,
-                                             "version": state["txns"][app_id]}},
-                                    sort_keys=True)))
+            rows.append(
+                {"txn": {"appId": app_id, "version": state["txns"][app_id]}}
+            )
         for p in sorted(state["adds"]):
-            add = state["adds"][p]
-            rows.append(("add", p, add.get("size"), None, None,
-                         json.dumps({"add": add}, sort_keys=True)))
-        table = pa.table(
-            {
-                "kind": pa.array([r[0] for r in rows], pa.string()),
-                "path": pa.array([r[1] for r in rows], pa.string()),
-                "size": pa.array([r[2] for r in rows], pa.int64()),
-                "app_id": pa.array([r[3] for r in rows], pa.string()),
-                "txn_version": pa.array([r[4] for r in rows], pa.int64()),
-                "action_json": pa.array([r[5] for r in rows], pa.string()),
-            }
-        )
+            rows.append({"add": state["adds"][p]})
+        table = pa.Table.from_pylist(rows, schema=self._checkpoint_schema())
         ckpt = self._ckpt_path(version)
         tmp = f"{ckpt}.{self._writer_token}.tmp"
         pq.write_table(table, tmp)
@@ -324,12 +373,32 @@ class DeltaProtocolTable:
         return state
 
     def _load_checkpoint(self, version: int, state: dict) -> None:
+        """Seed state from the spec-shaped struct columns (NOT a private
+        side-channel — reading the same columns a foreign Delta reader
+        would proves the checkpoint is self-sufficient). pyarrow maps
+        surface as [(k, v), ...] in to_pylist; fold them back to dicts
+        so checkpoint-seeded state is shape-identical to JSON-replayed
+        state."""
         import pyarrow.parquet as pq
 
-        table = pq.read_table(self._ckpt_path(version),
-                              columns=["action_json"])
-        for blob in table.column("action_json").to_pylist():
-            self._apply(state, json.loads(blob))
+        def _demap(v):
+            if isinstance(v, dict):
+                return {k: _demap(x) for k, x in v.items()}
+            if isinstance(v, list):
+                if v and all(isinstance(x, tuple) and len(x) == 2 for x in v):
+                    return {k: _demap(x) for k, x in v}
+                return [_demap(x) for x in v]
+            return v
+
+        table = pq.read_table(
+            self._ckpt_path(version),
+            columns=["protocol", "metaData", "txn", "add", "remove"],
+        )
+        for row in table.to_pylist():
+            for kind in ("protocol", "metaData", "txn", "add", "remove"):
+                val = row.get(kind)
+                if val is not None:
+                    self._apply(state, {kind: _demap(val)})
 
     # --- writer operations ----------------------------------------------
 
@@ -503,16 +572,29 @@ class DeltaProtocolTable:
         The high-water check reruns on every rebase attempt, so a
         concurrent writer landing the same (app, version) first turns
         this call into the no-op it should be (its staged files orphan
-        for vacuum). Returns True if the batch committed."""
+        for vacuum). Returns True if the batch committed.
+
+        Single-snapshot derivation (ADVICE r7 closed the TOCTOU here):
+        the txn high-water mark AND the commit version both come from
+        ONE versions() listing. The old form listed twice (txn_version,
+        then latest_version) with the slow _stage between them, so a
+        concurrent commit carrying the same (appId, version) could land
+        in the gap — invisible to the dedup check yet not colliding on
+        the version file, committing the batch twice. Now any commit
+        that lands after the snapshot necessarily occupies v =
+        max(snapshot)+1, so our os.link put-if-absent at v fails and
+        the retry re-reads a snapshot that INCLUDES the rival's txn
+        action — the same reasoning that makes overwrite_where safe."""
         staged: list[dict] | None = None
         last_err: Exception | None = None
         for _ in range(self.MAX_COMMIT_ATTEMPTS):
-            last = self.txn_version(app_id)
+            vs = self.versions()
+            last = self._replay_state(snapshot=vs)["txns"].get(app_id)
             if last is not None and version <= last:
                 return False
             if staged is None:
                 staged = self._stage(df)
-            v = (self.latest_version() or 0) + 1
+            v = (vs[-1] if vs else 0) + 1
             actions = [{"txn": {"appId": app_id, "version": version}}]
             actions += staged
             actions.append(
@@ -751,6 +833,15 @@ def _build_checkpointed_table(
             tbl.create(ev.filter(F.col("event_id") % 12 == 0))
             for r in range(1, 12):
                 tbl.append(ev.filter(F.col("event_id") % 12 == r))
+        if tbl._read_last_checkpoint() is None:
+            # self-heal (ADVICE r7): _commit deliberately swallows
+            # checkpoint-write failures (a failed OPTIMIZATION must not
+            # fail a durable commit), and the version guard above never
+            # rebuilds a complete 12-commit log — so one transient
+            # checkpoint failure (disk full mid-write) would otherwise
+            # leave source_delta_checkpoint's seeding assert failing
+            # forever. Repair the missed auto-checkpoint on next build.
+            tbl.write_checkpoint(10)
     return tbl
 
 

@@ -421,3 +421,169 @@ def test_model_based_random_ops(spark, tmp_path_factory, seed):
     for v, snap in history.items():
         if v > vacuumed_before:
             assert dict(_state(tbl, version=v)) == snap, f"version {v}"
+
+
+def test_txn_single_snapshot_closes_toctou(spark, tmp_path_factory):
+    """ADVICE r7 regression: a rival committing the SAME (appId,
+    version) while this writer is staging must turn the call into a
+    no-op, never a double-commit. The old form read the txn high-water
+    mark and the commit version from two separate log listings with
+    the slow _stage between them, so the rival's commit fell in the
+    gap — invisible to the dedup check, yet not colliding on the
+    version file. The single-snapshot derivation makes the rival's
+    commit collide at max(snapshot)+1, forcing a retry that SEES the
+    rival's txn action."""
+    path = str(tmp_path_factory.mktemp("delta_toctou"))
+    tbl = DeltaProtocolTable(spark, path)
+    tbl.create(_df(spark, [(0, "seed")]))
+    rival = DeltaProtocolTable(spark, path)
+
+    real_stage = tbl._stage
+    fired = {"done": False}
+
+    def stage_with_rival(df):
+        adds = real_stage(df)
+        if not fired["done"]:
+            fired["done"] = True
+            # the rival redelivers the SAME epoch first and wins
+            rival.append_txn(_df(spark, [(1, "rival")]), "etl", 5)
+        return adds
+
+    tbl._stage = stage_with_rival
+    committed = tbl.append_txn(_df(spark, [(2, "dupe")]), "etl", 5)
+    assert committed is False  # exactly-once: the rival's batch stands
+    assert _state(tbl) == [(0, "seed"), (1, "rival")]
+    assert tbl.txn_version("etl") == 5
+
+
+def test_checkpoint_parquet_is_spec_shaped(spark, tmp_path_factory):
+    """ADVICE r7: the checkpoint parquet must use PROTOCOL.md's
+    per-action STRUCT columns (protocol/metaData/txn/add/remove),
+    exactly one non-null per row — the shape a real delta-spark /
+    delta-rs reader consumes — not a private flattened layout. Read it
+    back with plain spark.read.parquet to prove a standard reader can."""
+    path = str(tmp_path_factory.mktemp("delta_ckpt_shape"))
+    tbl = DeltaProtocolTable(spark, path, checkpoint_interval=5)
+    tbl.create(_df(spark, [(0, "v0")]))
+    tbl.append_txn(_df(spark, [(1, "v1")]), "etl", 7)
+    for i in range(2, 6):
+        tbl.append(_df(spark, [(i, f"v{i}")]))
+    ckpt = tbl._ckpt_path(5)
+    assert os.path.exists(ckpt)
+
+    df = spark.read.parquet(ckpt)
+    assert set(df.columns) == {"protocol", "metaData", "txn", "add",
+                               "remove"}
+    add_fields = {f.name for f in df.schema["add"].dataType.fields}
+    assert add_fields == {"path", "partitionValues", "size",
+                          "modificationTime", "dataChange", "stats"}
+    meta_fields = {f.name for f in df.schema["metaData"].dataType.fields}
+    assert {"id", "format", "schemaString", "partitionColumns",
+            "configuration"} <= meta_fields
+    rows = df.collect()
+    for r in rows:
+        non_null = [c for c in df.columns if r[c] is not None]
+        assert len(non_null) == 1, f"checkpoint row not single-action: {r}"
+    adds = sorted(r["add"]["path"] for r in rows if r["add"] is not None)
+    assert adds == tbl.active_files(5)
+    txns = [(r["txn"]["appId"], r["txn"]["version"])
+            for r in rows if r["txn"] is not None]
+    assert txns == [("etl", 7)]
+    meta = next(r["metaData"] for r in rows if r["metaData"] is not None)
+    json.loads(meta["schemaString"])  # spec: a JSON-serialized schema
+    # and the module's own reader seeds from these same struct columns
+    fresh = DeltaProtocolTable(spark, path)
+    assert _state(fresh) == [(i, f"v{i}") for i in range(6)]
+    assert fresh.last_read_used_checkpoint is True
+
+
+def test_checkpoint_self_heal_after_lost_checkpoint(spark):
+    """ADVICE r7: _commit deliberately swallows checkpoint-write
+    failures (a failed optimization must not fail a durable commit),
+    and the fixture's version guard never rebuilds a complete log — so
+    a lost checkpoint (transient disk failure) must be REPAIRED by the
+    next build, not leave source_delta_checkpoint failing forever."""
+    import shutil
+
+    from am_kinesis_pay_spark.sources.delta_protocol import (
+        _build_checkpointed_table,
+    )
+    from tests.conftest import SF_DIR
+
+    tbl = _build_checkpointed_table(spark, SF_DIR)
+    assert tbl._read_last_checkpoint() == 10
+    # simulate the swallowed failure: checkpoint + pointer vanish, the
+    # 12-commit JSON log stays complete
+    os.unlink(tbl._ckpt_path(10))
+    os.unlink(os.path.join(tbl.log_dir, "_last_checkpoint"))
+    assert tbl._read_last_checkpoint() is None
+
+    healed = _build_checkpointed_table(spark, SF_DIR)
+    assert healed._read_last_checkpoint() == 10
+    assert shutil.os.path.exists(healed._ckpt_path(10))
+    healed.read()
+    assert healed.last_read_used_checkpoint is True
+
+
+def _commit_race_worker(path, writer_id, n_versions, q):
+    """Child-process body for the cross-process put-if-absent race
+    (module-level so multiprocessing can pickle it). _commit is pure
+    file ops — no SparkSession crosses the fork."""
+    from am_kinesis_pay_spark.sources.delta_protocol import (
+        DeltaConcurrentCommitError,
+        DeltaProtocolTable,
+    )
+
+    tbl = DeltaProtocolTable(None, path, checkpoint_interval=None)
+    wins = []
+    for v in range(1, n_versions + 1):
+        try:
+            tbl._commit(
+                v,
+                [{"commitInfo": {"operation": f"writer{writer_id}",
+                                 "raceVersion": v}}],
+            )
+            wins.append(v)
+        except DeltaConcurrentCommitError:
+            pass
+    q.put((writer_id, wins))
+
+
+def test_commit_cross_process_single_winner(tmp_path_factory):
+    """VERDICT r7 #5: the r7 optimistic-concurrency pin was in-process
+    threads; the original ADVICE race was CROSS-PROCESS. Two writer
+    PROCESSES race _commit over 40 versions of one table: os.link
+    put-if-absent must make exactly one winner per version (no lost
+    commits, no double-commits), and each committed file's bytes must
+    be exactly one writer's actions — never torn or interleaved."""
+    import multiprocessing as mp
+
+    path = str(tmp_path_factory.mktemp("delta_xproc"))
+    seed = DeltaProtocolTable(None, path, checkpoint_interval=None)
+    seed._commit(0, [{"commitInfo": {"operation": "seed"}}])
+
+    n_versions = 40
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_commit_race_worker, args=(path, w, n_versions, q))
+        for w in (1, 2)
+    ]
+    for p in procs:
+        p.start()
+    results = dict(q.get(timeout=120) for _ in procs)
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+
+    wins1, wins2 = set(results[1]), set(results[2])
+    # exactly one winner per version: disjoint, and the union is total
+    assert wins1 & wins2 == set()
+    assert wins1 | wins2 == set(range(1, n_versions + 1))
+    # committed bytes match the reported winner exactly (never torn)
+    for v in range(1, n_versions + 1):
+        actions = [json.loads(x) for x in open(seed._log_path(v))
+                   if x.strip()]
+        winner = 1 if v in wins1 else 2
+        assert actions == [{"commitInfo": {"operation": f"writer{winner}",
+                                           "raceVersion": v}}]
