@@ -315,14 +315,66 @@ def win_frame_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("agg_percentile_approx", oracle=None, tags=("agg", "approx"))
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[DRV] approximate percentiles via Spark's KLL-style sketch — the
-    100 TB path where exact interpolation (agg_percentiles) would need
-    a full sort per group. No oracle (sketch differs by engine);
-    rows-only check, bounded-error property implied by the exact twin."""
-    ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.25, 0.5, 0.9], 10000).alias("approx_pcts")
+    """[DRV] approximate percentiles via Spark's GK/KLL-style sketch —
+    the 100 TB path where exact interpolation (agg_percentiles) would
+    need a full sort per group. No oracle (a sketch estimate is
+    implementation-defined), so like the HLL twins the result CARRIES
+    its own bounded-error audit (VERDICT r7 #6): the sketch's actual
+    guarantee is on RANK, not value — the returned element's rank r
+    satisfies |r/n - q| <= eps (eps = 1/accuracy) — so the audit
+    recomputes each returned element's true rank interval
+    [count(< a)/n, count(<= a)/n] against the events scan and emits
+    ``within_tol`` = the target quantile falls inside that interval
+    widened by eps + 1/n (the 1/n is rank discretization). A value
+    bracket against the exact twin would need local density
+    assumptions; the rank check is assumption-free and exactly the
+    published sketch contract. Asserted all-true in
+    test_engine.py::test_sketch_entries_within_tolerance.
+
+    Plan shape: one sketch aggregation (5 groups x 3 quantiles -> 15
+    rows), broadcast back onto a single events scan, one hash
+    aggregation — the audit adds one scan, no sort, no extra shuffle
+    of the fact table beyond the groupBy."""
+    accuracy = 10000
+    qs = [0.25, 0.5, 0.9]
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, accuracy).alias("approx_pcts")
     )
+    exploded = approx.select(
+        "event_type",
+        F.posexplode("approx_pcts").alias("q_idx", "approx_value"),
+    ).withColumn(
+        "q",
+        F.element_at(
+            F.array(*[F.lit(q) for q in qs]), F.col("q_idx") + 1
+        ),
+    )
+    ranked = (
+        ev.join(F.broadcast(exploded), "event_type")
+        .groupBy("event_type", "q_idx", "q", "approx_value")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("value") < F.col("approx_value"), 1).otherwise(0)
+            ).alias("n_lt"),
+            F.sum(
+                F.when(F.col("value") <= F.col("approx_value"), 1).otherwise(0)
+            ).alias("n_le"),
+        )
+    )
+    slack = F.lit(1.0 / accuracy) + F.lit(1.0) / F.col("n")
+    return ranked.select(
+        "event_type",
+        "q",
+        "approx_value",
+        (F.col("n_lt") / F.col("n")).alias("rank_lo"),
+        (F.col("n_le") / F.col("n")).alias("rank_hi"),
+        (
+            (F.col("q") >= F.col("n_lt") / F.col("n") - slack)
+            & (F.col("q") <= F.col("n_le") / F.col("n") + slack)
+        ).alias("within_tol"),
+    ).orderBy("event_type", "q")
 
 
 @register(
