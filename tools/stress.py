@@ -142,6 +142,9 @@ CENTURY_FACTS_QUERIES = [
     # verdict's weak pair must show its century receipt
     "agg_mann_whitney", "agg_ks_test", "agg_chi_square",
     "events_rfm_segments", "agg_bootstrap_ci", "agg_sprt_sequential",
+    # r8 (VERDICT r7 #4): century receipts for the rest of the r7
+    # sketch/statistics batch — each is one hash agg + domain frames
+    "agg_kmv_distinct", "agg_count_min", "agg_anova_oneway",
 ]
 
 CENTURY_LINKAGE_QUERIES = [
@@ -164,6 +167,9 @@ CENTURY_QUERIES = [
     # r6: CDC dedup is character-bound (linear by contract); the graph
     # ANN build is cap-bounded; k-center is K fixed rounds
     "text_dedup_cdc", "vec_ann_nsw", "sample_kcenter",
+    # r8 (VERDICT r7 #4): map-only KFLC codec + stateless hashing-trick
+    # featurizer — both should be ~linear in corpus bytes
+    "mm_codec_lossless_audio", "fe_feature_hashing",
 ]
 
 
