@@ -2480,3 +2480,366 @@ def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("stop_day")
     )
     return decided.crossJoin(F.broadcast(stop))
+
+
+@register(
+    "agg_welch_ttest",
+    oracle="""
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(value AS DECIMAL(18,2))) AS s,
+    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS ss
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+  GROUP BY event_type
+), m AS (
+  SELECT
+    MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+    MAX(CASE WHEN event_type = 'purchase' THEN CAST(s AS DOUBLE) END) AS s1,
+    MAX(CASE WHEN event_type = 'purchase' THEN CAST(ss AS DOUBLE) END) AS ss1,
+    MAX(CASE WHEN event_type = 'click' THEN n END) AS n2,
+    MAX(CASE WHEN event_type = 'click' THEN CAST(s AS DOUBLE) END) AS s2,
+    MAX(CASE WHEN event_type = 'click' THEN CAST(ss AS DOUBLE) END) AS ss2
+  FROM g
+), v AS (
+  SELECT n1, n2,
+    (ss1 - s1 * s1 / n1) / (n1 - 1) / n1 AS se1,
+    (ss2 - s2 * s2 / n2) / (n2 - 1) / n2 AS se2,
+    s1 / n1 - s2 / n2 AS mean_diff
+  FROM m
+)
+SELECT n1, n2, round(mean_diff, 6) AS mean_diff,
+  round(mean_diff / sqrt(se1 + se2), 6) AS t_stat,
+  round((se1 + se2) * (se1 + se2)
+        / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6) AS welch_df,
+  abs(mean_diff / sqrt(se1 + se2)) > 1.96 AS significant
+FROM v
+""",
+    tags=("agg", "stats", "experiment"),
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (purchase vs click
+    value), completing the A/B family: Mann-Whitney tests location,
+    KS shape, chi-square independence, ANOVA K means, SPRT sequential
+    — Welch is THE default two-mean test (never pooled-variance
+    Student: Welch dominates under unequal n/sigma, Ruxton 2006).
+    t = (m1-m2)/sqrt(v1/n1+v2/n2); df via Welch-Satterthwaite.
+
+    Float determinism: both engines compute the moments as EXACT
+    DECIMAL sums (value is 2-dp money, squared terms 4-dp) and only
+    then cast to double, so the downstream t/df arithmetic is the
+    same IEEE expression tree on identical inputs; results rounded to
+    6 dp per the repo convention. Plan: one hash agg over two event
+    types -> 2-row frame -> arithmetic; at 100 TB this is a map-side
+    partial agg and a 2-row reduce, nothing else (century receipt
+    class: agg_anova_oneway, 1.3x at 100x)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("ss"),
+    )
+
+    def pick(col: str, et: str):
+        return F.max(F.when(F.col("event_type") == et, F.col(col)))
+
+    m = g.agg(
+        pick("n", "purchase").alias("n1"),
+        pick("s", "purchase").cast("double").alias("s1"),
+        pick("ss", "purchase").cast("double").alias("ss1"),
+        pick("n", "click").alias("n2"),
+        pick("s", "click").cast("double").alias("s2"),
+        pick("ss", "click").cast("double").alias("ss2"),
+    )
+    se1 = (
+        (F.col("ss1") - F.col("s1") * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+    )
+    se2 = (
+        (F.col("ss2") - F.col("s2") * F.col("s2") / F.col("n2"))
+        / (F.col("n2") - 1)
+        / F.col("n2")
+    )
+    mean_diff = F.col("s1") / F.col("n1") - F.col("s2") / F.col("n2")
+    v = m.select(
+        "n1",
+        "n2",
+        se1.alias("se1"),
+        se2.alias("se2"),
+        mean_diff.alias("mean_diff"),
+    )
+    t = F.col("mean_diff") / F.sqrt(F.col("se1") + F.col("se2"))
+    return v.select(
+        "n1",
+        "n2",
+        F.round("mean_diff", 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(
+            (F.col("se1") + F.col("se2")) * (F.col("se1") + F.col("se2"))
+            / (
+                F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+                + F.col("se2") * F.col("se2") / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )
+
+
+@register(
+    "dq_psi_drift",
+    oracle="""
+WITH b AS (
+  SELECT CAST(ts AS DATE) AS day,
+    LEAST(CAST(floor(value / 25.0) AS BIGINT), 19) AS bucket
+  FROM events WHERE value IS NOT NULL
+), span AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM b
+), lab AS (
+  SELECT bucket,
+    CASE WHEN 2 * datediff('day', d0, day)
+              < datediff('day', d0, d1) + 1
+         THEN 0 ELSE 1 END AS half
+  FROM b CROSS JOIN span
+), cnt AS (
+  SELECT bucket,
+    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM lab GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(n_a) AS DOUBLE) AS tot_a,
+    CAST(SUM(n_b) AS DOUBLE) AS tot_b,
+    CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM cnt
+), terms AS (
+  SELECT bucket, n_a, n_b,
+    CAST(round(((n_a + 0.5) / (tot_a + 0.5 * n_buckets)
+                - (n_b + 0.5) / (tot_b + 0.5 * n_buckets))
+               * ln(((n_a + 0.5) / (tot_a + 0.5 * n_buckets))
+                    / ((n_b + 0.5) / (tot_b + 0.5 * n_buckets))), 6)
+         AS DECIMAL(18,6)) AS psi_term
+  FROM cnt CROSS JOIN tot
+)
+SELECT bucket, n_a, n_b, CAST(psi_term AS DOUBLE) AS psi_term,
+  (SELECT CAST(SUM(psi_term) AS DOUBLE) FROM terms) AS psi_total
+FROM terms
+""",
+    tags=("agg", "dq", "stats"),
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event window — THE production drift monitor for feature/score
+    distributions (PSI < 0.1 stable, 0.1-0.25 shifting, > 0.25 act;
+    standard credit-scoring practice). Value histogram buckets (width
+    25, capped at 19 like agg_histogram), halves split at the
+    data-derived midpoint day so the query is calendar-free; 0.5
+    Laplace smoothing keeps one-sided buckets finite — all of it
+    integer/decimal arithmetic until the final ln, whose 6-dp-rounded
+    terms accumulate in DECIMAL (the text_bigram_nll convention).
+
+    Plan: one scan -> hash agg to the BUCKET frame (<= 20 rows) ->
+    arithmetic + two 1-row broadcasts. Row growth lands entirely in
+    the map-side partial agg; the PSI frame is domain-sized, so at
+    100 TB this is the same plan with bigger partials."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.select(
+        F.to_date("ts").alias("day"),
+        F.least(
+            F.floor(F.col("value") / 25.0).cast("bigint"), F.lit(19)
+        ).alias("bucket"),
+    )
+    span = b.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    lab = b.crossJoin(F.broadcast(span)).select(
+        "bucket",
+        F.when(
+            2 * F.datediff(F.col("day"), F.col("d0"))
+            < F.datediff(F.col("d1"), F.col("d0")) + 1,
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    cnt = lab.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    tot = cnt.agg(
+        F.sum("n_a").cast("double").alias("tot_a"),
+        F.sum("n_b").cast("double").alias("tot_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    p = (F.col("n_a") + 0.5) / (F.col("tot_a") + 0.5 * F.col("n_buckets"))
+    q = (F.col("n_b") + 0.5) / (F.col("tot_b") + 0.5 * F.col("n_buckets"))
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round((p - q) * F.log(p / q), 6)
+        .cast("decimal(18,6)")
+        .alias("psi_term"),
+    )
+    total = terms.agg(F.sum("psi_term").cast("double").alias("psi_total"))
+    return terms.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.col("psi_term").cast("double").alias("psi_term"),
+        "psi_total",
+    )
+
+
+_BH_ALPHA = 0.05
+_BH_BUCKETS = 20
+# Abramowitz & Stegun 7.1.26 erf coefficients (|error| <= 1.5e-7 —
+# two decades below the repo's 6-dp rounding): both engines evaluate
+# the SAME literal-coefficient Horner polynomial + exp, so the only
+# cross-engine risk is a 1-ulp exp() difference crossing a 6-dp
+# boundary, the same accepted class as the ln() convention.
+_ERF_COEFS = (0.254829592, -0.284496736, 1.421413741,
+              -1.453152027, 1.061405429)
+_INV_SQRT2 = 0.7071067811865476
+
+
+@register(
+    "agg_benjamini_hochberg",
+    oracle=f"""
+WITH b AS (
+  SELECT user_id % {_BH_BUCKETS} AS bucket,
+    CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_h,
+    SUM(v) AS s_h, SUM(v * v) AS ss_h
+  FROM b GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(n_h) AS BIGINT) AS n, SUM(s_h) AS s FROM g
+), z AS (
+  SELECT bucket, n_h,
+    (CAST(s_h AS DOUBLE) / n_h - CAST(s AS DOUBLE) / n)
+      / sqrt((CAST(ss_h AS DOUBLE)
+              - CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE) / n_h)
+             / (n_h - 1) / n_h) AS z
+  FROM g CROSS JOIN tot
+), p AS (
+  SELECT bucket, n_h, round(z, 6) AS z,
+    round((((({_ERF_COEFS[4]} * (1.0 / (1.0 + 0.3275911 * (abs(z) * {_INV_SQRT2})))
+        + {_ERF_COEFS[3]}) * (1.0 / (1.0 + 0.3275911 * (abs(z) * {_INV_SQRT2})))
+        + {_ERF_COEFS[2]}) * (1.0 / (1.0 + 0.3275911 * (abs(z) * {_INV_SQRT2})))
+        + {_ERF_COEFS[1]}) * (1.0 / (1.0 + 0.3275911 * (abs(z) * {_INV_SQRT2})))
+        + {_ERF_COEFS[0]}) * (1.0 / (1.0 + 0.3275911 * (abs(z) * {_INV_SQRT2})))
+        * exp(-((abs(z) * {_INV_SQRT2}) * (abs(z) * {_INV_SQRT2}))), 6) AS p
+  FROM z
+), ranked AS (
+  SELECT bucket, n_h, z, p,
+    CAST(ROW_NUMBER() OVER (ORDER BY p, bucket) AS BIGINT) AS k,
+    CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM p
+), crit AS (
+  SELECT *, MAX(CASE WHEN p <= k * {_BH_ALPHA} / m THEN p END)
+    OVER () AS p_cutoff
+  FROM ranked
+)
+SELECT bucket, n_h, z, p, k, m,
+  round(k * {_BH_ALPHA} / m, 6) AS bh_threshold,
+  COALESCE(p <= p_cutoff, FALSE) AS rejected
+FROM crit
+""",
+    tags=("agg", "stats", "experiment"),
+)
+def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control — the multiple-testing layer the
+    A/B family was missing: with 20 user buckets each z-tested against
+    the global mean value, raw alpha=0.05 rejections would
+    false-positive ~once by chance; BH sorts the p-values and rejects
+    up to the largest p_(k) <= k*alpha/m, bounding the expected FALSE
+    DISCOVERY RATE at alpha (Benjamini & Benjamini-Hochberg 1995 —
+    the standard guard for metric dashboards testing many segments).
+    p-values come from the normal z approximation via the
+    Abramowitz-Stegun 7.1.26 erf polynomial — literal coefficients,
+    same Horner evaluation in both engines, error 1.5e-7 (two decades
+    under the 6-dp rounding).
+
+    Plan: one hash agg to the 20-bucket moment frame, a 1-row total
+    broadcast, then rank/cutoff windows over that DOMAIN-sized frame
+    (allowlisted: 20 rows by construction — the bucket count is the
+    hypothesis count, never row-scale). Row growth lands in the
+    map-side partials, like the rest of the statistics family."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.col("value").cast("decimal(18,2)")
+    g = ev.select(
+        (F.col("user_id") % _BH_BUCKETS).alias("bucket"), v.alias("v")
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("v").alias("s_h"),
+        F.sum(F.col("v") * F.col("v")).alias("ss_h"),
+    )
+    tot = g.agg(
+        F.sum("n_h").cast("bigint").alias("n"), F.sum("s_h").alias("s")
+    )
+    mean_h = F.col("s_h").cast("double") / F.col("n_h")
+    var_h = (
+        F.col("ss_h").cast("double")
+        - F.col("s_h").cast("double") * F.col("s_h").cast("double") / F.col("n_h")
+    ) / (F.col("n_h") - 1)
+    zc = (mean_h - F.col("s").cast("double") / F.col("n")) / F.sqrt(
+        var_h / F.col("n_h")
+    )
+    z = g.crossJoin(F.broadcast(tot)).select(
+        "bucket", "n_h", zc.alias("z_raw")
+    )
+    y = F.abs(F.col("z_raw")) * F.lit(_INV_SQRT2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * y)
+    poly = (
+        (
+            (
+                (F.lit(_ERF_COEFS[4]) * t + F.lit(_ERF_COEFS[3])) * t
+                + F.lit(_ERF_COEFS[2])
+            )
+            * t
+            + F.lit(_ERF_COEFS[1])
+        )
+        * t
+        + F.lit(_ERF_COEFS[0])
+    ) * t
+    p = z.select(
+        "bucket",
+        "n_h",
+        F.round("z_raw", 6).alias("z"),
+        F.round(poly * F.exp(-(y * y)), 6).alias("p"),
+    )
+    w_rank = W.orderBy("p", "bucket")
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = p.select(
+        "bucket",
+        "n_h",
+        "z",
+        "p",
+        F.row_number().over(w_rank).cast("bigint").alias("k"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("m"),
+    )
+    cutoff = F.max(
+        F.when(
+            F.col("p") <= F.col("k") * _BH_ALPHA / F.col("m"), F.col("p")
+        )
+    ).over(w_all)
+    return ranked.withColumn("p_cutoff", cutoff).select(
+        "bucket",
+        "n_h",
+        "z",
+        "p",
+        "k",
+        "m",
+        F.round(F.col("k") * _BH_ALPHA / F.col("m"), 6).alias("bh_threshold"),
+        F.coalesce(F.col("p") <= F.col("p_cutoff"), F.lit(False)).alias(
+            "rejected"
+        ),
+    )

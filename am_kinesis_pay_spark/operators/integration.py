@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from am_kinesis_pay_spark.functions.compat import dec, dsum
 
@@ -2683,4 +2683,168 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return labels.select(
         F.col("node").alias("user_id"), F.col("lbl").alias("community")
+    )
+
+
+@register(
+    "fe_woe_iv",
+    oracle="""
+WITH t AS (
+  SELECT c.c_mktsegment,
+    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), g AS (
+  SELECT c_mktsegment,
+    CAST(SUM(y) AS BIGINT) AS n_goods,
+    CAST(SUM(1 - y) AS BIGINT) AS n_bads
+  FROM t GROUP BY c_mktsegment
+), tot AS (
+  SELECT CAST(SUM(n_goods) AS DOUBLE) AS tg,
+    CAST(SUM(n_bads) AS DOUBLE) AS tb
+  FROM g
+), terms AS (
+  SELECT c_mktsegment, n_goods, n_bads,
+    round(ln((n_goods / tg) / (n_bads / tb)), 6) AS woe,
+    CAST(round((n_goods / tg - n_bads / tb)
+               * ln((n_goods / tg) / (n_bads / tb)), 6)
+         AS DECIMAL(18,6)) AS iv_term
+  FROM g CROSS JOIN tot
+)
+SELECT c_mktsegment, n_goods, n_bads, woe,
+  CAST(iv_term AS DOUBLE) AS iv_term,
+  (SELECT CAST(SUM(iv_term) AS DOUBLE) FROM terms) AS iv_total
+FROM terms
+""",
+    tags=("feature", "agg", "stats"),
+)
+def fe_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence / Information Value — the credit-scoring
+    categorical encoder and feature-screening statistic (Siddiqi's
+    scorecard method; IV < 0.02 useless, > 0.3 strong): per market
+    segment, woe = ln(share-of-goods / share-of-bads) for the binary
+    target "order is high priority", iv = sum over segments of
+    (good_share - bad_share) * woe. Unlike fe_target_encoding (mean
+    target with folds), WoE is the log-odds encoder — monotone in the
+    event rate and additive in a logistic model, which is why the
+    scorecard world standardized on it.
+
+    Determinism: counts are exact BIGINTs, shares are single IEEE
+    divisions, and each ln-term rounds to 6 dp before accumulating in
+    DECIMAL (text_bigram_nll convention). Plan: fact-dim join (orders
+    joins broadcast customer at this SF; co-partitioned at 100 TB) ->
+    one hash agg to the 5-row segment frame -> arithmetic + 1-row
+    broadcasts. The statistic frame is domain-sized, so scale lands
+    in the map-side partials."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    t = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = t.groupBy("c_mktsegment").agg(
+        F.sum("y").cast("bigint").alias("n_goods"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_bads"),
+    )
+    tot = g.agg(
+        F.sum("n_goods").cast("double").alias("tg"),
+        F.sum("n_bads").cast("double").alias("tb"),
+    )
+    gs = F.col("n_goods") / F.col("tg")
+    bs = F.col("n_bads") / F.col("tb")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        "n_goods",
+        "n_bads",
+        F.round(F.log(gs / bs), 6).alias("woe"),
+        F.round((gs - bs) * F.log(gs / bs), 6)
+        .cast("decimal(18,6)")
+        .alias("iv_term"),
+    )
+    total = terms.agg(F.sum("iv_term").cast("double").alias("iv_total"))
+    return terms.crossJoin(F.broadcast(total)).select(
+        "c_mktsegment",
+        "n_goods",
+        "n_bads",
+        "woe",
+        F.col("iv_term").cast("double").alias("iv_term"),
+        "iv_total",
+    )
+
+
+_QBIN_K = 8  # equi-depth bucket count
+
+
+@register(
+    "fe_quantile_binning",
+    oracle=f"""
+WITH dv AS (
+  SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events WHERE value IS NOT NULL
+  GROUP BY value
+), pre AS (
+  SELECT value, cnt,
+    COALESCE(SUM(cnt) OVER (
+      ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cum_before,
+    SUM(cnt) OVER () AS n
+  FROM dv
+), binned AS (
+  SELECT value,
+    LEAST({_QBIN_K - 1}, ({_QBIN_K} * cum_before) // n) AS bin
+  FROM pre
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  round(MIN(e.value), 6) AS lo, round(MAX(e.value), 6) AS hi
+FROM events e JOIN binned b ON e.value = b.value
+GROUP BY bin
+""",
+    tags=("feature", "agg", "scale-pattern"),
+)
+def fe_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) feature binning — the discretizer behind
+    WoE scorecards, decision-tree histograms, and monotonic-feature
+    buckets: assign each value to one of K=8 buckets holding ~equal
+    row counts. bin(v) = floor(K * rank_before(v) / n), all BIGINT
+    arithmetic (integer floor division in both engines — a double
+    division could round across the bucket edge).
+
+    THE SCALE PATTERN (same class as agg_mann_whitney): the prefix
+    window runs over the DISTINCT-VALUE frame — value is 2-dp money,
+    a saturating domain (13k distinct under 40k rows at sf0.1; still
+    the price domain at 10M rows) — never over raw rows; rows then
+    broadcast-join to their bucket by value. Output is the per-bin
+    profile (count + [lo, hi]), which also PROVES equi-depth: bins
+    differ by at most one distinct-value run. Allowlisted in
+    test_plan_sweep with the distinct-value-frame proof."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dv = ev.groupBy("value").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_pre = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy("value").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    pre = dv.select(
+        "value",
+        F.coalesce(F.sum("cnt").over(w_pre), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    binned = pre.select(
+        "value",
+        F.least(
+            F.lit(_QBIN_K - 1),
+            F.expr(f"({_QBIN_K} * cum_before) div n"),
+        ).alias("bin"),
+    )
+    return (
+        ev.join(F.broadcast(binned), "value")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
     )

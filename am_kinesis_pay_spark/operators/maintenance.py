@@ -727,3 +727,84 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_estimate") - F.col("true_n")).alias("overestimate"),
         (F.col("cms_estimate") >= F.col("true_n")).alias("never_undercounts"),
     )
+
+
+_NEYMAN_BUDGET = 1000  # total sample budget K across strata
+
+
+@register(
+    "sample_neyman",
+    oracle=f"""
+WITH s AS (
+  SELECT c_mktsegment,
+    CAST(COUNT(*) AS BIGINT) AS n_h,
+    CAST(100 * MAX(CAST(c_acctbal AS DECIMAL(18,2)))
+         - 100 * MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS BIGINT)
+      AS range_cents
+  FROM customer GROUP BY c_mktsegment
+), w AS (
+  SELECT c_mktsegment, n_h, n_h * range_cents AS weight FROM s
+), alloc AS (
+  SELECT c_mktsegment, n_h,
+    ({_NEYMAN_BUDGET} * weight) // (SELECT SUM(weight) FROM w) AS n_take
+  FROM w
+), ranked AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, a.n_take,
+    ROW_NUMBER() OVER (
+      PARTITION BY c.c_mktsegment
+      ORDER BY md5(CAST(c.c_custkey AS VARCHAR)), c.c_custkey) AS rn
+  FROM customer c JOIN alloc a USING (c_mktsegment)
+)
+SELECT c_custkey, c_mktsegment, c_acctbal,
+  CAST(n_take AS BIGINT) AS stratum_take
+FROM ranked WHERE rn <= n_take
+""",
+    tags=("agg", "sample", "maintenance"),
+)
+def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: a fixed budget K=1000 is
+    split across strata proportionally to N_h x dispersion_h — the
+    variance-optimal allocation (Neyman 1934), vs sample_balanced
+    (equal) and proportional splits. Dispersion here is the acctbal
+    RANGE IN CENTS (an exact BIGINT), not stddev: a 1-ulp float
+    difference in stddev could flip a floor() allocation between
+    engines, while range-based Neyman keeps the whole allocation in
+    integer arithmetic (weights, the K*w // sum(w) floor division) —
+    deterministic by construction. Within each stratum the take is the
+    first n_h rows in md5(custkey) order (the repo's shared
+    deterministic shuffle), so membership is reproducible across
+    engines, runs, and repartitioning.
+
+    Plan: one hash agg to the 5-row strata frame, broadcast back, one
+    partitioned window — no global sort. At 100 TB the md5 rank is
+    the only per-row work and the allocation frame stays 5 rows."""
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    s = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        (100 * F.max(bal) - 100 * F.min(bal))
+        .cast("bigint")
+        .alias("range_cents"),
+    )
+    w = s.select(
+        "c_mktsegment", "n_h", (F.col("n_h") * F.col("range_cents")).alias("weight")
+    )
+    tot = w.agg(F.sum("weight").alias("tot_w"))
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        F.expr(f"({_NEYMAN_BUDGET} * weight) div tot_w").alias("n_take"),
+    )
+    rn_w = W.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(alloc), "c_mktsegment")
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") <= F.col("n_take"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.col("n_take").cast("bigint").alias("stratum_take"),
+        )
+    )

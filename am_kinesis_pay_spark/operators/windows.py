@@ -1404,3 +1404,75 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak").cast("double").alias("peak_balance"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "win_cume_dist",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+    tags=("window",),
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — the relative-position ranking pair
+    completing the window-function surface (row_number/rank/ntile are
+    elsewhere): within-segment balance percentile is the classic
+    feature-scaling / threshold-free-cutoff shape (take the top X% of
+    each segment regardless of segment size). The (acctbal, custkey)
+    composite order is a total order, so both fractions are exact
+    rank arithmetic — deterministic across engines; 6-dp rounding
+    absorbs the one division. One shuffle on the partition key, sort
+    within partitions — the same cost class as every W-family entry."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "win_lead_label",
+    oracle="""
+SELECT event_id, user_id, event_type,
+  MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    - epoch_us(ts) AS label_us
+FROM events
+""",
+    tags=("window", "feature"),
+)
+def win_lead_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-label generation: time-to-next-purchase per event —
+    for every event the microseconds until the SAME user's next
+    purchase (NULL when none follows = right-censored). This is the
+    standard churn/conversion label pass of a training pipeline: the
+    label is a leakage-free forward-looking window (strictly AFTER the
+    current row via 1 FOLLOWING), never a join back onto the future
+    table. Microsecond BIGINT arithmetic keeps it exact across
+    engines (no float epoch). One shuffle on user_id, one ordered
+    window — at 100 TB this partitions by the label key and scales
+    with the largest user history, not total rows."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (nxt - F.unix_micros("ts")).alias("label_us"),
+    )

@@ -31,6 +31,7 @@ _NLJ_ALLOWED = {
     "agg_anova_oneway",  # 1-row grand-total broadcast onto the k-group frame
     "agg_bootstrap_ci",  # 1-row full-mean broadcast onto the 1-row CI frame
     "agg_sprt_sequential",  # 1-row stop-day broadcast onto the day frame
+    "agg_benjamini_hochberg",  # 1-row grand-total broadcast onto 20 buckets
     "agg_chi_square",  # 1-row (r, c) dims broadcast onto the 1-row chi2
     "agg_cuped_adjusted",  # 1-row global-theta broadcast
     "agg_decile_lift",  # 1-row totals broadcast onto the 10-row frame
@@ -40,6 +41,9 @@ _NLJ_ALLOWED = {
     "emb_kmeans",
     "emb_triplet_mine",  # ≤10-row anchor set joined with a != predicate
     "dq_benford",  # 1-row digit-total broadcast onto the 9-row frame
+    "dq_psi_drift",  # 1-row span + totals broadcasts onto the ≤20-bucket frame
+    "fe_woe_iv",  # 1-row goods/bads totals + 1-row IV broadcasts onto 5 segments
+    "sample_neyman",  # 1-row weight-total broadcast onto the 5-strata frame
     "er_lsh_blocking",  # 1-row corpus-count broadcast (gram-DF threshold)
     "events_funnel_ordered",
     "events_gapfill_daily",
@@ -74,6 +78,7 @@ _NLJ_ALLOWED = {
 # languages, ≤K survivors of a limit), which saturates while row count
 # grows — the win_global_running_total / agg_decile_lift pattern.
 _GLOBAL_WINDOW_ALLOWED = {
+    "agg_benjamini_hochberg": "20-row hypothesis frame (bucket count = hypothesis count by construction)",
     "agg_chi_square": "contingency frame: |event_types| x 7 weekday cells",
     "agg_decile_lift": "decile/bucket prefix frames (<= ~100 buckets)",
     "agg_ks_test": "distinct-value frame (2-dp money domain; 13k @ 40k rows, saturating)",
@@ -85,6 +90,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "events_path_analysis": "distinct 3-step path frame (|event_types|^3)",
     "events_rfm_segments": "3x per-axis bucket-count prefix frames (value-domain buckets, not users)",
     "events_survival_km": "distinct event-time (day) frames",
+    "fe_quantile_binning": "distinct-value frame (2-dp money domain, saturating) — prefix + total windows",
     "sample_shard_shuffle": "shard-bucket-count prefix frame (fixed shard count)",
     "sample_temperature": "per-language frame (|langs| rows)",
     "sink_zorder_layout": "file-bucket-count prefix frame (fixed file count)",
