@@ -2848,3 +2848,188 @@ def fe_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("hi"),
         )
     )
+
+
+@register(
+    "ts_changepoint_binseg",
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+    SUM(CAST(value AS DECIMAL(18,2))) AS s,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY day
+), x AS (
+  SELECT day,
+    CAST(round(CAST(s AS DOUBLE) / c, 6) AS DECIMAL(18,6)) AS x,
+    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+    CAST(COUNT(*) OVER () AS BIGINT) AS tt
+  FROM d
+), pre AS (
+  SELECT day, t, tt,
+    SUM(x) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(x) OVER () AS total
+  FROM x
+), cand AS (
+  SELECT day, t,
+    round(CAST(t AS DOUBLE) * (tt - t) / tt
+          * (CAST(cum AS DOUBLE) / t
+             - (CAST(total AS DOUBLE) - CAST(cum AS DOUBLE)) / (tt - t))
+          * (CAST(cum AS DOUBLE) / t
+             - (CAST(total AS DOUBLE) - CAST(cum AS DOUBLE)) / (tt - t)),
+          6) AS gain,
+    round(CAST(cum AS DOUBLE) / t, 6) AS mean_left,
+    round((CAST(total AS DOUBLE) - CAST(cum AS DOUBLE)) / (tt - t), 6)
+      AS mean_right
+  FROM pre WHERE t < tt
+)
+SELECT day, t, gain, mean_left, mean_right,
+  ROW_NUMBER() OVER (ORDER BY gain DESC, t) = 1 AS is_changepoint
+FROM cand
+""",
+    tags=("timeseries", "stats"),
+)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection — the first split of binary
+    segmentation (the classic Scott-Knott / CUSUM-equivalent form):
+    for every candidate split t of the daily-mean series, the
+    variance-reduction gain k(T-k)/T * (mean_L - mean_R)^2; the argmax
+    day is the changepoint. This is the monitoring primitive behind
+    "did the metric shift and WHEN" — one step up from dq_psi_drift's
+    fixed-half comparison.
+
+    Determinism: daily means round to 6 dp and prefix-accumulate in
+    DECIMAL (order-free), so left/right means derive from exact
+    sums; gain rounds to 6 dp with the day as tie-break. Plan: one
+    hash agg to the CALENDAR frame (30 rows), then rank/prefix
+    windows over that frame only — row growth lands in the map-side
+    partials (allowlisted: per-day domain)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    x = d.select(
+        "day",
+        F.round(F.col("s").cast("double") / F.col("c"), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.row_number().over(W.orderBy("day")).cast("bigint").alias("t"),
+        F.count(F.lit(1))
+        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("bigint")
+        .alias("tt"),
+    )
+    pre = x.select(
+        "day",
+        "t",
+        "tt",
+        F.sum("x")
+        .over(W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum("x")
+        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("total"),
+    )
+    mean_l = F.col("cum").cast("double") / F.col("t")
+    mean_r = (F.col("total").cast("double") - F.col("cum").cast("double")) / (
+        F.col("tt") - F.col("t")
+    )
+    diff = mean_l - mean_r
+    cand = pre.filter(F.col("t") < F.col("tt")).select(
+        "day",
+        "t",
+        F.round(
+            F.col("t").cast("double")
+            * (F.col("tt") - F.col("t"))
+            / F.col("tt")
+            * diff
+            * diff,
+            6,
+        ).alias("gain"),
+        F.round(mean_l, 6).alias("mean_left"),
+        F.round(mean_r, 6).alias("mean_right"),
+    )
+    return cand.select(
+        "day",
+        "t",
+        "gain",
+        "mean_left",
+        "mean_right",
+        (
+            F.row_number().over(W.orderBy(F.col("gain").desc(), F.col("t")))
+            == 1
+        ).alias("is_changepoint"),
+    )
+
+
+_BIPROJ_CAP = 64  # max items per customer entering the pair stage
+_BIPROJ_TOPK = 20
+
+
+@register(
+    "graph_bipartite_projection",
+    oracle=f"""
+WITH ci AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), capped AS (
+  SELECT cust, item FROM (
+    SELECT cust, item,
+      ROW_NUMBER() OVER (PARTITION BY cust
+        ORDER BY md5(CAST(item AS VARCHAR)), item) AS rn
+    FROM ci) t WHERE rn <= {_BIPROJ_CAP}
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b
+  FROM capped a JOIN capped b ON a.cust = b.cust AND a.item < b.item
+)
+SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS n_common
+FROM pairs GROUP BY item_a, item_b
+ORDER BY n_common DESC, item_a, item_b LIMIT {_BIPROJ_TOPK}
+""",
+    tags=("agg", "graph", "llm"),
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection — the co-occurrence preprocessing of every
+    item-item recommender and co-citation graph: project the
+    customer-part purchase graph onto parts, weighting each part pair
+    by the number of customers buying both; return the top-20 pairs.
+
+    THE quadratic-candidate discipline (dedup.py BAND_CAP class):
+    pair fan-out per customer is C(degree, 2), so degree is capped at
+    64 (_BIPROJ_CAP) in md5(item) order — deterministic, mirrored
+    VERBATIM in the oracle, and identity at the driver SFs (typical
+    basket size is far below the cap); at 100 TB the cap is what
+    keeps a crawler/power-buyer from emitting billions of pairs (the
+    same reason GraphFrames' motif joins cap supernodes). Plan:
+    distinct edge agg -> partitioned cap window -> self-join on the
+    customer key -> pair hash agg -> TakeOrderedAndProject (top-k via
+    orderBy().limit(), never a global row_number)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ci = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    rn_w = W.partitionBy("cust").orderBy(
+        F.md5(F.col("item").cast("string")), F.col("item")
+    )
+    capped = (
+        ci.withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") <= _BIPROJ_CAP)
+        .select("cust", "item")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cust") == F.col("b.cust"))
+        & (F.col("a.item") < F.col("b.item")),
+    ).select(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .orderBy(F.col("n_common").desc(), "item_a", "item_b")
+        .limit(_BIPROJ_TOPK)
+    )

@@ -808,3 +808,74 @@ def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_take").cast("bigint").alias("stratum_take"),
         )
     )
+
+
+@register(
+    "dq_null_profile",
+    oracle="""
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS null_et,
+    CAST(SUM(CASE WHEN trim(event_type) = '' THEN 1 ELSE 0 END) AS BIGINT) AS blank_et,
+    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS d_et,
+    CAST(COUNT(*) - COUNT(value) AS BIGINT) AS null_v,
+    CAST(SUM(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS nan_v,
+    CAST(COUNT(DISTINCT value) AS BIGINT) AS d_v,
+    CAST(COUNT(*) - COUNT(props) AS BIGINT) AS null_p,
+    CAST(SUM(CASE WHEN trim(props) = '' THEN 1 ELSE 0 END) AS BIGINT) AS blank_p,
+    CAST(COUNT(DISTINCT props) AS BIGINT) AS d_p,
+    CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS null_u,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS d_u
+  FROM events
+)
+SELECT 'event_type' AS column_name, n_rows, null_et AS n_null,
+  blank_et AS n_blank_or_nan, d_et AS n_distinct FROM a
+UNION ALL
+SELECT 'value', n_rows, null_v, nan_v, d_v FROM a
+UNION ALL
+SELECT 'props', n_rows, null_p, blank_p, d_p FROM a
+UNION ALL
+SELECT 'user_id', n_rows, null_u, CAST(0 AS BIGINT), d_u FROM a
+""",
+    tags=("agg", "dq", "maintenance"),
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness/cardinality profile — the Deequ/dbt-style column
+    profiler run before any training set is cut: per column, rows,
+    NULLs, blanks (strings) or NaNs (floats — which COUNT() treats as
+    present, so they hide from a null check), and exact distinct
+    counts. One scan; the multiple exact COUNT(DISTINCT)s plan as one
+    Expand aggregation (a deliberate exactness trade, documented: at
+    100 TB swap in approx_count_distinct and the Expand disappears —
+    the HLL twin agg_approx_distinct shows the sketch's audit
+    pattern). Output unpivots the 1-row aggregate into one row per
+    column via a 4-arm stack on a 1-row frame."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("event_type")).cast("bigint").alias("null_et"),
+        F.sum(F.when(F.trim("event_type") == "", 1).otherwise(0))
+        .cast("bigint")
+        .alias("blank_et"),
+        F.countDistinct("event_type").cast("bigint").alias("d_et"),
+        (F.count(F.lit(1)) - F.count("value")).cast("bigint").alias("null_v"),
+        F.sum(F.when(F.isnan("value"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nan_v"),
+        F.countDistinct("value").cast("bigint").alias("d_v"),
+        (F.count(F.lit(1)) - F.count("props")).cast("bigint").alias("null_p"),
+        F.sum(F.when(F.trim("props") == "", 1).otherwise(0))
+        .cast("bigint")
+        .alias("blank_p"),
+        F.countDistinct("props").cast("bigint").alias("d_p"),
+        (F.count(F.lit(1)) - F.count("user_id")).cast("bigint").alias("null_u"),
+        F.countDistinct("user_id").cast("bigint").alias("d_u"),
+    )
+    return a.selectExpr(
+        """stack(4,
+          'event_type', n_rows, null_et, blank_et, d_et,
+          'value', n_rows, null_v, nan_v, d_v,
+          'props', n_rows, null_p, blank_p, d_p,
+          'user_id', n_rows, null_u, CAST(0 AS BIGINT), d_u
+        ) AS (column_name, n_rows, n_null, n_blank_or_nan, n_distinct)"""
+    )

@@ -843,3 +843,46 @@ def source_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(os.path.join(sf_dir, "lineitem.parquet"),)], "path string"
     )
     return files.mapInPandas(read_footers, schema)
+
+
+@register(
+    "source_jsonl_roundtrip",
+    oracle="""
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+FROM documents GROUP BY lang, source
+""",
+    tags=("source", "format"),
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL (newline-delimited JSON) source — the wire format of real
+    log/crawl ingestion (every CommonCrawl/WET-adjacent pipeline's
+    first hop is JSONL -> columnar): write documents out as JSON
+    lines once per (session, sf), read them back through
+    spark.read.schema(...).json (EXPLICIT schema — at 100 TB schema
+    inference is a full extra pass over every byte and a silent
+    type-drift hazard, so production readers always pin the schema),
+    and aggregate. The oracle computes the same profile from the
+    parquet truth, so the hash match proves the round trip preserved
+    every row, every n_chars, and — via md5(text) distinct counts —
+    the exact TEXT BYTES through JSON string escaping both ways (the
+    part naive CSV round trips get wrong). JSON read is splittable by
+    line like any text source; the scan parallelizes per file split."""
+    from am_kinesis_pay_spark.paths import _artifact_lock, sf_tag
+
+    docs = load(spark, sf_dir, "documents")
+    path = scratch_path(spark, f"akps_jsonl_{sf_tag(sf_dir)}")
+    with _artifact_lock():
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            docs.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
+                "overwrite"
+            ).json(path)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(path)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct_texts"),
+    )

@@ -98,6 +98,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "text_bpe_encode": "merge-table vocab frame (bounded merge count)",
     "text_collocations_pmi": "<=20-row frame after orderBy().limit(20)",
     "text_zipf_fit": "distinct-vocab frequency frame",
+    "ts_changepoint_binseg": "per-day frame (calendar domain) — seq/prefix/total/rank windows",
     "win_global_running_total": "per-day totals prefix frame (the two-pass pattern itself)",
 }
 
