@@ -2896,7 +2896,10 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance-reduction gain k(T-k)/T * (mean_L - mean_R)^2; the argmax
     day is the changepoint. This is the monitoring primitive behind
     "did the metric shift and WHEN" — one step up from dq_psi_drift's
-    fixed-half comparison.
+    fixed-half comparison, and the MEAN-LEVEL complement of
+    events_changepoint_cusum (which peaks the cumulative deviation of
+    per-type COUNTS; binseg reports the split statistic itself plus
+    the before/after means, which is what the alerting payload needs).
 
     Determinism: daily means round to 6 dp and prefix-accumulate in
     DECIMAL (order-free), so left/right means derive from exact

@@ -145,6 +145,13 @@ CENTURY_FACTS_QUERIES = [
     # r8 (VERDICT r7 #4): century receipts for the rest of the r7
     # sketch/statistics batch — each is one hash agg + domain frames
     "agg_kmv_distinct", "agg_count_min", "agg_anova_oneway",
+    # r8 new entries over 100x facts: domain-frame stats, the
+    # distinct-value binning pattern, the per-user label window, and
+    # the degree-capped bipartite projection (orders 100x makes
+    # per-customer item sets cross the cap — the saturation case)
+    "agg_welch_ttest", "agg_benjamini_hochberg", "dq_psi_drift",
+    "fe_quantile_binning", "win_lead_label", "ts_changepoint_binseg",
+    "graph_bipartite_projection", "fe_woe_iv", "dq_null_profile",
 ]
 
 CENTURY_LINKAGE_QUERIES = [
@@ -153,6 +160,9 @@ CENTURY_LINKAGE_QUERIES = [
     # go flat once a block crosses its cap, like vec_ann_nsw's)
     "er_customer_linkage", "er_sorted_neighborhood", "er_lsh_blocking",
     "dq_k_anonymity",
+    # r8: customer-keyed additions — segment-partitioned rank windows
+    # and the all-integer Neyman allocation at 100x rows per stratum
+    "win_cume_dist", "sample_neyman",
 ]
 
 CENTURY_QUERIES = [
@@ -170,6 +180,8 @@ CENTURY_QUERIES = [
     # r8 (VERDICT r7 #4): map-only KFLC codec + stateless hashing-trick
     # featurizer — both should be ~linear in corpus bytes
     "mm_codec_lossless_audio", "fe_feature_hashing",
+    # r8: JSONL write+read is two linear passes over corpus bytes
+    "source_jsonl_roundtrip",
 ]
 
 
