@@ -2795,7 +2795,8 @@ WITH dv AS (
   FROM dv
 ), binned AS (
   SELECT value,
-    LEAST({_QBIN_K - 1}, ({_QBIN_K} * cum_before) // n) AS bin
+    CAST(LEAST({_QBIN_K - 1}, ({_QBIN_K} * cum_before) // n)
+         AS BIGINT) AS bin
   FROM pre
 )
 SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
