@@ -1422,19 +1422,51 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     completing the window-function surface (row_number/rank/ntile are
     elsewhere): within-segment balance percentile is the classic
     feature-scaling / threshold-free-cutoff shape (take the top X% of
-    each segment regardless of segment size). The (acctbal, custkey)
-    composite order is a total order, so both fractions are exact
-    rank arithmetic — deterministic across engines; 6-dp rounding
-    absorbs the one division. One shuffle on the partition key, sort
-    within partitions — the same cost class as every W-family entry."""
+    each segment regardless of segment size).
+
+    NOT computed with the built-in window over (segment): a 5-value
+    partition key means 5 single-task sorts of the whole table at
+    scale — the same hazard class the global-window lint guards, one
+    notch up from empty partitionSpec. Instead both fractions derive
+    arithmetically from the repo's distinct-value pattern
+    (agg_mann_whitney): hash-agg to the per-(segment, acctbal) frame
+    (2-dp money domain — saturating), prefix-count window over THAT
+    frame, then each row's exact position = cum_before + row_number
+    within its (segment, acctbal) tie group (high-cardinality
+    partition) ordered by custkey. With the composite total order
+    every row is its own peer group, so cume_dist = position/N and
+    percent_rank = (position-1)/(N-1) exactly — the oracle uses the
+    native window functions and the hash match proves the
+    decomposition. 100x receipt in SCALE.md."""
     c = load(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey",
+    dv = c.groupBy("c_mktsegment", "c_acctbal").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_pre = (
+        W.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_all = W.partitionBy("c_mktsegment").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    frame = dv.select(
         "c_mktsegment",
         "c_acctbal",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.coalesce(F.sum("cnt").over(w_pre), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(w_all).alias("n_seg"),
+    )
+    w_tie = W.partitionBy("c_mktsegment", "c_acctbal").orderBy("c_custkey")
+    pos = F.col("cum_before") + F.row_number().over(w_tie)
+    return (
+        c.join(frame, ["c_mktsegment", "c_acctbal"])
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.round((pos - 1) / (F.col("n_seg") - 1), 6).alias("pct_rank"),
+            F.round(pos / F.col("n_seg"), 6).alias("cume"),
+        )
     )
 
 
