@@ -3023,6 +3023,11 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ci.withColumn("rn", F.row_number().over(rn_w))
         .filter(F.col("rn") <= _BIPROJ_CAP)
         .select("cust", "item")
+        # pinned spread (SCALE.md AQE blind spot): the capped edge
+        # frame is byte-small but every row fans out to ~degree join
+        # partners — AQE's byte-based coalescing would serialize the
+        # pair stage; explicit numPartitions, same key as the join
+        .repartition(32, "cust")
     )
     a = capped.alias("a")
     b = capped.alias("b")
