@@ -775,9 +775,17 @@ def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic shuffle), so membership is reproducible across
     engines, runs, and repartitioning.
 
-    Plan: one hash agg to the 5-row strata frame, broadcast back, one
-    partitioned window — no global sort. At 100 TB the md5 rank is
-    the only per-row work and the allocation frame stays 5 rows."""
+    The per-stratum rank does NOT use a naive
+    row_number().over(partitionBy(stratum)) — 5 strata would mean 5
+    single-task whole-table sorts at scale (the low-cardinality
+    window hazard, win_dist_ranks class). Instead the md5's FIRST
+    BYTE is a 256-way bucket whose value is a PREFIX of the sort key,
+    so (bucket, md5, key) ordering equals (md5, key) ordering: count
+    per (stratum, bucket), prefix-sum over that 5x256-row frame, and
+    row_number only within the high-cardinality (stratum, bucket)
+    partition — exact global position, no fat sort task (the
+    events_rfm_segments bucket-prefix pattern). The oracle keeps the
+    native single ROW_NUMBER, proving the decomposition exact."""
     c = load(spark, sf_dir, "customer")
     bal = F.col("c_acctbal").cast("decimal(18,2)")
     s = c.groupBy("c_mktsegment").agg(
@@ -794,13 +802,31 @@ def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.expr(f"({_NEYMAN_BUDGET} * weight) div tot_w").alias("n_take"),
     )
-    rn_w = W.partitionBy("c_mktsegment").orderBy(
-        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    hashed = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.md5(F.col("c_custkey").cast("string")).alias("h"),
+    ).withColumn("bkt", F.substring("h", 1, 2))
+    bkt_counts = hashed.groupBy("c_mktsegment", "bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+    w_pre = (
+        W.partitionBy("c_mktsegment")
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = bkt_counts.select(
+        "c_mktsegment",
+        "bkt",
+        F.coalesce(F.sum("cnt").over(w_pre), F.lit(0)).alias("cum_before"),
+    )
+    w_tie = W.partitionBy("c_mktsegment", "bkt").orderBy("h", "c_custkey")
     return (
-        c.join(F.broadcast(alloc), "c_mktsegment")
-        .withColumn("rn", F.row_number().over(rn_w))
-        .filter(F.col("rn") <= F.col("n_take"))
+        hashed.join(F.broadcast(offsets), ["c_mktsegment", "bkt"])
+        .withColumn("pos", F.col("cum_before") + F.row_number().over(w_tie))
+        .join(F.broadcast(alloc), "c_mktsegment")
+        .filter(F.col("pos") <= F.col("n_take"))
         .select(
             "c_custkey",
             "c_mktsegment",

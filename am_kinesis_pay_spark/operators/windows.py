@@ -392,14 +392,56 @@ def win_ntile_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[DRV] ntile bucketing: balance quartiles within each market
     segment (the cohort-assignment shape for stratified sampling of
     training data). Total ordering via the (acctbal, custkey)
-    tie-break keeps bucket edges deterministic across engines."""
+    tie-break keeps bucket edges deterministic across engines.
+
+    REWRITTEN r8 off the naive `ntile(4).over(partitionBy(segment))`:
+    a 5-value partition key is 5 single-task whole-table sorts at
+    scale. Each row's exact position comes from the distinct-value
+    decomposition (win_dist_ranks), and NTILE's exact bucket law is
+    then pure integer arithmetic — with q = n div k and r = n mod k,
+    the first r buckets hold q+1 rows: bucket = ceil(pos/(q+1)) while
+    pos <= r*(q+1), else r + ceil((pos - r*(q+1))/q). The oracle
+    keeps the NATIVE ntile(), so the hash match proves the arithmetic
+    reproduces Spark's and DuckDB's shared NTILE semantics exactly
+    (including the unequal-bucket remainder rule)."""
     c = load(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    k = 4
+    dv = c.groupBy("c_mktsegment", "c_acctbal").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_pre = (
+        W.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_all = W.partitionBy("c_mktsegment").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    frame = dv.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.coalesce(F.sum("cnt").over(w_pre), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(w_all).alias("n_seg"),
+    )
+    w_tie = W.partitionBy("c_mktsegment", "c_acctbal").orderBy("c_custkey")
+    positioned = (
+        c.join(frame, ["c_mktsegment", "c_acctbal"])
+        .withColumn(
+            "pos", F.col("cum_before") + F.row_number().over(w_tie)
+        )
+        .withColumn("q", F.expr(f"n_seg div {k}"))
+        .withColumn("r", F.col("n_seg") % k)
+    )
+    # ceil(a/b) written as (a + b - 1) div b: BIGINT-exact throughout
+    bucket = F.when(
+        F.col("pos") <= F.col("r") * (F.col("q") + 1),
+        F.expr("(pos + q) div (q + 1)"),
+    ).otherwise(F.expr("r + (pos - r * (q + 1) + q - 1) div q"))
+    return positioned.select(
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
-        F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
+        bucket.cast("bigint").alias("balance_quartile"),
     )
 
 
@@ -417,16 +459,50 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 def win_dist_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributional ranks (percent_rank / cume_dist) per segment —
     the remaining members of the ranking-function family beyond
-    rank/dense_rank/ntile. Deterministic total order via the
-    (acctbal, custkey) tie-break; one window shuffle on the segment
-    key, identical formula both engines so the doubles hash-match
-    after a 9-dp round."""
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return load(spark, sf_dir, "customer").select(
-        "c_custkey",
+    rank/dense_rank/ntile.
+
+    REWRITTEN r8 off the naive `over(partitionBy(segment))` form: a
+    5-value partition key is 5 single-task sorts of the whole table —
+    the low-cardinality cousin of the global-window hazard the plan
+    lint guards (measured on the same shape: 0.39 s -> 2.99 s for
+    100x rows, a line that dies at the next decade). Both fractions
+    now derive from the distinct-value pattern: hash-agg to the
+    per-(segment, acctbal) frame (2-dp money domain — saturating),
+    prefix-count window over THAT frame, then each row's exact
+    position = cum_before + row_number within its tie group
+    (high-cardinality (segment, acctbal) partition). With the
+    composite total order every row is its own peer group, so
+    cume_dist = position/N and percent_rank = (position-1)/(N-1)
+    exactly — the oracle keeps the NATIVE window functions, so the
+    hash match proves the decomposition. 100x receipt in SCALE.md."""
+    c = load(spark, sf_dir, "customer")
+    dv = c.groupBy("c_mktsegment", "c_acctbal").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_pre = (
+        W.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_all = W.partitionBy("c_mktsegment").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    frame = dv.select(
         "c_mktsegment",
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("cum_dist"),
+        "c_acctbal",
+        F.coalesce(F.sum("cnt").over(w_pre), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(w_all).alias("n_seg"),
+    )
+    w_tie = W.partitionBy("c_mktsegment", "c_acctbal").orderBy("c_custkey")
+    pos = F.col("cum_before") + F.row_number().over(w_tie)
+    return (
+        c.join(frame, ["c_mktsegment", "c_acctbal"])
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round((pos - 1) / (F.col("n_seg") - 1), 9).alias("pct_rank"),
+            F.round(pos / F.col("n_seg"), 9).alias("cum_dist"),
+        )
     )
 
 
@@ -1403,70 +1479,6 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("peak").cast("double").alias("peak_balance"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-    )
-
-
-@register(
-    "win_cume_dist",
-    oracle="""
-SELECT c_custkey, c_mktsegment, c_acctbal,
-  round(percent_rank() OVER w, 6) AS pct_rank,
-  round(cume_dist() OVER w, 6) AS cume
-FROM customer
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
-""",
-    tags=("window",),
-)
-def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank / cume_dist — the relative-position ranking pair
-    completing the window-function surface (row_number/rank/ntile are
-    elsewhere): within-segment balance percentile is the classic
-    feature-scaling / threshold-free-cutoff shape (take the top X% of
-    each segment regardless of segment size).
-
-    NOT computed with the built-in window over (segment): a 5-value
-    partition key means 5 single-task sorts of the whole table at
-    scale — the same hazard class the global-window lint guards, one
-    notch up from empty partitionSpec. Instead both fractions derive
-    arithmetically from the repo's distinct-value pattern
-    (agg_mann_whitney): hash-agg to the per-(segment, acctbal) frame
-    (2-dp money domain — saturating), prefix-count window over THAT
-    frame, then each row's exact position = cum_before + row_number
-    within its (segment, acctbal) tie group (high-cardinality
-    partition) ordered by custkey. With the composite total order
-    every row is its own peer group, so cume_dist = position/N and
-    percent_rank = (position-1)/(N-1) exactly — the oracle uses the
-    native window functions and the hash match proves the
-    decomposition. 100x receipt in SCALE.md."""
-    c = load(spark, sf_dir, "customer")
-    dv = c.groupBy("c_mktsegment", "c_acctbal").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    w_pre = (
-        W.partitionBy("c_mktsegment")
-        .orderBy("c_acctbal")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    w_all = W.partitionBy("c_mktsegment").rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    frame = dv.select(
-        "c_mktsegment",
-        "c_acctbal",
-        F.coalesce(F.sum("cnt").over(w_pre), F.lit(0)).alias("cum_before"),
-        F.sum("cnt").over(w_all).alias("n_seg"),
-    )
-    w_tie = W.partitionBy("c_mktsegment", "c_acctbal").orderBy("c_custkey")
-    pos = F.col("cum_before") + F.row_number().over(w_tie)
-    return (
-        c.join(frame, ["c_mktsegment", "c_acctbal"])
-        .select(
-            "c_custkey",
-            "c_mktsegment",
-            "c_acctbal",
-            F.round((pos - 1) / (F.col("n_seg") - 1), 6).alias("pct_rank"),
-            F.round(pos / F.col("n_seg"), 6).alias("cume"),
-        )
     )
 
 

@@ -51,10 +51,18 @@ _EXPLAINED = {
         "audit — one broadcast join + one hash agg over events on top "
         "of the bare sketch; the delta is the audit's documented cost"
     ),
-    "win_cume_dist": (
+    "win_dist_ranks": (
         "r8 SCALE.md: rewritten off the 5-partition whole-table sort "
-        "onto the distinct-value frame + tie row_number; ~4x local "
+        "onto the distinct-value frame + tie row_number; higher local "
         "constant for a saturating-domain plan (the rfm trade)"
+    ),
+    "win_ntile_quartile": (
+        "r8 SCALE.md: same low-cardinality-window rewrite as "
+        "win_dist_ranks (NTILE law in BIGINT arithmetic)"
+    ),
+    "sample_neyman": (
+        "r8 SCALE.md: md5-bucket prefix rank replaced the 5-stratum "
+        "whole-table sort window"
     ),
 }
 

@@ -160,9 +160,9 @@ CENTURY_LINKAGE_QUERIES = [
     # go flat once a block crosses its cap, like vec_ann_nsw's)
     "er_customer_linkage", "er_sorted_neighborhood", "er_lsh_blocking",
     "dq_k_anonymity",
-    # r8: customer-keyed additions — segment-partitioned rank windows
-    # and the all-integer Neyman allocation at 100x rows per stratum
-    "win_cume_dist", "sample_neyman",
+    # r8: customer-keyed entries — distributional ranks / NTILE /
+    # Neyman selection after the low-cardinality-window rewrites
+    "win_dist_ranks", "win_ntile_quartile", "sample_neyman",
 ]
 
 CENTURY_QUERIES = [
