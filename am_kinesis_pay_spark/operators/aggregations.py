@@ -2483,115 +2483,6 @@ def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_welch_ttest",
-    oracle="""
-WITH g AS (
-  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-    SUM(CAST(value AS DECIMAL(18,2))) AS s,
-    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS ss
-  FROM events
-  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
-  GROUP BY event_type
-), m AS (
-  SELECT
-    MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
-    MAX(CASE WHEN event_type = 'purchase' THEN CAST(s AS DOUBLE) END) AS s1,
-    MAX(CASE WHEN event_type = 'purchase' THEN CAST(ss AS DOUBLE) END) AS ss1,
-    MAX(CASE WHEN event_type = 'click' THEN n END) AS n2,
-    MAX(CASE WHEN event_type = 'click' THEN CAST(s AS DOUBLE) END) AS s2,
-    MAX(CASE WHEN event_type = 'click' THEN CAST(ss AS DOUBLE) END) AS ss2
-  FROM g
-), v AS (
-  SELECT n1, n2,
-    (ss1 - s1 * s1 / n1) / (n1 - 1) / n1 AS se1,
-    (ss2 - s2 * s2 / n2) / (n2 - 1) / n2 AS se2,
-    s1 / n1 - s2 / n2 AS mean_diff
-  FROM m
-)
-SELECT n1, n2, round(mean_diff, 6) AS mean_diff,
-  round(mean_diff / sqrt(se1 + se2), 6) AS t_stat,
-  round((se1 + se2) * (se1 + se2)
-        / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6) AS welch_df,
-  abs(mean_diff / sqrt(se1 + se2)) > 1.96 AS significant
-FROM v
-""",
-    tags=("agg", "stats", "experiment"),
-)
-def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Welch's unequal-variance two-sample t-test (purchase vs click
-    value), completing the A/B family: Mann-Whitney tests location,
-    KS shape, chi-square independence, ANOVA K means, SPRT sequential
-    — Welch is THE default two-mean test (never pooled-variance
-    Student: Welch dominates under unequal n/sigma, Ruxton 2006).
-    t = (m1-m2)/sqrt(v1/n1+v2/n2); df via Welch-Satterthwaite.
-
-    Float determinism: both engines compute the moments as EXACT
-    DECIMAL sums (value is 2-dp money, squared terms 4-dp) and only
-    then cast to double, so the downstream t/df arithmetic is the
-    same IEEE expression tree on identical inputs; results rounded to
-    6 dp per the repo convention. Plan: one hash agg over two event
-    types -> 2-row frame -> arithmetic; at 100 TB this is a map-side
-    partial agg and a 2-row reduce, nothing else (century receipt
-    class: agg_anova_oneway, 1.3x at 100x)."""
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "click")
-        & F.col("value").isNotNull()
-    )
-    dec = F.col("value").cast("decimal(18,2)")
-    g = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(dec).alias("s"),
-        F.sum(dec * dec).alias("ss"),
-    )
-
-    def pick(col: str, et: str):
-        return F.max(F.when(F.col("event_type") == et, F.col(col)))
-
-    m = g.agg(
-        pick("n", "purchase").alias("n1"),
-        pick("s", "purchase").cast("double").alias("s1"),
-        pick("ss", "purchase").cast("double").alias("ss1"),
-        pick("n", "click").alias("n2"),
-        pick("s", "click").cast("double").alias("s2"),
-        pick("ss", "click").cast("double").alias("ss2"),
-    )
-    se1 = (
-        (F.col("ss1") - F.col("s1") * F.col("s1") / F.col("n1"))
-        / (F.col("n1") - 1)
-        / F.col("n1")
-    )
-    se2 = (
-        (F.col("ss2") - F.col("s2") * F.col("s2") / F.col("n2"))
-        / (F.col("n2") - 1)
-        / F.col("n2")
-    )
-    mean_diff = F.col("s1") / F.col("n1") - F.col("s2") / F.col("n2")
-    v = m.select(
-        "n1",
-        "n2",
-        se1.alias("se1"),
-        se2.alias("se2"),
-        mean_diff.alias("mean_diff"),
-    )
-    t = F.col("mean_diff") / F.sqrt(F.col("se1") + F.col("se2"))
-    return v.select(
-        "n1",
-        "n2",
-        F.round("mean_diff", 6).alias("mean_diff"),
-        F.round(t, 6).alias("t_stat"),
-        F.round(
-            (F.col("se1") + F.col("se2")) * (F.col("se1") + F.col("se2"))
-            / (
-                F.col("se1") * F.col("se1") / (F.col("n1") - 1)
-                + F.col("se2") * F.col("se2") / (F.col("n2") - 1)
-            ),
-            6,
-        ).alias("welch_df"),
-        (F.abs(t) > 1.96).alias("significant"),
-    )
-
-
-@register(
     "dq_psi_drift",
     oracle="""
 WITH b AS (

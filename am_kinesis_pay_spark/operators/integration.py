@@ -2814,6 +2814,13 @@ def fe_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (integer floor division in both engines — a double
     division could round across the bucket edge).
 
+    vs agg_histogram_equidepth: that one assigns rows against
+    INTERPOLATED quartile value boundaries (two-pass histogram,
+    sketch-swappable); this one is RANK-exact — bucket edges are row
+    counts, not values, so bins are equal-depth to the tie run even
+    where the value distribution is lumpy (what a WoE scorecard or
+    tree-histogram discretizer actually needs).
+
     THE SCALE PATTERN (same class as agg_mann_whitney): the prefix
     window runs over the DISTINCT-VALUE frame — value is 2-dp money,
     a saturating domain (13k distinct under 40k rows at sf0.1; still

@@ -34,26 +34,28 @@ def test_benjamini_hochberg_rejects_a_prefix(spark):
 
 
 def test_welch_matches_numpy(spark, ducks):
-    """t and df recomputed independently (numpy float64 over the raw
-    columns, textbook formulas) must agree to the 6-dp rounding."""
+    """agg_ab_ttest's t and Welch dof recomputed independently (numpy
+    float64 over the raw columns, textbook formulas) must agree to the
+    6-dp rounding — the existing Welch entry gains the same
+    independent-recomputation pin the rest of the r8 stats batch has."""
     import numpy as np
 
-    out = queries()["agg_welch_ttest"](spark, SF_DIR).collect()[0]
+    out = queries()["agg_ab_ttest"](spark, SF_DIR).collect()[0]
     v1 = np.array(
         [
-            r[0]
+            round(r[0], 3)
             for r in ducks.execute(
                 "SELECT value FROM events WHERE event_type='purchase'"
-                " AND value IS NOT NULL"
+                " AND user_id % 2 = 0"
             ).fetchall()
         ]
     )
     v2 = np.array(
         [
-            r[0]
+            round(r[0], 3)
             for r in ducks.execute(
-                "SELECT value FROM events WHERE event_type='click'"
-                " AND value IS NOT NULL"
+                "SELECT value FROM events WHERE event_type='purchase'"
+                " AND user_id % 2 <> 0"
             ).fetchall()
         ]
     )
@@ -61,10 +63,9 @@ def test_welch_matches_numpy(spark, ducks):
     se2 = v2.var(ddof=1) / len(v2)
     t = (v1.mean() - v2.mean()) / math.sqrt(se1 + se2)
     df = (se1 + se2) ** 2 / (se1**2 / (len(v1) - 1) + se2**2 / (len(v2) - 1))
-    assert out.n1 == len(v1) and out.n2 == len(v2)
+    assert out.n_a == len(v1) and out.n_b == len(v2)
     assert abs(out.t_stat - t) < 1e-4, (out.t_stat, t)
-    assert abs(out.welch_df - df) < 1e-3, (out.welch_df, df)
-    assert out.significant == (abs(t) > 1.96)
+    assert abs(out.welch_dof - df) < 1e-3, (out.welch_dof, df)
 
 
 def test_quantile_binning_structure(spark):

@@ -149,7 +149,7 @@ CENTURY_FACTS_QUERIES = [
     # distinct-value binning pattern, the per-user label window, and
     # the degree-capped bipartite projection (orders 100x makes
     # per-customer item sets cross the cap — the saturation case)
-    "agg_welch_ttest", "agg_benjamini_hochberg", "dq_psi_drift",
+    "agg_benjamini_hochberg", "dq_psi_drift",
     "fe_quantile_binning", "win_lead_label", "ts_changepoint_binseg",
     "graph_bipartite_projection", "fe_woe_iv", "dq_null_profile",
 ]
