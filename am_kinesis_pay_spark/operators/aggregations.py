@@ -2734,3 +2734,466 @@ def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rejected"
         ),
     )
+
+
+_Z_95 = 1.959964  # two-sided 95% normal quantile, 6 dp
+
+
+@register(
+    "agg_delta_method_ci",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 = 0 AS grp_a,
+    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        THEN CAST(round(value, 3) AS DECIMAL(18,3)) END), 0)
+      AS DECIMAL(18,3)) AS x,
+    CAST(COUNT(*) AS DECIMAL(18,3)) AS y
+  FROM events GROUP BY user_id
+), arm AS (
+  SELECT grp_a,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+    CAST(SUM(y * y) AS DOUBLE) AS syy,
+    CAST(SUM(x * y) AS DOUBLE) AS sxy
+  FROM per_user GROUP BY grp_a
+), m AS (
+  SELECT grp_a, n, sx / sy AS ratio, sy / n AS mean_y,
+    (sxx - sx * sx / n) / (n - 1) AS var_x,
+    (syy - sy * sy / n) / (n - 1) AS var_y,
+    (sxy - sx * sy / n) / (n - 1) AS cov_xy
+  FROM arm
+), se AS (
+  SELECT grp_a, n, ratio,
+    sqrt((var_x - 2 * ratio * cov_xy + ratio * ratio * var_y) / n)
+      / mean_y AS se_ratio
+  FROM m
+)
+SELECT CASE WHEN grp_a THEN 'A' ELSE 'B' END AS arm, n,
+  round(ratio, 6) AS ratio, round(se_ratio, 6) AS se_ratio,
+  round(ratio - {_Z_95} * se_ratio, 6) AS ci_lo,
+  round(ratio + {_Z_95} * se_ratio, 6) AS ci_hi
+FROM se
+""",
+    tags=("agg", "stats"),
+)
+def agg_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue
+    per event, the experimentation-platform staple where the unit of
+    randomization — the user — is not the unit of analysis — the
+    event; Deng et al. 2017 "Trustworthy online controlled
+    experiments"): a naive per-event t-test is wrong because events
+    within a user are correlated, so the variance must come from the
+    per-user (x, y) = (revenue, events) pairs via the first-order
+    Taylor expansion Var(X̄/Ȳ) ≈ (σ²_x − 2R·σ_xy + R²·σ²_y)/(n·ȳ²).
+    Completes the experimentation family next to agg_ab_ttest (mean
+    metrics), agg_cuped_adjusted (variance reduction) and
+    agg_sprt_sequential (sequential stopping).
+
+    Plan shape: one hash aggregation events → per-user (x, y) pairs
+    (shuffle on user_id, map-side combined), then one 2-row arm
+    aggregation — at 100 TB this is exactly the grouped form an
+    experiments × metrics grid needs (add experiment_id/metric to both
+    GROUP BYs; the arithmetic is unchanged). Float discipline: per-row
+    values round to 3 dp into DECIMAL(18,3); per-user x, y and their
+    pairwise products stay DECIMAL through both aggregations (exact,
+    order-independent), casting to DOUBLE only on the 2-row frame
+    where mean/variance/covariance/SE run the IDENTICAL expression
+    tree on both engines, then round to 6 dp."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round("value", 3).cast("decimal(18,3)"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(18,3)")
+        .alias("x"),
+        F.count(F.lit(1)).cast("decimal(18,3)").alias("y"),
+    )
+    per_user = per_user.select(
+        (F.col("user_id") % 2 == 0).alias("grp_a"), "x", "y"
+    )
+    arm = per_user.groupBy("grp_a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    ratio = F.col("sx") / F.col("sy")
+    mean_y = F.col("sy") / n
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    cov_xy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    m = arm.select(
+        "grp_a",
+        "n",
+        ratio.alias("ratio"),
+        mean_y.alias("mean_y"),
+        var_x.alias("var_x"),
+        var_y.alias("var_y"),
+        cov_xy.alias("cov_xy"),
+    )
+    se_ratio = (
+        F.sqrt(
+            (
+                F.col("var_x")
+                - 2 * F.col("ratio") * F.col("cov_xy")
+                + F.col("ratio") * F.col("ratio") * F.col("var_y")
+            )
+            / F.col("n")
+        )
+        / F.col("mean_y")
+    )
+    se = m.select("grp_a", "n", "ratio", se_ratio.alias("se_ratio"))
+    return se.select(
+        F.when(F.col("grp_a"), "A").otherwise("B").alias("arm"),
+        "n",
+        F.round("ratio", 6).alias("ratio"),
+        F.round("se_ratio", 6).alias("se_ratio"),
+        F.round(F.col("ratio") - _Z_95 * F.col("se_ratio"), 6).alias("ci_lo"),
+        F.round(F.col("ratio") + _Z_95 * F.col("se_ratio"), 6).alias("ci_hi"),
+    )
+
+
+_THETA_K = 64  # per-cohort sketch size, matches _KMV_K conventions
+
+
+@register(
+    "agg_theta_setops",
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT event_type AS cohort,
+    CAST(date_trunc('day', ts) AS DATE) AS day,
+    md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE event_type IN ('click', 'purchase')
+), partials AS (
+  SELECT cohort, h FROM (
+    SELECT cohort, h,
+      ROW_NUMBER() OVER (PARTITION BY cohort, day ORDER BY h) AS rn
+    FROM pairs
+  ) WHERE rn <= {_THETA_K}
+), merged AS (
+  SELECT DISTINCT cohort, h FROM partials
+), sk AS (
+  SELECT cohort, h, rn FROM (
+    SELECT cohort, h,
+      ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY h) AS rn
+    FROM merged
+  ) WHERE rn <= {_THETA_K}
+), stats AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+    MAX(CASE WHEN rn = {_THETA_K}
+        THEN CAST(('0x' || substr(h, 1, 15)) AS BIGINT)
+             / 1152921504606846976.0 END) AS vk
+  FROM sk GROUP BY cohort
+), st1 AS (
+  SELECT
+    MAX(CASE WHEN cohort = 'click' THEN n_sketch END) AS n_a,
+    MAX(CASE WHEN cohort = 'purchase' THEN n_sketch END) AS n_b,
+    MAX(CASE WHEN cohort = 'click' THEN
+      CASE WHEN n_sketch < {_THETA_K} THEN 1.0 ELSE vk END END) AS theta_a,
+    MAX(CASE WHEN cohort = 'purchase' THEN
+      CASE WHEN n_sketch < {_THETA_K} THEN 1.0 ELSE vk END END) AS theta_b,
+    MAX(CASE WHEN cohort = 'click' THEN
+      CASE WHEN n_sketch < {_THETA_K} THEN CAST(n_sketch AS DOUBLE)
+           ELSE ({_THETA_K} - 1) / vk END END) AS est_a,
+    MAX(CASE WHEN cohort = 'purchase' THEN
+      CASE WHEN n_sketch < {_THETA_K} THEN CAST(n_sketch AS DOUBLE)
+           ELSE ({_THETA_K} - 1) / vk END END) AS est_b
+  FROM stats
+), valid AS (
+  SELECT s.cohort, s.h
+  FROM sk s JOIN stats t USING (cohort)
+  WHERE s.rn < {_THETA_K} OR t.n_sketch < {_THETA_K}
+), common AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM (SELECT h FROM valid WHERE cohort = 'click') a
+  JOIN (SELECT h FROM valid WHERE cohort = 'purchase') b USING (h)
+), users AS (
+  SELECT h,
+    MAX(CASE WHEN cohort = 'click' THEN 1 ELSE 0 END) AS in_a,
+    MAX(CASE WHEN cohort = 'purchase' THEN 1 ELSE 0 END) AS in_b
+  FROM (SELECT DISTINCT cohort, h FROM pairs) GROUP BY h
+), exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS exact_intersect
+  FROM users
+)
+SELECT
+  round(est_a, 6) AS est_click,
+  round(est_b, 6) AS est_purchase,
+  round(n_common / LEAST(theta_a, theta_b), 6) AS est_intersect,
+  round(est_a + est_b - n_common / LEAST(theta_a, theta_b), 6) AS est_union,
+  exact_intersect, exact_union,
+  abs(est_a + est_b - n_common / LEAST(theta_a, theta_b) - exact_union)
+    / exact_union <= 3.0 / sqrt({_THETA_K} - 2.0) AS within_tol_union
+FROM st1, common, exact
+""",
+    tags=("agg", "sketch"),
+)
+def agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA (Dasgupta et al. 2016, "Theta-sketch
+    framework" — the Apache DataSketches set-operation core) over the
+    KMV sketches agg_kmv_distinct introduced: per-cohort K-minimum
+    sketches of the click and purchase user populations, then
+    intersection (entries common to both sketches below
+    theta = min(theta_a, theta_b), estimate |sample|/theta) and union
+    by inclusion-exclusion — the sketch answer to "how many users
+    clicked AND purchased?" that never materializes either population.
+    Like KMV, the md5 hash makes every estimate a pure deterministic
+    function of the data, so the ORACLE CHECKS THE ESTIMATES
+    THEMSELVES — the property HLL set operations can never offer.
+
+    The theta identity that removes all runtime-threshold logic:
+    h < theta_c ⇔ rn_c < K (the Kth smallest IS theta), or the whole
+    sketch when it is not full (theta = 1) — so "common below theta"
+    is a plain equi-join of the two ≤K-row sketches, no comparison
+    against a computed threshold row. Plan shape: one distinct scan to
+    (cohort, day, h); per-(cohort, day) partial top-K windows
+    (day-sized partitions); kilobyte-sized merge + two ≤K-row sketch
+    frames; the exact audit is one more hash agg over the distinct
+    frame. The only cross joins combine 1-row aggregate frames (est /
+    n_common / exact) — O(1)-row broadcasts on the reviewed NLJ
+    allowlist. At 100 TB cohort sketches build in one pass and set
+    operations cost kilobytes — the pre-aggregated-audience-overlap
+    pattern. Float discipline: theta derives from the first 15 hex
+    chars as in agg_kmv_distinct; estimates round to 6 dp; the union
+    estimate carries a 3-sigma within_tol audit vs the exact union."""
+    K = _THETA_K
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pairs = ev.select(
+        F.col("event_type").alias("cohort"),
+        F.to_date("ts").alias("day"),
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w_day = W.partitionBy("cohort", "day").orderBy("h")
+    partials = (
+        pairs.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") <= K)
+        .select("cohort", "h")
+    )
+    merged = partials.distinct()
+    w_c = W.partitionBy("cohort").orderBy("h")
+    sk = merged.withColumn("rn", F.row_number().over(w_c)).filter(
+        F.col("rn") <= K
+    )
+    frac = F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint") / F.lit(
+        float(1 << 60)
+    )
+    stats = sk.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+        F.max(F.when(F.col("rn") == K, frac)).alias("vk"),
+    )
+    theta_c = F.when(F.col("n_sketch") < K, F.lit(1.0)).otherwise(F.col("vk"))
+    est_c = F.when(
+        F.col("n_sketch") < K, F.col("n_sketch").cast("double")
+    ).otherwise((K - 1) / F.col("vk"))
+    st1 = stats.agg(
+        F.max(F.when(F.col("cohort") == "click", theta_c)).alias("theta_a"),
+        F.max(F.when(F.col("cohort") == "purchase", theta_c)).alias(
+            "theta_b"
+        ),
+        F.max(F.when(F.col("cohort") == "click", est_c)).alias("est_a"),
+        F.max(F.when(F.col("cohort") == "purchase", est_c)).alias("est_b"),
+    )
+    valid = sk.join(
+        stats.select("cohort", "n_sketch"), "cohort"
+    ).filter((F.col("rn") < K) | (F.col("n_sketch") < K))
+    common = (
+        valid.filter(F.col("cohort") == "click")
+        .select("h")
+        .join(valid.filter(F.col("cohort") == "purchase").select("h"), "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    users = (
+        pairs.select("cohort", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(
+            F.max(
+                F.when(F.col("cohort") == "click", 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("cohort") == "purchase", 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    exact = users.agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("exact_intersect"),
+    )
+    theta = F.least(F.col("theta_a"), F.col("theta_b"))
+    est_i = F.col("n_common") / theta
+    est_u = F.col("est_a") + F.col("est_b") - est_i
+    return (
+        st1.crossJoin(common)
+        .crossJoin(exact)
+        .select(
+            F.round("est_a", 6).alias("est_click"),
+            F.round("est_b", 6).alias("est_purchase"),
+            F.round(est_i, 6).alias("est_intersect"),
+            F.round(est_u, 6).alias("est_union"),
+            "exact_intersect",
+            "exact_union",
+            (
+                F.abs(est_u - F.col("exact_union")) / F.col("exact_union")
+                <= 3.0 / float((K - 2) ** 0.5)
+            ).alias("within_tol_union"),
+        )
+    )
+
+
+@register(
+    "agg_ols_multifeature",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS DOUBLE) AS a,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS b,
+    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS c,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS d,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS e,
+    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS f,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS r0,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS r1,
+    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS r2,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+), solved AS (
+  SELECT l_returnflag, a AS n, r0, r1, r2, syy,
+    a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c) AS det,
+    r0 * (d * f - e * e) - b * (r1 * f - e * r2) + c * (r1 * e - d * r2)
+      AS det0,
+    a * (r1 * f - e * r2) - r0 * (b * f - e * c) + c * (b * r2 - r1 * c)
+      AS det1,
+    a * (d * r2 - r1 * e) - b * (b * r2 - r1 * c) + r0 * (b * e - d * c)
+      AS det2
+  FROM s
+), coef AS (
+  SELECT l_returnflag, n, r0, r1, r2, syy,
+    det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+  FROM solved
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  round(b0, 6) AS intercept,
+  round(b1, 6) AS coef_quantity,
+  round(b2, 6) AS coef_discount,
+  round(1 - (syy - b0 * r0 - b1 * r1 - b2 * r2)
+          / (syy - r0 * r0 / n), 6) AS r2
+FROM coef
+""",
+    tags=("agg", "stats"),
+)
+def agg_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression by NORMAL EQUATIONS — the
+    distributed-OLS pattern (price ~ quantity + discount per return
+    flag): ONE grouped scan accumulates the Gram matrix XᵀX and XᵀY as
+    nine sufficient-statistic sums, then the 3×3 system solves in
+    closed form (Cramer's rule) on the group-count-sized frame.
+    Extends agg_ols_trend (single-feature regr_slope) to the
+    multi-feature case no built-in aggregate covers, without MLlib,
+    without an iterative pass — the textbook "sufficient statistics
+    beat gradient descent when p is small" design (p features cost
+    O(p²) aggregate columns and an O(p³) driver-free solve per group).
+
+    Plan shape: exactly one hash aggregation with map-side combine
+    (shuffle on l_returnflag, 3 groups); the solve is pure projection
+    arithmetic on the 3-row frame. At 100 TB this is the canonical
+    grouped-regression shape — millions of groups work identically
+    because nothing downstream of the aggregate depends on row count.
+    Float discipline: every sum accumulates DECIMAL products of 2-dp
+    DECIMAL casts (exact, order-independent — the property that makes
+    the Cramer determinants reproducible cross-engine); the 3-row
+    solve runs in DOUBLE with the IDENTICAL expression tree on both
+    engines, then rounds to 6 dp. R² audits fit quality inline
+    (SSE = Syy − bᵀXᵀY, SST = Syy − (ΣY)²/n)."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    dis = F.col("l_discount").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("a"),
+        F.sum(q).cast("double").alias("b"),
+        F.sum(dis).cast("double").alias("c"),
+        F.sum(q * q).cast("double").alias("d"),
+        F.sum(q * dis).cast("double").alias("e"),
+        F.sum(dis * dis).cast("double").alias("f"),
+        F.sum(y).cast("double").alias("r0"),
+        F.sum(q * y).cast("double").alias("r1"),
+        F.sum(dis * y).cast("double").alias("r2"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    d, e, f = F.col("d"), F.col("e"), F.col("f")
+    r0, r1, r2 = F.col("r0"), F.col("r1"), F.col("r2")
+    solved = s.select(
+        "l_returnflag",
+        a.alias("n"),
+        "r0",
+        "r1",
+        "r2",
+        "syy",
+        (a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c))
+        .alias("det"),
+        (
+            r0 * (d * f - e * e)
+            - b * (r1 * f - e * r2)
+            + c * (r1 * e - d * r2)
+        ).alias("det0"),
+        (
+            a * (r1 * f - e * r2)
+            - r0 * (b * f - e * c)
+            + c * (b * r2 - r1 * c)
+        ).alias("det1"),
+        (
+            a * (d * r2 - r1 * e)
+            - b * (b * r2 - r1 * c)
+            + r0 * (b * e - d * c)
+        ).alias("det2"),
+    )
+    coef = solved.select(
+        "l_returnflag",
+        "n",
+        "r0",
+        "r1",
+        "r2",
+        "syy",
+        (F.col("det0") / F.col("det")).alias("b0"),
+        (F.col("det1") / F.col("det")).alias("b1"),
+        (F.col("det2") / F.col("det")).alias("b2"),
+    )
+    n = F.col("n")
+    sse = (
+        F.col("syy")
+        - F.col("b0") * F.col("r0")
+        - F.col("b1") * F.col("r1")
+        - F.col("b2") * F.col("r2")
+    )
+    sst = F.col("syy") - F.col("r0") * F.col("r0") / n
+    return coef.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round("b0", 6).alias("intercept"),
+        F.round("b1", 6).alias("coef_quantity"),
+        F.round("b2", 6).alias("coef_discount"),
+        F.round(1 - sse / sst, 6).alias("r2"),
+    )

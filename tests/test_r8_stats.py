@@ -149,3 +149,92 @@ def test_neyman_allocation_feasible(spark):
         assert {(seg, k) for k in want} == {
             c for c in chosen if c[0] == seg
         }
+
+
+def test_delta_method_matches_numpy(spark, ducks):
+    """agg_delta_method_ci recomputed independently: per-user (x, y)
+    pairs pulled raw from DuckDB, ratio/SE via the textbook delta
+    formula in numpy float64 — must agree to the 6-dp rounding, and
+    the CI must be exactly ratio ± z * se."""
+    import numpy as np
+
+    rows = {r.arm: r for r in
+            queries()["agg_delta_method_ci"](spark, SF_DIR).collect()}
+    assert set(rows) == {"A", "B"}
+    per_user = ducks.execute(
+        "SELECT user_id % 2 = 0 AS grp_a,"
+        " COALESCE(SUM(CASE WHEN event_type='purchase'"
+        "   THEN round(value, 3) END), 0) AS x,"
+        " COUNT(*) AS y FROM events GROUP BY user_id"
+    ).fetchall()
+    for arm, want_a in (("A", True), ("B", False)):
+        x = np.array([float(r[1]) for r in per_user if r[0] == want_a])
+        y = np.array([float(r[2]) for r in per_user if r[0] == want_a])
+        n = len(x)
+        ratio = x.sum() / y.sum()
+        var_x, var_y = x.var(ddof=1), y.var(ddof=1)
+        cov = np.cov(x, y, ddof=1)[0, 1]
+        se = math.sqrt(
+            (var_x - 2 * ratio * cov + ratio * ratio * var_y) / n
+        ) / y.mean()
+        got = rows[arm]
+        assert got.n == n
+        assert abs(got.ratio - ratio) < 2e-6, (arm, got.ratio, ratio)
+        assert abs(got.se_ratio - se) < 2e-6, (arm, got.se_ratio, se)
+        assert abs(got.ci_lo - (got.ratio - 1.959964 * got.se_ratio)) < 2e-6
+        assert abs(got.ci_hi - (got.ratio + 1.959964 * got.se_ratio)) < 2e-6
+
+
+def test_ols_multifeature_matches_numpy(spark, ducks):
+    """agg_ols_multifeature's Cramer-rule coefficients recomputed with
+    numpy's linear solver over the same normal equations, and with
+    np.linalg.lstsq over the RAW design matrix — both must agree to
+    the 6-dp rounding (the system is well-conditioned: quantity and
+    discount are uncorrelated by construction)."""
+    import numpy as np
+
+    rows = queries()["agg_ols_multifeature"](spark, SF_DIR).collect()
+    assert len(rows) == 3  # l_returnflag in {A, N, R}
+    for r in rows:
+        raw = ducks.execute(
+            "SELECT l_quantity, l_discount, l_extendedprice FROM lineitem"
+            " WHERE l_returnflag = ?", [r.l_returnflag]
+        ).fetchall()
+        X = np.array([[1.0, float(a), float(b)] for a, b, _ in raw])
+        yv = np.array([float(c) for _, _, c in raw])
+        beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+        assert r.n == len(raw)
+        assert abs(r.intercept - beta[0]) < 1e-4, (r, beta)
+        assert abs(r.coef_quantity - beta[1]) < 1e-5, (r, beta)
+        assert abs(r.coef_discount - beta[2]) < 1e-3, (r, beta)
+        resid = yv - X @ beta
+        sst = ((yv - yv.mean()) ** 2).sum()
+        assert abs(r.r2 - (1 - (resid ** 2).sum() / sst)) < 1e-5
+        assert 0.0 <= r.r2 <= 1.0
+
+
+def test_theta_setops_estimator_laws(spark, ducks):
+    """The theta-sketch set-algebra invariants hash equality cannot
+    state: inclusion-exclusion ties the four estimates together
+    exactly; the union estimate sits inside its 3-sigma audit band;
+    exact counts match an independent DuckDB set computation; and
+    estimates are nonnegative with intersect <= min(est_a, est_b)
+    inflated by at most sketch noise."""
+    row = queries()["agg_theta_setops"](spark, SF_DIR).collect()[0]
+    assert row.within_tol_union
+    got_exact = ducks.execute(
+        "SELECT COUNT(DISTINCT user_id) FILTER ("
+        "  user_id IN (SELECT user_id FROM events WHERE event_type='click')"
+        "  AND user_id IN (SELECT user_id FROM events"
+        "                  WHERE event_type='purchase')),"
+        " COUNT(DISTINCT user_id)"
+        " FROM events WHERE event_type IN ('click', 'purchase')"
+    ).fetchone()
+    assert row.exact_intersect == got_exact[0]
+    assert row.exact_union == got_exact[1]
+    assert abs(
+        (row.est_click + row.est_purchase - row.est_intersect)
+        - row.est_union
+    ) < 2e-6
+    assert row.est_intersect >= 0.0
+    assert row.est_union >= max(row.est_click, row.est_purchase) - 2e-6
