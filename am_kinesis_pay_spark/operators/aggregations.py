@@ -3197,3 +3197,68 @@ def agg_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b2", 6).alias("coef_discount"),
         F.round(1 - sse / sst, 6).alias("r2"),
     )
+
+
+@register(
+    "agg_period_over_period",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+    CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+      AS revenue,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY CAST(date_trunc('day', o_orderdate) AS DATE)
+)
+SELECT cur.d, cur.revenue, cur.n_orders,
+  prior.revenue AS revenue_prior_week,
+  round((cur.revenue - prior.revenue) / prior.revenue * 100, 6)
+    AS wow_pct
+FROM daily cur
+LEFT JOIN daily prior ON prior.d = cur.d - INTERVAL 7 DAY
+""",
+    tags=("agg", "analytics"),
+)
+def agg_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period comparison (week-over-week revenue delta per
+    day) — the dashboard primitive behind every "vs last week" tile.
+    Deliberately NOT a LAG window: row-offset lag silently compares
+    the wrong days the moment the calendar has gaps, and an
+    unpartitioned ordered window serializes the frame into one task.
+    Instead the daily aggregate SELF-JOINS on the exact calendar
+    offset (d − 7 days): correct under gaps (missing prior week →
+    NULL, not a wrong neighbor), and at 100 TB both sides of the
+    equi-join are the already-reduced day frame — kilobytes, hash-
+    joined, no sort, no single-task stage. One scan, one hash agg,
+    one self-equi-join of a calendar-domain frame.
+
+    Float discipline: daily revenue sums 2-dp DECIMAL (exact,
+    order-independent) and casts to DOUBLE on the day frame; the WoW
+    percent runs the identical expression tree on both engines and
+    rounds to 6 dp."""
+    od = load(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("d")
+    ).agg(
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    prior = daily.select(
+        F.col("d").alias("p_d"), F.col("revenue").alias("revenue_prior_week")
+    )
+    return (
+        daily.join(prior, F.col("p_d") == F.date_sub(F.col("d"), 7), "left")
+        .select(
+            "d",
+            "revenue",
+            "n_orders",
+            "revenue_prior_week",
+            F.round(
+                (F.col("revenue") - F.col("revenue_prior_week"))
+                / F.col("revenue_prior_week")
+                * 100,
+                6,
+            ).alias("wow_pct"),
+        )
+    )

@@ -3049,3 +3049,84 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_common").desc(), "item_a", "item_b")
         .limit(_BIPROJ_TOPK)
     )
+
+
+@register(
+    "events_rolling_active_users",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+  FROM events
+), days AS (
+  SELECT DISTINCT d FROM du
+), fanned AS (
+  SELECT DISTINCT du.user_id, days.d AS end_day
+  FROM du JOIN days
+    ON days.d >= du.d AND days.d <= du.d + INTERVAL 6 DAY
+), wau AS (
+  SELECT end_day, CAST(COUNT(*) AS BIGINT) AS wau
+  FROM fanned GROUP BY end_day
+), dau AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d
+)
+SELECT dau.d, dau.dau, wau.wau,
+  round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON wau.end_day = dau.d
+WHERE dau.d >= (SELECT MIN(d) FROM days) + INTERVAL 6 DAY
+""",
+    tags=("integration", "analytics"),
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active users — per day, the DISTINCT users seen in the
+    trailing 7 days (WAU) next to that day's DAU and the DAU/WAU
+    stickiness ratio. Distinct-over-a-sliding-window is the classic
+    "you cannot pre-aggregate it" trap: daily distinct counts do NOT
+    sum into a weekly distinct. The scale-correct shape used here is
+    BOUNDED FAN-OUT: reduce once to the (day, user) distinct frame,
+    fan each membership to the ≤7 window-end days it supports
+    (sequence + explode — a constant 7× multiplier, NOT a self-join of
+    facts), then distinct + count per end day. Two hash aggregations
+    and one bounded explode; no window function, no O(days²) join.
+
+    At 100 TB: the (day, user) frame is the only thing that scales
+    with data (its distinct is map-side combined on the date-bucketed
+    scan); the 7× fan multiplies the REDUCED frame, not the fact
+    table — for a 28-day MAU the multiplier is 28, still constant.
+    The WHERE trims the warm-up days whose trailing window is not yet
+    fully observed, so every reported WAU covers a complete 7-day
+    span. Counts are exact BIGINTs; stickiness rounds to 6 dp."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).distinct()
+    fanned = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), 6), F.expr("interval 1 day")
+            )
+        ).alias("end_day"),
+    ).distinct()
+    days = du.select("d").distinct()
+    # only end-days that actually occur, with a full trailing week
+    min_day = days.agg(F.min("d").alias("min_d"))
+    wau = (
+        fanned.join(days.withColumnRenamed("d", "end_day"), "end_day")
+        .groupBy("end_day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    )
+    dau = du.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    out = dau.join(wau, dau.d == wau.end_day).join(
+        F.broadcast(min_day),
+        F.col("d") >= F.date_add(F.col("min_d"), 6),
+    )
+    return out.select(
+        "d",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )

@@ -905,3 +905,85 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
           'user_id', n_rows, null_u, CAST(0 AS BIGINT), d_u
         ) AS (column_name, n_rows, n_null, n_blank_or_nan, n_distinct)"""
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+WITH r1 AS (
+  SELECT 'orders->customer' AS relationship,
+    CAST(COUNT(*) AS BIGINT) AS child_rows,
+    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS orphan_rows
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+), r2 AS (
+  SELECT 'lineitem->orders' AS relationship,
+    CAST(COUNT(*) AS BIGINT) AS child_rows,
+    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS orphan_rows
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+), r3 AS (
+  SELECT 'lineitem->part' AS relationship,
+    CAST(COUNT(*) AS BIGINT) AS child_rows,
+    CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS orphan_rows
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+    ON l.l_partkey = p.p_partkey
+)
+SELECT relationship, child_rows, orphan_rows,
+  round(CAST(orphan_rows AS DOUBLE) / child_rows * 100, 6) AS orphan_pct
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+""",
+    tags=("dq",),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — per foreign-key relationship, the
+    child row count, orphan count (child key with no parent), and
+    orphan percentage: the constraint check a lakehouse cannot delegate
+    to the storage layer (parquet has no FKs), and the first data-
+    quality gate any star-schema ingest runs. Complements
+    dq_null_profile (intra-row completeness) with INTER-table
+    consistency; validate_chain is the reference's row-level analog
+    (kinesis-pay.php:520-537 — reject before process).
+
+    Plan shape per relationship: one LEFT join of the child fact
+    against the parent's DISTINCT key projection, aggregated to a
+    single row in the same pass (count + conditional sum — the anti-
+    join and the total in ONE join instead of two scans). At 100 TB
+    the parent key projections (customer, orders-keys, part) are the
+    small sides — Spark broadcasts or shuffle-hash-joins them under
+    AQE; the fact is scanned once per relationship and never sorted.
+    The three 1-row audit frames union into the report."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+
+    def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+              name: str) -> DataFrame:
+        pk = parent.select(pkey).distinct()
+        joined = child.join(pk, child[ckey] == pk[pkey], "left")
+        return joined.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).cast("bigint").alias("child_rows"),
+            F.sum(F.when(F.col(pkey).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("orphan_rows"),
+        )
+
+    rows = (
+        audit(orders, "o_custkey", load(spark, sf_dir, "customer"),
+              "c_custkey", "orders->customer")
+        .unionAll(audit(lineitem, "l_orderkey", orders, "o_orderkey",
+                        "lineitem->orders"))
+        .unionAll(audit(lineitem, "l_partkey", load(spark, sf_dir, "part"),
+                        "p_partkey", "lineitem->part"))
+    )
+    return rows.select(
+        "relationship",
+        "child_rows",
+        "orphan_rows",
+        F.round(
+            F.col("orphan_rows").cast("double") / F.col("child_rows") * 100, 6
+        ).alias("orphan_pct"),
+    )

@@ -238,3 +238,91 @@ def test_theta_setops_estimator_laws(spark, ducks):
     ) < 2e-6
     assert row.est_intersect >= 0.0
     assert row.est_union >= max(row.est_click, row.est_purchase) - 2e-6
+
+
+def test_rolling_active_users_set_semantics(spark, ducks):
+    """WAU(d) must equal the size of the UNION of the 7 trailing daily
+    user sets, recomputed independently with Python set algebra — the
+    property that distinguishes rolling-distinct from a (wrong) sum of
+    daily distincts. Also: WAU >= DAU, stickiness in (0, 1], and the
+    warm-up days with an incomplete trailing week are excluded."""
+    import datetime as dt
+
+    rows = queries()["events_rolling_active_users"](spark, SF_DIR).collect()
+    day_sets: dict = {}
+    for d, u in ducks.execute(
+        "SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE), user_id"
+        " FROM events"
+    ).fetchall():
+        day_sets.setdefault(d, set()).add(u)
+    min_d = min(day_sets)
+    assert rows and all(r.d >= min_d + dt.timedelta(days=6) for r in rows)
+    for r in rows:
+        union = set()
+        for k in range(7):
+            union |= day_sets.get(r.d - dt.timedelta(days=k), set())
+        assert r.wau == len(union), (r.d, r.wau, len(union))
+        assert r.dau == len(day_sets.get(r.d, set()))
+        assert r.wau >= r.dau
+        assert 0.0 < r.stickiness <= 1.0
+
+
+def test_period_over_period_calendar_exactness(spark, ducks):
+    """The WoW join must be CALENDAR-exact: revenue_prior_week equals
+    the daily revenue exactly 7 days earlier (recomputed raw), and is
+    NULL exactly when that calendar day has no orders — the gap case a
+    row-offset LAG gets wrong."""
+    import datetime as dt
+
+    rows = queries()["agg_period_over_period"](spark, SF_DIR).collect()
+    daily = {
+        d: float(rev)
+        for d, rev in ducks.execute(
+            "SELECT CAST(date_trunc('day', o_orderdate) AS DATE),"
+            " SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))"
+            " FROM orders GROUP BY 1"
+        ).fetchall()
+    }
+    assert len(rows) == len(daily)
+    n_gaps = 0
+    for r in rows:
+        prior_day = r.d - dt.timedelta(days=7)
+        if prior_day in daily:
+            assert r.revenue_prior_week is not None
+            assert abs(r.revenue_prior_week - daily[prior_day]) < 1e-6
+        else:
+            n_gaps += 1
+            assert r.revenue_prior_week is None and r.wow_pct is None
+    assert n_gaps >= 1  # the warm-up week guarantees at least some gaps
+
+
+def test_referential_integrity_identities(spark, ducks):
+    """Child totals must match raw table counts, orphan counts the
+    independent anti-join counts, and the pct the exact ratio."""
+    rows = {r.relationship: r for r in
+            queries()["dq_referential_integrity"](spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "orders->customer", "lineitem->orders", "lineitem->part"
+    }
+    checks = {
+        "orders->customer": (
+            "SELECT COUNT(*) FROM orders",
+            "SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN"
+            " (SELECT c_custkey FROM customer)",
+        ),
+        "lineitem->orders": (
+            "SELECT COUNT(*) FROM lineitem",
+            "SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN"
+            " (SELECT o_orderkey FROM orders)",
+        ),
+        "lineitem->part": (
+            "SELECT COUNT(*) FROM lineitem",
+            "SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN"
+            " (SELECT p_partkey FROM part)",
+        ),
+    }
+    for rel, (q_total, q_orphan) in checks.items():
+        r = rows[rel]
+        assert r.child_rows == ducks.execute(q_total).fetchone()[0]
+        assert r.orphan_rows == ducks.execute(q_orphan).fetchone()[0]
+        assert abs(r.orphan_pct - r.orphan_rows / r.child_rows * 100) < 1e-6
