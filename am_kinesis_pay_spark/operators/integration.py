@@ -3130,3 +3130,171 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+_KCORE_K = 4  # core order: survivors need >= K surviving neighbors
+_KCORE_W = 6  # edge weight floor: co-purchase on >= W distinct days
+_KCORE_ROUNDS = 8  # peel-round budget (fixture converges in <= 4)
+
+_KCORE_ORACLE = f"""
+WITH du AS (
+  SELECT d, user_id FROM (
+    SELECT d, user_id,
+      ROW_NUMBER() OVER (PARTITION BY d
+        ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rn
+    FROM (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+          FROM events WHERE event_type = 'purchase') x) c
+  WHERE rn <= {_CC_DAY_CAP}
+), kedges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+    FROM du a JOIN du b USING (d)
+    WHERE a.user_id <> b.user_id
+    GROUP BY a.user_id, b.user_id) t
+  WHERE w >= {_KCORE_W}
+), a0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM kedges
+),
+a1 AS MATERIALIZED (
+  SELECT e.src AS node FROM kedges e
+  JOIN a0 s ON e.src = s.node
+  JOIN a0 t ON e.dst = t.node
+  GROUP BY e.src HAVING COUNT(*) >= {_KCORE_K}
+),
+a2 AS MATERIALIZED (
+  SELECT e.src AS node FROM kedges e
+  JOIN a1 s ON e.src = s.node
+  JOIN a1 t ON e.dst = t.node
+  GROUP BY e.src HAVING COUNT(*) >= {_KCORE_K}
+),
+a3 AS MATERIALIZED (
+  SELECT e.src AS node FROM kedges e
+  JOIN a2 s ON e.src = s.node
+  JOIN a2 t ON e.dst = t.node
+  GROUP BY e.src HAVING COUNT(*) >= {_KCORE_K}
+),
+a4 AS MATERIALIZED (
+  SELECT e.src AS node FROM kedges e
+  JOIN a3 s ON e.src = s.node
+  JOIN a3 t ON e.dst = t.node
+  GROUP BY e.src HAVING COUNT(*) >= {_KCORE_K}
+),
+a5 AS MATERIALIZED (
+  SELECT e.src AS node FROM kedges e
+  JOIN a4 s ON e.src = s.node
+  JOIN a4 t ON e.dst = t.node
+  GROUP BY e.src HAVING COUNT(*) >= {_KCORE_K}
+),
+a6 AS MATERIALIZED (
+  SELECT e.src AS node FROM kedges e
+  JOIN a5 s ON e.src = s.node
+  JOIN a5 t ON e.dst = t.node
+  GROUP BY e.src HAVING COUNT(*) >= {_KCORE_K}
+),
+a7 AS MATERIALIZED (
+  SELECT e.src AS node FROM kedges e
+  JOIN a6 s ON e.src = s.node
+  JOIN a6 t ON e.dst = t.node
+  GROUP BY e.src HAVING COUNT(*) >= {_KCORE_K}
+),
+a8 AS MATERIALIZED (
+  SELECT e.src AS node FROM kedges e
+  JOIN a7 s ON e.src = s.node
+  JOIN a7 t ON e.dst = t.node
+  GROUP BY e.src HAVING COUNT(*) >= {_KCORE_K}
+)
+SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM kedges e
+JOIN a{_KCORE_ROUNDS} s ON e.src = s.node
+JOIN a{_KCORE_ROUNDS} t ON e.dst = t.node
+GROUP BY e.src
+"""
+
+
+@register(
+    "graph_kcore",
+    oracle=_KCORE_ORACLE,
+    tags=("integration", "graph", "iterative"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE decomposition by iterative peeling (Matula & Beck 1983;
+    the standard cohesion filter before community detection — Batagelj
+    & Zaversnik's O(E) sequential algorithm becomes "peel all
+    under-degree nodes per round" in the distributed setting): repeat
+    {{drop every node with fewer than K surviving neighbors}} until a
+    fixpoint — what remains is the maximal subgraph of minimum degree
+    K, with each survivor's in-core degree reported. The graph is the
+    co-purchase graph STRENGTH-THRESHOLDED (edge iff two users
+    co-purchased on >= {_KCORE_W} distinct days, day-capped at
+    {_CC_DAY_CAP} users like every co-occurrence build here) so degree
+    actually varies — peeling on an unweighted day-clique graph is
+    vacuous.
+
+    Convergence contract: both engines compute exactly
+    {_KCORE_ROUNDS} peel rounds; peeling is MONOTONE (alive sets only
+    shrink) and idempotent at the fixpoint, so early-exit-on-fixpoint
+    (Spark) and blind unrolling (the oracle CTE chain) provably agree
+    whenever convergence happens within the budget — pinned at <= 4
+    rounds on the fixture in tests. Per round: two hash joins of the
+    edge list against the alive frame + one count aggregation, with
+    localCheckpoint cutting lineage — O(rounds x E) total, the alive
+    frame O(nodes). At 100 TB: the edge build is one distinct scan +
+    a capped day self-join + a pair-count aggregation; rounds are
+    data-independent joins that AQE sizes, and the round budget
+    bounds wall-clock regardless of graph shape (a real deployment
+    raises it with diameter, same contract)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    day_users = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id")
+        .distinct()
+    )
+    w_day = W.partitionBy("d").orderBy(
+        F.md5(F.col("user_id").cast("string")), "user_id"
+    )
+    capped = (
+        day_users.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") <= _CC_DAY_CAP)
+        .drop("rn")
+    )
+    a = capped.select("d", F.col("user_id").alias("src"))
+    b = capped.select("d", F.col("user_id").alias("dst"))
+    edges = (
+        a.join(b, "d")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _KCORE_W)
+        .select("src", "dst")
+        .persist()
+    )
+    try:
+        alive = edges.select(F.col("src").alias("node")).distinct()
+        alive = alive.localCheckpoint()
+        n_alive = alive.count()
+        for _ in range(_KCORE_ROUNDS):
+            surv = (
+                edges.join(alive.withColumnRenamed("node", "src"), "src")
+                .join(alive.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= _KCORE_K)
+                .select("node")
+                .localCheckpoint()
+            )
+            n_surv = surv.count()
+            alive = surv
+            if n_surv == n_alive:
+                break  # monotone fixpoint: further rounds are no-ops
+            n_alive = n_surv
+        out = (
+            edges.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        )
+        return out
+    finally:
+        edges.unpersist()

@@ -159,3 +159,61 @@ def test_doulion_coin_is_md5_deterministic(spark):
     assert spark_kept == kept
     row = queries()["graph_triangle_doulion"](spark, SF_DIR).collect()[0]
     assert row["n_triangles_est"] == 8 * row["n_sampled_triangles"]
+
+
+def test_kcore_laws_and_fixpoint(spark, ducks):
+    """The three defining k-core properties, pinned against an
+    independent pure-Python peel over the same thresholded edge set:
+    (1) min-degree law — every survivor has >= K neighbors IN the
+    core; (2) maximality — no peeled node would qualify if added back;
+    (3) the bounded-round Spark result IS the true fixpoint (the
+    fixture converges well inside the round budget)."""
+    import collections
+
+    from am_kinesis_pay_spark.operators.integration import (
+        _CC_DAY_CAP,
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        _KCORE_W,
+    )
+    from am_kinesis_pay_spark.registry import queries
+
+    got = {
+        r.node: r.core_degree
+        for r in queries()["graph_kcore"](spark, SF_DIR).collect()
+    }
+    edges = ducks.execute(f"""
+        WITH du AS (
+          SELECT d, user_id FROM (
+            SELECT d, user_id, ROW_NUMBER() OVER (PARTITION BY d
+              ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rn
+            FROM (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+                         user_id
+                  FROM events WHERE event_type = 'purchase') x) c
+          WHERE rn <= {_CC_DAY_CAP})
+        SELECT src, dst FROM (
+          SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+          FROM du a JOIN du b USING (d) WHERE a.user_id <> b.user_id
+          GROUP BY 1, 2) t WHERE w >= {_KCORE_W}
+    """).fetchall()
+    adj = collections.defaultdict(set)
+    for s, t in edges:
+        adj[s].add(t)
+    alive, rounds = set(adj), 0
+    while True:
+        new = {
+            u
+            for u in alive
+            if sum(1 for v in adj[u] if v in alive) >= _KCORE_K
+        }
+        rounds += 1
+        if new == alive:
+            break
+        alive = new
+    assert rounds <= _KCORE_ROUNDS // 2, rounds  # converges with slack
+    assert set(got) == alive  # (3) true fixpoint
+    for u, deg in got.items():
+        in_core = sum(1 for v in adj[u] if v in alive)
+        assert deg == in_core and deg >= _KCORE_K  # (1)
+    for u in set(adj) - alive:  # (2) maximality
+        assert sum(1 for v in adj[u] if v in alive) < _KCORE_K or not alive
