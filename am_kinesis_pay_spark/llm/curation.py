@@ -1604,3 +1604,268 @@ def fe_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("weight") != 0)
     )
+
+
+_BLOOM_M = 8192  # bloom bitmap size (bits)
+_BLOOM_J = 2  # hash functions per key
+
+
+@register(
+    "text_decontaminate_bloom",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, i,
+    md5(concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4], t[i+5])) AS g
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - {_DECON_N - 1})) AS i
+        FROM toks WHERE len(t) >= {_DECON_N})
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+), bits AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(g || '#' || k), 1, 15)) AS BIGINT)
+    % {_BLOOM_M} AS pos
+  FROM bench, (SELECT unnest(range(0, {_BLOOM_J})) AS k)
+), train AS (
+  SELECT * FROM grams WHERE doc_id % {_BENCH_MOD} <> 0
+), probes AS (
+  SELECT doc_id, i, g, k,
+    CAST(('0x' || substr(md5(g || '#' || k), 1, 15)) AS BIGINT)
+      % {_BLOOM_M} AS pos
+  FROM train, (SELECT unnest(range(0, {_BLOOM_J})) AS k)
+), per_gram AS (
+  SELECT p.doc_id, p.i, MIN(p.g) AS g,
+    CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_set
+  FROM probes p LEFT JOIN bits b ON p.pos = b.pos
+  GROUP BY p.doc_id, p.i
+), truth AS (
+  SELECT pg.doc_id, pg.i, pg.n_set,
+    CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END AS is_true
+  FROM per_gram pg LEFT JOIN bench ON pg.g = bench.g
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN n_set = {_BLOOM_J} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bloom_hits,
+  CAST(SUM(is_true) AS BIGINT) AS n_true_hits,
+  CAST(SUM(CASE WHEN n_set = {_BLOOM_J} AND is_true = 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_false_pos,
+  CAST(CASE WHEN SUM(CASE WHEN n_set = {_BLOOM_J} THEN 1 ELSE 0 END) > 0
+       THEN 1 ELSE 0 END AS INT) AS is_flagged
+FROM truth GROUP BY doc_id
+""",
+    tags=("llm", "curation", "sketch"),
+)
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the SKETCH form of
+    text_decontaminate for when the reference gram set itself is too
+    big to broadcast (a 10-TB reference corpus has billions of
+    distinct 5-grams; a Bloom bitmap of m bits broadcasts at ANY
+    reference size — Bloom 1970, the membership trade every
+    at-scale dedup service makes). Benchmark grams set j = {_BLOOM_J}
+    md5-derived positions in an m = {_BLOOM_M}-bit filter; a training
+    gram is a POSSIBLE contaminant iff all j of its positions are set.
+    Bloom's one-sided-error law — false positives possible, false
+    negatives IMPOSSIBLE — is not just documented but MEASURED inline:
+    every output row carries the exact hit count next to the bloom
+    count, so n_false_pos is observable and n_bloom_hits >=
+    n_true_hits by construction (pinned in tests). Every quantity is a
+    deterministic function of md5, so the oracle hash-checks the
+    sketch itself, false positives included.
+
+    Plan shape: the bit set is a DISTINCT over positions — AT MOST m
+    rows regardless of corpus size (the broadcastability guarantee,
+    where text_decontaminate's exact bench set grows with the
+    benchmark); probes are j rows per training gram joined against the
+    broadcast bit set, then two hash aggregations (per-gram verdict,
+    per-doc rollup). The exact-truth join exists only to audit the FP
+    rate — a production run drops it and keeps the one broadcast
+    probe. The bitmap is modeled as the distinct-position frame rather
+    than packed longs: same semantics, same broadcast bound, and the
+    oracle can state it in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _DECON_N
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.size("t") - _DECON_N), _gram5)
+        ).alias("i", "g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0).select("g").distinct()
+    )
+    ks = F.explode(
+        F.sequence(F.lit(0), F.lit(_BLOOM_J - 1))
+    ).alias("k")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("g"), F.lit("#"), F.col("k"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BLOOM_M
+    )
+    bits = (
+        bench.select("g", ks)
+        .select(pos.alias("pos"))
+        .distinct()
+        .withColumn("set_", F.lit(1))
+    )
+    train = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    probes = train.select("doc_id", "i", "g", ks).select(
+        "doc_id", "i", "g", pos.alias("pos")
+    )
+    per_gram = (
+        probes.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min("g").alias("g"),
+            F.sum(F.coalesce(F.col("set_"), F.lit(0)))
+            .cast("int")
+            .alias("n_set"),
+        )
+    )
+    truth = per_gram.join(
+        F.broadcast(bench.withColumn("true_", F.lit(1))), "g", "left"
+    ).select(
+        "doc_id",
+        "n_set",
+        F.coalesce(F.col("true_"), F.lit(0)).alias("is_true"),
+    )
+    bloom_hit = F.when(F.col("n_set") == _BLOOM_J, 1).otherwise(0)
+    return truth.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(bloom_hit).cast("bigint").alias("n_bloom_hits"),
+        F.sum("is_true").cast("bigint").alias("n_true_hits"),
+        F.sum(
+            F.when((F.col("n_set") == _BLOOM_J) & (F.col("is_true") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.when(F.sum(bloom_hit) > 0, 1).otherwise(0).cast("int").alias(
+            "is_flagged"
+        ),
+    )
+
+
+_BUDGET_FRAC = 0.5  # global token budget as a fraction of the corpus
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 AS frac
+  FROM documents
+), per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+  FROM per_doc GROUP BY source
+), tot AS (
+  SELECT {_BUDGET_FRAC} * SUM(tokens_total) AS budget,
+    CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM per_src
+), rates AS (
+  SELECT source, n_docs, tokens_total,
+    LEAST(1.0, (budget / n_sources) / tokens_total) AS rate
+  FROM per_src, tot
+), kept AS (
+  SELECT d.source,
+    CAST(COUNT(*) AS BIGINT) AS docs_kept,
+    CAST(SUM(d.n_tokens) AS BIGINT) AS tokens_kept
+  FROM per_doc d JOIN rates r ON d.source = r.source
+  WHERE d.frac < r.rate
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.tokens_total, round(r.rate, 6) AS rate,
+  COALESCE(k.docs_kept, 0) AS docs_kept,
+  COALESCE(k.tokens_kept, 0) AS tokens_kept,
+  round(COALESCE(k.tokens_kept, 0) / (tot.budget / tot.n_sources), 6)
+    AS fill_ratio
+FROM rates r LEFT JOIN kept k ON r.source = k.source, tot
+""",
+    tags=("llm", "sample"),
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-budget mixture sampling — the training-mix materializer:
+    given a global token budget (a fraction of the corpus) split
+    uniformly across sources, each source gets a deterministic
+    acceptance rate min(1, target_tokens / source_tokens) and docs are
+    drawn by md5-of-id threshold (the seedable coin every sample_*
+    entry uses). This is the TOKEN-aware counterpart of sample_mixture
+    (doc-count quotas): budgets for LLM training are token counts, and
+    a doc-count quota over sources with different doc lengths misses
+    them. It is also deliberately the RATE form, not the rank form: no
+    per-source row_number over the corpus (the low-cardinality window
+    hazard) — acceptance is a stateless per-row predicate, so the
+    selection is one scan at any scale, and the realized fill ratio
+    per source is reported (rate saturates at 1.0 for under-budget
+    sources, which then under-fill — the report shows exactly the
+    shortfall a re-balancing pass would redistribute).
+
+    Plan shape: one scan to per-doc (source, tokens, coin); one hash
+    agg to the ~|sources| frame; a 1-row corpus-total broadcast onto
+    it (allowlisted O(1)-row NLJ); the rates broadcast-join back onto
+    the doc frame for the kept-aggregation. Tokens stay BIGINT
+    (exact); rates and fill ratios are doubles with identical
+    expression trees both engines, rounded to 6 dp."""
+    docs = load(spark, sf_dir, "documents")
+    frac = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint") / F.lit(float(1 << 60))
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        frac.alias("frac"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+    )
+    tot = per_src.agg(
+        (F.lit(_BUDGET_FRAC) * F.sum("tokens_total")).alias("budget"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens_total",
+        F.least(
+            F.lit(1.0),
+            (F.col("budget") / F.col("n_sources")) / F.col("tokens_total"),
+        ).alias("rate"),
+        (F.col("budget") / F.col("n_sources")).alias("target_tokens"),
+    )
+    kept = (
+        per_doc.join(
+            F.broadcast(rates.select("source", "rate")), "source"
+        )
+        .filter(F.col("frac") < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "tokens_total",
+        F.round("rate", 6).alias("rate"),
+        F.coalesce("docs_kept", F.lit(0)).cast("bigint").alias("docs_kept"),
+        F.coalesce("tokens_kept", F.lit(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.round(
+            F.coalesce("tokens_kept", F.lit(0)) / F.col("target_tokens"), 6
+        ).alias("fill_ratio"),
+    )

@@ -246,3 +246,63 @@ def test_classifier_train_reduces_logloss(spark):
     again = {r.bucket: r.weight for r in
              queries()["text_classifier_train"](spark, SF_DIR).collect()}
     assert again == w
+
+
+def test_bloom_decontaminate_one_sided_error(spark):
+    """Bloom's defining law, observed per doc: NO false negatives —
+    every truly contaminated gram instance is bloom-hit (n_bloom_hits
+    >= n_true_hits), false positives are exactly the surplus, and the
+    truth column agrees with text_decontaminate's exact n_contaminated
+    per doc (same gram construction, same benchmark split)."""
+    bloom = {
+        r.doc_id: r
+        for r in queries()["text_decontaminate_bloom"](
+            spark, SF_DIR
+        ).collect()
+    }
+    exact = {
+        r.doc_id: r
+        for r in queries()["text_decontaminate"](spark, SF_DIR).collect()
+    }
+    assert set(bloom) == set(exact)
+    for doc_id, b in bloom.items():
+        assert b.n_bloom_hits >= b.n_true_hits  # no false negatives
+        assert b.n_false_pos == b.n_bloom_hits - b.n_true_hits
+        assert b.n_true_hits == exact[doc_id].n_contaminated
+        assert b.n_grams == exact[doc_id].n_grams
+        assert b.is_flagged == (1 if b.n_bloom_hits > 0 else 0)
+
+
+def test_token_budget_coin_and_saturation(spark, ducks):
+    """sample_token_budget invariants: the acceptance coin is the
+    md5-of-doc_id threshold recomputed independently in Python
+    (selection is exactly reproducible — no RNG); sources whose rate
+    saturates at 1.0 keep EVERYTHING; and each source's fill ratio is
+    tokens_kept over the per-source target."""
+    import hashlib
+
+    rows = queries()["sample_token_budget"](spark, SF_DIR).collect()
+    per_doc = ducks.execute(
+        "SELECT doc_id, source, len(string_split(text, ' ')) FROM documents"
+    ).fetchall()
+    total = sum(t for _, _, t in per_doc)
+    budget = 0.5 * total
+    n_sources = len(rows)
+    target = budget / n_sources
+
+    def frac(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:15], 16) / float(1 << 60)
+
+    for r in rows:
+        rate = min(1.0, target / r.tokens_total)
+        kept = [
+            (d, t) for d, s, t in per_doc
+            if s == r.source and frac(d) < rate
+        ]
+        assert r.docs_kept == len(kept), (r.source, r.docs_kept, len(kept))
+        assert r.tokens_kept == sum(t for _, t in kept)
+        if r.rate == 1.0:
+            assert r.docs_kept == r.n_docs
+            assert r.tokens_kept == r.tokens_total
+        assert abs(r.fill_ratio - r.tokens_kept / target) < 1e-6
