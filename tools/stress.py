@@ -152,6 +152,13 @@ CENTURY_FACTS_QUERIES = [
     "agg_benjamini_hochberg", "dq_psi_drift",
     "fe_quantile_binning", "win_lead_label", "ts_changepoint_binseg",
     "graph_bipartite_projection", "fe_woe_iv", "dq_null_profile",
+    # r8 (this session): delta-method/theta/OLS (one hash agg + tiny
+    # frames), rolling-AU (bounded 7x fan of the day-user frame),
+    # WoW (day-frame self-join), FK audit (per-rel join+agg pass),
+    # k-core (bounded peel rounds over the thresholded graph)
+    "agg_delta_method_ci", "agg_theta_setops", "agg_ols_multifeature",
+    "events_rolling_active_users", "agg_period_over_period",
+    "dq_referential_integrity", "graph_kcore",
 ]
 
 CENTURY_LINKAGE_QUERIES = [
@@ -182,6 +189,10 @@ CENTURY_QUERIES = [
     "mm_codec_lossless_audio", "fe_feature_hashing",
     # r8: JSONL write+read is two linear passes over corpus bytes
     "source_jsonl_roundtrip",
+    # r8 (this session): bloom probe is j broadcast lookups per gram
+    # (bit frame bounded by m at any reference size); token-budget
+    # sampling is a stateless per-row coin + |sources| frames
+    "text_decontaminate_bloom", "sample_token_budget",
 ]
 
 
