@@ -815,3 +815,76 @@ def fn_pan_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(candidate)
         .alias("masked"),
     )
+
+
+@register(
+    "fn_sql_recursive",
+    oracle="""
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+  FROM orders
+), months(m, hi) AS (
+  SELECT lo, hi FROM bounds
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months
+  WHERE m < hi
+), monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+      AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT months.m, COALESCE(monthly.n_orders, 0) AS n_orders,
+  COALESCE(monthly.revenue, 0.0) AS revenue
+FROM months LEFT JOIN monthly ON months.m = monthly.m
+""",
+    tags=("scalar", "sql", "recursive"),
+)
+def fn_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE surface (Spark 4's WITH RECURSIVE, SPARK-24497 —
+    Catalyst's UnionLoop operator): the calendar month spine from the
+    first to the last order month is generated BY THE ENGINE'S OWN
+    recursion (anchor row + one UNION ALL step per month), then
+    monthly order counts and DECIMAL-summed revenue left-join onto it
+    so missing months would surface as explicit zero rows — the
+    recursive twin of events_gapfill_daily's sequence() spine. Both
+    engines execute their native recursive evaluation of the same
+    query shape, so the oracle pins Spark's recursion semantics
+    (step-wise evaluation, termination on empty step) against an
+    independent implementation, not just the arithmetic.
+
+    Scale/termination: the recursion depth is the MONTH SPAN of the
+    data — a calendar domain (~80 for the fixture's 1995-2001 span),
+    constant in row count, far under Spark's recursion level limit
+    (default 100 via spark.sql.cte.recursion.level.limit; a wider
+    span raises the limit, not the design). Each step is a 1-row
+    projection; all row-scale work happens once in the monthly hash
+    aggregation. UNION ALL termination is safe because the spine is
+    strictly increasing (acyclic by construction) — the shape Spark's
+    UNION-distinct-less recursion requires."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+                 CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+          FROM orders_v_rec
+        ), months(m, hi) AS (
+          SELECT lo, hi FROM bounds
+          UNION ALL
+          SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months
+          WHERE m < hi
+        ), monthly AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+            CAST(COUNT(*) AS BIGINT) AS n_orders,
+            CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                 AS DOUBLE) AS revenue
+          FROM orders_v_rec GROUP BY 1
+        )
+        SELECT months.m, COALESCE(monthly.n_orders, 0) AS n_orders,
+          COALESCE(monthly.revenue, 0.0) AS revenue
+        FROM months LEFT JOIN monthly ON months.m = monthly.m
+        """
+    )

@@ -1623,21 +1623,22 @@ WITH toks AS (
 ), bench AS (
   SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0
 ), bits AS (
-  SELECT DISTINCT CAST(('0x' || substr(md5(g || '#' || k), 1, 15)) AS BIGINT)
-    % {_BLOOM_M} AS pos
+  SELECT DISTINCT
+    (CAST(('0x' || substr(g, 1, 15)) AS BIGINT)
+     + k * CAST(('0x' || substr(g, 17, 15)) AS BIGINT)) % {_BLOOM_M} AS pos
   FROM bench, (SELECT unnest(range(0, {_BLOOM_J})) AS k)
 ), train AS (
   SELECT * FROM grams WHERE doc_id % {_BENCH_MOD} <> 0
-), probes AS (
-  SELECT doc_id, i, g, k,
-    CAST(('0x' || substr(md5(g || '#' || k), 1, 15)) AS BIGINT)
-      % {_BLOOM_M} AS pos
-  FROM train, (SELECT unnest(range(0, {_BLOOM_J})) AS k)
 ), per_gram AS (
-  SELECT p.doc_id, p.i, MIN(p.g) AS g,
+  SELECT t.doc_id, t.i, t.g,
     CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_set
-  FROM probes p LEFT JOIN bits b ON p.pos = b.pos
-  GROUP BY p.doc_id, p.i
+  FROM (SELECT doc_id, i, g, k,
+          (CAST(('0x' || substr(g, 1, 15)) AS BIGINT)
+           + k * CAST(('0x' || substr(g, 17, 15)) AS BIGINT))
+            % {_BLOOM_M} AS pos
+        FROM train, (SELECT unnest(range(0, {_BLOOM_J})) AS k)) t
+  LEFT JOIN bits b ON t.pos = b.pos
+  GROUP BY t.doc_id, t.i, t.g
 ), truth AS (
   SELECT pg.doc_id, pg.i, pg.n_set,
     CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END AS is_true
@@ -1663,7 +1664,11 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct 5-grams; a Bloom bitmap of m bits broadcasts at ANY
     reference size — Bloom 1970, the membership trade every
     at-scale dedup service makes). Benchmark grams set j = {_BLOOM_J}
-    md5-derived positions in an m = {_BLOOM_M}-bit filter; a training
+    positions in an m = {_BLOOM_M}-bit filter, derived by
+    Kirsch-Mitzenmacher double hashing (h1 + k*h2, both 60-bit slices
+    of the gram's md5 — the textbook result that j independent hashes
+    are unnecessary, and FREE here because the gram key already is a
+    digest); a training
     gram is a POSSIBLE contaminant iff all j of its positions are set.
     Bloom's one-sided-error law — false positives possible, false
     negatives IMPOSSIBLE — is not just documented but MEASURED inline:
@@ -1676,73 +1681,75 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the bit set is a DISTINCT over positions — AT MOST m
     rows regardless of corpus size (the broadcastability guarantee,
     where text_decontaminate's exact bench set grows with the
-    benchmark); probes are j rows per training gram joined against the
-    broadcast bit set, then two hash aggregations (per-gram verdict,
-    per-doc rollup). The exact-truth join exists only to audit the FP
-    rate — a production run drops it and keeps the one broadcast
-    probe. The bitmap is modeled as the distinct-position frame rather
-    than packed longs: same semantics, same broadcast bound, and the
-    oracle can state it in SQL."""
+    benchmark). The j probes are j POSITION COLUMNS on the gram frame
+    joined against the broadcast bit set j times — j is a small fixed
+    constant, so this is j map-side lookups per gram, with NO probe
+    explode and NO per-instance re-aggregation (the first cut fanned
+    every gram into j rows and hash-aggregated them back; at the 100x
+    stress that re-agg was 74x the 1x wall-clock — the fix is receipt
+    SCALE.md round-8). The exact-truth join exists only to audit the
+    FP rate and deliberately carries NO broadcast hint: the bench gram
+    set GROWS with the benchmark, so AQE must pick the join strategy
+    (a production run drops the audit entirely and keeps only the j
+    broadcast probes). The bitmap is modeled as the distinct-position
+    frame rather than packed longs: same semantics, same broadcast
+    bound, and the oracle can state it in SQL."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= _DECON_N
     )
     grams = toks.select(
         "doc_id",
-        F.posexplode(
+        F.explode(
             F.transform(F.sequence(F.lit(0), F.size("t") - _DECON_N), _gram5)
-        ).alias("i", "g"),
+        ).alias("g"),
     )
     bench = (
         grams.filter(F.col("doc_id") % _BENCH_MOD == 0).select("g").distinct()
     )
-    ks = F.explode(
-        F.sequence(F.lit(0), F.lit(_BLOOM_J - 1))
-    ).alias("k")
-    pos = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("g"), F.lit("#"), F.col("k"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % _BLOOM_M
-    )
-    bits = (
-        bench.select("g", ks)
-        .select(pos.alias("pos"))
-        .distinct()
-        .withColumn("set_", F.lit(1))
-    )
+
+    h1 = F.conv(F.substring("g", 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring("g", 17, 15), 16, 10).cast("bigint")
+
+    def pos_k(k: int):
+        # Kirsch-Mitzenmacher double hashing: the gram key g IS an md5
+        # hex digest, so both 60-bit hashes are slices of it — zero
+        # extra hash computations per probe
+        return (h1 + k * h2) % _BLOOM_M
+
+    ks = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_J - 1))).alias("k")
+    pos_of_k = (h1 + F.col("k") * h2) % _BLOOM_M
+    bits = bench.select("g", ks).select(pos_of_k.alias("pos")).distinct()
     train = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
-    probes = train.select("doc_id", "i", "g", ks).select(
-        "doc_id", "i", "g", pos.alias("pos")
+    probes = train.select(
+        "doc_id",
+        "g",
+        *[pos_k(k).alias(f"pos{k}") for k in range(_BLOOM_J)],
     )
-    per_gram = (
-        probes.join(F.broadcast(bits), "pos", "left")
-        .groupBy("doc_id", "i")
-        .agg(
-            F.min("g").alias("g"),
-            F.sum(F.coalesce(F.col("set_"), F.lit(0)))
-            .cast("int")
-            .alias("n_set"),
+    hit = F.lit(True)
+    for k in range(_BLOOM_J):
+        b_k = bits.select(F.col("pos").alias(f"pos{k}")).withColumn(
+            f"set{k}", F.lit(1)
         )
-    )
+        probes = probes.join(F.broadcast(b_k), f"pos{k}", "left")
+        hit = hit & F.col(f"set{k}").isNotNull()
+    per_gram = probes.select("doc_id", "g", hit.alias("bloom_hit"))
+    # audit join: NO broadcast hint — the bench set scales with the
+    # benchmark, AQE picks the strategy
     truth = per_gram.join(
-        F.broadcast(bench.withColumn("true_", F.lit(1))), "g", "left"
+        bench.withColumn("true_", F.lit(1)), "g", "left"
     ).select(
         "doc_id",
-        "n_set",
+        "bloom_hit",
         F.coalesce(F.col("true_"), F.lit(0)).alias("is_true"),
     )
-    bloom_hit = F.when(F.col("n_set") == _BLOOM_J, 1).otherwise(0)
+    bloom_hit = F.when(F.col("bloom_hit"), 1).otherwise(0)
     return truth.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_grams"),
         F.sum(bloom_hit).cast("bigint").alias("n_bloom_hits"),
         F.sum("is_true").cast("bigint").alias("n_true_hits"),
         F.sum(
-            F.when((F.col("n_set") == _BLOOM_J) & (F.col("is_true") == 0), 1)
+            F.when(F.col("bloom_hit") & (F.col("is_true") == 0), 1)
             .otherwise(0)
         )
         .cast("bigint")
@@ -1869,3 +1876,143 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("tokens_kept", F.lit(0)) / F.col("target_tokens"), 6
         ).alias("fill_ratio"),
     )
+
+
+_DSIR_B = 1024  # hashed feature buckets
+_DSIR_N = 100  # selection size
+_DSIR_TARGET = ("src1", "src2", "src3")  # the domain we want more of
+
+
+@register(
+    "pipeline_dsir_selection",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), bigrams AS (
+  SELECT doc_id, source,
+    CAST(('0x' || substr(md5(t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT)
+      % {_DSIR_B} AS b
+  FROM (SELECT doc_id, source, t, unnest(range(0, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+), tgt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bigrams
+  WHERE source IN {_DSIR_TARGET} GROUP BY b
+), raw AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bigrams
+  WHERE source NOT IN {_DSIR_TARGET} GROUP BY b
+), tot AS (
+  SELECT (SELECT SUM(c) FROM tgt) AS t_tot,
+         (SELECT SUM(c) FROM raw) AS r_tot
+), ratio AS (
+  SELECT raw.b,
+    CAST(round(
+      ln((COALESCE(tgt.c, 0) + 1.0) / (tot.t_tot + {_DSIR_B}))
+      - ln((raw.c + 1.0) / (tot.r_tot + {_DSIR_B})), 6)
+      AS DECIMAL(18,6)) AS lr
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot
+), scored AS (
+  SELECT g.doc_id, MIN(g.source) AS source,
+    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    round(CAST(SUM(r.lr) AS DOUBLE) / COUNT(*), 6) AS avg_log_ratio
+  FROM bigrams g JOIN ratio r ON g.b = r.b
+  WHERE g.source NOT IN {_DSIR_TARGET}
+  GROUP BY g.doc_id
+)
+SELECT doc_id, source, n_bigrams, avg_log_ratio
+FROM scored ORDER BY avg_log_ratio DESC, doc_id LIMIT {_DSIR_N}
+""",
+    tags=("llm", "curation", "pipeline"),
+)
+def pipeline_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, the pretraining data-selection method behind domain-matched
+    corpus construction): score every candidate doc by how much more
+    likely its hashed-bigram features are under the TARGET domain's
+    smoothed feature distribution than under the raw pool's, and keep
+    the top N. Hashing bigrams into B = {_DSIR_B} buckets is the
+    paper's trick that makes the two "language models" a pair of
+    B-row count vectors — buildable in one grouped aggregation each at
+    ANY corpus size, broadcastable always.
+
+    Plan shape: one bigram explode feeds three hash aggregations
+    (target counts, raw counts, per-doc scoring); the log-ratio table
+    is at most B rows (broadcast), so candidate scoring is a
+    broadcast join + one aggregation — no shuffle wider than the
+    bucket id; the final top-N is TakeOrderedAndProject, never a
+    global sort. Laplace smoothing (+1 over total+B) keeps
+    unseen-in-target buckets finite exactly as the paper does. Float
+    discipline: counts are exact BIGINTs; each bucket's log ratio is
+    computed once, rounded to 6 dp and FROZEN as DECIMAL(18,6) so the
+    per-doc sum is order-independent (the sum of thousands of raw
+    doubles would not hash-match across engines); the per-doc average
+    divides on the doc frame and rounds to 6 dp. Ties at the
+    selection boundary break by doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("t"))
+    bigram = F.concat_ws(
+        " ",
+        F.element_at("t", F.col("i") + 1),
+        F.element_at("t", F.col("i") + 2),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(bigram), 1, 15), 16, 10).cast("bigint")
+        % _DSIR_B
+    )
+    bigrams = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i"),
+            "t",
+        )
+        .select("doc_id", "source", bucket.alias("b"))
+    )
+    is_target = F.col("source").isin(*_DSIR_TARGET)
+    tgt = (
+        bigrams.filter(is_target)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+    )
+    raw = (
+        bigrams.filter(~is_target)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rc"))
+    )
+    tot = tgt.agg(F.sum("tc").alias("t_tot")).crossJoin(
+        raw.agg(F.sum("rc").alias("r_tot"))
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                    / (F.col("t_tot") + _DSIR_B)
+                )
+                - F.log(
+                    (F.col("rc") + 1.0) / (F.col("r_tot") + _DSIR_B)
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lr"),
+        )
+    )
+    scored = (
+        bigrams.filter(~is_target)
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("source"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum("lr").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_log_ratio"),
+        )
+    )
+    return scored.orderBy(
+        F.col("avg_log_ratio").desc(), "doc_id"
+    ).limit(_DSIR_N)

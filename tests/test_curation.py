@@ -306,3 +306,75 @@ def test_token_budget_coin_and_saturation(spark, ducks):
             assert r.docs_kept == r.n_docs
             assert r.tokens_kept == r.tokens_total
         assert abs(r.fill_ratio - r.tokens_kept / target) < 1e-6
+
+
+def test_dsir_selection_matches_python_recompute(spark, ducks):
+    """pipeline_dsir_selection re-derived end-to-end in pure Python
+    (hashlib md5 bucket hashing, Laplace-smoothed log ratios at 6-dp
+    freeze, average per doc): the selected set, its order keys, and
+    every weight must match — and no target-domain doc may appear in
+    the selection."""
+    import hashlib
+    import math as m
+
+    from am_kinesis_pay_spark.llm.curation import (
+        _DSIR_B,
+        _DSIR_N,
+        _DSIR_TARGET,
+    )
+
+    rows = queries()["pipeline_dsir_selection"](spark, SF_DIR).collect()
+    assert len(rows) <= _DSIR_N
+    assert all(r.source not in _DSIR_TARGET for r in rows)
+
+    docs = ducks.execute(
+        "SELECT doc_id, source, text FROM documents"
+    ).fetchall()
+
+    def buckets(text):
+        t = text.split(" ")
+        out = []
+        for i in range(len(t) - 1):
+            h = hashlib.md5(f"{t[i]} {t[i+1]}".encode()).hexdigest()
+            out.append(int(h[:15], 16) % _DSIR_B)
+        return out
+
+    tgt, raw = {}, {}
+    per_doc = {}
+    for doc_id, source, text in docs:
+        bs = buckets(text)
+        if not bs:
+            continue
+        side = tgt if source in _DSIR_TARGET else raw
+        for b in bs:
+            side[b] = side.get(b, 0) + 1
+        if source not in _DSIR_TARGET:
+            per_doc[doc_id] = (source, bs)
+    t_tot, r_tot = sum(tgt.values()), sum(raw.values())
+    lr = {
+        b: round(
+            m.log((tgt.get(b, 0) + 1.0) / (t_tot + _DSIR_B))
+            - m.log((c + 1.0) / (r_tot + _DSIR_B)),
+            6,
+        )
+        for b, c in raw.items()
+    }
+    scored = [
+        (
+            round(sum(lr[b] for b in bs) / len(bs), 6),
+            doc_id,
+            source,
+            len(bs),
+        )
+        for doc_id, (source, bs) in per_doc.items()
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    want = scored[: _DSIR_N]
+    got = sorted(
+        [(r.avg_log_ratio, r.doc_id, r.source, r.n_bigrams) for r in rows],
+        key=lambda x: (-x[0], x[1]),
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[1] == w[1] and g[2] == w[2] and g[3] == w[3], (g, w)
+        assert abs(g[0] - w[0]) < 2e-6, (g, w)

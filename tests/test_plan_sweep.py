@@ -55,6 +55,7 @@ _NLJ_ALLOWED = {
     "events_survival_km",  # 1-row horizon-max-ts broadcast
     "text_collocations_pmi",  # 1-row corpus-token-total broadcast
     "graph_pagerank",
+    "pipeline_dsir_selection",  # 1-row corpus-total broadcast onto the <=1024-bucket ratio frame
     "pipeline_retrieval_corpus",
     "q_dormant_balances",
     "sample_balanced_classes",

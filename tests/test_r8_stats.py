@@ -326,3 +326,26 @@ def test_referential_integrity_identities(spark, ducks):
         assert r.child_rows == ducks.execute(q_total).fetchone()[0]
         assert r.orphan_rows == ducks.execute(q_orphan).fetchone()[0]
         assert abs(r.orphan_pct - r.orphan_rows / r.child_rows * 100) < 1e-6
+
+
+def test_recursive_spine_is_contiguous_and_conserves(spark, ducks):
+    """fn_sql_recursive's engine-generated month spine must be exactly
+    the contiguous calendar from the first to the last order month
+    (every month once — the recursion's termination and step laws),
+    and the joined aggregates must conserve the raw totals."""
+    rows = sorted(
+        queries()["fn_sql_recursive"](spark, SF_DIR).collect(),
+        key=lambda r: r.m,
+    )
+    lo, hi, n_total = ducks.execute(
+        "SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),"
+        " CAST(date_trunc('month', MAX(o_orderdate)) AS DATE), COUNT(*)"
+        " FROM orders"
+    ).fetchone()
+    assert rows[0].m == lo and rows[-1].m == hi
+    for a, b in zip(rows, rows[1:]):
+        nxt = (a.m.replace(day=1, month=a.m.month % 12 + 1,
+                           year=a.m.year + (a.m.month == 12)))
+        assert b.m == nxt, (a.m, b.m)
+    assert sum(r.n_orders for r in rows) == n_total
+    assert all(r.revenue >= 0.0 for r in rows)
