@@ -2016,3 +2016,136 @@ def pipeline_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("avg_log_ratio").desc(), "doc_id"
     ).limit(_DSIR_N)
+
+
+@register(
+    "sample_upsample_repeat",
+    oracle="""
+WITH per_doc AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 AS frac
+  FROM documents
+), per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+  FROM per_doc GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(tokens_total) AS DOUBLE) / COUNT(*) AS target
+  FROM per_src
+), factors AS (
+  SELECT source, n_docs, tokens_total,
+    target / tokens_total AS factor
+  FROM per_src, tot
+), copies AS (
+  SELECT d.doc_id, d.source, d.n_tokens,
+    CAST(floor(f.factor) AS BIGINT)
+      + CASE WHEN d.frac < f.factor - floor(f.factor) THEN 1 ELSE 0 END
+      AS n_copies
+  FROM per_doc d JOIN factors f ON d.source = f.source
+), exploded AS (
+  SELECT c.source, c.n_tokens
+  FROM copies c, unnest(range(1, CAST(c.n_copies AS BIGINT) + 1))
+)
+SELECT f.source, f.n_docs, f.tokens_total,
+  round(f.factor, 6) AS factor,
+  COALESCE(e.copies_out, 0) AS copies_out,
+  COALESCE(e.tokens_out, 0) AS tokens_out,
+  round(COALESCE(e.tokens_out, 0) / tot.target, 6) AS fill_ratio
+FROM factors f
+LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS copies_out,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_out
+           FROM exploded GROUP BY source) e ON f.source = e.source, tot
+""",
+    tags=("llm", "sample"),
+)
+def sample_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-based UPSAMPLING to a balanced token mixture — the other
+    half of mixture materialization (sample_token_budget can only
+    DOWN-sample, so under-represented sources under-fill their
+    share; a training mix that wants equal token mass per source must
+    REPEAT docs from small sources — the epoch-fraction trick every
+    data-constrained LLM run uses, cf. Muennighoff et al. 2023 on
+    repeated-data scaling): each source gets factor = target_tokens /
+    source_tokens; every doc materializes floor(factor) copies plus
+    one more iff its md5 coin lands under the fractional remainder —
+    deterministic, so expected AND realized token mass are exact,
+    reproducible functions of the data, and the oracle hash-checks the
+    materialized mix.
+
+    Plan shape: one scan to per-doc (source, tokens, coin); the
+    |sources|-row factor frame broadcasts back; the repeat is a
+    BOUNDED explode (sequence 1..n_copies, n_copies <= ceil(max
+    factor) — a constant multiplier like events_rolling_active_users'
+    7x fan, NOT a join); one final hash agg reports realized copies /
+    tokens / fill ratio per source. Down-sampled sources (factor < 1)
+    fall out of the same arithmetic: floor = 0, the coin keeps
+    factor-fraction of docs. Tokens stay BIGINT; factor and fill
+    ratios are identical-expression-tree doubles rounded to 6 dp."""
+    docs = load(spark, sf_dir, "documents")
+    frac = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint") / F.lit(float(1 << 60))
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        frac.alias("frac"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+    )
+    tot = per_src.agg(
+        (F.sum("tokens_total").cast("double") / F.count(F.lit(1))).alias(
+            "target"
+        )
+    )
+    factors = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens_total",
+        (F.col("target") / F.col("tokens_total")).alias("factor"),
+        "target",
+    )
+    copies = per_doc.join(
+        F.broadcast(factors.select("source", "factor")), "source"
+    ).select(
+        "source",
+        "n_tokens",
+        (
+            F.floor("factor").cast("bigint")
+            + F.when(
+                F.col("frac") < F.col("factor") - F.floor("factor"), 1
+            ).otherwise(0)
+        ).alias("n_copies"),
+    )
+    # sequence(1, 0) DESCENDS in Spark (step defaults to -1 when
+    # start > stop) — gate the zero-copy case to NULL, which explode
+    # drops, matching DuckDB's empty range(1, 1)
+    exploded = copies.select(
+        "source",
+        "n_tokens",
+        F.explode(
+            F.when(
+                F.col("n_copies") >= 1,
+                F.sequence(F.lit(1), F.col("n_copies")),
+            )
+        ).alias("_i"),
+    )
+    out = exploded.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("copies_out"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_out"),
+    )
+    return factors.join(out, "source", "left").select(
+        "source",
+        "n_docs",
+        "tokens_total",
+        F.round("factor", 6).alias("factor"),
+        F.coalesce("copies_out", F.lit(0)).cast("bigint").alias("copies_out"),
+        F.coalesce("tokens_out", F.lit(0)).cast("bigint").alias("tokens_out"),
+        F.round(
+            F.coalesce("tokens_out", F.lit(0)) / F.col("target"), 6
+        ).alias("fill_ratio"),
+    )

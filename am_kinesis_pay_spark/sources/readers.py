@@ -886,3 +886,56 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct_texts"),
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+FROM documents GROUP BY lang, source
+""",
+    tags=("source", "format"),
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source — Spark 4's BUILT-IN XML data source (SPARK-44265
+    folded the spark-xml package into core): write documents out as
+    one <doc> element per row once per (session, sf), read them back
+    with an EXPLICIT schema (same no-inference discipline as
+    source_jsonl_roundtrip — inference on XML is an extra full pass
+    AND row-tag-shape dependent), aggregate the same per-(lang,
+    source) profile, and hash-match it against the parquet truth. The
+    md5(text) distinct count proves the text survived XML entity
+    escaping (&amp;/&lt;/whitespace handling) byte-for-byte — the
+    classic XML round-trip hazard. The reader splits per FILE (XML is
+    not line-splittable like JSONL — a row tag can span lines), so the
+    write keeps Spark's natural output partitioning: many files =
+    the parallelism unit at scale, the documented trade vs JSONL."""
+    from am_kinesis_pay_spark.paths import _artifact_lock, sf_tag
+
+    docs = load(spark, sf_dir, "documents")
+    path = scratch_path(spark, f"akps_xml_{sf_tag(sf_dir)}")
+    with _artifact_lock():
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            docs.select(
+                "doc_id", "text", "lang", "source", "n_chars"
+            ).write.mode("overwrite").format("xml").option(
+                "rootTag", "docs"
+            ).option("rowTag", "doc").save(path)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint"
+        )
+        .format("xml")
+        .option("rowTag", "doc")
+        .load(path)
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias(
+            "n_distinct_texts"
+        ),
+    )

@@ -422,3 +422,66 @@ def test_pan_mask_luhn_gate(spark):
         else:
             assert r.masked == r.candidate
     assert seen[True] > 0 and seen[False] > 0  # both branches exercised
+
+
+def test_golden_record_matches_union_find(spark, ducks):
+    """er_golden_record checked against an independent Python
+    union-find over the SAME matched pairs (a different clustering
+    algorithm than both Spark's min-label loop and the oracle's
+    recursive closure), with survivorship recomputed per cluster:
+    membership, canonical key, richest-member name, and balances must
+    all agree; every cluster must have >= 2 members; cluster_id must
+    be the component MINIMUM."""
+    from am_kinesis_pay_spark.registry import REGISTRY, queries
+
+    got = {r.cluster_id: r for r in
+           queries()["er_golden_record"](spark, SF_DIR).collect()}
+    pairs = ducks.execute(
+        REGISTRY["er_customer_linkage"].oracle
+    ).fetchall()
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b, *_ in pairs:
+        union(a, b)
+    clusters = {}
+    for node in list(parent):
+        clusters.setdefault(find(node), set()).add(node)
+    cust = {
+        k: (n, bal)
+        for k, n, bal in ducks.execute(
+            "SELECT c_custkey, c_name, c_acctbal FROM customer"
+        ).fetchall()
+    }
+    want = {}
+    for root, members in clusters.items():
+        if len(members) < 2:
+            continue
+        cid = min(members)
+        richest = max(members, key=lambda m: (cust[m][1], -m))
+        want[cid] = (
+            len(members),
+            min(members),
+            cust[richest][0],
+            round(max(cust[m][1] for m in members), 2),
+            round(sum(round(cust[m][1], 2) for m in members), 2),
+        )
+    assert set(got) == set(want)
+    for cid, (n, canon, name, mx, tot) in want.items():
+        g = got[cid]
+        assert g.n_members == n and g.canonical_custkey == canon
+        assert g.golden_name == name
+        assert abs(g.max_acctbal - mx) < 1e-6
+        assert abs(g.total_acctbal - tot) < 1e-6
+        assert cid == canon  # min-label invariant

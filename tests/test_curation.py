@@ -378,3 +378,44 @@ def test_dsir_selection_matches_python_recompute(spark, ducks):
     for g, w in zip(got, want):
         assert g[1] == w[1] and g[2] == w[2] and g[3] == w[3], (g, w)
         assert abs(g[0] - w[0]) < 2e-6, (g, w)
+
+
+def test_upsample_repeat_matches_python_coin(spark, ducks):
+    """sample_upsample_repeat re-derived in Python: per-source factor,
+    per-doc copy count (floor + md5-coin fractional), realized copies
+    and tokens must match exactly; balance law: every source's
+    expected token mass is the SAME target."""
+    import hashlib
+
+    rows = {r.source: r for r in
+            queries()["sample_upsample_repeat"](spark, SF_DIR).collect()}
+    per_doc = ducks.execute(
+        "SELECT doc_id, source, len(string_split(text, ' '))"
+        " FROM documents"
+    ).fetchall()
+    by_src = {}
+    for d, s, t in per_doc:
+        by_src.setdefault(s, []).append((d, t))
+    target = sum(t for _, _, t in per_doc) / len(by_src)
+
+    def frac(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:15], 16) / float(1 << 60)
+
+    import math as m
+
+    for s, docs in by_src.items():
+        tokens_total = sum(t for _, t in docs)
+        factor = target / tokens_total
+        copies = tokens = 0
+        for d, t in docs:
+            n = int(m.floor(factor)) + (
+                1 if frac(d) < factor - m.floor(factor) else 0
+            )
+            copies += n
+            tokens += n * t
+        r = rows[s]
+        assert r.copies_out == copies, (s, r.copies_out, copies)
+        assert r.tokens_out == tokens
+        assert abs(r.factor - factor) < 2e-6
+        assert abs(r.fill_ratio - tokens / target) < 2e-6

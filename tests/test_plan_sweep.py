@@ -46,6 +46,7 @@ _NLJ_ALLOWED = {
     "fe_woe_iv",  # 1-row goods/bads totals + 1-row IV broadcasts onto 5 segments
     "sample_neyman",  # 1-row weight-total broadcast onto the 5-strata frame
     "sample_token_budget",  # 1-row corpus-token-total broadcast onto ~20 sources
+    "sample_upsample_repeat",  # 1-row target-tokens broadcast onto ~20 sources
     "er_lsh_blocking",  # 1-row corpus-count broadcast (gram-DF threshold)
     "events_funnel_ordered",
     "events_gapfill_daily",
