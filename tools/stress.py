@@ -170,6 +170,9 @@ CENTURY_LINKAGE_QUERIES = [
     # r8: customer-keyed entries — distributional ranks / NTILE /
     # Neyman selection after the low-cardinality-window rewrites
     "win_dist_ranks", "win_ntile_quartile", "sample_neyman",
+    # r8 (this session): golden record — per-block union-find, so 100x
+    # replicas inside their block must show cap-bounded flat pair work
+    "er_golden_record",
 ]
 
 CENTURY_QUERIES = [
@@ -193,6 +196,11 @@ CENTURY_QUERIES = [
     # (bit frame bounded by m at any reference size); token-budget
     # sampling is a stateless per-row coin + |sources| frames
     "text_decontaminate_bloom", "sample_token_budget",
+    # r8 (this session): DSIR is explode + <=1024-bucket aggs; repeat
+    # upsampling is a bounded explode; XML roundtrip is linear format
+    # I/O like JSONL
+    "pipeline_dsir_selection", "sample_upsample_repeat",
+    "source_xml_roundtrip",
 ]
 
 
