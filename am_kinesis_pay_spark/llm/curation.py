@@ -1878,9 +1878,9 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DSIR_B = 1024  # hashed feature buckets
-_DSIR_N = 100  # selection size
-_DSIR_TARGET = ("src1", "src2", "src3")  # the domain we want more of
+_DSIR2_B = 1024  # hashed feature buckets
+_DSIR2_N = 100  # selection size
+_DSIR2_TARGET = ("src1", "src2", "src3")  # the domain we want more of
 
 
 @register(
@@ -1891,23 +1891,23 @@ WITH toks AS (
 ), bigrams AS (
   SELECT doc_id, source,
     CAST(('0x' || substr(md5(t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT)
-      % {_DSIR_B} AS b
+      % {_DSIR2_B} AS b
   FROM (SELECT doc_id, source, t, unnest(range(0, len(t) - 1)) AS i
         FROM toks WHERE len(t) >= 2)
 ), tgt AS (
   SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bigrams
-  WHERE source IN {_DSIR_TARGET} GROUP BY b
+  WHERE source IN {_DSIR2_TARGET} GROUP BY b
 ), raw AS (
   SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bigrams
-  WHERE source NOT IN {_DSIR_TARGET} GROUP BY b
+  WHERE source NOT IN {_DSIR2_TARGET} GROUP BY b
 ), tot AS (
   SELECT (SELECT SUM(c) FROM tgt) AS t_tot,
          (SELECT SUM(c) FROM raw) AS r_tot
 ), ratio AS (
   SELECT raw.b,
     CAST(round(
-      ln((COALESCE(tgt.c, 0) + 1.0) / (tot.t_tot + {_DSIR_B}))
-      - ln((raw.c + 1.0) / (tot.r_tot + {_DSIR_B})), 6)
+      ln((COALESCE(tgt.c, 0) + 1.0) / (tot.t_tot + {_DSIR2_B}))
+      - ln((raw.c + 1.0) / (tot.r_tot + {_DSIR2_B})), 6)
       AS DECIMAL(18,6)) AS lr
   FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot
 ), scored AS (
@@ -1915,21 +1915,24 @@ WITH toks AS (
     CAST(COUNT(*) AS BIGINT) AS n_bigrams,
     round(CAST(SUM(r.lr) AS DOUBLE) / COUNT(*), 6) AS avg_log_ratio
   FROM bigrams g JOIN ratio r ON g.b = r.b
-  WHERE g.source NOT IN {_DSIR_TARGET}
+  WHERE g.source NOT IN {_DSIR2_TARGET}
   GROUP BY g.doc_id
 )
 SELECT doc_id, source, n_bigrams, avg_log_ratio
-FROM scored ORDER BY avg_log_ratio DESC, doc_id LIMIT {_DSIR_N}
+FROM scored ORDER BY avg_log_ratio DESC, doc_id LIMIT {_DSIR2_N}
 """,
     tags=("llm", "curation", "pipeline"),
 )
 def pipeline_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR — Data Selection via Importance Resampling (Xie et al.
-    2023, the pretraining data-selection method behind domain-matched
-    corpus construction): score every candidate doc by how much more
+    """DSIR over BIGRAM features with a SOURCE-labeled target domain —
+    the second half of the DSIR family (sample_importance is the
+    unigram form whose target is a language slice and whose selection
+    ranks the whole corpus; this one scores only the non-target pool
+    against a curated-source target, the "give me more like src1-3"
+    request): score every candidate doc by how much more
     likely its hashed-bigram features are under the TARGET domain's
     smoothed feature distribution than under the raw pool's, and keep
-    the top N. Hashing bigrams into B = {_DSIR_B} buckets is the
+    the top N. Hashing bigrams into B = {_DSIR2_B} buckets is the
     paper's trick that makes the two "language models" a pair of
     B-row count vectors — buildable in one grouped aggregation each at
     ANY corpus size, broadcastable always.
@@ -1956,7 +1959,7 @@ def pipeline_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = (
         F.conv(F.substring(F.md5(bigram), 1, 15), 16, 10).cast("bigint")
-        % _DSIR_B
+        % _DSIR2_B
     )
     bigrams = (
         toks.filter(F.size("t") >= 2)
@@ -1968,7 +1971,7 @@ def pipeline_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", bucket.alias("b"))
     )
-    is_target = F.col("source").isin(*_DSIR_TARGET)
+    is_target = F.col("source").isin(*_DSIR2_TARGET)
     tgt = (
         bigrams.filter(is_target)
         .groupBy("b")
@@ -1990,10 +1993,10 @@ def pipeline_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.log(
                     (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
-                    / (F.col("t_tot") + _DSIR_B)
+                    / (F.col("t_tot") + _DSIR2_B)
                 )
                 - F.log(
-                    (F.col("rc") + 1.0) / (F.col("r_tot") + _DSIR_B)
+                    (F.col("rc") + 1.0) / (F.col("r_tot") + _DSIR2_B)
                 ),
                 6,
             )
@@ -2015,7 +2018,7 @@ def pipeline_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.orderBy(
         F.col("avg_log_ratio").desc(), "doc_id"
-    ).limit(_DSIR_N)
+    ).limit(_DSIR2_N)
 
 
 @register(

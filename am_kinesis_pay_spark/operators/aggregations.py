@@ -3262,3 +3262,114 @@ def agg_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wow_pct"),
         )
     )
+
+
+@register(
+    "agg_mutual_information",
+    oracle="""
+WITH cells AS (
+  SELECT event_type AS x, dayofweek(CAST(ts AS DATE)) AS y,
+    CAST(COUNT(*) AS BIGINT) AS nxy
+  FROM events GROUP BY event_type, dayofweek(CAST(ts AS DATE))
+), mx AS (
+  SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY x
+), my AS (
+  SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY y
+), tot AS (
+  SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cells
+), mi AS (
+  SELECT CAST(SUM(CAST(round(
+      (CAST(nxy AS DOUBLE) / n)
+      * ln((CAST(nxy AS DOUBLE) * n) / (CAST(nx AS DOUBLE) * ny)), 9)
+      AS DECIMAL(18,9))) AS DOUBLE) AS mi
+  FROM cells JOIN mx USING (x) JOIN my USING (y), tot
+), hx AS (
+  SELECT CAST(SUM(CAST(round(
+      -(CAST(nx AS DOUBLE) / n) * ln(CAST(nx AS DOUBLE) / n), 9)
+      AS DECIMAL(18,9))) AS DOUBLE) AS hx
+  FROM mx, tot
+), hy AS (
+  SELECT CAST(SUM(CAST(round(
+      -(CAST(ny AS DOUBLE) / n) * ln(CAST(ny AS DOUBLE) / n), 9)
+      AS DECIMAL(18,9))) AS DOUBLE) AS hy
+  FROM my, tot
+)
+SELECT round(mi, 6) AS mi_nats,
+  round(mi / sqrt(hx * hy), 6) AS nmi,
+  round(hx, 6) AS h_event_type,
+  round(hy, 6) AS h_weekday
+FROM mi, hx, hy
+""",
+    tags=("agg", "stats"),
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; weekday) with sqrt-normalized
+    NMI — the information-theoretic dependence measure next to
+    agg_chi_square's significance test and text_collocations_pmi's
+    pairwise form (PMI is the per-cell term; MI is its p_xy-weighted
+    expectation): I = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), normalized by
+    sqrt(H(x)·H(y)) so 0 = independent, 1 = deterministic. Category
+    relabeling leaves MI invariant, so the engines' different weekday
+    numbering conventions cannot matter (same argument as
+    agg_chi_square).
+
+    Plan shape: ONE hash aggregation to the |event_types| x 7
+    contingency frame — the only stage that sees raw rows; margins,
+    entropies and the MI sum are joins over that ≤35-row frame plus a
+    1-row total broadcast (allowlisted O(1)-row NLJ). At 100 TB this
+    generalizes to any feature-pair MI grid by adding the pair id to
+    the GROUP BY. Float discipline: each cell term (a double log) is
+    rounded to 9 dp and FROZEN as DECIMAL(18,9) before summation so
+    the Σ over cells is order-independent; final values round to
+    6 dp from identical expression trees."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"),
+        F.dayofweek(F.col("ts").cast("date")).alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("nxy"))
+    mx = cells.groupBy("x").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    tot = cells.agg(F.sum("nxy").cast("bigint").alias("n"))
+    joined = (
+        cells.join(mx, "x").join(my, "y").crossJoin(F.broadcast(tot))
+    )
+    n = F.col("n")
+    mi_term = F.round(
+        (F.col("nxy").cast("double") / n)
+        * F.log(
+            (F.col("nxy").cast("double") * n)
+            / (F.col("nx").cast("double") * F.col("ny"))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    mi = joined.agg(F.sum(mi_term).cast("double").alias("mi"))
+    hx_term = F.round(
+        -(F.col("nx").cast("double") / n)
+        * F.log(F.col("nx").cast("double") / n),
+        9,
+    ).cast("decimal(18,9)")
+    hx = (
+        mx.crossJoin(F.broadcast(tot))
+        .agg(F.sum(hx_term).cast("double").alias("hx"))
+    )
+    hy_term = F.round(
+        -(F.col("ny").cast("double") / n)
+        * F.log(F.col("ny").cast("double") / n),
+        9,
+    ).cast("decimal(18,9)")
+    hy = (
+        my.crossJoin(F.broadcast(tot))
+        .agg(F.sum(hy_term).cast("double").alias("hy"))
+    )
+    return (
+        mi.crossJoin(hx)
+        .crossJoin(hy)
+        .select(
+            F.round("mi", 6).alias("mi_nats"),
+            F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias(
+                "nmi"
+            ),
+            F.round("hx", 6).alias("h_event_type"),
+            F.round("hy", 6).alias("h_weekday"),
+        )
+    )

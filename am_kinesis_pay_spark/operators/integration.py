@@ -3135,6 +3135,10 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KCORE_K = 4  # core order: survivors need >= K surviving neighbors
 _KCORE_W = 6  # edge weight floor: co-purchase on >= W distinct days
 _KCORE_ROUNDS = 8  # peel-round budget (fixture converges in <= 4)
+# tighter than _CC_DAY_CAP: the weighted build generates cap^2 pair
+# instances per day BEFORE the strength threshold prunes them, so the
+# cap is the pair-generation budget, not just a skew bound
+_KCORE_DAY_CAP = 128
 
 _KCORE_ORACLE = f"""
 WITH du AS (
@@ -3144,7 +3148,7 @@ WITH du AS (
         ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rn
     FROM (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
           FROM events WHERE event_type = 'purchase') x) c
-  WHERE rn <= {_CC_DAY_CAP}
+  WHERE rn <= {_KCORE_DAY_CAP}
 ), kedges AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
@@ -3226,7 +3230,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, with each survivor's in-core degree reported. The graph is the
     co-purchase graph STRENGTH-THRESHOLDED (edge iff two users
     co-purchased on >= {_KCORE_W} distinct days, day-capped at
-    {_CC_DAY_CAP} users like every co-occurrence build here) so degree
+    {_KCORE_DAY_CAP} users like every co-occurrence build here) so degree
     actually varies — peeling on an unweighted day-clique graph is
     vacuous.
 
@@ -3256,7 +3260,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     capped = (
         day_users.withColumn("rn", F.row_number().over(w_day))
-        .filter(F.col("rn") <= _CC_DAY_CAP)
+        .filter(F.col("rn") <= _KCORE_DAY_CAP)
         .drop("rn")
     )
     a = capped.select("d", F.col("user_id").alias("src"))
@@ -3298,3 +3302,77 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         edges.unpersist()
+
+
+@register(
+    "fe_lag_features",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS day_value
+  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+), feats AS (
+  SELECT user_id, d, n_events, day_value,
+    LAG(n_events, 1) OVER w AS lag1_events,
+    LAG(n_events, 7) OVER w AS lag7_events,
+    round(AVG(day_value) OVER
+      (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll7_value,
+    CAST(COUNT(*) OVER
+      (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7_n,
+    LEAD(n_events, 1) OVER w AS target_next_events
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY d)
+)
+SELECT * FROM feats WHERE target_next_events IS NOT NULL
+""",
+    tags=("integration", "features"),
+)
+def fe_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag/rolling FEATURE MATRIX for per-user forecasting — the
+    feature-engineering pass every churn/forecast model runs before
+    training: per (user, day) activity reduced first, then lag-1 /
+    lag-7 counts, a trailing 7-row rolling mean of daily value, and
+    the LEAKAGE-FREE next-day target (LEAD 1 — strictly future, the
+    same discipline as win_lead_label; rows without an observed next
+    day are dropped, not zero-filled, so the label never fabricates
+    churn). Gaps in a user's calendar make LAG/LEAD ROW-offset
+    semantics deliberate here: features mean "previous active day",
+    which is the standard activity-history encoding (the
+    calendar-exact alternative is agg_period_over_period's offset
+    self-join).
+
+    Plan shape: ONE hash aggregation events -> (user, day) — the only
+    stage that sees raw rows — then a single window shuffle
+    partitioned by user_id (high cardinality, bounded ~30-row
+    partitions: the day domain), producing all five features in one
+    pass over that reduced frame. At 100 TB this is one shuffle on the
+    natural key and embarrassingly parallel across users. Float
+    discipline: day_value sums 3-dp DECIMAL then casts DOUBLE on the
+    reduced frame; the rolling mean averages those per-day doubles in
+    the same ROWS frame both engines see, rounded to 6 dp."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round("value", 3).cast("decimal(18,3)"))
+        .cast("double")
+        .alias("day_value"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("d")
+    w7 = w.rowsBetween(-6, 0)
+    feats = daily.select(
+        "user_id",
+        "d",
+        "n_events",
+        "day_value",
+        F.lag("n_events", 1).over(w).alias("lag1_events"),
+        F.lag("n_events", 7).over(w).alias("lag7_events"),
+        F.round(F.avg("day_value").over(w7), 6).alias("roll7_value"),
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("roll7_n"),
+        F.lead("n_events", 1).over(w).alias("target_next_events"),
+    )
+    return feats.filter(F.col("target_next_events").isNotNull())

@@ -318,14 +318,14 @@ def test_dsir_selection_matches_python_recompute(spark, ducks):
     import math as m
 
     from am_kinesis_pay_spark.llm.curation import (
-        _DSIR_B,
-        _DSIR_N,
-        _DSIR_TARGET,
+        _DSIR2_B,
+        _DSIR2_N,
+        _DSIR2_TARGET,
     )
 
     rows = queries()["pipeline_dsir_selection"](spark, SF_DIR).collect()
-    assert len(rows) <= _DSIR_N
-    assert all(r.source not in _DSIR_TARGET for r in rows)
+    assert len(rows) <= _DSIR2_N
+    assert all(r.source not in _DSIR2_TARGET for r in rows)
 
     docs = ducks.execute(
         "SELECT doc_id, source, text FROM documents"
@@ -336,7 +336,7 @@ def test_dsir_selection_matches_python_recompute(spark, ducks):
         out = []
         for i in range(len(t) - 1):
             h = hashlib.md5(f"{t[i]} {t[i+1]}".encode()).hexdigest()
-            out.append(int(h[:15], 16) % _DSIR_B)
+            out.append(int(h[:15], 16) % _DSIR2_B)
         return out
 
     tgt, raw = {}, {}
@@ -345,16 +345,16 @@ def test_dsir_selection_matches_python_recompute(spark, ducks):
         bs = buckets(text)
         if not bs:
             continue
-        side = tgt if source in _DSIR_TARGET else raw
+        side = tgt if source in _DSIR2_TARGET else raw
         for b in bs:
             side[b] = side.get(b, 0) + 1
-        if source not in _DSIR_TARGET:
+        if source not in _DSIR2_TARGET:
             per_doc[doc_id] = (source, bs)
     t_tot, r_tot = sum(tgt.values()), sum(raw.values())
     lr = {
         b: round(
-            m.log((tgt.get(b, 0) + 1.0) / (t_tot + _DSIR_B))
-            - m.log((c + 1.0) / (r_tot + _DSIR_B)),
+            m.log((tgt.get(b, 0) + 1.0) / (t_tot + _DSIR2_B))
+            - m.log((c + 1.0) / (r_tot + _DSIR2_B)),
             6,
         )
         for b, c in raw.items()
@@ -369,7 +369,7 @@ def test_dsir_selection_matches_python_recompute(spark, ducks):
         for doc_id, (source, bs) in per_doc.items()
     ]
     scored.sort(key=lambda x: (-x[0], x[1]))
-    want = scored[: _DSIR_N]
+    want = scored[: _DSIR2_N]
     got = sorted(
         [(r.avg_log_ratio, r.doc_id, r.source, r.n_bigrams) for r in rows],
         key=lambda x: (-x[0], x[1]),

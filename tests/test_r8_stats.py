@@ -349,3 +349,69 @@ def test_recursive_spine_is_contiguous_and_conserves(spark, ducks):
         assert b.m == nxt, (a.m, b.m)
     assert sum(r.n_orders for r in rows) == n_total
     assert all(r.revenue >= 0.0 for r in rows)
+
+
+def test_mutual_information_matches_python(spark, ducks):
+    """agg_mutual_information recomputed from the raw contingency
+    table in Python floats: MI, both entropies and the NMI must agree
+    to rounding; information-theory laws hold (MI >= 0, MI <= min(H),
+    0 <= NMI <= 1)."""
+    import math as m
+
+    row = queries()["agg_mutual_information"](spark, SF_DIR).collect()[0]
+    cells = ducks.execute(
+        "SELECT event_type, dayofweek(CAST(ts AS DATE)), COUNT(*)"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall()
+    n = sum(c for _, _, c in cells)
+    nx, ny = {}, {}
+    for x, y, c in cells:
+        nx[x] = nx.get(x, 0) + c
+        ny[y] = ny.get(y, 0) + c
+    mi = sum(
+        round((c / n) * m.log((c * n) / (nx[x] * ny[y])), 9)
+        for x, y, c in cells
+    )
+    hx = sum(round(-(v / n) * m.log(v / n), 9) for v in nx.values())
+    hy = sum(round(-(v / n) * m.log(v / n), 9) for v in ny.values())
+    assert abs(row.mi_nats - mi) < 2e-6
+    assert abs(row.h_event_type - hx) < 2e-6
+    assert abs(row.h_weekday - hy) < 2e-6
+    assert abs(row.nmi - mi / m.sqrt(hx * hy)) < 2e-6
+    assert row.mi_nats >= -1e-9
+    assert row.mi_nats <= min(hx, hy) + 1e-9
+    assert -1e-9 <= row.nmi <= 1 + 1e-9
+
+
+def test_lag_features_leakage_free(spark, ducks):
+    """fe_lag_features recomputed per user in Python: lag/lead are
+    ACTIVE-day offsets, the rolling mean covers exactly the trailing
+    <=7 active days, and the target is strictly future (the last
+    active day of every user emits no row — no fabricated label)."""
+    rows = queries()["fe_lag_features"](spark, SF_DIR).collect()
+    daily = {}
+    for u, d, ne, dv in ducks.execute(
+        "SELECT user_id, CAST(date_trunc('day', ts) AS DATE), COUNT(*),"
+        " CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE)"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall():
+        daily.setdefault(u, []).append((d, ne, dv))
+    for u in daily:
+        daily[u].sort()
+    got = {(r.user_id, r.d): r for r in rows}
+    n_expected = 0
+    for u, seq in daily.items():
+        for i, (d, ne, dv) in enumerate(seq):
+            if i + 1 >= len(seq):
+                assert (u, d) not in got  # last active day: no label
+                continue
+            n_expected += 1
+            r = got[(u, d)]
+            assert r.n_events == ne
+            assert r.target_next_events == seq[i + 1][1]
+            assert r.lag1_events == (seq[i - 1][1] if i >= 1 else None)
+            assert r.lag7_events == (seq[i - 7][1] if i >= 7 else None)
+            window = [v for _, _, v in seq[max(0, i - 6): i + 1]]
+            assert r.roll7_n == len(window)
+            assert abs(r.roll7_value - round(sum(window) / len(window), 6)) < 2e-6
+    assert len(rows) == n_expected
