@@ -159,6 +159,9 @@ CENTURY_FACTS_QUERIES = [
     "agg_delta_method_ci", "agg_theta_setops", "agg_ols_multifeature",
     "events_rolling_active_users", "agg_period_over_period",
     "dq_referential_integrity", "graph_kcore",
+    # r8 (this session, batch 7): one window pass over the day-reduced
+    # frame; one contingency agg + 35-cell frames
+    "fe_lag_features", "agg_mutual_information",
 ]
 
 CENTURY_LINKAGE_QUERIES = [
