@@ -509,3 +509,62 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
         ).cast("bigint").alias("lag_sec"),
     )
+
+
+@register(
+    "stream_topk_per_window",
+    oracle="""
+WITH counts AS (
+  SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP)
+           AS window_start,
+    event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT window_start, event_type, n_events,
+    CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+      ORDER BY n_events DESC, event_type) AS INT) AS rnk
+  FROM counts
+)
+SELECT window_start, event_type, n_events, rnk
+FROM ranked WHERE rnk <= 3
+""",
+    tags=("streaming",),
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DRV] Trending-items: top-3 event types per tumbling day — the
+    dashboard staple ("what's hot this hour?"). Structured Streaming
+    cannot rank INSIDE the stream (ordinary window functions are
+    unsupported over unbounded input), so the production shape is
+    two-phase: the STREAM maintains the per-(window, type) counts —
+    incremental, mergeable state, exactly stream_tumbling_count's
+    aggregation — and the RANK runs at the sink over each emitted
+    window's handful of rows (foreachBatch / the serving layer). The
+    batch form here fuses both phases; the golden test in
+    test_streaming.py runs the REAL readStream aggregation to
+    completion and applies the identical sink-side rank, proving the
+    two-phase decomposition equals the fused batch query.
+
+    Scale shape: the stream side is one incremental hash aggregation
+    whose state is |windows| x |event types| rows; the rank partitions
+    by window_start over that already-reduced frame (day-count
+    partitions of |event_types| rows each). Ties break by event_type
+    so top-3 is deterministic."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    from pyspark.sql import Window as W
+
+    ranked = counts.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    ).withColumn(
+        "rnk",
+        F.row_number()
+        .over(
+            W.partitionBy("window_start").orderBy(
+                F.col("n_events").desc(), "event_type"
+            )
+        )
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rnk") <= 3)

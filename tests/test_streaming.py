@@ -1155,3 +1155,49 @@ def test_stream_kmv_partials_through_delta_txn_equal_batch_sketch(
     )
     assert tbl.append_txn(poison, "kmv_stream", 0) is False
     assert sorted(map(tuple, topk(tbl.read()).collect())) == direct
+
+
+def test_stream_topk_two_phase_equals_batch(spark, stream_dir):
+    """The aggregate-in-stream / rank-at-sink decomposition: a REAL
+    readStream maintains the per-(window, type) counts (complete
+    mode), the identical sink-side rank runs over the emitted frame,
+    and the result must equal the fused batch query — plus the top-k
+    laws (exactly <=3 per window, ranks dense from 1, ordered by
+    count desc with event_type tie-break)."""
+    from pyspark.sql import Window as W
+
+    stream = (
+        events_stream(spark, stream_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    emitted = run_to_completion(
+        stream, f"topk_{uuid.uuid4().hex[:6]}", "complete"
+    )
+    ranked = emitted.withColumn(
+        "rnk",
+        F.row_number()
+        .over(
+            W.partitionBy("window_start").orderBy(
+                F.col("n_events").desc(), "event_type"
+            )
+        )
+        .cast("int"),
+    ).filter(F.col("rnk") <= 3)
+    got = sorted(map(tuple, ranked.collect()))
+    want = sorted(
+        map(tuple, queries()["stream_topk_per_window"](spark, SF_DIR).collect())
+    )
+    assert got == want
+    by_win = {}
+    for w, et, n, r in got:
+        by_win.setdefault(w, []).append((r, n, et))
+    for w, rows in by_win.items():
+        rows.sort()
+        assert [r for r, _, _ in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        counts = [(-n, et) for _, n, et in rows]
+        assert counts == sorted(counts)
