@@ -3376,3 +3376,194 @@ def fe_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("n_events", 1).over(w).alias("target_next_events"),
     )
     return feats.filter(F.col("target_next_events").isNotNull())
+
+
+_HOLT_S = 1000000  # fixed-point scale for the (level, trend) state
+
+
+@register(
+    "ts_holt_linear",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), indexed AS (
+  SELECT event_type, day, n,
+    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+      AS BIGINT) AS i
+  FROM daily
+), meta AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+    MAX(day) AS last_day
+  FROM indexed GROUP BY event_type
+), steps AS (
+  SELECT event_type, i, CAST(n * {_HOLT_S} AS BIGINT) AS l,
+    CAST(0 AS BIGINT) AS b
+  FROM indexed WHERE i = 1
+  UNION ALL
+  SELECT s.event_type, s.i + 1,
+    __LP__,
+    CAST(((__LP__ - s.l) + 9*s.b + 5
+      - ((((__LP__ - s.l) + 9*s.b + 5) % 10 + 10) % 10)) / 10 AS BIGINT)
+  FROM steps s
+  JOIN indexed d ON d.event_type = s.event_type AND d.i = s.i + 1
+), final AS (
+  SELECT st.event_type, st.l, st.b
+  FROM steps st JOIN meta m
+    ON st.event_type = m.event_type AND st.i = m.n_days
+)
+SELECT f.event_type, m.n_days, m.last_day,
+  round(CAST(f.l AS DOUBLE) / {_HOLT_S}, 6) AS level,
+  round(CAST(f.b AS DOUBLE) / {_HOLT_S}, 6) AS trend,
+  round(CAST(f.l + 7 * f.b AS DOUBLE) / {_HOLT_S}, 6) AS forecast_7d
+FROM final f JOIN meta m ON f.event_type = m.event_type
+""".replace("__LP__", f"CAST((3*d.n*{_HOLT_S} + 7*(s.l+s.b) + 5 - (((3*d.n*{_HOLT_S} + 7*(s.l+s.b) + 5) % 10 + 10) % 10)) / 10 AS BIGINT)"),
+    tags=("timeseries", "agg"),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing (Holt 1957 — the two-parameter
+    forecaster: level AND trend state, alpha = 0.3, beta = 0.1) over
+    the daily event-count series, extending ts_exp_smoothing's
+    one-parameter fold to a STRUCT accumulator: each series aggregates
+    to its ordered day array once, then the (level, trend) recurrence
+    folds JVM-side in one codegen'd F.aggregate expression — no Python
+    worker, no per-step Spark job, state bounded by the time horizon.
+    The 7-day-ahead forecast is level + 7·trend.
+
+    Determinism: the ENTIRE recurrence is integer arithmetic — state
+    is fixed-point BIGINT (scale 1e6), the alpha/beta blends are
+    integer numerators (3/10, 1/10) and each step divides by 10 via
+    the explicit pmod floor-division chain, so no float enters the
+    fold at all and both engines walk bit-identical (level, trend)
+    trajectories; DuckDB replays the identical fold with list_reduce
+    (whose seed IS the first element — exactly the l=y1, b=0 seed,
+    since elements carry b=0). Numerators stay < 2^40, far inside
+    BIGINT. Scale shape identical to ts_exp_smoothing: one hash agg
+    is the only corpus-sized stage."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("day").alias("last_day"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "n"))),
+            lambda s: F.struct(
+                (s["n"] * _HOLT_S).cast("long").alias("l"),
+                F.lit(0).cast("long").alias("b"),
+            ),
+        ).alias("arr"),
+    )
+
+    def _div10(a):
+        return ((a - F.pmod(a, 10)) / 10).cast("long")
+
+    def step(acc, x):
+        l_new = _div10(3 * x["l"] + 7 * (acc["l"] + acc["b"]) + 5)
+        b_new = _div10((l_new - acc["l"]) + 9 * acc["b"] + 5)
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    st = F.aggregate(
+        F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))),
+        F.element_at(F.col("arr"), 1),
+        step,
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        "last_day",
+        F.round(st["l"].cast("double") / _HOLT_S, 6).alias("level"),
+        F.round(st["b"].cast("double") / _HOLT_S, 6).alias("trend"),
+        F.round(
+            (st["l"] + 7 * st["b"]).cast("double") / _HOLT_S, 6
+        ).alias("forecast_7d"),
+    )
+
+
+@register(
+    "events_bot_detection",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    -- order by TRUNCATED micros (+ id), not raw ts: DuckDB sees nanos
+    -- where Spark sees micros, and a sub-microsecond tie must break
+    -- identically on both engines
+    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS prev_t
+  FROM events
+), gaps AS (
+  SELECT user_id, t - prev_t AS gap FROM seq WHERE prev_t IS NOT NULL
+), stats AS (
+  SELECT user_id,
+    CAST(COUNT(*) AS BIGINT) AS n_gaps,
+    CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0)))
+      AS DOUBLE) AS s2
+  FROM gaps GROUP BY user_id HAVING COUNT(*) >= 5
+)
+SELECT user_id, n_gaps,
+  round(s1 / n_gaps / 1000000, 6) AS mean_gap_s,
+  round(sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)) / 1000000, 6)
+    AS sd_gap_s,
+  round(sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)) / (s1 / n_gaps), 6)
+    AS cv,
+  sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)) / (s1 / n_gaps) < 0.5
+    AS is_regular
+FROM stats
+""",
+    tags=("integration", "anomaly"),
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot / scripted-client detection by inter-event-time REGULARITY:
+    human activity is bursty (coefficient of variation of gaps ~ 1 for
+    Poisson-like arrivals, higher with sessions), schedulers and
+    scripts are metronomic (cv << 1) — so each user's gap series
+    reduces to mean, standard deviation and cv, flagging cv < 0.5.
+    The behavioral cousin of events_anomaly_rate_spike (volume) and
+    win_out_of_order_profile (lateness); the reference's poll-cadence
+    concern (is something hammering /status on a timer?,
+    kinesis-pay.php:263,302-304) asked per CLIENT.
+
+    Plan shape: one window shuffle on user_id (the LAG that produces
+    gaps — high-cardinality partitions, per-user event counts), then
+    one hash aggregation to per-user sufficient statistics; users with
+    fewer than 5 gaps are excluded (cv is meaningless at tiny n).
+    Float discipline: gaps are exact BIGINT microseconds; their sums
+    and sums-of-squares accumulate in DECIMAL(38,0) (exact,
+    order-independent — gap² reaches ~1e24, far inside 38 digits),
+    casting to DOUBLE only for the per-user mean/sd/cv arithmetic,
+    identical expression trees both engines, rounded to 6 dp."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    seq = ev.select(
+        "user_id", t.alias("t"), F.lag(t).over(w).alias("prev_t")
+    )
+    gaps = seq.filter(F.col("prev_t").isNotNull()).select(
+        "user_id", (F.col("t") - F.col("prev_t")).alias("gap")
+    )
+    g = F.col("gap").cast("decimal(38,0)")
+    stats = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum(g).cast("double").alias("s1"),
+            F.sum(g * g).cast("double").alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    n = F.col("n_gaps")
+    mean = F.col("s1") / n
+    sd = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1))
+    return stats.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean / 1000000, 6).alias("mean_gap_s"),
+        F.round(sd / 1000000, 6).alias("sd_gap_s"),
+        F.round(sd / mean, 6).alias("cv"),
+        (sd / mean < 0.5).alias("is_regular"),
+    )

@@ -415,3 +415,63 @@ def test_lag_features_leakage_free(spark, ducks):
             assert r.roll7_n == len(window)
             assert abs(r.roll7_value - round(sum(window) / len(window), 6)) < 2e-6
     assert len(rows) == n_expected
+
+
+def test_holt_linear_matches_python_fixed_point(spark, ducks):
+    """ts_holt_linear's (level, trend) trajectory recomputed with the
+    same integer fixed-point recurrence in pure Python — must match
+    exactly (no float enters the fold), and forecast = level +
+    7*trend by construction. Guards the fold engine itself: DuckDB
+    1.0's list_reduce rebinds struct accumulator fields to
+    already-evaluated output fields (found while building this entry),
+    which is why the oracle uses a recursive CTE instead."""
+    S = 1000000
+    rows = {r.event_type: r for r in
+            queries()["ts_holt_linear"](spark, SF_DIR).collect()}
+    daily = {}
+    for et, d, n in ducks.execute(
+        "SELECT event_type, CAST(ts AS DATE), COUNT(*) FROM events"
+        " GROUP BY 1, 2 ORDER BY 2"
+    ).fetchall():
+        daily.setdefault(et, []).append(n)
+    for et, ys in daily.items():
+        l, b = ys[0] * S, 0
+        for y in ys[1:]:
+            n1 = 3 * y * S + 7 * (l + b) + 5
+            l_new = (n1 - (n1 % 10 + 10) % 10) // 10
+            n2 = (l_new - l) + 9 * b + 5
+            b_new = (n2 - (n2 % 10 + 10) % 10) // 10
+            l, b = l_new, b_new
+        r = rows[et]
+        assert r.n_days == len(ys)
+        assert abs(r.level - round(l / S, 6)) < 1e-9, (et, r.level, l / S)
+        assert abs(r.trend - round(b / S, 6)) < 1e-9
+        assert abs(r.forecast_7d - round((l + 7 * b) / S, 6)) < 1e-9
+
+
+def test_bot_detection_cv_recompute(spark, ducks):
+    """events_bot_detection's per-user cv recomputed from raw
+    microsecond gaps in Python; users below the 5-gap floor excluded;
+    flag consistent with the threshold."""
+    import math as m
+
+    rows = {r.user_id: r for r in
+            queries()["events_bot_detection"](spark, SF_DIR).collect()}
+    seqs = {}
+    for u, t in ducks.execute(
+        "SELECT user_id, epoch_us(ts) FROM events ORDER BY 1, 2"
+    ).fetchall():
+        seqs.setdefault(u, []).append(t)
+    for u, ts in seqs.items():
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        if len(gaps) < 5:
+            assert u not in rows
+            continue
+        n = len(gaps)
+        s1, s2 = sum(gaps), sum(g * g for g in gaps)
+        mean = s1 / n
+        sd = m.sqrt((s2 - s1 * s1 / n) / (n - 1))
+        r = rows[u]
+        assert r.n_gaps == n
+        assert abs(r.cv - sd / mean) < 2e-6
+        assert r.is_regular == (sd / mean < 0.5)
