@@ -162,6 +162,10 @@ CENTURY_FACTS_QUERIES = [
     # r8 (this session, batch 7): one window pass over the day-reduced
     # frame; one contingency agg + 35-cell frames
     "fe_lag_features", "agg_mutual_information",
+    # r8 (this session, batches 8-9): stream-shaped tumbling agg +
+    # tiny rank frame; series fold on the day domain; per-user gap
+    # window + sufficient-statistics agg
+    "stream_topk_per_window", "ts_holt_linear", "events_bot_detection",
 ]
 
 CENTURY_LINKAGE_QUERIES = [
