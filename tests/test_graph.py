@@ -171,7 +171,7 @@ def test_kcore_laws_and_fixpoint(spark, ducks):
     import collections
 
     from am_kinesis_pay_spark.operators.integration import (
-        _CC_DAY_CAP,
+        _KCORE_DAY_CAP,
         _KCORE_K,
         _KCORE_ROUNDS,
         _KCORE_W,
@@ -190,7 +190,7 @@ def test_kcore_laws_and_fixpoint(spark, ducks):
             FROM (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
                          user_id
                   FROM events WHERE event_type = 'purchase') x) c
-          WHERE rn <= {_CC_DAY_CAP})
+          WHERE rn <= {_KCORE_DAY_CAP})
         SELECT src, dst FROM (
           SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
           FROM du a JOIN du b USING (d) WHERE a.user_id <> b.user_id
