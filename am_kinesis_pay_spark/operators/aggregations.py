@@ -3373,3 +3373,164 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("hy", 6).alias("h_weekday"),
         )
     )
+
+
+@register(
+    "agg_raking_ipf",
+    oracle="""
+WITH cells AS (
+  SELECT event_type AS x, CAST(isodow(CAST(ts AS DATE)) AS INT) AS y,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(isodow(CAST(ts AS DATE)) AS INT)
+), dims AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS total,
+    CAST(COUNT(DISTINCT x) AS BIGINT) AS r,
+    CAST(COUNT(DISTINCT y) AS BIGINT) AS c
+  FROM cells
+), w0 AS (
+  SELECT x, y, n, CAST(n AS DECIMAL(28,9)) AS w FROM cells
+), r1 AS (
+  SELECT w0.x, w0.y, w0.n,
+    CAST(round(CAST(w0.w AS DOUBLE)
+      * ((dims.total / dims.r) / rm.s), 9) AS DECIMAL(28,9)) AS w
+  FROM w0
+  JOIN (SELECT x, CAST(SUM(w) AS DOUBLE) AS s FROM w0 GROUP BY x) rm
+    ON w0.x = rm.x, dims
+), c1 AS (
+  SELECT r1.x, r1.y, r1.n,
+    CAST(round(CAST(r1.w AS DOUBLE)
+      * ((dims.total / dims.c) / cm.s), 9) AS DECIMAL(28,9)) AS w
+  FROM r1
+  JOIN (SELECT y, CAST(SUM(w) AS DOUBLE) AS s FROM r1 GROUP BY y) cm
+    ON r1.y = cm.y, dims
+), r2 AS (
+  SELECT c1.x, c1.y, c1.n,
+    CAST(round(CAST(c1.w AS DOUBLE)
+      * ((dims.total / dims.r) / rm.s), 9) AS DECIMAL(28,9)) AS w
+  FROM c1
+  JOIN (SELECT x, CAST(SUM(w) AS DOUBLE) AS s FROM c1 GROUP BY x) rm
+    ON c1.x = rm.x, dims
+), c2 AS (
+  SELECT r2.x, r2.y, r2.n,
+    CAST(round(CAST(r2.w AS DOUBLE)
+      * ((dims.total / dims.c) / cm.s), 9) AS DECIMAL(28,9)) AS w
+  FROM r2
+  JOIN (SELECT y, CAST(SUM(w) AS DOUBLE) AS s FROM r2 GROUP BY y) cm
+    ON r2.y = cm.y, dims
+), audit AS (
+  SELECT
+    MAX(abs(rs.s - dims.total / dims.r) / (dims.total / dims.r))
+      AS max_row_err
+  FROM (SELECT x, CAST(SUM(w) AS DOUBLE) AS s FROM c2 GROUP BY x) rs, dims
+), audit_c AS (
+  SELECT
+    MAX(abs(cs.s - dims.total / dims.c) / (dims.total / dims.c))
+      AS max_col_err
+  FROM (SELECT y, CAST(SUM(w) AS DOUBLE) AS s FROM c2 GROUP BY y) cs, dims
+)
+SELECT c2.x AS event_type, c2.y AS iso_weekday, c2.n,
+  round(CAST(c2.w AS DOUBLE), 6) AS raked_weight,
+  round(audit.max_row_err, 6) AS max_row_err,
+  round(audit_c.max_col_err, 6) AS max_col_err
+FROM c2, audit, audit_c
+""",
+    tags=("agg", "stats"),
+)
+def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKING — iterative proportional fitting (Deming & Stephan 1940;
+    the survey-calibration standard behind every post-stratification
+    weighting pipeline): adjust the (event_type × ISO-weekday)
+    contingency weights until both margins match UNIFORM targets
+    (total/R per type, total/C per weekday), by alternately scaling
+    rows and columns — two full IPF iterations unrolled (row, col,
+    row, col), with the residual margin errors reported inline as the
+    convergence audit (col margins exact after the last col step; row
+    margins show the remaining alternation error).
+
+    Plan shape: ONE hash aggregation to the ≤35-cell contingency
+    frame — the only stage that sees raw rows; every IPF step is a
+    GROUP BY + join ON THAT FRAME (margin sums are ≤7-row
+    aggregates), so iterations cost kilobytes at any corpus size; the
+    1-row dims/audit frames broadcast (allowlisted O(1)-row NLJ).
+    Float discipline: weights re-quantize to DECIMAL(28,9) after
+    every multiplicative step, so margin sums — the inputs of the
+    NEXT step — are exact decimal additions (order-independent) and
+    both engines walk identical weight trajectories; ISO weekday
+    (isodow / EXTRACT DAYOFWEEK_ISO, Monday=1 both engines) keys the
+    output so even the category labels agree."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"),
+        F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("int").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dims = cells.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.countDistinct("x").cast("bigint").alias("r"),
+        F.countDistinct("y").cast("bigint").alias("c"),
+    )
+    w = cells.select(
+        "x", "y", "n", F.col("n").cast("decimal(28,9)").alias("w")
+    )
+
+    def adjust(frame: DataFrame, key: str, target_den: str) -> DataFrame:
+        margins = frame.groupBy(key).agg(
+            F.sum("w").cast("double").alias("s")
+        )
+        return (
+            frame.join(margins, key)
+            .crossJoin(F.broadcast(dims))
+            .select(
+                "x",
+                "y",
+                "n",
+                F.round(
+                    F.col("w").cast("double")
+                    * (
+                        (F.col("total") / F.col(target_den))
+                        / F.col("s")
+                    ),
+                    9,
+                )
+                .cast("decimal(28,9)")
+                .alias("w"),
+            )
+        )
+
+    w = adjust(w, "x", "r")
+    w = adjust(w, "y", "c")
+    w = adjust(w, "x", "r")
+    w = adjust(w, "y", "c")
+    row_err = (
+        w.groupBy("x")
+        .agg(F.sum("w").cast("double").alias("s"))
+        .crossJoin(F.broadcast(dims))
+        .agg(
+            F.max(
+                F.abs(F.col("s") - F.col("total") / F.col("r"))
+                / (F.col("total") / F.col("r"))
+            ).alias("max_row_err")
+        )
+    )
+    col_err = (
+        w.groupBy("y")
+        .agg(F.sum("w").cast("double").alias("s"))
+        .crossJoin(F.broadcast(dims))
+        .agg(
+            F.max(
+                F.abs(F.col("s") - F.col("total") / F.col("c"))
+                / (F.col("total") / F.col("c"))
+            ).alias("max_col_err")
+        )
+    )
+    return (
+        w.crossJoin(F.broadcast(row_err))
+        .crossJoin(F.broadcast(col_err))
+        .select(
+            F.col("x").alias("event_type"),
+            F.col("y").alias("iso_weekday"),
+            "n",
+            F.round(F.col("w").cast("double"), 6).alias("raked_weight"),
+            F.round("max_row_err", 6).alias("max_row_err"),
+            F.round("max_col_err", 6).alias("max_col_err"),
+        )
+    )

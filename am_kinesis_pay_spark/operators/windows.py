@@ -1520,3 +1520,90 @@ def win_lead_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (nxt - F.unix_micros("ts")).alias("label_us"),
     )
+
+
+@register(
+    "win_rolling_regression",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS y
+  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+), indexed AS (
+  SELECT user_id, d, y,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS BIGINT)
+      AS x
+  FROM daily
+), framed AS (
+  SELECT user_id, d, y,
+    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+    CAST(SUM(x) OVER w AS BIGINT) AS sx,
+    CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+    CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+    CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy
+  FROM indexed
+  WINDOW w AS (PARTITION BY user_id ORDER BY x
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, d, round(CAST(y AS DOUBLE), 6) AS y,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_7d
+FROM framed WHERE n = 7
+""",
+    tags=("window", "stats"),
+)
+def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING regression — the trailing-window trend every
+    monitoring/finance dashboard draws (is this user's daily spend
+    accelerating?): per user, the OLS slope of daily value against
+    the active-day index over a trailing 7-row frame, computed
+    entirely from WINDOW-FRAME SUFFICIENT STATISTICS (n, Σx, Σx²,
+    Σy, Σxy over the frame) — the frame-sum trick that turns a
+    per-window regression into five built-in SUM windows sharing one
+    sort, no UDF, no per-window refit. Completes the regression
+    family: agg_ols_trend (global), agg_ols_multifeature (grouped
+    multi-feature), this one (windowed).
+
+    Plan shape: one hash agg to (user, day) — the only row-scale
+    stage — then ONE window sort per user partition evaluating all
+    five frame sums together (Spark fuses same-frame windows into a
+    single WindowExec). Warm-up rows (frame not yet full) are
+    excluded so every slope covers exactly 7 active days. Float
+    discipline: x is an exact BIGINT rank, its sums exact; y stays
+    DECIMAL(18,3) THROUGH the frame sums (exact and order-independent
+    — a double frame sum would expose the engines' different window
+    summation orders, segment tree vs sequential), casting to DOUBLE
+    only for the slope arithmetic on identical trees, rounded to
+    6 dp."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.sum(F.round("value", 3).cast("decimal(18,3)"))
+        .cast("decimal(18,3)")
+        .alias("y")
+    )
+    w_rank = W.partitionBy("user_id").orderBy("d")
+    indexed = daily.withColumn(
+        "x", F.row_number().over(w_rank).cast("bigint")
+    )
+    w7 = W.partitionBy("user_id").orderBy("x").rowsBetween(-6, 0)
+    framed = indexed.select(
+        "user_id",
+        "d",
+        "y",
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("n"),
+        F.sum("x").over(w7).cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w7).cast("bigint").alias("sxx"),
+        F.sum("y").over(w7).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w7).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy = F.col("sy"), F.col("sxy")
+    return framed.filter(n == 7).select(
+        "user_id",
+        "d",
+        F.round(F.col("y").cast("double"), 6).alias("y"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
+            "slope_7d"
+        ),
+    )

@@ -32,6 +32,7 @@ _NLJ_ALLOWED = {
     "agg_bootstrap_ci",  # 1-row full-mean broadcast onto the 1-row CI frame
     "agg_sprt_sequential",  # 1-row stop-day broadcast onto the day frame
     "agg_mutual_information",  # 1-row corpus-total broadcast onto the <=35-cell frame
+    "agg_raking_ipf",  # 1-row dims/audit broadcasts onto the <=35-cell frame
     "agg_theta_setops",  # 1-row est/common/exact aggregate frames combined
     "agg_benjamini_hochberg",  # 1-row grand-total broadcast onto 20 buckets
     "agg_chi_square",  # 1-row (r, c) dims broadcast onto the 1-row chi2

@@ -475,3 +475,77 @@ def test_bot_detection_cv_recompute(spark, ducks):
         assert r.n_gaps == n
         assert abs(r.cv - sd / mean) < 2e-6
         assert r.is_regular == (sd / mean < 0.5)
+
+
+def test_rolling_regression_matches_lstsq(spark, ducks):
+    """win_rolling_regression's frame-sum slope recomputed with
+    numpy.polyfit over the raw trailing-7 (x, y) points for every
+    emitted row of a sample of users; warm-up rows (fewer than 7
+    active days) must be absent."""
+    import numpy as np
+
+    rows = queries()["win_rolling_regression"](spark, SF_DIR).collect()
+    daily = {}
+    for u, d, y in ducks.execute(
+        "SELECT user_id, CAST(date_trunc('day', ts) AS DATE),"
+        " SUM(CAST(round(value, 3) AS DECIMAL(18,3)))"
+        " FROM events GROUP BY 1, 2 ORDER BY 2"
+    ).fetchall():
+        daily.setdefault(u, []).append(float(y))
+    got = {}
+    for r in rows:
+        got.setdefault(r.user_id, []).append(r)
+    for u, seq in daily.items():
+        expect_rows = max(0, len(seq) - 6)
+        assert len(got.get(u, [])) == expect_rows, u
+    sample = sorted(got)[:25]
+    for u in sample:
+        seq = daily[u]
+        urows = sorted(got[u], key=lambda r: r.d)
+        for j, r in enumerate(urows):
+            ys = seq[j: j + 7]
+            xs = np.arange(j + 1, j + 8, dtype=float)
+            slope = np.polyfit(xs, np.array(ys), 1)[0]
+            assert abs(r.slope_7d - slope) < 1e-4, (u, r.d, r.slope_7d, slope)
+
+
+def test_raking_ipf_calibration_laws(spark, ducks):
+    """IPF's defining properties, plus an exact Python re-walk of the
+    quantized trajectory: after the final COLUMN step every column
+    margin matches its target to quantization (max_col_err ~ 0), row
+    margins carry only the alternation residual, weights are positive,
+    and total mass is preserved to rounding."""
+    rows = queries()["agg_raking_ipf"](spark, SF_DIR).collect()
+    cells = {
+        (x, y): n
+        for x, y, n in ducks.execute(
+            "SELECT event_type, isodow(CAST(ts AS DATE)), COUNT(*)"
+            " FROM events GROUP BY 1, 2"
+        ).fetchall()
+    }
+    total = sum(cells.values())
+    xs = sorted({k[0] for k in cells})
+    ys = sorted({k[1] for k in cells})
+    w = {k: float(v) for k, v in cells.items()}
+
+    def adjust(axis, target):
+        keys = xs if axis == 0 else ys
+        for k in keys:
+            s = sum(v for kk, v in w.items() if kk[axis] == k)
+            for kk in list(w):
+                if kk[axis] == k:
+                    w[kk] = round(w[kk] * (target / s), 9)
+
+    for _ in range(2):
+        adjust(0, total / len(xs))
+        adjust(1, total / len(ys))
+    got = {(r.event_type, r.iso_weekday): r for r in rows}
+    assert set(got) == set(cells)
+    for k, r in got.items():
+        assert abs(r.raked_weight - round(w[k], 6)) < 2e-6, (k, r, w[k])
+        assert r.raked_weight > 0
+        assert r.n == cells[k]
+    r0 = rows[0]
+    assert r0.max_col_err < 1e-6  # exact after the final col step
+    assert r0.max_row_err < 0.05  # alternation residual only
+    assert abs(sum(r.raked_weight for r in rows) - total) < 1e-3
