@@ -166,6 +166,9 @@ CENTURY_FACTS_QUERIES = [
     # tiny rank frame; series fold on the day domain; per-user gap
     # window + sufficient-statistics agg
     "stream_topk_per_window", "ts_holt_linear", "events_bot_detection",
+    # r8 (this session, batch 10): frame-sum rolling OLS (one window
+    # sort per user); IPF on the <=35-cell contingency frame
+    "win_rolling_regression", "agg_raking_ipf",
 ]
 
 CENTURY_LINKAGE_QUERIES = [
