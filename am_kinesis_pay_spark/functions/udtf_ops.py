@@ -152,3 +152,106 @@ def udtf_split_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL kpay_split_fixed('eid,kind,day', e.line) s
         """
     )
+
+
+_TA_GAP_S = 1800  # session gap threshold (30 min), matches stream_session_window
+
+
+@udtf(returnType=(
+    "user_id: bigint, n_events: bigint, n_sessions: bigint,"
+    " max_gap_s: bigint"
+))
+class UserSessionStats:
+    """TABLE-argument UDTF (Spark 4 TVF input relations): consumes one
+    user's events — the engine feeds whole partitions because the call
+    site says PARTITION BY user_id ORDER BY ts — accumulates gap
+    statistics row-by-row in eval(), and emits ONE summary row from
+    terminate(). The imperative per-partition form of sessionization:
+    state is O(1) per partition (prev timestamp, counters), rows
+    arrive in engine-guaranteed order, nothing is collected."""
+
+    def __init__(self):
+        self.user = None
+        self.prev_us = None
+        self.n = 0
+        self.sessions = 0
+        self.max_gap = 0
+
+    def eval(self, row):  # noqa: D102
+        self.user = row["user_id"]
+        t = row["t_us"]
+        self.n += 1
+        if self.prev_us is None:
+            self.sessions = 1
+        else:
+            gap = t - self.prev_us
+            if gap > _TA_GAP_S * 1000000:
+                self.sessions += 1
+            if gap > self.max_gap:
+                self.max_gap = gap
+        self.prev_us = t
+
+    def terminate(self):  # noqa: D102
+        if self.user is not None:
+            yield (
+                self.user,
+                self.n,
+                self.sessions,
+                self.max_gap // 1000000,
+            )
+
+
+@register(
+    "udtf_table_arg_sessions",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS prev_t
+  FROM events
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(1 + SUM(CASE WHEN t - prev_t > {_TA_GAP_S} * 1000000
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+  CAST(COALESCE(MAX(t - prev_t), 0) // 1000000 AS BIGINT) AS max_gap_s
+FROM seq GROUP BY user_id
+""",
+    tags=("udtf",),
+)
+def udtf_table_arg_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with a TABLE ARGUMENT (Spark 4: a TVF consuming an input
+    RELATION with PARTITION BY / ORDER BY at the call site,
+    SPARK-44503) — the last §2.11 Python-surface form: where
+    udtf_explode_json_bag maps scalar→rows and the polymorphic UDTF
+    computes its schema at plan time, this one receives WHOLE
+    PARTITIONS of a table in engine-guaranteed order and reduces each
+    to a summary row (per-user session count / max gap — the
+    imperative twin of stream_session_window's declarative
+    session_window, same 30-minute gap rule).
+
+    The partition contract does the heavy lifting: PARTITION BY
+    user_id ORDER BY t_us means Spark shuffles and sorts ONCE and the
+    UDTF sees rows in order with O(1) state — the same execution
+    shape as a window function, but with arbitrary imperative logic.
+    Timestamps pass as exact BIGINT micros (the events nano/micro
+    convention); ties order by (t_us, event_id) in BOTH the call site
+    and the oracle's LAG so partner choice is engine-identical.
+    At 100 TB this is one shuffle on the natural key, embarrassingly
+    parallel across users — but note the row-at-a-time Python cost:
+    fine for summary UDTFs, and anything expressible as built-ins
+    (this oracle IS one) should prefer them — the entry exists to
+    pin the API surface, and the oracle proves the two forms equal."""
+    ev = load(spark, sf_dir, "events")
+    spark.udtf.register("akps_user_session_stats", UserSessionStats)
+    ev.select(
+        "user_id", F.unix_micros("ts").alias("t_us"), "event_id"
+    ).createOrReplaceTempView("events_ta_v")
+    return spark.sql(
+        """
+        SELECT user_id, n_events, n_sessions, max_gap_s
+        FROM akps_user_session_stats(
+          TABLE(events_ta_v)
+          PARTITION BY user_id ORDER BY (t_us, event_id))
+        """
+    )

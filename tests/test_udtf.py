@@ -64,3 +64,34 @@ def test_split_fixed_ragged_and_dynamic_schema(spark):
         " LATERAL kpay_split_fixed_t('left,right', t.line) s"
     )
     assert two.columns == ["left", "right"]
+
+
+def test_table_arg_sessions_matches_python_walk(spark, ducks):
+    """The TABLE-argument UDTF's per-user summaries re-derived by a
+    pure-Python walk over the same (t_us, event_id)-ordered events:
+    session splits at gap > 30 min, max gap, and event counts must
+    match for every user — proving the engine really delivered whole
+    partitions in order to the UDTF."""
+    from am_kinesis_pay_spark.registry import queries
+
+    got = {
+        r.user_id: (r.n_events, r.n_sessions, r.max_gap_s)
+        for r in queries()["udtf_table_arg_sessions"](
+            spark, SF_DIR
+        ).collect()
+    }
+    seqs = {}
+    for u, t in ducks.execute(
+        "SELECT user_id, epoch_us(ts) FROM events"
+        " ORDER BY user_id, epoch_us(ts), event_id"
+    ).fetchall():
+        seqs.setdefault(u, []).append(t)
+    assert set(got) == set(seqs)
+    for u, ts in seqs.items():
+        sessions, max_gap = 1, 0
+        for a, b in zip(ts, ts[1:]):
+            gap = b - a
+            if gap > 1800 * 1000000:
+                sessions += 1
+            max_gap = max(max_gap, gap)
+        assert got[u] == (len(ts), sessions, max_gap // 1000000), u
