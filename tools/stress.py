@@ -169,6 +169,9 @@ CENTURY_FACTS_QUERIES = [
     # r8 (this session, batch 10): frame-sum rolling OLS (one window
     # sort per user); IPF on the <=35-cell contingency frame
     "win_rolling_regression", "agg_raking_ipf",
+    # r8 (this session, batch 11): row-at-a-time Python by design (the
+    # API-surface pin) — expect honest linearity at Python speed
+    "udtf_table_arg_sessions",
 ]
 
 CENTURY_LINKAGE_QUERIES = [
