@@ -3539,3 +3539,105 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("max_col_err", 6).alias("max_col_err"),
         )
     )
+
+
+@register(
+    "agg_hte_segments",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 = 0 AS grp_a,
+    CAST(user_id % 5 AS INT) AS segment,
+    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT)
+      AS converted
+  FROM events GROUP BY user_id
+), seg AS (
+  SELECT segment,
+    CAST(SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN grp_a THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+    CAST(SUM(CASE WHEN NOT grp_a THEN converted ELSE 0 END) AS BIGINT)
+      AS c_b
+  FROM per_user GROUP BY segment
+), m AS (
+  SELECT segment, n_a, n_b,
+    CAST(c_a AS DOUBLE) / NULLIF(n_a, 0) AS p_a,
+    CAST(c_b AS DOUBLE) / NULLIF(n_b, 0) AS p_b
+  FROM seg
+)
+SELECT segment, n_a, n_b,
+  round(p_a, 6) AS rate_a, round(p_b, 6) AS rate_b,
+  round(p_a - p_b, 6) AS uplift,
+  round((p_a - p_b)
+    / NULLIF(sqrt(p_a * (1 - p_a) / n_a + p_b * (1 - p_b) / n_b), 0), 6)
+    AS z
+FROM m
+""",
+    tags=("agg", "stats"),
+)
+def agg_hte_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous treatment effects — per-SEGMENT uplift (the
+    two-model / subgroup-analysis question every experiment readout
+    ends with: "the average effect is X, but WHERE does it come
+    from?"): users hash-split into arms as in agg_ab_ttest, conversion
+    = any purchase, segments = deterministic user buckets, and each
+    segment reports both arms' conversion rates, the uplift, and the
+    two-proportion z statistic. The per-segment grid is exactly what
+    agg_benjamini_hochberg then corrects for multiplicity — the two
+    entries compose into the subgroup-readout pipeline.
+
+    Plan shape: one hash aggregation events -> per-user (arm, segment,
+    converted) — the only row-scale stage — then one 5-row segment
+    aggregation; everything downstream is projection arithmetic. At
+    100 TB segments x metrics grids widen the GROUP BY, nothing else.
+    Float discipline: rates derive from exact BIGINT counts; the
+    z arithmetic runs identical expression trees on both engines,
+    rounded to 6 dp. Degenerate segments report NULL honestly (NULLIF
+    guards): an empty arm has no rate, and a zero standard error —
+    both rates 0 or 1, routine at tiny fixtures — has no z."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    per_user = per_user.select(
+        (F.col("user_id") % 2 == 0).alias("grp_a"),
+        (F.col("user_id") % 5).cast("int").alias("segment"),
+        "converted",
+    )
+    seg = per_user.groupBy("segment").agg(
+        F.sum(F.when(F.col("grp_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("grp_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("grp_a"), F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(~F.col("grp_a"), F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    p_a = F.col("c_a").cast("double") / F.nullif(F.col("n_a"), F.lit(0))
+    p_b = F.col("c_b").cast("double") / F.nullif(F.col("n_b"), F.lit(0))
+    m = seg.select(
+        "segment", "n_a", "n_b", p_a.alias("p_a"), p_b.alias("p_b")
+    )
+    se = F.sqrt(
+        F.col("p_a") * (1 - F.col("p_a")) / F.col("n_a")
+        + F.col("p_b") * (1 - F.col("p_b")) / F.col("n_b")
+    )
+    return m.select(
+        "segment",
+        "n_a",
+        "n_b",
+        F.round("p_a", 6).alias("rate_a"),
+        F.round("p_b", 6).alias("rate_b"),
+        F.round(F.col("p_a") - F.col("p_b"), 6).alias("uplift"),
+        F.round(
+            (F.col("p_a") - F.col("p_b")) / F.nullif(se, F.lit(0.0)), 6
+        ).alias("z"),
+    )

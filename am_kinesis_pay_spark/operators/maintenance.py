@@ -987,3 +987,62 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("orphan_rows").cast("double") / F.col("child_rows") * 100, 6
         ).alias("orphan_pct"),
     )
+
+
+_FRESH_SLA_MIN = 90  # staleness SLA: max tolerated lag behind the watermark
+
+
+@register(
+    "dq_freshness",
+    oracle=f"""
+WITH wm AS (
+  SELECT MAX(ts) AS watermark FROM events
+), per_type AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    MAX(ts) AS last_ts
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_events, last_ts,
+  CAST((epoch_us(watermark) - epoch_us(last_ts)) // 60000000 AS BIGINT)
+    AS lag_minutes,
+  (epoch_us(watermark) - epoch_us(last_ts)) // 60000000
+    > {_FRESH_SLA_MIN} AS is_stale
+FROM per_type, wm
+""",
+    tags=("dq",),
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness / staleness SLA audit — per event type, how far its
+    latest event lags the corpus watermark (the data-quality question
+    every ingestion dashboard leads with: "is the purchase feed
+    behind?"). The watermark is the corpus MAX rather than wall-clock
+    so the check is reproducible on a fixture and answers the RELATIVE
+    question that matters at ingest: one source stalling behind the
+    others. Completes the dq family's time axis next to
+    dq_null_profile (completeness) and dq_referential_integrity
+    (consistency); flags lag > {_FRESH_SLA_MIN} minutes.
+
+    Plan shape: one hash aggregation to the |event_types| frame plus a
+    1-row watermark broadcast (allowlisted O(1)-row NLJ) — at 100 TB
+    both MAXes come from the same map-side-combined scan, and a
+    partitioned table answers them from footer stats alone
+    (source_parquet_footer_stats is that path). Lags are exact BIGINT
+    microsecond arithmetic floor-divided to minutes — no float
+    anywhere."""
+    ev = load(spark, sf_dir, "events")
+    wm = ev.agg(F.max("ts").alias("watermark"))
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    lag_min = F.floor(
+        (F.unix_micros("watermark") - F.unix_micros("last_ts")) / 60000000
+    ).cast("bigint")
+    return per_type.crossJoin(F.broadcast(wm)).select(
+        "event_type",
+        "n_events",
+        "last_ts",
+        lag_min.alias("lag_minutes"),
+        (lag_min > _FRESH_SLA_MIN).alias("is_stale"),
+    )

@@ -44,6 +44,7 @@ _NLJ_ALLOWED = {
     "emb_kmeans",
     "emb_triplet_mine",  # ≤10-row anchor set joined with a != predicate
     "dq_benford",  # 1-row digit-total broadcast onto the 9-row frame
+    "dq_freshness",  # 1-row watermark broadcast onto the |event_types| frame
     "dq_psi_drift",  # 1-row span + totals broadcasts onto the ≤20-bucket frame
     "fe_woe_iv",  # 1-row goods/bads totals + 1-row IV broadcasts onto 5 segments
     "sample_neyman",  # 1-row weight-total broadcast onto the 5-strata frame

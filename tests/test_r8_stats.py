@@ -549,3 +549,61 @@ def test_raking_ipf_calibration_laws(spark, ducks):
     assert r0.max_col_err < 1e-6  # exact after the final col step
     assert r0.max_row_err < 0.05  # alternation residual only
     assert abs(sum(r.raked_weight for r in rows) - total) < 1e-3
+
+
+def test_hte_segments_matches_python(spark, ducks):
+    """Per-segment uplift readout recomputed from raw per-user
+    conversions in Python: counts, rates, uplift and the
+    two-proportion z must match; z is NULL exactly when the standard
+    error degenerates (both rates 0 or 1, or an empty arm)."""
+    import math as m
+
+    rows = {r.segment: r for r in
+            queries()["agg_hte_segments"](spark, SF_DIR).collect()}
+    per_user = ducks.execute(
+        "SELECT user_id, MAX(CASE WHEN event_type='purchase' THEN 1"
+        " ELSE 0 END) FROM events GROUP BY user_id"
+    ).fetchall()
+    segs = {}
+    for u, conv in per_user:
+        key = (int(u % 5), u % 2 == 0)
+        n, c = segs.get(key, (0, 0))
+        segs[key] = (n + 1, c + conv)
+    for seg in sorted(rows):
+        n_a, c_a = segs.get((seg, True), (0, 0))
+        n_b, c_b = segs.get((seg, False), (0, 0))
+        r = rows[seg]
+        assert (r.n_a, r.n_b) == (n_a, n_b)
+        p_a = c_a / n_a if n_a else None
+        p_b = c_b / n_b if n_b else None
+        if p_a is None or p_b is None:
+            assert r.uplift is None
+            continue
+        assert abs(r.rate_a - p_a) < 2e-6 and abs(r.rate_b - p_b) < 2e-6
+        assert abs(r.uplift - (p_a - p_b)) < 2e-6
+        se = m.sqrt(p_a * (1 - p_a) / n_a + p_b * (1 - p_b) / n_b)
+        if se == 0:
+            assert r.z is None
+        else:
+            assert abs(r.z - (p_a - p_b) / se) < 2e-6
+
+
+def test_freshness_watermark_laws(spark, ducks):
+    """dq_freshness invariants: the watermark is the corpus max, so at
+    least one type reports lag 0; every lag equals the independent
+    floor((wm - last)/60s) in exact integer micros; is_stale matches
+    the SLA threshold."""
+    rows = queries()["dq_freshness"](spark, SF_DIR).collect()
+    raw = ducks.execute(
+        "SELECT event_type, COUNT(*), MAX(epoch_us(ts)) FROM events"
+        " GROUP BY 1"
+    ).fetchall()
+    wm = max(t for _, _, t in raw)
+    want = {et: (n, (wm - t) // 60000000) for et, n, t in raw}
+    assert {r.event_type for r in rows} == set(want)
+    assert min(r.lag_minutes for r in rows) == 0
+    for r in rows:
+        n, lag = want[r.event_type]
+        assert r.n_events == n
+        assert r.lag_minutes == lag
+        assert r.is_stale == (lag > 90)
