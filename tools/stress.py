@@ -172,6 +172,9 @@ CENTURY_FACTS_QUERIES = [
     # r8 (this session, batch 11): row-at-a-time Python by design (the
     # API-surface pin) — expect honest linearity at Python speed
     "udtf_table_arg_sessions",
+    # r8 (this session, batch 12): per-user agg + 5-row segment frame;
+    # type frame + 1-row watermark broadcast
+    "agg_hte_segments", "dq_freshness",
 ]
 
 CENTURY_LINKAGE_QUERIES = [
