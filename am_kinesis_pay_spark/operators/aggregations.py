@@ -3641,3 +3641,91 @@ def agg_hte_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_a") - F.col("p_b")) / F.nullif(se, F.lit(0.0)), 6
         ).alias("z"),
     )
+
+
+_HC_TOPN = 10  # movers reported
+
+
+@register(
+    "agg_heavy_change",
+    oracle=f"""
+WITH bounds AS (
+  SELECT epoch_us(MIN(ts))
+    + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS mid_us
+  FROM events
+), keyed AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item,
+    CASE WHEN epoch_us(ts) < bounds.mid_us THEN 0 ELSE 1 END AS half
+  FROM events, bounds
+), counts AS (
+  SELECT item,
+    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM keyed GROUP BY item
+)
+SELECT item, n1, n2, n2 - n1 AS delta,
+  round(CAST(n2 - n1 AS DOUBLE) / (n1 + 1), 6) AS rel_change
+FROM counts
+ORDER BY abs(n2 - n1) DESC, item
+LIMIT {_HC_TOPN}
+""",
+    tags=("agg", "sketch"),
+)
+def agg_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY CHANGE detection (Cormode & Muthukrishnan's "what's new"
+    question — the deltoids problem): the items whose frequency moved
+    MOST between the first and second half of the event window, not
+    the items that are merely big (agg_heavy_hitters answers that).
+    Items are the props.k values; the report is the top {_HC_TOPN}
+    movers by absolute count delta with the +1-smoothed relative
+    change alongside (so a 0 -> 40 cold start ranks above a
+    4000 -> 4040 drift of the same absolute delta on the relative
+    column). Ties break by item id.
+
+    Plan shape: a 1-row bounds broadcast (allowlisted O(1)-row NLJ)
+    splits the scan into halves WITHOUT two passes — one conditional
+    hash aggregation yields both halves' counts per item; the top-N is
+    TakeOrderedAndProject. At 100 TB this is the exact two-period
+    form of the count-min-based deltoid sketch with the sketch
+    replaced by the exact grouped count (domain-bounded items here);
+    for unbounded item domains agg_count_min is the drop-in partial.
+    Counts are exact BIGINTs; only the 6-dp relative change is a
+    double, on identical expression trees."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo_us"),
+        F.max(F.unix_micros("ts")).alias("hi_us"),
+    ).select(
+        (
+            F.col("lo_us")
+            + F.floor((F.col("hi_us") - F.col("lo_us")) / 2).cast("long")
+        ).alias("mid_us")
+    )
+    keyed = ev.crossJoin(F.broadcast(bounds)).select(
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+        F.when(F.unix_micros("ts") < F.col("mid_us"), 0)
+        .otherwise(1)
+        .alias("half"),
+    )
+    counts = keyed.groupBy("item").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    delta = F.col("n2") - F.col("n1")
+    return (
+        counts.select(
+            "item",
+            "n1",
+            "n2",
+            delta.alias("delta"),
+            F.round(delta.cast("double") / (F.col("n1") + 1), 6).alias(
+                "rel_change"
+            ),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), "item")
+        .limit(_HC_TOPN)
+    )

@@ -31,6 +31,7 @@ _NLJ_ALLOWED = {
     "agg_anova_oneway",  # 1-row grand-total broadcast onto the k-group frame
     "agg_bootstrap_ci",  # 1-row full-mean broadcast onto the 1-row CI frame
     "agg_sprt_sequential",  # 1-row stop-day broadcast onto the day frame
+    "agg_heavy_change",  # 1-row midpoint broadcast onto the fact scan
     "agg_mutual_information",  # 1-row corpus-total broadcast onto the <=35-cell frame
     "agg_raking_ipf",  # 1-row dims/audit broadcasts onto the <=35-cell frame
     "agg_theta_setops",  # 1-row est/common/exact aggregate frames combined

@@ -607,3 +607,34 @@ def test_freshness_watermark_laws(spark, ducks):
         assert r.n_events == n
         assert r.lag_minutes == lag
         assert r.is_stale == (lag > 90)
+
+
+def test_heavy_change_is_true_topn_by_delta(spark, ducks):
+    """agg_heavy_change recomputed fully in Python: the reported set
+    must be EXACTLY the top-N items by |n2-n1| (ties by item id), the
+    counts must match a raw recompute of the midpoint split, and the
+    relative change its +1-smoothed formula."""
+    rows = queries()["agg_heavy_change"](spark, SF_DIR).collect()
+    raw = ducks.execute(
+        "SELECT CAST(json_extract_string(props, '$.k') AS INT),"
+        " epoch_us(ts) FROM events"
+    ).fetchall()
+    ts = [t for _, t in raw]
+    mid = min(ts) + (max(ts) - min(ts)) // 2
+    counts = {}
+    for item, t in raw:
+        n1, n2 = counts.get(item, (0, 0))
+        if t < mid:
+            n1 += 1
+        else:
+            n2 += 1
+        counts[item] = (n1, n2)
+    ranked = sorted(
+        counts.items(), key=lambda kv: (-abs(kv[1][1] - kv[1][0]), kv[0])
+    )[:10]
+    assert [(r.item, r.n1, r.n2) for r in rows] == [
+        (i, a, b) for i, (a, b) in ranked
+    ]
+    for r in rows:
+        assert r.delta == r.n2 - r.n1
+        assert abs(r.rel_change - round((r.n2 - r.n1) / (r.n1 + 1), 6)) < 1e-9
