@@ -175,6 +175,9 @@ CENTURY_FACTS_QUERIES = [
     # r8 (this session, batch 12): per-user agg + 5-row segment frame;
     # type frame + 1-row watermark broadcast
     "agg_hte_segments", "dq_freshness",
+    # r8 (this session, batch 13): midpoint split + one conditional
+    # hash agg; JSON extraction is the per-row cost
+    "agg_heavy_change",
 ]
 
 CENTURY_LINKAGE_QUERIES = [
