@@ -3567,3 +3567,158 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd / mean, 6).alias("cv"),
         (sd / mean < 0.5).alias("is_regular"),
     )
+
+
+_CONC_GAP_US = 1800 * 1000000  # session gap, matches the 30-min rule
+
+
+@register(
+    "events_concurrency_curve",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS prev_t
+  FROM events
+), flagged AS (
+  SELECT user_id, t, event_id,
+    CASE WHEN prev_t IS NULL OR t - prev_t > {_CONC_GAP_US}
+         THEN 1 ELSE 0 END AS new_s
+  FROM seq
+), sessioned AS (
+  SELECT user_id, t,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), sessions AS (
+  SELECT user_id, sid, MIN(t) AS s_start, MAX(t) AS s_end
+  FROM sessioned GROUP BY user_id, sid
+), bounds AS (
+  SELECT s_start AS t, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT s_end AS t, -1 AS delta FROM sessions
+), per_t AS (
+  SELECT t, CAST(SUM(delta) AS BIGINT) AS net,
+    CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS plus
+  FROM bounds GROUP BY t
+), curve AS (
+  SELECT t, net, plus,
+    SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) - net
+      + plus AS max_at_t
+  FROM per_t
+)
+SELECT CAST(make_timestamp(t) AS DATE) AS day,
+  CAST(MAX(max_at_t) AS BIGINT) AS peak_concurrency,
+  CAST(COUNT(*) AS BIGINT) AS n_boundary_instants
+FROM curve GROUP BY 1
+""",
+    tags=("integration", "analytics"),
+)
+def events_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OCCUPANCY — peak concurrent sessions per day (the
+    capacity-planning curve behind connection pools, seat licensing
+    and Little's-law dashboards): user sessions (30-minute gap rule,
+    the same sessionization as win_sessionize) become ±1 BOUNDARY
+    events at start/end, and concurrency at any instant is the prefix
+    sum of boundaries — the classic sweep-line reduction that answers
+    "how many intervals cover point t" for ALL t in one pass, where
+    the naive interval × instant join is quadratic. The
+    tie rule needs no intra-instant ordering at all: aggregating
+    boundaries per instant first, the peak AT t is
+    (prefix net BEFORE t) + (starts at t) — inclusive intervals, so
+    same-instant starts count before same-instant ends, and a
+    single-event session still registers concurrency 1.
+
+    Plan shape: sessionization is one window shuffle on user_id;
+    boundaries reduce to the DISTINCT-INSTANT frame (one hash agg);
+    the Spark prefix runs as the two-pass day pattern —
+    within-day prefix windows (day-sized partitions) plus a
+    day-offset frame whose global window is calendar-domain
+    (win_global_running_total's allowlisted shape) — so no
+    unpartitioned row-scale sort exists, where the oracle (DuckDB)
+    uses its plain global window as the independent formulation.
+    Exact integer microseconds and counts throughout; no floats
+    anywhere."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("t", "event_id")
+    t = F.unix_micros("ts")
+    seq = ev.select("user_id", t.alias("t"), "event_id").withColumn(
+        "prev_t", F.lag("t").over(w_u)
+    )
+    flagged = seq.select(
+        "user_id",
+        "t",
+        "event_id",
+        F.when(
+            F.col("prev_t").isNull()
+            | (F.col("t") - F.col("prev_t") > _CONC_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessioned = flagged.withColumn("sid", F.sum("new_s").over(w_run))
+    sessions = sessioned.groupBy("user_id", "sid").agg(
+        F.min("t").alias("s_start"), F.max("t").alias("s_end")
+    )
+    bounds = sessions.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_start").alias("t"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("s_end").alias("t"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("b")
+    ).select("b.t", "b.delta")
+    per_t = bounds.groupBy("t").agg(
+        F.sum("delta").cast("bigint").alias("net"),
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("plus"),
+    )
+    day = F.to_date(F.timestamp_micros(F.col("t")))
+    per_t = per_t.withColumn("day", day)
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = per_t.withColumn(
+        "run_in_day", F.sum("net").over(w_day)
+    )
+    day_totals = per_t.groupBy("day").agg(
+        F.sum("net").cast("bigint").alias("day_net")
+    )
+    w_days = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = day_totals.select(
+        "day",
+        F.coalesce(F.sum("day_net").over(w_days), F.lit(0)).alias(
+            "day_offset"
+        ),
+    )
+    curve = within.join(F.broadcast(offsets), "day").select(
+        "day",
+        "t",
+        (
+            F.col("day_offset")
+            + F.col("run_in_day")
+            - F.col("net")
+            + F.col("plus")
+        ).alias("max_at_t"),
+    )
+    return curve.groupBy("day").agg(
+        F.max("max_at_t").cast("bigint").alias("peak_concurrency"),
+        F.count(F.lit(1)).cast("bigint").alias("n_boundary_instants"),
+    )

@@ -485,3 +485,52 @@ def test_golden_record_matches_union_find(spark, ducks):
         assert abs(g.max_acctbal - mx) < 1e-6
         assert abs(g.total_acctbal - tot) < 1e-6
         assert cid == canon  # min-label invariant
+
+
+def test_concurrency_curve_matches_python_sweep(spark, ducks):
+    """events_concurrency_curve re-derived by a pure-Python sweep
+    line: sessionize each user's ordered events (30-min gap), emit
+    ±1 boundaries, walk the global instant order accumulating
+    concurrency with starts-before-ends at equal instants, and take
+    per-day peaks — must match exactly. Conservation law: the final
+    prefix sum is zero (every start has an end)."""
+    from am_kinesis_pay_spark.registry import queries
+
+    got = {
+        r.day: (r.peak_concurrency, r.n_boundary_instants)
+        for r in queries()["events_concurrency_curve"](
+            spark, SF_DIR
+        ).collect()
+    }
+    rows = ducks.execute(
+        "SELECT user_id, epoch_us(ts), event_id FROM events"
+        " ORDER BY user_id, epoch_us(ts), event_id"
+    ).fetchall()
+    sessions = []
+    cur_u, start, last = None, None, None
+    for u, t, _eid in rows:
+        if u != cur_u or t - last > 1800 * 1000000:
+            if cur_u is not None:
+                sessions.append((start, last))
+            cur_u, start = u, t
+        last = t
+    sessions.append((start, last))
+    per_t = {}
+    for s, e in sessions:
+        net, plus = per_t.get(s, (0, 0))
+        per_t[s] = (net + 1, plus + 1)
+        net, plus = per_t.get(e, (0, 0))
+        per_t[e] = (net - 1, plus)
+    import datetime as dt
+
+    prefix, want = 0, {}
+    for t in sorted(per_t):
+        net, plus = per_t[t]
+        peak_here = prefix + plus
+        day = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=t)
+        day = day.date()
+        p, n = want.get(day, (0, 0))
+        want[day] = (max(p, peak_here), n + 1)
+        prefix += net
+    assert prefix == 0  # conservation
+    assert got == want

@@ -97,6 +97,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "er_sorted_neighborhood": "key-prefix bucket-count prefix frames (2x)",
     "events_anomaly_rate_spike": "per-day frame (calendar domain)",
     "events_path_analysis": "distinct 3-step path frame (|event_types|^3)",
+    "events_concurrency_curve": "day-offset prefix frame (calendar domain, the win_global_running_total two-pass)",
     "events_rfm_segments": "3x per-axis bucket-count prefix frames (value-domain buckets, not users)",
     "events_survival_km": "distinct event-time (day) frames",
     "fe_quantile_binning": "distinct-value frame (2-dp money domain, saturating) — prefix + total windows",
