@@ -178,6 +178,9 @@ CENTURY_FACTS_QUERIES = [
     # r8 (this session, batch 13): midpoint split + one conditional
     # hash agg; JSON extraction is the per-row cost
     "agg_heavy_change",
+    # r8 (this session, batch 14): sweep-line occupancy — session
+    # window + distinct-instant frame + day-two-pass prefix
+    "events_concurrency_curve",
 ]
 
 CENTURY_LINKAGE_QUERIES = [
