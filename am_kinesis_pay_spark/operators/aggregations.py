@@ -3661,7 +3661,7 @@ WITH bounds AS (
   SELECT item,
     CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
     CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
-  FROM keyed GROUP BY item
+  FROM keyed WHERE item IS NOT NULL GROUP BY item
 )
 SELECT item, n1, n2, n2 - n1 AS delta,
   round(CAST(n2 - n1 AS DOUBLE) / (n1 + 1), 6) AS rel_change
@@ -3707,7 +3707,11 @@ def agg_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .alias("half"),
     )
-    counts = keyed.groupBy("item").agg(
+    # item IS NOT NULL on both engines: a NULL item (missing or
+    # non-integer props.k) tying at the top-N boundary would order
+    # differently (Spark sorts NULLs first ascending, DuckDB last) —
+    # ADVICE r8. NULL is "no item", not a deltoid candidate.
+    counts = keyed.filter(F.col("item").isNotNull()).groupBy("item").agg(
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n1"),

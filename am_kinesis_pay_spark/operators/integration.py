@@ -3272,36 +3272,37 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _KCORE_W)
         .select("src", "dst")
-        .persist()
+        # localCheckpoint, not persist/unpersist: the returned frame is
+        # evaluated AFTER this function exits, so a finally-unpersist
+        # would recompute the whole capped self-join edge build for the
+        # final core-degree aggregation (ADVICE r8). Eager checkpoint
+        # materializes the O(edges) frame once for loop AND result.
+        .localCheckpoint()
     )
-    try:
-        alive = edges.select(F.col("src").alias("node")).distinct()
-        alive = alive.localCheckpoint()
-        n_alive = alive.count()
-        for _ in range(_KCORE_ROUNDS):
-            surv = (
-                edges.join(alive.withColumnRenamed("node", "src"), "src")
-                .join(alive.withColumnRenamed("node", "dst"), "dst")
-                .groupBy(F.col("src").alias("node"))
-                .agg(F.count(F.lit(1)).alias("deg"))
-                .filter(F.col("deg") >= _KCORE_K)
-                .select("node")
-                .localCheckpoint()
-            )
-            n_surv = surv.count()
-            alive = surv
-            if n_surv == n_alive:
-                break  # monotone fixpoint: further rounds are no-ops
-            n_alive = n_surv
-        out = (
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    alive = alive.localCheckpoint()
+    n_alive = alive.count()
+    for _ in range(_KCORE_ROUNDS):
+        surv = (
             edges.join(alive.withColumnRenamed("node", "src"), "src")
             .join(alive.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint()
         )
-        return out
-    finally:
-        edges.unpersist()
+        n_surv = surv.count()
+        alive = surv
+        if n_surv == n_alive:
+            break  # monotone fixpoint: further rounds are no-ops
+        n_alive = n_surv
+    return (
+        edges.join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )
 
 
 @register(
@@ -3310,14 +3311,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
     CAST(COUNT(*) AS BIGINT) AS n_events,
-    CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS day_value
+    SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS day_value_dec
   FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
 ), feats AS (
-  SELECT user_id, d, n_events, day_value,
+  SELECT user_id, d, n_events,
+    CAST(day_value_dec AS DOUBLE) AS day_value,
     LAG(n_events, 1) OVER w AS lag1_events,
     LAG(n_events, 7) OVER w AS lag7_events,
-    round(AVG(day_value) OVER
-      (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll7_value,
+    round(CAST(SUM(day_value_dec) OVER
+        (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      / (COUNT(*) OVER
+        (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)), 6) AS roll7_value,
     CAST(COUNT(*) OVER
       (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7_n,
     LEAD(n_events, 1) OVER w AS target_next_events
@@ -3348,17 +3352,20 @@ def fe_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions: the day domain), producing all five features in one
     pass over that reduced frame. At 100 TB this is one shuffle on the
     natural key and embarrassingly parallel across users. Float
-    discipline: day_value sums 3-dp DECIMAL then casts DOUBLE on the
-    reduced frame; the rolling mean averages those per-day doubles in
-    the same ROWS frame both engines see, rounded to 6 dp."""
+    discipline: day_value stays 3-dp DECIMAL through the frame SUM
+    (exact, summation-order-independent — same rule as
+    win_rolling_regression: DuckDB's segment-tree window summation
+    order differs from Spark's sequential frame scan, so a DOUBLE
+    frame AVG can drift 1 ulp and flip a 6-dp digit), casting to
+    DOUBLE only for the single division by roll7_n."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.round("value", 3).cast("decimal(18,3)"))
-        .cast("double")
-        .alias("day_value"),
+        F.sum(F.round("value", 3).cast("decimal(18,3)")).alias(
+            "day_value_dec"
+        ),
     )
     from pyspark.sql import Window
 
@@ -3368,10 +3375,14 @@ def fe_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "d",
         "n_events",
-        "day_value",
+        F.col("day_value_dec").cast("double").alias("day_value"),
         F.lag("n_events", 1).over(w).alias("lag1_events"),
         F.lag("n_events", 7).over(w).alias("lag7_events"),
-        F.round(F.avg("day_value").over(w7), 6).alias("roll7_value"),
+        F.round(
+            F.sum("day_value_dec").over(w7).cast("double")
+            / F.count(F.lit(1)).over(w7),
+            6,
+        ).alias("roll7_value"),
         F.count(F.lit(1)).over(w7).cast("bigint").alias("roll7_n"),
         F.lead("n_events", 1).over(w).alias("target_next_events"),
     )

@@ -930,6 +930,11 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .format("xml")
         .option("rowTag", "doc")
+        # default ignoreSurroundingSpaces=true TRIMS element text, so a
+        # document with leading/trailing whitespace would desync the
+        # md5 distinct count vs parquet truth (ADVICE r8) — disable it
+        # so the byte-for-byte claim holds for any fixture content.
+        .option("ignoreSurroundingSpaces", "false")
         .load(path)
     )
     return back.groupBy("lang", "source").agg(

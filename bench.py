@@ -13,9 +13,13 @@ iteration (stdout only; no snapshot/diff side effects).
 Each query is forced end-to-end with the noop sink (full computation,
 no serialization/collect cost — the same convention as spark-sql-perf).
 A tiny warmup query absorbs JVM/codegen startup, and each query is
-timed as the best of two consecutive runs (spark-sql-perf's warm-
-iteration convention) so per-query numbers reflect steady-state plan
-cost, not transient host/GC stalls.
+timed as the MEDIAN of three consecutive runs (VERDICT r8 #4: the
+snapshot itself must be a steady-state statistic, not a single draw —
+r8 had five vec_* entries "regress" with zero code changes because
+single-run snapshots diffed box noise). The median discards the one
+cold first run (plan compile, cache warm) AND any one GC/host stall,
+so BENCHDIFF diffs steady states; the timing discipline is recorded
+in the payload ("timing": "median-of-3").
 """
 
 from __future__ import annotations
@@ -99,13 +103,13 @@ def main() -> None:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(qs):
-        best = float("inf")
+        runs: list[float] = []
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 run_query(qs[name](spark, SF_DIR))
-                best = min(best, time.perf_counter() - t0)
-            times[name] = round(best, 3)
+                runs.append(time.perf_counter() - t0)
+            times[name] = round(sorted(runs)[1], 3)  # median of 3
         except Exception as e:  # noqa: BLE001 — one bad query must not
             # take down the whole bench run; record and continue
             errors[name] = f"{type(e).__name__}: {e}"[:200]
@@ -118,6 +122,7 @@ def main() -> None:
         families[fam] = round(families.get(fam, 0.0) + sec, 3)
     payload = {
         "metric": "total_wall_seconds_all_queries",
+        "timing": "median-of-3",
         "value": total,
         "unit": "sec",
         "queries": times,

@@ -14,9 +14,7 @@ comparison semantics.
 from __future__ import annotations
 
 import datetime
-import hashlib
 import json
-import math
 import os
 import random
 
@@ -58,39 +56,10 @@ def _rotation() -> list:
     return rng.sample(pool, min(N_ROTATED, len(pool)))
 
 
-def _canon(v) -> str:
-    """Value canonicalization for hashing: both engines' results pass
-    through the same normalizer, so only genuine value drift changes
-    the hash. Floats are repr'd at full precision (NaN spelled out),
-    Decimals normalized, bytes hexed, date/time ISO-formatted."""
-    import decimal
-
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
-    if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    return str(v)
-
-
-def _value_hash(rows, col_order) -> str:
-    canon_rows = sorted(
-        "|".join(_canon(r[i]) for i in col_order) for r in rows
-    )
-    h = hashlib.md5()
-    for line in canon_rows:
-        h.update(line.encode())
-        h.update(b"\n")
-    return h.hexdigest()
+# The canonicalizer and hash are THE single shared implementation in
+# tools/correctness_full.py (the full-surface sweep, VERDICT r8 #1) so
+# this rotating lane and the per-round artifact can never drift apart.
+from tools.correctness_full import _canon, value_hash as _value_hash  # noqa: E402,F401
 
 
 @pytest.fixture(scope="module")

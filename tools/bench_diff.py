@@ -88,7 +88,9 @@ def _regressions(qo: dict, qn: dict) -> list[str]:
     return sorted(out, key=lambda k: qo[k] - qn[k])
 
 
-def _adjudicate(n_old: int, n_new: int, qo: dict, qn: dict) -> dict:
+def _adjudicate(
+    n_old: int, n_new: int, qo: dict, qn: dict, old_timing: str | None = None
+) -> dict:
     """Re-run each flagged regression 3x at $SPARK_GRAFT_SF_DIR and
     label it variance / explained / investigate from the median. Each
     run is a fresh end-to-end execution (noop sink, same convention as
@@ -128,15 +130,18 @@ def _adjudicate(n_old: int, n_new: int, qo: dict, qn: dict) -> dict:
                 runs.append(time.perf_counter() - t0)
             med = statistics.median(runs)
             spread = max(runs) - min(runs)
-            # the decision statistic is BEST-of-3: the snapshots being
-            # compared are bench.py's best-of-2, and a median compared
-            # against a best-of is biased toward "still regressed" on
-            # any query with bimodal warm runs (GC/AQE jitter)
             best = min(runs)
+            # decision statistic MATCHES the old snapshot's timing
+            # discipline: median-of-3 vs a median-of-3 snapshot
+            # (bench.py since r9), best-of-3 vs a legacy best-of-2
+            # snapshot — a median compared against a best-of is biased
+            # toward "still regressed" on any query with bimodal warm
+            # runs (GC/AQE jitter)
+            stat = med if old_timing == "median-of-3" else best
             still_regressed = (
                 qo[name] > 0
-                and best / qo[name] > RATIO
-                and best - qo[name] > DELTA_S
+                and stat / qo[name] > RATIO
+                and stat - qo[name] > DELTA_S
             )
             if not still_regressed:
                 label = "variance"
@@ -242,7 +247,9 @@ def main() -> None:
         print(f"  {d:+7.3f}  {k:40s} {qo[k]:7.3f} -> {qn[k]:7.3f}")
 
     if args.adjudicate:
-        _print_adjudication(_adjudicate(n_old, n_new, qo, qn))
+        _print_adjudication(
+            _adjudicate(n_old, n_new, qo, qn, old.get("timing"))
+        )
     else:
         # embed the latest persisted adjudication (if any) so the
         # automatic BENCHDIFF.md refresh carries the labels forward
