@@ -362,6 +362,27 @@ def test_ann_pq_adc_math_and_recall(spark):
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.1, f"recall {recall:.2f} ≈ broken quantization"
 
+    # inline recall_at_10 audit column (VERDICT r8 #5): per-query
+    # constant in [0, 1] that equals |PQ top-10 ∩ exact-cosine top-10|
+    # / |exact top-10|, the exact set recomputed by brute force here
+    # (6-dp pre-round + neighbor_id tie-break, the engine's own rule)
+    nall = {i: v / np.linalg.norm(v) for i, v in vecs.items()}
+    for qid, rs in by_q.items():
+        vals = {r.recall_at_10 for r in rs}
+        assert len(vals) == 1, f"recall_at_10 not constant for q{qid}"
+        sims = sorted(
+            (
+                (round(float(nall[qid] @ nall[i]), 6), -i)
+                for i in vecs
+                if i != qid
+            ),
+            reverse=True,
+        )[:10]
+        exact10 = {-ni for _, ni in sims}
+        got10 = {r.neighbor_id for r in rs}
+        want = round(len(exact10 & got10) / len(exact10), 3)
+        assert vals.pop() == want, (qid, want)
+
 
 def test_pca_power_matches_numpy_and_captures_variance(spark):
     """Distributed power iteration reproduces the numpy reference
@@ -616,6 +637,27 @@ def test_ann_ivf_pq_full_rederivation(spark):
             pruned_any = True
             break
     assert pruned_any, "IVF probe bound never pruned any candidate"
+
+    # inline recall_at_5 audit column (VERDICT r8 #5): per-query
+    # constant equal to |probed ADC top-5 ∩ exact-cosine top-5| / 5,
+    # exact set recomputed by brute force with the engine's 6-dp
+    # pre-round + neighbor_id tie-break
+    for qid, rs in by_q.items():
+        vals = {getattr(r, f"recall_at_{TOP_K}") for r in rs}
+        assert len(vals) == 1, f"recall_at_{TOP_K} not constant for q{qid}"
+        qv = vecs[qid] / np.linalg.norm(vecs[qid])
+        sims = sorted(
+            (
+                (round(float(qv @ nmat[ids.index(i)]), 6), -i)
+                for i in ids
+                if i != qid
+            ),
+            reverse=True,
+        )[:TOP_K]
+        exact_k = {-ni for _, ni in sims}
+        got_k = {r.neighbor_id for r in rs}
+        want = round(len(exact_k & got_k) / len(exact_k), 3)
+        assert vals.pop() == want, (qid, want)
 
 
 def _pure_bpe(sf_dir):

@@ -1,0 +1,301 @@
+"""Cross-engine differential fuzz for the round-8 closed-form
+statistics (VERDICT r8 #6): the fixed oracle suite checks each
+statistic on ONE slice (the whole events table); this lane re-renders
+four of the formulas — Benjamini-Hochberg cutoffs, Welch's t + the
+Welch-Satterthwaite dof, PSI drift terms, and IPF (raking) weight
+trajectories — as ONE parameterized SQL text executed by BOTH engines
+(Spark via spark.sql over a temp view, DuckDB over the same parquet)
+on hypothesis-drawn date slices / bucket counts / alpha levels /
+iteration depths. A rounding-mode or type-coercion drift in any
+formula shape (the class the r8 batch could hide: round-then-cast
+order, DECIMAL fixed-point trajectories, integer-division coercion)
+fails on the first slice that exposes it.
+
+The formulas mirror the registry entries' expression trees
+(aggregations.py: agg_benjamini_hochberg, agg_welch_ttest,
+dq_psi_drift, agg_raking_ipf) with the same DECIMAL/round disciplines,
+parameterized where the entries bake constants. Engine-specific
+functions in the originals (isodow, datediff) are replaced by
+cross-engine equivalents (user_id modulo dims, timestamp-literal
+splits) so one SQL string parses natively on both engines — the
+existing test_differential_fuzz.py convention.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from am_kinesis_pay_spark.operators.aggregations import (
+    _ERF_COEFS,
+    _INV_SQRT2,
+)
+from tests.conftest import SF_DIR
+
+_TBL = "events_statsfz"
+_DAY0 = datetime.date(2024, 1, 1)  # fixture event span: 2024-01-01..30
+
+
+def _ts(day_offset: int) -> str:
+    return (_DAY0 + datetime.timedelta(days=day_offset)).isoformat()
+
+
+def _slice_pred(lo: int, hi: int) -> str:
+    return (
+        f"ts >= TIMESTAMP '{_ts(lo)} 00:00:00' "
+        f"AND ts < TIMESTAMP '{_ts(hi)} 00:00:00'"
+    )
+
+
+def _erf_p(zcol: str) -> str:
+    """The registry's Abramowitz-Stegun 7.1.26 two-sided p-value
+    polynomial (identical literal coefficients, identical Horner
+    nesting) over an arbitrary z expression."""
+    y = f"(abs({zcol}) * {_INV_SQRT2})"
+    t = f"(1.0 / (1.0 + 0.3275911 * {y}))"
+    return (
+        f"round((((({_ERF_COEFS[4]} * {t} + {_ERF_COEFS[3]}) * {t} "
+        f"+ {_ERF_COEFS[2]}) * {t} + {_ERF_COEFS[1]}) * {t} "
+        f"+ {_ERF_COEFS[0]}) * {t} * exp(-({y} * {y})), 6)"
+    )
+
+
+def _bh_sql(buckets: int, alpha: float, lo: int, hi: int) -> str:
+    return f"""
+WITH b AS (
+  SELECT user_id % {buckets} AS bucket, CAST(value AS DECIMAL(18,2)) AS v
+  FROM {_TBL} WHERE value IS NOT NULL AND {_slice_pred(lo, hi)}
+), g AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_h,
+    SUM(v) AS s_h, SUM(v * v) AS ss_h
+  FROM b GROUP BY bucket HAVING COUNT(*) >= 2
+), tot AS (
+  SELECT CAST(SUM(n_h) AS BIGINT) AS n, SUM(s_h) AS s FROM g
+), z AS (
+  SELECT bucket, n_h,
+    (CAST(s_h AS DOUBLE) / n_h - CAST(s AS DOUBLE) / n)
+      / sqrt((CAST(ss_h AS DOUBLE)
+              - CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE) / n_h)
+             / (n_h - 1) / n_h) AS z
+  FROM g CROSS JOIN tot
+  WHERE (CAST(ss_h AS DOUBLE)
+         - CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE) / n_h) > 0
+), p AS (
+  SELECT bucket, n_h, round(z, 6) AS z, {_erf_p("z")} AS p FROM z
+), ranked AS (
+  SELECT bucket, n_h, z, p,
+    CAST(ROW_NUMBER() OVER (ORDER BY p, bucket) AS BIGINT) AS k,
+    CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM p
+), crit AS (
+  SELECT *, MAX(CASE WHEN p <= k * CAST({alpha} AS DOUBLE) / m THEN p END)
+    OVER () AS p_cutoff
+  FROM ranked
+)
+SELECT bucket, n_h, z, p, k, m,
+  round(k * CAST({alpha} AS DOUBLE) / m, 6) AS bh_threshold,
+  COALESCE(p <= p_cutoff, FALSE) AS rejected
+FROM crit
+"""
+
+
+def _welch_sql(mod: int, lo: int, hi: int) -> str:
+    return f"""
+WITH g AS (
+  SELECT user_id % 2 AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(value AS DECIMAL(18,2))) AS s,
+    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS ss
+  FROM {_TBL}
+  WHERE value IS NOT NULL AND user_id % {mod} <> 0
+    AND {_slice_pred(lo, hi)}
+  GROUP BY user_id % 2 HAVING COUNT(*) >= 2
+), m AS (
+  SELECT
+    MAX(CASE WHEN grp = 0 THEN n END) AS n_a,
+    MAX(CASE WHEN grp = 1 THEN n END) AS n_b,
+    CAST(MAX(CASE WHEN grp = 0 THEN s END) AS DOUBLE) AS s_a,
+    CAST(MAX(CASE WHEN grp = 1 THEN s END) AS DOUBLE) AS s_b,
+    CAST(MAX(CASE WHEN grp = 0 THEN ss END) AS DOUBLE) AS ss_a,
+    CAST(MAX(CASE WHEN grp = 1 THEN ss END) AS DOUBLE) AS ss_b
+  FROM g
+), v AS (
+  SELECT n_a, n_b, s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+    (ss_a - s_a * s_a / n_a) / (n_a - 1) AS var_a,
+    (ss_b - s_b * s_b / n_b) / (n_b - 1) AS var_b
+  FROM m WHERE n_a >= 2 AND n_b >= 2
+)
+SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+  round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t,
+  round(pow(var_a / n_a + var_b / n_b, 2)
+        / (pow(var_a / n_a, 2) / (n_a - 1)
+           + pow(var_b / n_b, 2) / (n_b - 1)), 6) AS welch_dof
+FROM v WHERE var_a > 0 AND var_b > 0
+"""
+
+
+def _psi_sql(width: int, cap: int, lo: int, mid: int, hi: int) -> str:
+    return f"""
+WITH b AS (
+  SELECT LEAST(CAST(floor(value / {width}.0) AS BIGINT), {cap}) AS bucket,
+    CASE WHEN ts < TIMESTAMP '{_ts(mid)} 00:00:00' THEN 0 ELSE 1 END AS half
+  FROM {_TBL} WHERE value IS NOT NULL AND {_slice_pred(lo, hi)}
+), cnt AS (
+  SELECT bucket,
+    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM b GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(n_a) AS DOUBLE) AS tot_a,
+    CAST(SUM(n_b) AS DOUBLE) AS tot_b,
+    CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM cnt
+), terms AS (
+  SELECT bucket, n_a, n_b,
+    CAST(round(((n_a + 0.5) / (tot_a + 0.5 * n_buckets)
+                - (n_b + 0.5) / (tot_b + 0.5 * n_buckets))
+               * ln(((n_a + 0.5) / (tot_a + 0.5 * n_buckets))
+                    / ((n_b + 0.5) / (tot_b + 0.5 * n_buckets))), 6)
+         AS DECIMAL(18,6)) AS psi_term
+  FROM cnt CROSS JOIN tot
+)
+SELECT bucket, n_a, n_b, CAST(psi_term AS DOUBLE) AS psi_term,
+  CAST(SUM(psi_term) OVER () AS DOUBLE) AS psi_total
+FROM terms
+"""
+
+
+def _ipf_sql(c_dim: int, iters: int, lo: int, hi: int) -> str:
+    sql = f"""
+WITH cells AS (
+  SELECT event_type AS x, CAST(user_id % {c_dim} AS INT) AS y,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM {_TBL} WHERE {_slice_pred(lo, hi)}
+  GROUP BY event_type, CAST(user_id % {c_dim} AS INT)
+), dims AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS total,
+    CAST(COUNT(DISTINCT x) AS BIGINT) AS r,
+    CAST(COUNT(DISTINCT y) AS BIGINT) AS c
+  FROM cells
+), w0 AS (
+  SELECT x, y, n, CAST(n AS DECIMAL(28,9)) AS w FROM cells
+)"""
+    prev = "w0"
+    for i in range(1, iters + 1):
+        sql += f""", r{i} AS (
+  SELECT {prev}.x, {prev}.y, {prev}.n,
+    CAST(round(CAST({prev}.w AS DOUBLE)
+      * ((dims.total / dims.r) / rm{i}.s), 9) AS DECIMAL(28,9)) AS w
+  FROM {prev}
+  JOIN (SELECT x, CAST(SUM(w) AS DOUBLE) AS s FROM {prev} GROUP BY x) rm{i}
+    ON {prev}.x = rm{i}.x
+  CROSS JOIN dims
+), c{i} AS (
+  SELECT r{i}.x, r{i}.y, r{i}.n,
+    CAST(round(CAST(r{i}.w AS DOUBLE)
+      * ((dims.total / dims.c) / cm{i}.s), 9) AS DECIMAL(28,9)) AS w
+  FROM r{i}
+  JOIN (SELECT y, CAST(SUM(w) AS DOUBLE) AS s FROM r{i} GROUP BY y) cm{i}
+    ON r{i}.y = cm{i}.y
+  CROSS JOIN dims
+)"""
+        prev = f"c{i}"
+    # every intermediate ROUNDED weight is part of the compared
+    # trajectory: a drift at ANY iteration changes the final 9-dp
+    # fixed-point word, so comparing the last frame pins the full path
+    sql += f"""
+SELECT x, y, n, round(CAST(w AS DOUBLE), 6) AS raked_weight FROM {prev}"""
+    return sql
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    from am_kinesis_pay_spark.tables import load
+
+    load(spark, SF_DIR, "events").createOrReplaceTempView(_TBL)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {_TBL} AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    yield spark, con
+    con.close()
+
+
+def _both(engines, sql: str):
+    spark, con = engines
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    return got, want
+
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    buckets=st.integers(min_value=3, max_value=32),
+    alpha=st.sampled_from([0.01, 0.05, 0.1]),
+    lo=st.integers(min_value=0, max_value=18),
+    width=st.integers(min_value=8, max_value=29),
+)
+def test_bh_cutoffs_agree(engines, buckets, alpha, lo, width):
+    """BH: z per bucket -> erf p-value -> k*alpha/m cutoff, the full
+    rejected set compared exactly on a random slice/bucket/alpha."""
+    got, want = _both(
+        engines, _bh_sql(buckets, alpha, lo, min(lo + width, 30))
+    )
+    assert got == want, (buckets, alpha, lo, width)
+
+
+@settings(**_SETTINGS)
+@given(
+    mod=st.integers(min_value=3, max_value=11),
+    lo=st.integers(min_value=0, max_value=15),
+    width=st.integers(min_value=10, max_value=29),
+)
+def test_welch_t_and_dof_agree(engines, mod, lo, width):
+    """Welch's t and the Welch-Satterthwaite dof (the pow()-heavy
+    1-row arithmetic) on a random sub-population and slice."""
+    got, want = _both(engines, _welch_sql(mod, lo, min(lo + width, 30)))
+    assert got == want, (mod, lo, width)
+
+
+@settings(**_SETTINGS)
+@given(
+    width=st.sampled_from([10, 20, 25, 40]),
+    cap=st.sampled_from([9, 19, 39]),
+    lo=st.integers(min_value=0, max_value=10),
+    span=st.integers(min_value=10, max_value=29),
+    mid_frac=st.integers(min_value=3, max_value=7),
+)
+def test_psi_terms_agree(engines, width, cap, lo, span, mid_frac):
+    """PSI: epsilon-smoothed ratio * ln(ratio) DECIMAL(18,6) terms +
+    windowed total, random bucketing and split point."""
+    hi = min(lo + span, 30)
+    mid = lo + max(1, (hi - lo) * mid_frac // 10)
+    got, want = _both(engines, _psi_sql(width, cap, lo, mid, hi))
+    assert got == want, (width, cap, lo, mid, hi)
+
+
+@settings(**_SETTINGS)
+@given(
+    c_dim=st.integers(min_value=2, max_value=7),
+    iters=st.integers(min_value=1, max_value=2),
+    lo=st.integers(min_value=0, max_value=15),
+    width=st.integers(min_value=7, max_value=29),
+)
+def test_ipf_weight_trajectories_agree(engines, c_dim, iters, lo, width):
+    """IPF raking: the DECIMAL(28,9) fixed-point weight trajectory
+    (round-9 after every row/col scaling) over a random contingency
+    shape, slice, and iteration depth — the exact recurrence class
+    where a round-then-cast order drift would desync engines."""
+    got, want = _both(
+        engines, _ipf_sql(c_dim, iters, lo, min(lo + width, 30))
+    )
+    assert got == want, (c_dim, iters, lo, width)
