@@ -888,3 +888,54 @@ def fn_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN monthly ON months.m = monthly.m
         """
     )
+
+
+@register(
+    "fn_bitwise_ops",
+    oracle="""
+WITH b AS (
+  SELECT bit_count(CAST(l_orderkey AS BIGINT)) AS pop,
+    l_orderkey & 255 AS masked,
+    xor(l_partkey, l_suppkey) & 1023 AS x,
+    (l_linenumber << 4) | ((l_orderkey >> 8) & 15) AS packed
+  FROM lineitem
+)
+SELECT pop, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(masked) AS BIGINT) AS sum_masked,
+  CAST(MIN(x) AS BIGINT) AS min_xor, CAST(MAX(x) AS BIGINT) AS max_xor,
+  CAST(SUM(packed) AS BIGINT) AS sum_packed
+FROM b GROUP BY pop
+""",
+    tags=("function", "scalar"),
+)
+def fn_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITWISE scalar surface (SURVEY §2.8's integer-op family beyond
+    floor/mod): AND-masking, OR, XOR, shifts, and popcount — the flag
+    packing / low-bit bucketing idioms every partition-key or
+    bitmap-ish layout uses (the reference packs status flags the same
+    way a `& 255` bucket does). Spark side uses the Column bitwise
+    operators + shiftleft/shiftright/bit_count (all JVM codegen);
+    DuckDB spells XOR as xor() and shifts as <<//>>, the one §2.8
+    family where the two engines' SYNTAX diverges while semantics are
+    bit-identical — which is exactly what the oracle hash proves.
+    Pure map + one hash agg on the ~15-value popcount domain."""
+    li = load(spark, sf_dir, "lineitem")
+    ok = F.col("l_orderkey").cast("bigint")
+    b = li.select(
+        F.bit_count(ok).alias("pop"),
+        ok.bitwiseAND(F.lit(255)).alias("masked"),
+        F.col("l_partkey")
+        .bitwiseXOR(F.col("l_suppkey"))
+        .bitwiseAND(F.lit(1023))
+        .alias("x"),
+        F.shiftleft(F.col("l_linenumber"), 4)
+        .bitwiseOR(F.shiftright(ok, 8).bitwiseAND(F.lit(15)))
+        .alias("packed"),
+    )
+    return b.groupBy("pop").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("masked").cast("bigint").alias("sum_masked"),
+        F.min("x").cast("bigint").alias("min_xor"),
+        F.max("x").cast("bigint").alias("max_xor"),
+        F.sum("packed").cast("bigint").alias("sum_packed"),
+    )

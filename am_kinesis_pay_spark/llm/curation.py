@@ -2152,3 +2152,67 @@ def sample_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("tokens_out", F.lit(0)) / F.col("target"), 6
         ).alias("fill_ratio"),
     )
+
+
+_GUM_K = 50  # weighted sample size (Efraimidis-Spirakis top-k)
+_GUM_U_SCALE = "281474976710656.0"  # 2^48: md5 48-bit uniform denominator
+
+
+@register(
+    "sample_weighted_gumbel",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, source, n_chars,
+    round(ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+             / {_GUM_U_SCALE}) / n_chars, 12) AS es_key
+  FROM documents WHERE n_chars > 0
+), topk AS (
+  SELECT * FROM keyed ORDER BY es_key DESC, doc_id LIMIT {_GUM_K}
+)
+SELECT doc_id, lang, source, n_chars, es_key,
+  CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS rnk
+FROM topk
+""",
+    tags=("llm", "sampling"),
+)
+def sample_weighted_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006 — the perturbed-key / Gumbel-top-k trick): every document
+    draws a deterministic uniform u from its own md5 (the repo's
+    seeded-randomness convention, 48-bit mantissa / 2^48) and
+    competes with key ln(u)/w, w = n_chars; the top-{_GUM_K} keys ARE
+    an exact weighted sample without replacement — longer documents
+    win proportionally more often, no rejection loop, no sequential
+    state. This is the missing draw primitive next to the quota
+    samplers (sample_mixture: per-group hash quota; sample_importance:
+    score top-k): one pass, any weight column, distributed.
+
+    Key discipline: u and w are exact integers, ln(u) is the one
+    libm call (the repo's accepted exp/ln 1-ulp class) rounded to
+    12 dp BEFORE ranking with a doc_id tie-break, so both engines
+    rank identical keys. Plan shape: map-only key computation ->
+    TakeOrderedAndProject top-{_GUM_K} (never a global sort of the
+    corpus); the ranking window runs on the <= {_GUM_K}-row LIMITed
+    frame (allowlisted: the text_bm25_topk pattern). At 100 TB this
+    is exactly one scan + a k-row reduce per partition."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint") / F.lit(float(1 << 48))
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 12).alias("es_key"),
+    )
+    topk = keyed.orderBy(F.desc("es_key"), "doc_id").limit(_GUM_K)
+    w = Window.partitionBy().orderBy(F.desc("es_key"), "doc_id")
+    return topk.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "es_key",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )

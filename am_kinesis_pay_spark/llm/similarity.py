@@ -2050,3 +2050,148 @@ def vec_ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+_EOUT_Z = "2.0"  # outlier flag threshold (z-score of within-label dist2)
+
+
+@register(
+    "emb_centroid_outliers",
+    oracle=f"""
+WITH flat AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+    unnest(embedding) AS x
+  FROM embeddings
+), cent AS (
+  SELECT label, i,
+    round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+          / COUNT(*), 9) AS m
+  FROM flat GROUP BY label, i
+), carr AS (
+  SELECT label, list(m ORDER BY i) AS cm FROM cent GROUP BY label
+), dist AS (
+  SELECT e.vec_id, e.label,
+    CAST(round(list_sum(list_transform(list_zip(e.embedding, c.cm),
+      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))),
+      6) AS DECIMAL(18,6)) AS d2
+  FROM embeddings e JOIN carr c ON e.label = c.label
+), stats AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label,
+    SUM(d2) AS s, SUM(d2 * d2) AS ss
+  FROM dist GROUP BY label
+), mv AS (
+  SELECT label, n_label, CAST(s AS DOUBLE) / n_label AS mean_d2,
+    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_label)
+      / (n_label - 1) AS var_d2
+  FROM stats WHERE n_label >= 2
+)
+SELECT d.vec_id, d.label, CAST(d.d2 AS DOUBLE) AS dist2,
+  round(m.mean_d2, 6) AS label_mean_dist2,
+  round((CAST(d.d2 AS DOUBLE) - m.mean_d2) / sqrt(m.var_d2), 6) AS z,
+  (CAST(d.d2 AS DOUBLE) - m.mean_d2) / sqrt(m.var_d2) > {_EOUT_Z}
+    AS is_outlier,
+  m.n_label
+FROM dist d JOIN mv m ON d.label = m.label
+""",
+    tags=("llm", "vectors", "quality"),
+)
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MISLABELED-SAMPLE detection for embedding training data: each
+    vector's squared distance to its OWN label centroid, z-scored
+    within the label — the standard label-noise / poisoning filter a
+    curation pipeline runs before fine-tuning (a vector far from its
+    class center is a labeling-error candidate). Flags z > {_EOUT_Z}.
+
+    Exactness despite float geometry: centroids are the
+    emb_label_centroids_long fixed-point components (exact DECIMAL
+    sums, 9-dp rounds); the squared-deviation fold runs on doubles in
+    both engines' identical left-to-right array order (the
+    vec_cosine_topk list-parity convention) and the per-vector dist2
+    snaps to a 6-dp DECIMAL, so the label moments come from exact
+    DECIMAL (sum, sum-sq) — every cross-ROW accumulation is
+    order-free integers, and even the z > {_EOUT_Z} boundary is
+    deterministic cross-engine.
+
+    Plan shape: ONE posexplode pass builds the labels x dims centroid
+    frame (640 tall rows, re-assembled into 10 label ARRAYS and
+    broadcast); the distance pass then never explodes or shuffles at
+    all — each vector folds its own array against its label's
+    centroid array in a single codegen'd F.aggregate (zip_with,
+    per-dim 12-dp round, exact DECIMAL accumulator), one row in, one
+    row out. Then one hash agg to the |labels| moment frame
+    (broadcast back). At 100 TB: one explode-aggregate for the
+    centroids, one map-only fold for distances, two tiny broadcasts —
+    the corpus embedding column is never shuffled. (The first cut
+    exploded twice and re-aggregated by vec_id: 7.9x at century; this
+    form removes that second explode+shuffle entirely.)"""
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    )
+    cent = flat.groupBy("label", "i").agg(
+        F.round(
+            F.sum(F.col("x").cast("double").cast("decimal(38,18)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("m")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))),
+            lambda s: s["m"],
+        ).alias("carr")
+    )
+    # The in-array fold runs on DOUBLES in both engines' identical
+    # left-to-right element order (the vec_cosine_topk _dot/list_sum
+    # parity convention, oracle-proven at 3 SFs), then the per-vector
+    # result snaps to a 6-dp DECIMAL so every CROSS-ROW sum downstream
+    # is exact and order-free.
+    fold = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "carr",
+            lambda x, m: (x.cast("double") - m) * (x.cast("double") - m),
+        ),
+        F.lit(0.0),
+        lambda acc, el: acc + el,
+    )
+    dist = emb.join(F.broadcast(cent_arr), "label").select(
+        "vec_id",
+        "label",
+        F.round(fold.cast("double"), 6).cast("decimal(18,6)").alias("d2"),
+    )
+    # dist feeds BOTH the moment aggregation and the final join: cut
+    # the lineage so the 64-term fold runs once, not twice (the frame
+    # is 1/|dims| the width of the corpus — vec_id, label, one decimal)
+    dist = dist.localCheckpoint()
+    stats = dist.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_label"),
+        F.sum("d2").alias("s"),
+        F.sum(F.col("d2") * F.col("d2")).alias("ss"),
+    )
+    mean_d2 = F.col("s").cast("double") / F.col("n_label")
+    var_d2 = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n_label")
+    ) / (F.col("n_label") - 1)
+    mv = stats.filter(F.col("n_label") >= 2).select(
+        "label",
+        "n_label",
+        mean_d2.alias("mean_d2"),
+        var_d2.alias("var_d2"),
+    )
+    zexpr = (F.col("d2").cast("double") - F.col("mean_d2")) / F.sqrt(
+        F.col("var_d2")
+    )
+    return dist.join(F.broadcast(mv), "label").select(
+        "vec_id",
+        "label",
+        F.col("d2").cast("double").alias("dist2"),
+        F.round("mean_d2", 6).alias("label_mean_dist2"),
+        F.round(zexpr, 6).alias("z"),
+        (zexpr > F.lit(float(_EOUT_Z))).alias("is_outlier"),
+        "n_label",
+    )

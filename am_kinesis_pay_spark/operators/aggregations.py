@@ -3733,3 +3733,465 @@ def agg_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("delta")).desc(), "item")
         .limit(_HC_TOPN)
     )
+
+
+_AR_ITEMS = 20  # item domain: props.k coarsened mod 20 so pairs co-occur
+_AR_BASKET_CAP = 16  # deterministic md5 cap on items per basket
+_AR_MINSUP = 3  # minimum pair support
+_AR_TOPN = 15  # rules reported
+
+
+@register(
+    "agg_assoc_rules",
+    oracle=f"""
+WITH bi0 AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+    CAST(json_extract_string(props, '$.k') AS INT) % {_AR_ITEMS} AS item
+  FROM events
+), bi1 AS (SELECT user_id, d, item FROM bi0 WHERE item IS NOT NULL),
+bi AS (
+  SELECT user_id, d, item FROM (
+    SELECT user_id, d, item,
+      ROW_NUMBER() OVER (PARTITION BY user_id, d
+        ORDER BY md5(CAST(item AS VARCHAR)), item) AS rn
+    FROM bi1) t
+  WHERE rn <= {_AR_BASKET_CAP}
+), nb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+  FROM (SELECT DISTINCT user_id, d FROM bi)
+), sup AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS supp FROM bi GROUP BY item
+), pairs AS (
+  SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS supp_ab
+  FROM bi a JOIN bi b ON a.user_id = b.user_id AND a.d = b.d
+    AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT ia, ib, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+  nb.n_baskets,
+  round(CAST(supp_ab AS DOUBLE) / nb.n_baskets, 6) AS support,
+  round(CAST(supp_ab AS DOUBLE) / sa.supp, 6) AS confidence,
+  round(CAST(supp_ab AS DOUBLE) * nb.n_baskets
+        / (sa.supp * sb.supp), 6) AS lift
+FROM pairs JOIN sup sa ON pairs.ia = sa.item
+JOIN sup sb ON pairs.ib = sb.item CROSS JOIN nb
+WHERE supp_ab >= {_AR_MINSUP}
+ORDER BY lift DESC, ia, ib LIMIT {_AR_TOPN}
+""",
+    tags=("agg", "stats", "basket"),
+)
+def agg_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATION RULES (Agrawal & Srikant's Apriori output layer —
+    support / confidence / lift for item pairs): baskets are (user,
+    day), items the props.k domain coarsened mod {_AR_ITEMS}; the top
+    {_AR_TOPN} rules by lift among pairs with support >= {_AR_MINSUP}.
+    Lift > 1 = the pair co-occurs more than independence predicts —
+    the recommender / market-basket primitive the events family was
+    missing (graph_bipartite_projection counts co-occurrence but never
+    normalizes by marginals).
+
+    Plan shape: ONE distinct (basket, item) reduction is the only
+    stage that sees raw rows; baskets are capped at {_AR_BASKET_CAP}
+    items by deterministic md5 rank (every co-occurrence build's
+    discipline here), so the pair self-join fans out at most
+    C({_AR_BASKET_CAP},2) per basket — never quadratic in an
+    uncapped hot basket. Pair/item supports are hash aggregations on
+    that reduced frame; n_baskets is a 1-row broadcast (allowlisted
+    NLJ). At 100 TB: the distinct reduction is the corpus-sized
+    shuffle, everything after is bounded by baskets x C(cap,2). The
+    top-N is TakeOrderedAndProject on 6-dp-rounded lift with (ia, ib)
+    tie-break — a total order, same on both engines."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    bi0 = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        (
+            F.get_json_object("props", "$.k").cast("int") % _AR_ITEMS
+        ).alias("item"),
+    ).filter(F.col("item").isNotNull()).distinct()
+    w_cap = Window.partitionBy("user_id", "d").orderBy(
+        F.md5(F.col("item").cast("string")), "item"
+    )
+    bi = (
+        bi0.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= _AR_BASKET_CAP)
+        .drop("rn")
+    )
+    nb = (
+        bi.select("user_id", "d")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    )
+    sup = bi.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("supp")
+    )
+    a = bi.select("user_id", "d", F.col("item").alias("ia"))
+    b = bi.select("user_id", "d", F.col("item").alias("ib"))
+    pairs = (
+        a.join(b, ["user_id", "d"])
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("supp_ab"))
+        .filter(F.col("supp_ab") >= _AR_MINSUP)
+    )
+    sa = sup.select(F.col("item").alias("ia"), F.col("supp").alias("supp_a"))
+    sb = sup.select(F.col("item").alias("ib"), F.col("supp").alias("supp_b"))
+    ab = F.col("supp_ab").cast("double")
+    return (
+        pairs.join(F.broadcast(sa), "ia")
+        .join(F.broadcast(sb), "ib")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ia",
+            "ib",
+            "supp_ab",
+            "supp_a",
+            "supp_b",
+            "n_baskets",
+            F.round(ab / F.col("n_baskets"), 6).alias("support"),
+            F.round(ab / F.col("supp_a"), 6).alias("confidence"),
+            F.round(
+                ab * F.col("n_baskets")
+                / (F.col("supp_a") * F.col("supp_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "ia", "ib")
+        .limit(_AR_TOPN)
+    )
+
+
+_WINS_LO_NUM = 1  # winsorize at [p10, p90]: ceil(1n/10) / ceil(9n/10)
+_WINS_HI_NUM = 9
+
+
+@register(
+    "agg_winsorized_stats",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+  FROM events WHERE value IS NOT NULL
+), dv AS (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b GROUP BY event_type, v
+), cum AS (
+  SELECT event_type, v, cnt,
+    SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+    SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM dv
+), cuts AS (
+  SELECT event_type,
+    MIN(CASE WHEN cum >= CAST(floor(({_WINS_LO_NUM} * CAST(n AS DOUBLE) + 9) / 10) AS BIGINT)
+        THEN v END) AS lo,
+    MIN(CASE WHEN cum >= CAST(floor(({_WINS_HI_NUM} * CAST(n AS DOUBLE) + 9) / 10) AS BIGINT)
+        THEN v END) AS hi,
+    CAST(MAX(n) AS BIGINT) AS n
+  FROM cum GROUP BY event_type
+), wins AS (
+  SELECT dv.event_type, cuts.lo, cuts.hi, cuts.n,
+    SUM(LEAST(GREATEST(dv.v, cuts.lo), cuts.hi) * dv.cnt) AS ws,
+    SUM(dv.v * dv.cnt) AS rs
+  FROM dv JOIN cuts ON dv.event_type = cuts.event_type
+  GROUP BY dv.event_type, cuts.lo, cuts.hi, cuts.n
+)
+SELECT event_type, n, CAST(lo AS DOUBLE) AS p10, CAST(hi AS DOUBLE) AS p90,
+  round(CAST(ws AS DOUBLE) / n, 6) AS winsorized_mean,
+  round(CAST(rs AS DOUBLE) / n, 6) AS raw_mean
+FROM wins
+""",
+    tags=("agg", "stats", "robust"),
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED mean per event_type (clamp to [p10, p90] then
+    average — the robust-statistics standard for metric pipelines
+    where a single whale order drags the plain mean; Tukey/Dixon
+    winsorization, reported next to the raw mean so the outlier drag
+    is visible). Percentile cutoffs are EXACT type-1 (inverted-CDF)
+    quantiles: smallest value whose cumulative count reaches
+    ceil(q*n), computed on the DISTINCT-VALUE frame — the
+    agg_mann_whitney discipline: 2-dp money values saturate while row
+    counts grow, so the ranked frame is domain-sized, never row-scale.
+    Rank thresholds are exact integer arithmetic (floor((k*n+9)/10)),
+    no float percentile boundary.
+
+    Plan shape: one hash agg to the distinct-value frame, cumulative
+    windows PARTITIONED by event_type over that reduced frame, a
+    5-row cutoff broadcast joined back, and one more hash agg — raw
+    rows are scanned exactly once. Clamping happens in DECIMAL so the
+    winsorized sum is exact and summation-order-free; the only
+    doubles are the final divisions, rounded 6 dp on identical
+    expression trees."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dv = ev.select(
+        "event_type",
+        F.round("value", 2).cast("decimal(18,2)").alias("v"),
+    ).groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("v")
+    w_all = Window.partitionBy("event_type")
+    cum = dv.select(
+        "event_type",
+        "v",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    lo_rank = F.floor(
+        (F.lit(_WINS_LO_NUM) * F.col("n").cast("double") + 9) / 10
+    ).cast("bigint")
+    hi_rank = F.floor(
+        (F.lit(_WINS_HI_NUM) * F.col("n").cast("double") + 9) / 10
+    ).cast("bigint")
+    cuts = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= lo_rank, F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= hi_rank, F.col("v"))).alias("hi"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    clamped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    wins = (
+        dv.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "lo", "hi", "n")
+        .agg(
+            F.sum(clamped * F.col("cnt")).alias("ws"),
+            F.sum(F.col("v") * F.col("cnt")).alias("rs"),
+        )
+    )
+    return wins.select(
+        "event_type",
+        "n",
+        F.col("lo").cast("double").alias("p10"),
+        F.col("hi").cast("double").alias("p90"),
+        F.round(F.col("ws").cast("double") / F.col("n"), 6).alias(
+            "winsorized_mean"
+        ),
+        F.round(F.col("rs").cast("double") / F.col("n"), 6).alias(
+            "raw_mean"
+        ),
+    )
+
+
+# z_{0.975} + z_{0.80}: the alpha=0.05 two-sided / 80%-power constant
+# of the standard two-arm MDE formula, baked as one literal so both
+# engines parse the identical double.
+_PWR_ZSUM = "2.8015852186"
+_PWR_REL = "0.05"  # target relative effect for the sample-size column
+
+
+@register(
+    "agg_power_mde",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS s,
+    SUM(CAST(round(value, 2) AS DECIMAL(18,2))
+        * CAST(round(value, 2) AS DECIMAL(18,2))) AS ss
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), v AS (
+  SELECT event_type, n, CAST(s AS DOUBLE) / n AS mean,
+    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      / (n - 1) AS var
+  FROM g WHERE n >= 2 AND CAST(s AS DOUBLE) > 0
+)
+SELECT event_type, n, round(mean, 6) AS mean, round(var, 6) AS variance,
+  round({_PWR_ZSUM} * sqrt(2 * var
+        / CAST(floor(CAST(n AS DOUBLE) / 2) AS BIGINT)), 6) AS mde_abs,
+  round({_PWR_ZSUM} * sqrt(2 * var
+        / CAST(floor(CAST(n AS DOUBLE) / 2) AS BIGINT)) / mean, 6)
+    AS mde_rel,
+  CAST(ceil(2 * var * {_PWR_ZSUM} * {_PWR_ZSUM}
+            / ((CAST({_PWR_REL} AS DOUBLE) * mean)
+               * (CAST({_PWR_REL} AS DOUBLE) * mean))) AS BIGINT)
+    AS n_per_arm_rel5
+FROM v
+""",
+    tags=("agg", "stats", "experiment"),
+)
+def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POWER ANALYSIS per metric segment — the experiment-DESIGN half
+    the A/B family was missing (agg_ab_ttest/agg_welch_ttest analyze a
+    finished test; this answers "is the next one worth running"):
+    for each event_type's value metric, the minimum detectable effect
+    if today's traffic were split into two arms (MDE = (z_a + z_b) *
+    sqrt(2*var/n_arm), alpha=.05 two-sided, 80% power — the standard
+    normal-approximation formula every experimentation platform
+    ships), plus the per-arm sample size needed to detect a
+    {_PWR_REL}-relative lift. The z constants are ONE shared literal
+    ({_PWR_ZSUM}) so both engines parse the identical double.
+
+    Plan shape: one hash aggregation to (n, sum, sum-of-squares) per
+    group — moments in exact DECIMAL, the single-pass variance
+    identity — then 1-row-per-group closed-form arithmetic. At 100 TB
+    this is a map-side-partial count/sum scan, nothing else."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.round("value", 2).cast("decimal(18,2)")
+    g = ev.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    stats = g.filter(
+        (F.col("n") >= 2) & (F.col("s").cast("double") > 0)
+    ).select("event_type", "n", mean.alias("mean"), var.alias("var"))
+    n_arm = F.floor(F.col("n").cast("double") / 2).cast("bigint")
+    zsum = F.lit(float(_PWR_ZSUM))
+    rel = F.lit(float(_PWR_REL))
+    mde = zsum * F.sqrt(F.lit(2) * F.col("var") / n_arm)
+    return stats.select(
+        "event_type",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("var", 6).alias("variance"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / F.col("mean"), 6).alias("mde_rel"),
+        F.ceil(
+            F.lit(2) * F.col("var") * zsum * zsum
+            / ((rel * F.col("mean")) * (rel * F.col("mean")))
+        ).cast("bigint").alias("n_per_arm_rel5"),
+    )
+
+
+_IQR_FENCE = "1.5"  # Tukey fence multiplier
+
+
+@register(
+    "dq_outlier_iqr",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+  FROM events WHERE value IS NOT NULL
+), dv AS (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b GROUP BY event_type, v
+), cum AS (
+  SELECT event_type, v, cnt,
+    SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+    SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM dv
+), cuts AS (
+  SELECT event_type,
+    MIN(CASE WHEN cum >= CAST(floor((CAST(n AS DOUBLE) + 3) / 4) AS BIGINT)
+        THEN v END) AS q1,
+    MIN(CASE WHEN cum >= CAST(floor((3 * CAST(n AS DOUBLE) + 3) / 4) AS BIGINT)
+        THEN v END) AS q3,
+    CAST(MAX(n) AS BIGINT) AS n
+  FROM cum GROUP BY event_type
+), fen AS (
+  SELECT event_type, n, CAST(q1 AS DOUBLE) AS q1, CAST(q3 AS DOUBLE) AS q3,
+    CAST(q1 AS DOUBLE) - {_IQR_FENCE} * CAST(q3 - q1 AS DOUBLE) AS fence_lo,
+    CAST(q3 AS DOUBLE) + {_IQR_FENCE} * CAST(q3 - q1 AS DOUBLE) AS fence_hi
+  FROM cuts
+), cnts AS (
+  SELECT dv.event_type,
+    CAST(SUM(CASE WHEN CAST(dv.v AS DOUBLE) < fen.fence_lo
+             THEN dv.cnt ELSE 0 END) AS BIGINT) AS n_below,
+    CAST(SUM(CASE WHEN CAST(dv.v AS DOUBLE) > fen.fence_hi
+             THEN dv.cnt ELSE 0 END) AS BIGINT) AS n_above
+  FROM dv JOIN fen ON dv.event_type = fen.event_type
+  GROUP BY dv.event_type
+)
+SELECT fen.event_type, fen.n, fen.q1, fen.q3,
+  round(fen.q3 - fen.q1, 6) AS iqr,
+  round(fen.fence_lo, 6) AS fence_lo, round(fen.fence_hi, 6) AS fence_hi,
+  cnts.n_below, cnts.n_above,
+  round(CAST(cnts.n_below + cnts.n_above AS DOUBLE) / fen.n, 6)
+    AS outlier_rate
+FROM fen JOIN cnts ON fen.event_type = cnts.event_type
+""",
+    tags=("agg", "dq", "stats"),
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY-FENCE outlier profile per event_type (q1/q3 exact type-1
+    quartiles, fences at q +- {_IQR_FENCE}*IQR, below/above counts and
+    the outlier rate) — the boxplot-rule DQ monitor that complements
+    agg_anomaly_mad: MAD flags deviation from the median, the IQR
+    fences flag TAIL MASS, the quantity a drifting ingest pipeline
+    inflates first. Quartiles use exact integer rank thresholds
+    (floor((k*n+3)/4)) on the cumulative distinct-value frame — no
+    float percentile boundaries, no sketch.
+
+    Plan shape: identical machinery to agg_winsorized_stats (one
+    scan to the 2-dp distinct-value frame, event_type-partitioned
+    cumulative windows over that saturating frame, 5-row fence
+    broadcast joined back for the tail counts) — the whole query
+    re-reads raw rows ZERO times after the first hash agg."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dv = ev.select(
+        "event_type",
+        F.round("value", 2).cast("decimal(18,2)").alias("v"),
+    ).groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("v")
+    w_all = Window.partitionBy("event_type")
+    cum = dv.select(
+        "event_type",
+        "v",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    q1_rank = F.floor((F.col("n").cast("double") + 3) / 4).cast("bigint")
+    q3_rank = F.floor(
+        (3 * F.col("n").cast("double") + 3) / 4
+    ).cast("bigint")
+    cuts = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= q1_rank, F.col("v"))).alias("q1d"),
+        F.min(F.when(F.col("cum") >= q3_rank, F.col("v"))).alias("q3d"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    fence = F.lit(float(_IQR_FENCE))
+    iqr_d = (F.col("q3d") - F.col("q1d")).cast("double")
+    fen = cuts.select(
+        "event_type",
+        "n",
+        F.col("q1d").cast("double").alias("q1"),
+        F.col("q3d").cast("double").alias("q3"),
+        (F.col("q1d").cast("double") - fence * iqr_d).alias("fence_lo"),
+        (F.col("q3d").cast("double") + fence * iqr_d).alias("fence_hi"),
+    )
+    cnts = (
+        dv.join(F.broadcast(fen), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v").cast("double") < F.col("fence_lo"),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_below"),
+            F.sum(
+                F.when(
+                    F.col("v").cast("double") > F.col("fence_hi"),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_above"),
+        )
+    )
+    return fen.join(cnts, "event_type").select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        F.round(F.col("q3") - F.col("q1"), 6).alias("iqr"),
+        F.round("fence_lo", 6).alias("fence_lo"),
+        F.round("fence_hi", 6).alias("fence_hi"),
+        "n_below",
+        "n_above",
+        F.round(
+            (F.col("n_below") + F.col("n_above")).cast("double")
+            / F.col("n"),
+            6,
+        ).alias("outlier_rate"),
+    )

@@ -3733,3 +3733,281 @@ def events_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_at_t").cast("bigint").alias("peak_concurrency"),
         F.count(F.lit(1)).cast("bigint").alias("n_boundary_instants"),
     )
+
+
+_STICK_WINDOW = 28  # trailing MAU window in days (inclusive)
+
+
+@register(
+    "events_stickiness_dau_mau",
+    oracle=f"""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM du),
+dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d),
+mau AS (
+  SELECT days.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS mau
+  FROM days JOIN du
+    ON du.d BETWEEN days.d - INTERVAL {_STICK_WINDOW - 1} DAY AND days.d
+  GROUP BY days.d
+)
+SELECT dau.d AS day, dau.dau, mau.mau,
+  round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+FROM dau JOIN mau ON dau.d = mau.d
+""",
+    tags=("integration", "events"),
+)
+def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU STICKINESS per day — the engagement-product headline
+    metric (what fraction of the trailing-{_STICK_WINDOW}-day active
+    base showed up today): daily active users, trailing monthly
+    actives, and their ratio. A window SUM cannot compute MAU — a
+    user active on several days must count ONCE per trailing window —
+    so the trailing distinct runs as a band join: the day spine
+    (calendar-domain, ~|days| rows) broadcasts against the REDUCED
+    (day, user) distinct frame with a {_STICK_WINDOW}-day band
+    condition, then COUNT(DISTINCT user) per spine day.
+
+    Plan shape: one distinct reduction of raw events to (day, user) —
+    the only corpus-sized stage — then a broadcast non-equi join
+    (allowlisted NLJ: the broadcast side is the day spine, bounded by
+    the calendar domain) whose fan-out is <= {_STICK_WINDOW} spine
+    days per (day, user) row, and two hash aggregations. At 100 TB:
+    the (day, user) frame is |days| x |users| at worst — the same
+    reduced frame events_rolling_active_users already prices — and
+    the band fan-out is a fixed x{_STICK_WINDOW}, independent of row
+    count."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    du2 = du.select(F.col("d").alias("d2"), "user_id")
+    mau = (
+        F.broadcast(days)
+        .join(
+            du2,
+            (F.col("d2") <= F.col("d"))
+            & (F.col("d2") >= F.date_sub(F.col("d"), _STICK_WINDOW - 1)),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    )
+    return dau.join(mau, "d").select(
+        F.col("d").alias("day"),
+        "dau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+            "stickiness"
+        ),
+    )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), cohort_size AS (
+  SELECT d0, CAST(COUNT(*) AS BIGINT) AS n_users FROM first GROUP BY d0
+), base AS (
+  SELECT f.d0,
+    CAST(floor(CAST(date_diff('day', f.d0, CAST(e.ts AS DATE)) AS DOUBLE)
+               / 7) AS BIGINT) AS age_w,
+    CAST(round(e.value, 2) AS DECIMAL(18,2)) AS v
+  FROM events e JOIN first f ON e.user_id = f.user_id
+  WHERE e.value IS NOT NULL AND e.event_type = 'purchase'
+    AND CAST(e.ts AS DATE) >= f.d0
+), cells AS (
+  SELECT d0, age_w, SUM(v) AS rev, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM base GROUP BY d0, age_w
+), cum AS (
+  SELECT d0, age_w, rev, n_orders,
+    SUM(rev) OVER (PARTITION BY d0 ORDER BY age_w) AS cum_rev
+  FROM cells
+)
+SELECT c.d0 AS cohort_day, c.age_w, s.n_users, c.n_orders,
+  CAST(c.rev AS DOUBLE) AS week_revenue,
+  round(CAST(c.cum_rev AS DOUBLE) / s.n_users, 6) AS cum_ltv_per_user
+FROM cum c JOIN cohort_size s ON c.d0 = s.d0
+""",
+    tags=("integration", "events"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LIFETIME VALUE — the revenue companion to
+    events_retention_cohorts (that one counts who comes back; this one
+    accumulates what they spend): users cohorted by FIRST-PURCHASE
+    day, purchase revenue bucketed into weeks-since-first-purchase,
+    and the running cumulative LTV per cohort user — the curve every
+    growth team reads payback periods off. Pre-first-purchase rows are
+    excluded (a purchase cannot precede the user's first purchase by
+    construction, but the guard keeps the semantics explicit).
+
+    Plan shape: one hash agg to per-user first-purchase day, a
+    broadcast-sized (|users|-row) join back onto the purchase scan,
+    one hash agg to the (cohort x age-week) cell frame, then the
+    cumulative window PARTITIONED BY cohort over that DOMAIN-sized
+    frame (|cohort days| x |weeks| cells — calendar x calendar, never
+    row-scale). Revenue stays DECIMAL through the cumulative sum;
+    doubles only at the final per-user division."""
+    ev = load(spark, sf_dir, "events")
+    purch = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.to_date("ts").alias("pd"),
+        F.round("value", 2).cast("decimal(18,2)").alias("v"),
+    )
+    first = purch.groupBy("user_id").agg(F.min("pd").alias("d0"))
+    size = first.groupBy("d0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    base = (
+        purch.join(first, "user_id")
+        .filter(F.col("pd") >= F.col("d0"))
+        .select(
+            "d0",
+            F.floor(
+                F.datediff(F.col("pd"), F.col("d0")).cast("double") / 7
+            ).cast("bigint").alias("age_w"),
+            "v",
+        )
+    )
+    cells = base.groupBy("d0", "age_w").agg(
+        F.sum("v").alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("d0").orderBy("age_w")
+    cum = cells.select(
+        "d0",
+        "age_w",
+        "rev",
+        "n_orders",
+        F.sum("rev").over(w).alias("cum_rev"),
+    )
+    return cum.join(F.broadcast(size), "d0").select(
+        F.col("d0").alias("cohort_day"),
+        "age_w",
+        "n_users",
+        "n_orders",
+        F.col("rev").cast("double").alias("week_revenue"),
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("n_users"), 6
+        ).alias("cum_ltv_per_user"),
+    )
+
+
+@register(
+    "events_inter_arrival",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      ORDER BY epoch_us(ts), event_id) AS pt
+  FROM events
+), gaps AS (
+  SELECT CAST(floor((t - pt) / 60000000.0) AS BIGINT) AS gap_min,
+    t - pt AS gap_us
+  FROM seq WHERE pt IS NOT NULL
+), dv AS (
+  SELECT gap_min, CAST(COUNT(*) AS BIGINT) AS cnt,
+    CAST(SUM(gap_us) AS BIGINT) AS sum_us
+  FROM gaps GROUP BY gap_min
+), cum AS (
+  SELECT gap_min, cnt, sum_us,
+    SUM(cnt) OVER (ORDER BY gap_min) AS cum,
+    SUM(cnt) OVER () AS n, SUM(sum_us) OVER () AS tot_us
+  FROM dv
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+  MIN(CASE WHEN cum >= CAST(floor((CAST(n AS DOUBLE) + 1) / 2) AS BIGINT)
+      THEN gap_min END) AS median_gap_min,
+  MIN(CASE WHEN cum >= CAST(floor((9 * CAST(n AS DOUBLE) + 9) / 10)
+      AS BIGINT) THEN gap_min END) AS p90_gap_min,
+  CAST(MIN(gap_min) AS BIGINT) AS min_gap_min,
+  CAST(MAX(gap_min) AS BIGINT) AS max_gap_min,
+  round(CAST(SUM(CASE WHEN gap_min = 0 THEN cnt ELSE 0 END) AS DOUBLE)
+        / MAX(n), 6) AS frac_under_1min,
+  round(CAST(MAX(tot_us) AS DOUBLE) / MAX(n) / 60000000, 6)
+    AS mean_gap_min
+FROM cum
+""",
+    tags=("integration", "events", "stats"),
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-ARRIVAL time profile (per-user event gaps — the queueing
+    statistic behind session-timeout choice, bot heuristics, and the
+    reference's own 10 s poll cadence): per-user consecutive-event
+    gaps via LAG on exact integer micros, then the gap distribution
+    at MINUTE resolution — exact type-1 median and p90 over the
+    minute-gap distinct frame, fraction under a minute, and the exact
+    mean from integer-micro sums.
+
+    Scale discipline: the per-user LAG window shuffles on the
+    HIGH-cardinality user key (never a global sort); the quantile
+    frame is gaps truncated to minutes, whose distinct domain is
+    bounded by the calendar span in minutes (43 200 for the 30-day
+    fixture) — it SATURATES while gap rows grow, which is why the
+    global cumulative window over it is allowlisted (second-
+    resolution gaps would NOT saturate; the truncation is the scale
+    contract, same trade as fe_quantile_binning's 2-dp money
+    domain). Mean stays exact: integer micros summed as BIGINT."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    seq = ev.select(
+        F.unix_micros("ts").alias("t"),
+        F.lag(F.unix_micros("ts")).over(w_u).alias("pt"),
+    )
+    gaps = seq.filter(F.col("pt").isNotNull()).select(
+        F.floor((F.col("t") - F.col("pt")) / 60000000)
+        .cast("bigint")
+        .alias("gap_min"),
+        (F.col("t") - F.col("pt")).alias("gap_us"),
+    )
+    dv = gaps.groupBy("gap_min").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("gap_us").cast("bigint").alias("sum_us"),
+    )
+    w_cum = Window.partitionBy().orderBy("gap_min")
+    w_all = Window.partitionBy()
+    cum = dv.select(
+        "gap_min",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum("sum_us").over(w_all).alias("tot_us"),
+    )
+    med_rank = F.floor((F.col("n").cast("double") + 1) / 2).cast("bigint")
+    p90_rank = F.floor(
+        (9 * F.col("n").cast("double") + 9) / 10
+    ).cast("bigint")
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.min(
+            F.when(F.col("cum") >= med_rank, F.col("gap_min"))
+        ).alias("median_gap_min"),
+        F.min(
+            F.when(F.col("cum") >= p90_rank, F.col("gap_min"))
+        ).alias("p90_gap_min"),
+        F.min("gap_min").cast("bigint").alias("min_gap_min"),
+        F.max("gap_min").cast("bigint").alias("max_gap_min"),
+        F.round(
+            F.sum(
+                F.when(F.col("gap_min") == 0, F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.max("n"),
+            6,
+        ).alias("frac_under_1min"),
+        F.round(
+            F.max("tot_us").cast("double") / F.max("n") / 60000000, 6
+        ).alias("mean_gap_min"),
+    )

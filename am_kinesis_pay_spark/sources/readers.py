@@ -944,3 +944,58 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_texts"
         ),
     )
+
+
+@register(
+    "source_text_lines",
+    oracle="""
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+FROM documents GROUP BY lang, source
+""",
+    tags=("source", "format"),
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-ORIENTED TEXT source (spark.read/write.text — the rawest
+    format a pipeline meets: one record per line, no schema, no
+    types; the log-file / TSV-dump shape): documents are serialized
+    once per (session, sf) as tab-joined lines carrying doc_id, lang,
+    source, n_chars, and md5(text) — the content HASH, not the text,
+    because a line format cannot carry embedded newlines (that
+    honesty is the difference vs source_jsonl_roundtrip, which
+    escapes them) — read back as untyped lines, split + cast, and
+    aggregated to the same per-(lang, source) profile hash-matched
+    against parquet truth. Text is line-splittable, so read
+    parallelism is byte-range splits like CSV/JSONL at 100 TB."""
+    from am_kinesis_pay_spark.paths import _artifact_lock, sf_tag
+
+    docs = load(spark, sf_dir, "documents")
+    path = scratch_path(spark, f"akps_textlines_{sf_tag(sf_dir)}")
+    with _artifact_lock():
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            docs.select(
+                F.concat_ws(
+                    "\t",
+                    F.col("doc_id").cast("string"),
+                    "lang",
+                    "source",
+                    F.col("n_chars").cast("string"),
+                    F.md5("text"),
+                ).alias("value")
+            ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    back = lines.select(
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).alias("source"),
+        parts.getItem(3).cast("bigint").alias("n_chars"),
+        parts.getItem(4).alias("text_md5"),
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("text_md5").cast("bigint").alias(
+            "n_distinct_texts"
+        ),
+    )

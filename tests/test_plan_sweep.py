@@ -32,6 +32,7 @@ _NLJ_ALLOWED = {
     "agg_bootstrap_ci",  # 1-row full-mean broadcast onto the 1-row CI frame
     "agg_sprt_sequential",  # 1-row stop-day broadcast onto the day frame
     "agg_heavy_change",  # 1-row midpoint broadcast onto the fact scan
+    "agg_assoc_rules",  # 1-row n_baskets broadcast onto the <=C(20,2)-row rule frame
     "agg_mutual_information",  # 1-row corpus-total broadcast onto the <=35-cell frame
     "agg_raking_ipf",  # 1-row dims/audit broadcasts onto the <=35-cell frame
     "agg_theta_setops",  # 1-row est/common/exact aggregate frames combined
@@ -56,6 +57,7 @@ _NLJ_ALLOWED = {
     "events_gapfill_daily",
     "events_rfm_segments",  # 1-row corpus-max-date + 1-row n broadcasts
     "events_rolling_active_users",  # 1-row min-day broadcast (warm-up trim)
+    "events_stickiness_dau_mau",  # calendar-domain day spine broadcast, 28-day band join onto the reduced (day,user) frame
     "fe_target_encoding",  # 1-row global-prior broadcast
     "events_survival_km",  # 1-row horizon-max-ts broadcast
     "text_collocations_pmi",  # 1-row corpus-token-total broadcast
@@ -96,6 +98,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "agg_sprt_sequential": "per-day cumulative frame (calendar domain)",
     "er_sorted_neighborhood": "key-prefix bucket-count prefix frames (2x)",
     "events_anomaly_rate_spike": "per-day frame (calendar domain)",
+    "events_inter_arrival": "minute-gap distinct frame (bounded by the calendar span in minutes, saturating)",
     "events_path_analysis": "distinct 3-step path frame (|event_types|^3)",
     "events_concurrency_curve": "day-offset prefix frame (calendar domain, the win_global_running_total two-pass)",
     "events_rfm_segments": "3x per-axis bucket-count prefix frames (value-domain buckets, not users)",
@@ -104,6 +107,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "sample_shard_shuffle": "shard-bucket-count prefix frame (fixed shard count)",
     "sample_temperature": "per-language frame (|langs| rows)",
     "sink_zorder_layout": "file-bucket-count prefix frame (fixed file count)",
+    "sample_weighted_gumbel": "<=50-row frame after orderBy().limit(50) (TakeOrderedAndProject)",
     "text_bm25_topk": "<=10-row frame after orderBy().limit(10) (TakeOrderedAndProject)",
     "text_bpe_encode": "merge-table vocab frame (bounded merge count)",
     "text_collocations_pmi": "<=20-row frame after orderBy().limit(20)",
