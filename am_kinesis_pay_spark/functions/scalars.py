@@ -894,7 +894,7 @@ def fn_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_bitwise_ops",
     oracle="""
 WITH b AS (
-  SELECT bit_count(CAST(l_orderkey AS BIGINT)) AS pop,
+  SELECT CAST(bit_count(CAST(l_orderkey AS BIGINT)) AS INTEGER) AS pop,
     l_orderkey & 255 AS masked,
     xor(l_partkey, l_suppkey) & 1023 AS x,
     (l_linenumber << 4) | ((l_orderkey >> 8) & 15) AS packed

@@ -1909,3 +1909,107 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+@register(
+    "eval_lang_confusion",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+    SUM(CASE WHEN token IN ('the', 'a') THEN 1 ELSE 0 END) AS en_hits,
+    SUM(CASE WHEN token IN ('der', 'und') THEN 1 ELSE 0 END) AS de_hits
+  FROM toks GROUP BY doc_id, lang
+), pred AS (
+  SELECT lang AS labeled,
+    CASE WHEN en_hits >= de_hits AND en_hits > 0 THEN 'en'
+         WHEN de_hits > 0 THEN 'de'
+         ELSE 'unknown' END AS predicted
+  FROM scores
+), cells AS (
+  SELECT labeled, predicted, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY labeled, predicted
+), margins AS (
+  SELECT labeled, predicted, n,
+    SUM(n) OVER (PARTITION BY labeled) AS n_labeled,
+    SUM(n) OVER (PARTITION BY predicted) AS n_predicted,
+    SUM(n) OVER () AS n_total
+  FROM cells
+)
+SELECT labeled, predicted, n,
+  round(CAST(n AS DOUBLE) / n_labeled, 6) AS recall_of_labeled,
+  round(CAST(n AS DOUBLE) / n_predicted, 6) AS precision_of_predicted,
+  round(CAST(n AS DOUBLE) / n_total, 6) AS cell_share
+FROM margins
+""",
+    tags=("llm", "text", "eval"),
+)
+def eval_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX for the language-ID heuristic against the
+    stored labels — the EVAL half text_lang_id was missing (that entry
+    emits per-doc predictions; this one answers "how good is the
+    predictor", which is what a curation pipeline must know before
+    trusting lang-ID to route documents): per (labeled, predicted)
+    cell count with the per-label recall, per-prediction precision,
+    and corpus share computed from the cell margins. The deliberately
+    tiny stopword heuristic makes the matrix HONEST — most non-en/de
+    labels land in 'unknown', and the eval op is exactly how a real
+    pipeline would measure that before swapping in a stronger model.
+
+    Plan: the same one-shuffle token aggregation as text_lang_id
+    collapses to per-doc scores, one hash agg to the
+    |langs| x 3 cell frame, then margin windows PARTITIONED over that
+    domain-sized frame (unpartitioned total allowlisted: |cells| is
+    bounded by the label/prediction domains, never row count)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    scores = toks.groupBy("doc_id", "lang").agg(
+        F.sum(
+            F.when(F.col("token").isin("the", "a"), 1).otherwise(0)
+        ).alias("en_hits"),
+        F.sum(
+            F.when(F.col("token").isin("der", "und"), 1).otherwise(0)
+        ).alias("de_hits"),
+    )
+    pred = scores.select(
+        F.col("lang").alias("labeled"),
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits")) & (F.col("en_hits") > 0),
+            "en",
+        )
+        .when(F.col("de_hits") > 0, "de")
+        .otherwise("unknown")
+        .alias("predicted"),
+    )
+    cells = pred.groupBy("labeled", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_l = W.partitionBy("labeled")
+    w_p = W.partitionBy("predicted")
+    w_t = W.partitionBy()
+    margins = cells.select(
+        "labeled",
+        "predicted",
+        "n",
+        F.sum("n").over(w_l).alias("n_labeled"),
+        F.sum("n").over(w_p).alias("n_predicted"),
+        F.sum("n").over(w_t).alias("n_total"),
+    )
+    return margins.select(
+        "labeled",
+        "predicted",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_labeled"), 6).alias(
+            "recall_of_labeled"
+        ),
+        F.round(
+            F.col("n").cast("double") / F.col("n_predicted"), 6
+        ).alias("precision_of_predicted"),
+        F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias(
+            "cell_share"
+        ),
+    )

@@ -4195,3 +4195,78 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("outlier_rate"),
     )
+
+
+_SRM_CRIT = "3.841459"  # chi-square df=1 critical value at alpha=.05
+
+
+@register(
+    "agg_ab_srm_check",
+    oracle=f"""
+WITH assign AS (
+  SELECT DISTINCT event_type, user_id, user_id % 2 AS arm FROM events
+), counts AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM counts_src GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+  round(CAST(n_a AS DOUBLE) / (n_a + n_b), 6) AS frac_a,
+  round((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+          / ((n_a + n_b) / 2.0)
+      + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+          / ((n_a + n_b) / 2.0), 6) AS chi2,
+  ((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+          / ((n_a + n_b) / 2.0)
+      + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+          / ((n_a + n_b) / 2.0)) > {_SRM_CRIT} AS srm_flag
+FROM counts
+""".replace("counts_src", "assign"),
+    tags=("agg", "stats", "experiment", "dq"),
+)
+def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH guard (the first thing every
+    experimentation platform checks before reading a test: if the
+    hash split isn't delivering the designed 50/50, every downstream
+    p-value is garbage — Fabijan et al.'s diagnostics paper calls SRM
+    the most common invalidator in industry A/B systems): per
+    exposure segment (event_type), distinct users per arm (assignment
+    is a USER property — the distinct is what makes repeated events
+    not double-count a user), the observed split, the df=1 chi-square
+    against the designed 50/50, and the alpha=.05 flag
+    (chi2 > {_SRM_CRIT}). Complements agg_ab_ttest (reads the
+    metric) and agg_chi_square (feature association) — this guards
+    the ASSIGNMENT itself.
+
+    Plan: one distinct reduction (event_type, user, arm) — the only
+    corpus-sized stage — then a conditional hash agg to |segments|
+    rows and closed-form arithmetic. The chi-square uses explicit
+    multiplication (never pow) so both engines evaluate the identical
+    expression tree."""
+    ev = load(spark, sf_dir, "events")
+    assign = ev.select(
+        "event_type", "user_id", (F.col("user_id") % 2).alias("arm")
+    ).distinct()
+    counts = assign.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    e = (F.col("n_a") + F.col("n_b")) / 2.0
+    da = F.col("n_a") - e
+    db = F.col("n_b") - e
+    chi2 = da * da / e + db * db / e
+    return counts.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_a").cast("double") / (F.col("n_a") + F.col("n_b")), 6
+        ).alias("frac_a"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(float(_SRM_CRIT))).alias("srm_flag"),
+    )

@@ -77,6 +77,8 @@ _NLJ_ALLOWED = {
     "text_tfidf_topterms",
     "text_unigram_nll",
     "vec_ann_nsw",  # 1-row entry-node broadcast onto the 10-row query set
+    "vec_ann_pq",  # r9 recall audit: ≤10-row exact ground-truth query set joined with a != predicate
+    "vec_ann_ivf_pq",  # r9 recall audit: same ≤10-row query-set != join
     "vec_cosine_topk",
     "vec_matryoshka_recall",
     "vec_knn_label",
@@ -98,6 +100,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "agg_sprt_sequential": "per-day cumulative frame (calendar domain)",
     "er_sorted_neighborhood": "key-prefix bucket-count prefix frames (2x)",
     "events_anomaly_rate_spike": "per-day frame (calendar domain)",
+    "eval_lang_confusion": "|langs| x 3 confusion-cell frame (label/prediction domains, saturating)",
     "events_inter_arrival": "minute-gap distinct frame (bounded by the calendar span in minutes, saturating)",
     "events_path_analysis": "distinct 3-step path frame (|event_types|^3)",
     "events_concurrency_curve": "day-offset prefix frame (calendar domain, the win_global_running_total two-pass)",

@@ -249,3 +249,47 @@ def test_text_lines_roundtrip_profile(spark):
         .collect()
     }
     assert got == want
+
+
+def test_srm_chi2_law(spark):
+    """chi2 reproduces from the arm counts, the flag is the df=1
+    alpha=.05 decision, and the balanced md5-free user%2 split on the
+    fixture is NOT flagged (a guard that fires on clean assignment is
+    worse than none)."""
+    from am_kinesis_pay_spark.operators.aggregations import _SRM_CRIT
+
+    rows = queries()["agg_ab_srm_check"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        e = (r.n_a + r.n_b) / 2.0
+        chi2 = (r.n_a - e) ** 2 / e + (r.n_b - e) ** 2 / e
+        assert abs(r.chi2 - round(chi2, 6)) < 1e-9
+        assert r.srm_flag == (chi2 > float(_SRM_CRIT))
+        assert abs(r.frac_a - round(r.n_a / (r.n_a + r.n_b), 6)) < 1e-9
+        assert not r.srm_flag  # fixture split is by-construction fair
+
+
+def test_lang_confusion_margins(spark):
+    """Cells partition the corpus (shares sum to 1), each label's
+    recall column sums to 1 across its row, each prediction's
+    precision column sums to 1 down its column, and the matrix agrees
+    with text_lang_id's per-doc predictions."""
+    rows = queries()["eval_lang_confusion"](spark, SF_DIR).collect()
+    assert rows
+    total_share = sum(r.cell_share for r in rows)
+    assert abs(total_share - 1.0) < 1e-3
+    by_label: dict = {}
+    by_pred: dict = {}
+    for r in rows:
+        by_label.setdefault(r.labeled, []).append(r)
+        by_pred.setdefault(r.predicted, []).append(r)
+    for rs in by_label.values():
+        assert abs(sum(r.recall_of_labeled for r in rs) - 1.0) < 1e-3
+    for rs in by_pred.values():
+        assert abs(sum(r.precision_of_predicted for r in rs) - 1.0) < 1e-3
+    want: dict = {}
+    for p in queries()["text_lang_id"](spark, SF_DIR).collect():
+        key = (p.labeled_lang, p.predicted_lang)
+        want[key] = want.get(key, 0) + 1
+    got = {(r.labeled, r.predicted): r.n for r in rows}
+    assert got == want

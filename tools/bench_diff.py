@@ -60,6 +60,16 @@ _EXPLAINED = {
         "r8 SCALE.md: same low-cardinality-window rewrite as "
         "win_dist_ranks (NTILE law in BIGINT arithmetic)"
     ),
+    "vec_ann_pq": (
+        "r9 (VERDICT r8 #5): the entry gained an inline recall_at_10 "
+        "audit — one exact-cosine broadcast-join corpus pass on top of "
+        "the ADC scan; the delta is the audit's documented cost "
+        "(SCALE.md round-9 section)"
+    ),
+    "vec_ann_ivf_pq": (
+        "r9 (VERDICT r8 #5): same inline recall audit (recall_at_5) — "
+        "one exact-cosine pass added to the probed ADC pipeline"
+    ),
     "sample_neyman": (
         "r8 SCALE.md: md5-bucket prefix rank replaced the 5-stratum "
         "whole-table sort window"
@@ -228,6 +238,15 @@ def main() -> None:
         f"-> {new['value']:.1f}s/{new['n_queries']}q  "
         f"(per-query {old['sec_per_query']:.3f} -> {new['sec_per_query']:.3f})"
     )
+    if new.get("timing") == "median-of-3" and old.get("timing") is None:
+        print(
+            "NOTE: timing-statistic transition — the old snapshot is "
+            "best-of-2, the new one median-of-3 (VERDICT r8 #4), so "
+            "EVERY query reads higher this once; diff ratios this "
+            "round measure the statistic change plus drift, not drift "
+            "alone. The adjudicator compensates by deciding on "
+            "best-of-3 against a legacy old snapshot."
+        )
     if added:
         print(f"added   ({len(added)}): " + ", ".join(added))
     if removed:
