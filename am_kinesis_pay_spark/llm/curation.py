@@ -2163,7 +2163,8 @@ _GUM_U_SCALE = "281474976710656.0"  # 2^48: md5 48-bit uniform denominator
     oracle=f"""
 WITH keyed AS (
   SELECT doc_id, lang, source, n_chars,
-    round(ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+    round(ln(GREATEST(
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT, 1)
              / {_GUM_U_SCALE}) / n_chars, 12) AS es_key
   FROM documents WHERE n_chars > 0
 ), topk AS (
@@ -2196,9 +2197,19 @@ def sample_weighted_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (allowlisted: the text_bm25_topk pattern). At 100 TB this
     is exactly one scan + a k-row reduce per partition."""
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    u = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
-    ).cast("bigint") / F.lit(float(1 << 48))
+    # Clamp the 48-bit integer away from 0 (p = 2^-48 per doc) with the
+    # IDENTICAL literal on both engines: DuckDB ln(0) throws Out of
+    # Range where Spark F.log(0) returns NULL, so an unclamped zero
+    # would crash the oracle and silently drop the doc from Spark's
+    # ranking.
+    u = F.greatest(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(1),
+    ) / F.lit(float(1 << 48))
     keyed = docs.select(
         "doc_id",
         "lang",

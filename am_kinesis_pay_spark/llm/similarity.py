@@ -2084,6 +2084,8 @@ WITH flat AS (
     (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_label)
       / (n_label - 1) AS var_d2
   FROM stats WHERE n_label >= 2
+), mvp AS (
+  SELECT * FROM mv WHERE var_d2 > 0
 )
 SELECT d.vec_id, d.label, CAST(d.d2 AS DOUBLE) AS dist2,
   round(m.mean_d2, 6) AS label_mean_dist2,
@@ -2091,7 +2093,7 @@ SELECT d.vec_id, d.label, CAST(d.d2 AS DOUBLE) AS dist2,
   (CAST(d.d2 AS DOUBLE) - m.mean_d2) / sqrt(m.var_d2) > {_EOUT_Z}
     AS is_outlier,
   m.n_label
-FROM dist d JOIN mv m ON d.label = m.label
+FROM dist d JOIN mvp m ON d.label = m.label
 """,
     tags=("llm", "vectors", "quality"),
 )
@@ -2177,11 +2179,15 @@ def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("s").cast("double")
         / F.col("n_label")
     ) / (F.col("n_label") - 1)
-    mv = stats.filter(F.col("n_label") >= 2).select(
-        "label",
-        "n_label",
-        mean_d2.alias("mean_d2"),
-        var_d2.alias("var_d2"),
+    mv = (
+        stats.filter(F.col("n_label") >= 2)
+        .select(
+            "label",
+            "n_label",
+            mean_d2.alias("mean_d2"),
+            var_d2.alias("var_d2"),
+        )
+        .filter(F.col("var_d2") > 0)
     )
     zexpr = (F.col("d2").cast("double") - F.col("mean_d2")) / F.sqrt(
         F.col("var_d2")

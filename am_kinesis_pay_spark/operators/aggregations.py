@@ -4007,7 +4007,7 @@ SELECT event_type, n, round(mean, 6) AS mean, round(var, 6) AS variance,
             / ((CAST({_PWR_REL} AS DOUBLE) * mean)
                * (CAST({_PWR_REL} AS DOUBLE) * mean))) AS BIGINT)
     AS n_per_arm_rel5
-FROM v
+FROM v WHERE var > 0
 """,
     tags=("agg", "stats", "experiment"),
 )
@@ -4039,9 +4039,11 @@ def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ss").cast("double")
         - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
     ) / (F.col("n") - 1)
-    stats = g.filter(
-        (F.col("n") >= 2) & (F.col("s").cast("double") > 0)
-    ).select("event_type", "n", mean.alias("mean"), var.alias("var"))
+    stats = (
+        g.filter((F.col("n") >= 2) & (F.col("s").cast("double") > 0))
+        .select("event_type", "n", mean.alias("mean"), var.alias("var"))
+        .filter(F.col("var") > 0)
+    )
     n_arm = F.floor(F.col("n").cast("double") / 2).cast("bigint")
     zsum = F.lit(float(_PWR_ZSUM))
     rel = F.lit(float(_PWR_REL))
@@ -4209,7 +4211,7 @@ WITH assign AS (
   SELECT event_type,
     CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
     CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-  FROM counts_src GROUP BY event_type
+  FROM assign GROUP BY event_type
 )
 SELECT event_type, n_a, n_b,
   round(CAST(n_a AS DOUBLE) / (n_a + n_b), 6) AS frac_a,
@@ -4222,7 +4224,7 @@ SELECT event_type, n_a, n_b,
       + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
           / ((n_a + n_b) / 2.0)) > {_SRM_CRIT} AS srm_flag
 FROM counts
-""".replace("counts_src", "assign"),
+""",
     tags=("agg", "stats", "experiment", "dq"),
 )
 def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:

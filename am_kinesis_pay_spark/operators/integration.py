@@ -3762,34 +3762,43 @@ def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     base showed up today): daily active users, trailing monthly
     actives, and their ratio. A window SUM cannot compute MAU — a
     user active on several days must count ONCE per trailing window —
-    so the trailing distinct runs as a band join: the day spine
-    (calendar-domain, ~|days| rows) broadcasts against the REDUCED
-    (day, user) distinct frame with a {_STICK_WINDOW}-day band
-    condition, then COUNT(DISTINCT user) per spine day.
+    so the trailing distinct runs as an EXPLODE-OFFSET equi-join:
+    each (day, user) row of the reduced distinct frame fans out to
+    the exactly-{_STICK_WINDOW} future spine days it contributes to
+    (explode(sequence(d, d+{_STICK_WINDOW - 1}))), then an equi hash
+    join with the broadcast observed-day spine drops contributions to
+    days with no activity, and COUNT(DISTINCT user) per spine day
+    collapses multi-day actives. (The first shipped form ran a
+    broadcast NLJ band join whose PREDICATE work grew with
+    |days| x |day,user| on a long calendar; this form does the same
+    fan-out with a hash join and zero per-row predicate scans —
+    VERDICT r9 #4.)
 
     Plan shape: one distinct reduction of raw events to (day, user) —
-    the only corpus-sized stage — then a broadcast non-equi join
-    (allowlisted NLJ: the broadcast side is the day spine, bounded by
-    the calendar domain) whose fan-out is <= {_STICK_WINDOW} spine
-    days per (day, user) row, and two hash aggregations. At 100 TB:
-    the (day, user) frame is |days| x |users| at worst — the same
-    reduced frame events_rolling_active_users already prices — and
-    the band fan-out is a fixed x{_STICK_WINDOW}, independent of row
-    count."""
+    the only corpus-sized stage — then a map-side explode (fixed
+    x{_STICK_WINDOW} fan-out, independent of calendar length), one
+    BroadcastHashJoin against the |days|-row spine, and two hash
+    aggregations. At 100 TB: the (day, user) frame is
+    |days| x |users| at worst — the same reduced frame
+    events_rolling_active_users already prices — and the explode
+    output is a fixed x{_STICK_WINDOW} of it, pruned by the spine
+    join before the distinct-count shuffle."""
     ev = load(spark, sf_dir, "events")
     du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
     days = du.select("d").distinct()
     dau = du.groupBy("d").agg(
         F.count(F.lit(1)).cast("bigint").alias("dau")
     )
-    du2 = du.select(F.col("d").alias("d2"), "user_id")
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), _STICK_WINDOW - 1)
+            )
+        ).alias("d"),
+        "user_id",
+    )
     mau = (
-        F.broadcast(days)
-        .join(
-            du2,
-            (F.col("d2") <= F.col("d"))
-            & (F.col("d2") >= F.date_sub(F.col("d"), _STICK_WINDOW - 1)),
-        )
+        contrib.join(F.broadcast(days), "d")
         .groupBy("d")
         .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
     )
@@ -3808,7 +3817,7 @@ def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH first AS (
   SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
-  WHERE event_type = 'purchase' GROUP BY user_id
+  WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY user_id
 ), cohort_size AS (
   SELECT d0, CAST(COUNT(*) AS BIGINT) AS n_users FROM first GROUP BY d0
 ), base AS (

@@ -20,6 +20,23 @@ single-run snapshots diffed box noise). The median discards the one
 cold first run (plan compile, cache warm) AND any one GC/host stall,
 so BENCHDIFF diffs steady states; the timing discipline is recorded
 in the payload ("timing": "median-of-3").
+
+Snapshot integrity (VERDICT r9 #1): this VM suffers intermittent
+hypervisor CPU STEAL (r9 measured five identical full runs at
+251/316/358/368/243 s with vmstat `st` up to 34%), so a snapshot taken
+under steal records box noise as if it were code drift. bench.py now
+samples /proc/stat around EVERY query's timing triple: a query window
+whose steal exceeds {STEAL_QUERY_PCT}% is re-run (up to
+{STEAL_RETRIES} retries) until clean; if any query stays degraded, or
+the whole-run steal exceeds {STEAL_RUN_PCT}%, the payload is marked
+"degraded_steal" and the BENCH_local snapshot is REFUSED (stdout still
+prints, so the driver's capture works, but no BENCHDIFF/adjudication
+input is produced from a dirty run). The measured steal ships inside
+the payload ("steal_pct", "steal_pct_max_query") and inside every
+snapshot, and the snapshot records its own sha256 prefix so
+tools/bench_diff.py --adjudicate can bind its verdicts to EXACTLY this
+file (the r9 defect: the adjudicator decided on an earlier snapshot
+than the one shipped).
 """
 
 from __future__ import annotations
@@ -36,6 +53,32 @@ from am_kinesis_pay_spark.registry import queries  # noqa: E402
 from am_kinesis_pay_spark.session import get_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# CPU-steal gating (VERDICT r9 #1). A query window at 10% steal reads
+# ~1.1x slow — just under the adjudicator's 1.3x flag threshold — so
+# 5% per query keeps steal inflation well inside diff noise; 3% over a
+# whole multi-minute run means sustained contention and the run is not
+# a steady-state measurement at all.
+STEAL_QUERY_PCT = 5.0
+STEAL_RUN_PCT = 3.0
+STEAL_RETRIES = 2
+
+
+def _stat_sample() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
+    line. Monotonic counters; diff two samples for a window's steal."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _steal_pct(a: tuple[int, int], b: tuple[int, int]) -> float:
+    dt = b[0] - a[0]
+    return 100.0 * (b[1] - a[1]) / dt if dt > 0 else 0.0
 
 
 def _parse_args() -> argparse.Namespace:
@@ -102,17 +145,31 @@ def main() -> None:
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    run_start = _stat_sample()
+    steal_max_query = 0.0
+    degraded: list[str] = []
     for name in sorted(qs):
-        runs: list[float] = []
         try:
-            for _ in range(3):
-                t0 = time.perf_counter()
-                run_query(qs[name](spark, SF_DIR))
-                runs.append(time.perf_counter() - t0)
+            # steal-gated timing triple: re-run the whole triple when
+            # hypervisor steal contaminated its window (VERDICT r9 #1)
+            for attempt in range(1 + STEAL_RETRIES):
+                runs: list[float] = []
+                w0 = _stat_sample()
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    run_query(qs[name](spark, SF_DIR))
+                    runs.append(time.perf_counter() - t0)
+                steal = _steal_pct(w0, _stat_sample())
+                if steal <= STEAL_QUERY_PCT:
+                    break
+            if steal > STEAL_QUERY_PCT:
+                degraded.append(name)
+            steal_max_query = max(steal_max_query, steal)
             times[name] = round(sorted(runs)[1], 3)  # median of 3
         except Exception as e:  # noqa: BLE001 — one bad query must not
             # take down the whole bench run; record and continue
             errors[name] = f"{type(e).__name__}: {e}"[:200]
+    steal_run = _steal_pct(run_start, _stat_sample())
 
     total = round(sum(times.values()), 3)
     families: dict[str, float] = {}
@@ -133,7 +190,17 @@ def main() -> None:
         # coverage grows round over round; normalize so totals
         # stay comparable across rounds
         "sec_per_query": round(total / max(1, len(times)), 4),
+        # in-run hypervisor CPU steal (VERDICT r9 #1): whole-run
+        # average and the worst per-query timing window that was KEPT
+        # after steal-gated retries
+        "steal_pct": round(steal_run, 2),
+        "steal_pct_max_query": round(steal_max_query, 2),
     }
+    degraded_run = steal_run > STEAL_RUN_PCT or bool(degraded)
+    if degraded_run:
+        payload["degraded_steal"] = True
+        if degraded:
+            payload["degraded_queries"] = sorted(degraded)
     if partial:
         payload["partial"] = True
     # Persist the full per-query dict in-repo so any round can diff any
@@ -144,7 +211,16 @@ def main() -> None:
     # behind is the round's last run. Partial (--family/--queries) runs
     # never snapshot — a filtered dict would corrupt the round diff.
     queries_file = None
-    if not partial:
+    if degraded_run and not partial:
+        print(
+            f"REFUSING snapshot: run steal {steal_run:.2f}% "
+            f"(limit {STEAL_RUN_PCT}%), degraded queries after "
+            f"{STEAL_RETRIES} retries: {sorted(degraded)} "
+            f"(per-query limit {STEAL_QUERY_PCT}%) — re-run on a "
+            "quiet box; stdout payload still printed below",
+            file=sys.stderr,
+        )
+    if not partial and not degraded_run:
         try:
             here = os.path.dirname(os.path.abspath(__file__))
             driver_rounds = [
@@ -157,6 +233,7 @@ def main() -> None:
             queries_file = f"BENCH_local_r{n}.json"
             with open(os.path.join(here, queries_file), "w") as fh:
                 json.dump(payload, fh, indent=1, sort_keys=True)
+            _invalidate_stale_adjudication(here, n, queries_file)
             _write_benchdiff(here)
         except OSError:
             queries_file = None  # read-only checkout: stdout only
@@ -177,12 +254,49 @@ def main() -> None:
         "n_errors": len(errors),
         "errors": dict(sorted(errors.items())[:3]),
         "sec_per_query": payload["sec_per_query"],
+        "steal_pct": payload["steal_pct"],
         "families": families,
         "queries_file": queries_file,
     }
+    if degraded_run:
+        summary["degraded_steal"] = True
     if partial:
         summary["partial"] = True
     print(json.dumps(summary))
+
+
+def _snapshot_sha(path: str) -> str:
+    import hashlib
+
+    with open(path, "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()[:16]
+
+
+def _invalidate_stale_adjudication(here: str, n: int, queries_file: str) -> None:
+    """A freshly-written snapshot for round N makes any existing
+    round-N adjudication stale: its verdicts describe a run that no
+    longer exists (the exact r9 defect — the adjudicator decided on an
+    earlier snapshot than the one finally shipped, leaving four never-
+    adjudicated 3-4x steal rows in the shipped file). Delete it so the
+    round-close gate (tools/bench_diff.py --check) forces a re-
+    adjudication against the file that will actually ship."""
+    adj_path = os.path.join(here, "BENCH_adjudication.json")
+    if not os.path.exists(adj_path):
+        return
+    try:
+        adj = json.load(open(adj_path))
+    except (OSError, ValueError):
+        os.remove(adj_path)
+        return
+    sha = _snapshot_sha(os.path.join(here, queries_file))
+    if adj.get("new_round") == n and adj.get("new_snapshot_sha256") != sha:
+        os.remove(adj_path)
+        print(
+            f"removed stale BENCH_adjudication.json (bound to sha "
+            f"{adj.get('new_snapshot_sha256')}, snapshot is now {sha}) — "
+            "re-run tools/bench_diff.py --adjudicate",
+            file=sys.stderr,
+        )
 
 
 def _write_benchdiff(here: str) -> None:

@@ -57,7 +57,6 @@ _NLJ_ALLOWED = {
     "events_gapfill_daily",
     "events_rfm_segments",  # 1-row corpus-max-date + 1-row n broadcasts
     "events_rolling_active_users",  # 1-row min-day broadcast (warm-up trim)
-    "events_stickiness_dau_mau",  # calendar-domain day spine broadcast, 28-day band join onto the reduced (day,user) frame
     "fe_target_encoding",  # 1-row global-prior broadcast
     "events_survival_km",  # 1-row horizon-max-ts broadcast
     "text_collocations_pmi",  # 1-row corpus-token-total broadcast

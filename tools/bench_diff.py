@@ -98,8 +98,20 @@ def _regressions(qo: dict, qn: dict) -> list[str]:
     return sorted(out, key=lambda k: qo[k] - qn[k])
 
 
+def _snapshot_sha(path: str) -> str:
+    import hashlib
+
+    with open(path, "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()[:16]
+
+
 def _adjudicate(
-    n_old: int, n_new: int, qo: dict, qn: dict, old_timing: str | None = None
+    n_old: int,
+    n_new: int,
+    qo: dict,
+    qn: dict,
+    old_timing: str | None = None,
+    new_path: str | None = None,
 ) -> dict:
     """Re-run each flagged regression 3x at $SPARK_GRAFT_SF_DIR and
     label it variance / explained / investigate from the median. Each
@@ -171,9 +183,63 @@ def _adjudicate(
                 }
             )
     payload = {"old_round": n_old, "new_round": n_new, "rows": rows}
+    if new_path:
+        # bind the verdicts to EXACTLY the snapshot file they judged
+        # (VERDICT r9 #1: the r9 adjudication described an earlier run
+        # than the shipped snapshot). bench.py deletes this file if the
+        # snapshot is ever regenerated, and --check gates round close.
+        payload["new_snapshot_file"] = os.path.basename(new_path)
+        payload["new_snapshot_sha256"] = _snapshot_sha(new_path)
     with open(_ADJ_FILE, "w") as fh:
         json.dump(payload, fh, indent=1)
     return payload
+
+
+def _check() -> int:
+    """Round-close gate: 0 iff BENCH_adjudication.json exists, judges
+    the LATEST snapshot round, and its recorded sha256 matches the
+    snapshot file on disk byte-for-byte."""
+    snaps = _snapshots()
+    if not snaps:
+        print("check FAIL: no BENCH_local_r*.json snapshots")
+        return 1
+    n = max(snaps)
+    try:
+        adj = json.load(open(_ADJ_FILE))
+    except (OSError, ValueError):
+        print("check FAIL: no BENCH_adjudication.json — run --adjudicate")
+        return 1
+    if adj.get("new_round") != n:
+        print(
+            f"check FAIL: adjudication is for r{adj.get('new_round')}, "
+            f"latest snapshot is r{n}"
+        )
+        return 1
+    sha = _snapshot_sha(snaps[n])
+    if adj.get("new_snapshot_sha256") != sha:
+        print(
+            f"check FAIL: adjudication bound to sha "
+            f"{adj.get('new_snapshot_sha256')}, snapshot r{n} is {sha} "
+            "— the snapshot changed after adjudication; re-run "
+            "--adjudicate"
+        )
+        return 1
+    snap = json.load(open(snaps[n]))
+    if snap.get("degraded_steal"):
+        print(f"check FAIL: snapshot r{n} is marked degraded_steal")
+        return 1
+    investigate = [
+        r["query"] for r in adj.get("rows", []) if r["label"] == "investigate"
+    ]
+    if investigate:
+        print(f"check FAIL: unresolved 'investigate' rows: {investigate}")
+        return 1
+    print(
+        f"check OK: adjudication bound to snapshot r{n} (sha {sha}), "
+        f"steal {snap.get('steal_pct', 'n/a')}%, "
+        f"{len(adj.get('rows', []))} flagged rows, 0 investigate"
+    )
+    return 0
 
 
 def _print_adjudication(adj: dict) -> None:
@@ -201,9 +267,19 @@ def main() -> None:
         "--adjudicate",
         action="store_true",
         help="re-run flagged regressions 3x and label variance/"
-        "explained/investigate (writes BENCH_adjudication.json)",
+        "explained/investigate (writes BENCH_adjudication.json, bound "
+        "by sha256 to the snapshot it judged)",
+    )
+    ap.add_argument(
+        "--check",
+        action="store_true",
+        help="round-close gate: verify BENCH_adjudication.json is "
+        "bound to the latest snapshot on disk (exit 1 on any drift)",
     )
     args = ap.parse_args()
+
+    if args.check:
+        raise SystemExit(_check())
 
     snaps = _snapshots()
     if not snaps:
@@ -267,7 +343,7 @@ def main() -> None:
 
     if args.adjudicate:
         _print_adjudication(
-            _adjudicate(n_old, n_new, qo, qn, old.get("timing"))
+            _adjudicate(n_old, n_new, qo, qn, old.get("timing"), p_new)
         )
     else:
         # embed the latest persisted adjudication (if any) so the
