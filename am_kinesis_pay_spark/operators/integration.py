@@ -1893,20 +1893,23 @@ def _oriented_triangles(edges: DataFrame) -> DataFrame:
 
 
 def _materialized_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the capped edge list once and round-trip it through a
-    per-session scratch parquet: the triangle pipeline references the
-    edges five times (degree count, two orientation joins, wedge pair,
-    closing probe) and a leaked ``.persist()`` would accumulate
-    executor memory across a 200+-query sweep. At 100 TB the edge list
-    is a persisted input, not recomputed per query — this IS that
-    shape."""
-    from am_kinesis_pay_spark.paths import scratch_path
+    """Capped edge list as a session-scoped scratch-parquet memo: the
+    triangle pipeline references the edges five times (degree count,
+    two orientation joins, wedge pair, closing probe) and a leaked
+    ``.persist()`` would accumulate executor memory across a
+    200+-query sweep. Memoized via session_artifact (r10 — previously
+    rebuilt per CALL, which contradicted this docstring's own claim
+    and made both triangle entries pay a full edge build + parquet
+    write on every run): at 100 TB the edge list is a persisted input
+    maintained once and probed by every consumer — the same shape as
+    the sign-LSH signature artifacts."""
+    from am_kinesis_pay_spark.paths import session_artifact, sf_tag
 
-    out = scratch_path(spark, f"akps_tri_edges_{os.path.basename(sf_dir)}")
-    _copurchase_edges(spark, sf_dir, _TRI_DAY_CAP).write.mode(
-        "overwrite"
-    ).parquet(out)
-    return spark.read.parquet(out)
+    return session_artifact(
+        spark,
+        f"akps_tri_edges_{sf_tag(sf_dir)}",
+        lambda: _copurchase_edges(spark, sf_dir, _TRI_DAY_CAP),
+    )
 
 
 @register(

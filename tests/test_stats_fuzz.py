@@ -299,3 +299,207 @@ def test_ipf_weight_trajectories_agree(engines, c_dim, iters, lo, width):
         engines, _ipf_sql(c_dim, iters, lo, min(lo + width, 30))
     )
     assert got == want, (c_dim, iters, lo, width)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 closed forms (VERDICT r9 #5): winsorized rank cutoffs, IQR
+# fences, MDE/sample-size inversion, SRM chi-square — same one-SQL-text
+# both-engines discipline, parameterized where the registry entries bake
+# constants (quantile numerator/denominator, fence multiplier, target
+# relative effect, assignment hash). The exact-rank threshold
+# floor((k*n + d-1)/d) is the off-by-one hot spot: fuzzing the slice
+# bounds moves n across cum == threshold tie boundaries.
+# ---------------------------------------------------------------------------
+
+from am_kinesis_pay_spark.operators.aggregations import _PWR_ZSUM  # noqa: E402
+
+
+def _rank_thr(k: int, d: int) -> str:
+    """ceil(k*n/d) as the registry writes it: explicit floor over
+    DOUBLE (DuckDB CAST(double AS BIGINT) ROUNDS where Spark floors,
+    so floor() must be spelled out — the r9 lesson)."""
+    return f"CAST(floor(({k} * CAST(n AS DOUBLE) + {d - 1}) / {d}) AS BIGINT)"
+
+
+def _winsor_sql(k_lo: int, k_hi: int, d: int, mod: int, lo: int, hi: int) -> str:
+    return f"""
+WITH b AS (
+  SELECT user_id % {mod} AS seg, CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+  FROM {_TBL} WHERE value IS NOT NULL AND {_slice_pred(lo, hi)}
+), dv AS (
+  SELECT seg, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY seg, v
+), cum AS (
+  SELECT seg, v, cnt,
+    SUM(cnt) OVER (PARTITION BY seg ORDER BY v) AS cum,
+    SUM(cnt) OVER (PARTITION BY seg) AS n
+  FROM dv
+), cuts AS (
+  SELECT seg,
+    MIN(CASE WHEN cum >= {_rank_thr(k_lo, d)} THEN v END) AS lo,
+    MIN(CASE WHEN cum >= {_rank_thr(k_hi, d)} THEN v END) AS hi,
+    CAST(MAX(n) AS BIGINT) AS n
+  FROM cum GROUP BY seg
+), wins AS (
+  SELECT dv.seg, cuts.lo, cuts.hi, cuts.n,
+    SUM(LEAST(GREATEST(dv.v, cuts.lo), cuts.hi) * dv.cnt) AS ws
+  FROM dv JOIN cuts ON dv.seg = cuts.seg
+  GROUP BY dv.seg, cuts.lo, cuts.hi, cuts.n
+)
+SELECT seg, n, CAST(lo AS DOUBLE) AS q_lo, CAST(hi AS DOUBLE) AS q_hi,
+  round(CAST(ws AS DOUBLE) / n, 6) AS winsorized_mean
+FROM wins
+"""
+
+
+def _iqr_sql(fence: str, mod: int, lo: int, hi: int) -> str:
+    return f"""
+WITH b AS (
+  SELECT user_id % {mod} AS seg, CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+  FROM {_TBL} WHERE value IS NOT NULL AND {_slice_pred(lo, hi)}
+), dv AS (
+  SELECT seg, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY seg, v
+), cum AS (
+  SELECT seg, v, cnt,
+    SUM(cnt) OVER (PARTITION BY seg ORDER BY v) AS cum,
+    SUM(cnt) OVER (PARTITION BY seg) AS n
+  FROM dv
+), cuts AS (
+  SELECT seg,
+    MIN(CASE WHEN cum >= {_rank_thr(1, 4)} THEN v END) AS q1,
+    MIN(CASE WHEN cum >= {_rank_thr(3, 4)} THEN v END) AS q3,
+    CAST(MAX(n) AS BIGINT) AS n
+  FROM cum GROUP BY seg
+), fen AS (
+  SELECT seg, n, CAST(q1 AS DOUBLE) AS q1, CAST(q3 AS DOUBLE) AS q3,
+    CAST(q1 AS DOUBLE) - {fence} * CAST(q3 - q1 AS DOUBLE) AS fence_lo,
+    CAST(q3 AS DOUBLE) + {fence} * CAST(q3 - q1 AS DOUBLE) AS fence_hi
+  FROM cuts
+)
+SELECT fen.seg, fen.n, fen.q1, fen.q3,
+  round(fen.fence_lo, 6) AS fence_lo, round(fen.fence_hi, 6) AS fence_hi,
+  CAST(SUM(CASE WHEN CAST(dv.v AS DOUBLE) < fen.fence_lo
+           THEN dv.cnt ELSE 0 END) AS BIGINT) AS n_below,
+  CAST(SUM(CASE WHEN CAST(dv.v AS DOUBLE) > fen.fence_hi
+           THEN dv.cnt ELSE 0 END) AS BIGINT) AS n_above
+FROM dv JOIN fen ON dv.seg = fen.seg
+GROUP BY fen.seg, fen.n, fen.q1, fen.q3, fen.fence_lo, fen.fence_hi
+"""
+
+
+def _mde_sql(rel: str, mod: int, lo: int, hi: int) -> str:
+    return f"""
+WITH g AS (
+  SELECT user_id % {mod} AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS s,
+    SUM(CAST(round(value, 2) AS DECIMAL(18,2))
+        * CAST(round(value, 2) AS DECIMAL(18,2))) AS ss
+  FROM {_TBL} WHERE value IS NOT NULL AND {_slice_pred(lo, hi)}
+  GROUP BY user_id % {mod}
+), v AS (
+  SELECT seg, n, CAST(s AS DOUBLE) / n AS mean,
+    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      / (n - 1) AS var
+  FROM g WHERE n >= 2 AND CAST(s AS DOUBLE) > 0
+)
+SELECT seg, n, round(mean, 6) AS mean,
+  round({_PWR_ZSUM} * sqrt(2 * var
+        / CAST(floor(CAST(n AS DOUBLE) / 2) AS BIGINT)), 6) AS mde_abs,
+  CAST(ceil(2 * var * {_PWR_ZSUM} * {_PWR_ZSUM}
+            / ((CAST({rel} AS DOUBLE) * mean)
+               * (CAST({rel} AS DOUBLE) * mean))) AS BIGINT) AS n_per_arm
+FROM v WHERE var > 0
+"""
+
+
+def _srm_sql(shift: int, mod: int, lo: int, hi: int) -> str:
+    return f"""
+WITH assign AS (
+  SELECT DISTINCT event_type, user_id,
+    CAST(floor(CAST(user_id AS DOUBLE) / {shift}) AS BIGINT) % {mod} AS arm0
+  FROM {_TBL} WHERE {_slice_pred(lo, hi)}
+), counts AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN arm0 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN arm0 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM assign GROUP BY event_type
+)
+-- expected count forced to DOUBLE via CAST: a bare 2.0 literal is
+-- DECIMAL(2,1) in Spark SQL (HALF_UP decimal round downstream) but
+-- double in DuckDB — this fuzz lane caught exactly that divergence
+-- on its first run
+SELECT event_type, n_a, n_b,
+  round(CAST(n_a AS DOUBLE) / (n_a + n_b), 6) AS frac_a,
+  round((n_a - CAST(n_a + n_b AS DOUBLE) / 2)
+          * (n_a - CAST(n_a + n_b AS DOUBLE) / 2)
+          / (CAST(n_a + n_b AS DOUBLE) / 2)
+      + (n_b - CAST(n_a + n_b AS DOUBLE) / 2)
+          * (n_b - CAST(n_a + n_b AS DOUBLE) / 2)
+          / (CAST(n_a + n_b AS DOUBLE) / 2), 6) AS chi2
+FROM counts WHERE n_a + n_b > 0
+"""
+
+
+@settings(**_SETTINGS)
+@given(
+    d=st.sampled_from([4, 10, 20]),
+    k_lo=st.integers(min_value=1, max_value=3),
+    mod=st.integers(min_value=2, max_value=9),
+    lo=st.integers(min_value=0, max_value=18),
+    width=st.integers(min_value=3, max_value=29),
+)
+def test_winsorized_cutoffs_agree(engines, d, k_lo, mod, lo, width):
+    """Winsorized mean with fuzzed type-1 rank thresholds
+    ceil(k*n/d) = floor((k*n + d-1)/d): the off-by-one class lives
+    exactly at cum == threshold ties, which the narrow slices
+    (width >= 3 days, n down to a handful of rows per segment) hit."""
+    k_hi = d - k_lo
+    got, want = _both(
+        engines, _winsor_sql(k_lo, k_hi, d, mod, lo, min(lo + width, 30))
+    )
+    assert got == want, (d, k_lo, mod, lo, width)
+
+
+@settings(**_SETTINGS)
+@given(
+    fence=st.sampled_from(["1.5", "3.0"]),
+    mod=st.integers(min_value=2, max_value=9),
+    lo=st.integers(min_value=0, max_value=18),
+    width=st.integers(min_value=3, max_value=29),
+)
+def test_iqr_fences_agree(engines, fence, mod, lo, width):
+    """Tukey fences: exact quartile ranks floor((k*n+3)/4), fence
+    arithmetic in DOUBLE, below/above tail counts — fuzzed fence
+    multiplier, segmentation, and slice."""
+    got, want = _both(engines, _iqr_sql(fence, mod, lo, min(lo + width, 30)))
+    assert got == want, (fence, mod, lo, width)
+
+
+@settings(**_SETTINGS)
+@given(
+    rel=st.sampled_from(["0.02", "0.05", "0.10"]),
+    mod=st.integers(min_value=2, max_value=9),
+    lo=st.integers(min_value=0, max_value=18),
+    width=st.integers(min_value=3, max_value=29),
+)
+def test_mde_inversion_agrees(engines, rel, mod, lo, width):
+    """Power analysis: MDE from one-pass DECIMAL moments and the
+    ceil() sample-size inversion — the n_per_arm integer is the
+    sensitive output (a 1-ulp var drift flips the ceil boundary)."""
+    got, want = _both(engines, _mde_sql(rel, mod, lo, min(lo + width, 30)))
+    assert got == want, (rel, mod, lo, width)
+
+
+@settings(**_SETTINGS)
+@given(
+    shift=st.integers(min_value=1, max_value=7),
+    mod=st.sampled_from([2, 3, 4]),
+    lo=st.integers(min_value=0, max_value=18),
+    width=st.integers(min_value=3, max_value=29),
+)
+def test_srm_chi_square_agrees(engines, shift, mod, lo, width):
+    """SRM guard: distinct (segment, user, arm) reduction + df=1
+    chi-square vs the 50/50 design, with the assignment hash fuzzed
+    (floor(user/shift) % mod) so arm imbalance varies from near-even
+    to heavily skewed."""
+    got, want = _both(engines, _srm_sql(shift, mod, lo, min(lo + width, 30)))
+    assert got == want, (shift, mod, lo, width)
