@@ -1201,3 +1201,75 @@ def test_stream_topk_two_phase_equals_batch(spark, stream_dir):
         assert len(rows) <= 3
         counts = [(-n, et) for _, n, et in rows]
         assert counts == sorted(counts)
+
+
+def test_stick_window_constants_agree():
+    """The trailing-window literal is deliberately mirrored in three
+    modules (batch entry, TWS processor, batch-equiv specification) to
+    avoid decoration-time cross-module imports; this pin keeps them
+    from drifting apart."""
+    from am_kinesis_pay_spark.operators.integration import _STICK_WINDOW
+    from am_kinesis_pay_spark.streaming.batch_equiv import _STICK_W
+    from am_kinesis_pay_spark.streaming.tws_stickiness import STICK_WINDOW
+
+    assert _STICK_WINDOW == STICK_WINDOW == _STICK_W
+
+
+def test_tws_stickiness_changelog_equals_batch(spark, stream_dir):
+    """Incremental DAU/MAU stickiness (VERDICT r9 #7): the
+    transformWithStateInPandas delta changelog, summed per day and
+    restricted to observed days, must equal the one-shot batch
+    events_stickiness_dau_mau output exactly — regardless of how the
+    stream was chopped into files (the fixture stages 6 arbitrary
+    splits, so per-user activity arrives across several micro-batches
+    and the MapState coverage diff does the exactly-once work)."""
+    from am_kinesis_pay_spark.streaming.tws_state_machine import (
+        ROCKSDB_PROVIDER,
+        tws_available,
+    )
+    from am_kinesis_pay_spark.streaming.tws_stickiness import stickiness_tws
+
+    if not tws_available():
+        pytest.skip(
+            "transformWithState's Python worker protocol needs a protobuf "
+            "runtime (see am_kinesis_pay_spark/compat.py)"
+        )
+
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_completion(
+            stickiness_tws(events_stream(spark, stream_dir)),
+            f"stick_{uuid.uuid4().hex[:6]}",
+            "append",
+        )
+        rolled = (
+            out.groupBy("day")
+            .agg(
+                F.sum("dau_delta").cast("bigint").alias("dau"),
+                F.sum("mau_delta").cast("bigint").alias("mau"),
+            )
+            .filter(F.col("dau") >= 1)
+            .select(
+                "day",
+                "dau",
+                "mau",
+                F.round(
+                    F.col("dau").cast("double") / F.col("mau"), 6
+                ).alias("stickiness"),
+            )
+        )
+        got = sorted(map(tuple, rolled.collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+
+    want = sorted(
+        map(tuple, queries()["events_stickiness_dau_mau"](spark, SF_DIR).collect())
+    )
+    assert got == want
