@@ -2013,3 +2013,80 @@ def eval_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_share"
         ),
     )
+
+
+_VC_KS = (10, 100, 1000, 10000)  # coverage checkpoints (vocab ranks)
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+), freqs AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY w
+), ranked AS (
+  SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, w) AS BIGINT) AS r
+  FROM freqs
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+  CAST(SUM(f) AS BIGINT) AS total_tokens,
+  round(CAST(SUM(CASE WHEN r <= {_VC_KS[0]} THEN f ELSE 0 END) AS DOUBLE)
+        / SUM(f), 6) AS cov_at_10,
+  round(CAST(SUM(CASE WHEN r <= {_VC_KS[1]} THEN f ELSE 0 END) AS DOUBLE)
+        / SUM(f), 6) AS cov_at_100,
+  round(CAST(SUM(CASE WHEN r <= {_VC_KS[2]} THEN f ELSE 0 END) AS DOUBLE)
+        / SUM(f), 6) AS cov_at_1000,
+  round(CAST(SUM(CASE WHEN r <= {_VC_KS[3]} THEN f ELSE 0 END) AS DOUBLE)
+        / SUM(f), 6) AS cov_at_10000
+FROM ranked
+""",
+    tags=("llm", "text", "tokenizer"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE CURVE — what fraction of corpus tokens the
+    top-k vocabulary types capture, at k = {_VC_KS} (the first number
+    a tokenizer design reads: it decides vocab size vs OOV/byte-
+    fallback rate, and a corpus whose coverage curve is flat needs a
+    bigger vocab or subword units). Complements text_zipf_fit (the
+    slope summarizes the SAME distribution; the coverage checkpoints
+    are the decision-ready view) and text_bpe_train (which builds the
+    subword vocab this curve motivates).
+
+    Plan shape: one token-count hash aggregation to the distinct-vocab
+    frame, the frequency-desc rank over that SATURATING frame (the
+    text_zipf_fit global-window precedent — vocabulary size grows
+    sublinearly in corpus size), then ONE conditional aggregation to a
+    single row. No second pass, no cumulative window."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("w")
+    )
+    freqs = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    w_rank = W.orderBy(F.desc("f"), "w")
+    ranked = freqs.select(
+        "f", F.row_number().over(w_rank).cast("bigint").alias("r")
+    )
+
+    def cov(k: int):
+        return F.round(
+            F.sum(F.when(F.col("r") <= k, F.col("f")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("f"),
+            6,
+        )
+
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("f").cast("bigint").alias("total_tokens"),
+        cov(_VC_KS[0]).alias("cov_at_10"),
+        cov(_VC_KS[1]).alias("cov_at_100"),
+        cov(_VC_KS[2]).alias("cov_at_1000"),
+        cov(_VC_KS[3]).alias("cov_at_10000"),
+    )

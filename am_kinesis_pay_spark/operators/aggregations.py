@@ -4272,3 +4272,285 @@ def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(float(_SRM_CRIT))).alias("srm_flag"),
     )
+
+
+_DID_SPLIT = "2024-01-16 00:00:00"  # pre/post boundary (fixture span 01-01..30)
+_DID_ZCRIT = "1.959964"  # two-sided alpha=.05 normal critical value
+
+
+@register(
+    "agg_diff_in_diff",
+    oracle=f"""
+WITH cells AS (
+  SELECT event_type,
+    CASE WHEN ts >= TIMESTAMP '{_DID_SPLIT}' THEN 1 ELSE 0 END AS post,
+    user_id % 2 AS treat,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS s,
+    SUM(CAST(round(value, 2) AS DECIMAL(18,2))
+        * CAST(round(value, 2) AS DECIMAL(18,2))) AS ss
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type,
+    CASE WHEN ts >= TIMESTAMP '{_DID_SPLIT}' THEN 1 ELSE 0 END,
+    user_id % 2
+  HAVING COUNT(*) >= 2
+), mv AS (
+  SELECT event_type, post, treat, n, CAST(s AS DOUBLE) / n AS mean,
+    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      / (n - 1) AS var
+  FROM cells
+), wide AS (
+  SELECT event_type,
+    MAX(CASE WHEN treat = 1 AND post = 1 THEN mean END) AS m_t1,
+    MAX(CASE WHEN treat = 1 AND post = 0 THEN mean END) AS m_t0,
+    MAX(CASE WHEN treat = 0 AND post = 1 THEN mean END) AS m_c1,
+    MAX(CASE WHEN treat = 0 AND post = 0 THEN mean END) AS m_c0,
+    MAX(CASE WHEN treat = 1 AND post = 1 THEN var / n END) AS v_t1,
+    MAX(CASE WHEN treat = 1 AND post = 0 THEN var / n END) AS v_t0,
+    MAX(CASE WHEN treat = 0 AND post = 1 THEN var / n END) AS v_c1,
+    MAX(CASE WHEN treat = 0 AND post = 0 THEN var / n END) AS v_c0,
+    CAST(SUM(n) AS BIGINT) AS n_total
+  FROM mv WHERE var > 0 GROUP BY event_type
+  HAVING COUNT(*) = 4
+)
+SELECT event_type, n_total,
+  round(m_t1 - m_t0, 6) AS delta_treat,
+  round(m_c1 - m_c0, 6) AS delta_control,
+  round((m_t1 - m_t0) - (m_c1 - m_c0), 6) AS did,
+  round(sqrt(v_t1 + v_t0 + v_c1 + v_c0), 6) AS se,
+  round(((m_t1 - m_t0) - (m_c1 - m_c0))
+        / sqrt(v_t1 + v_t0 + v_c1 + v_c0), 6) AS z,
+  abs(((m_t1 - m_t0) - (m_c1 - m_c0))
+      / sqrt(v_t1 + v_t0 + v_c1 + v_c0)) > {_DID_ZCRIT} AS significant
+FROM wide
+""",
+    tags=("agg", "stats", "experiment"),
+)
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES estimator per metric segment — the
+    quasi-experimental workhorse for launches that cannot be randomly
+    assigned (Card-Krueger design): users hash-split into
+    treat/control, the calendar split into pre/post at a fixed
+    boundary, and the effect estimate is the treated group's pre->post
+    change minus the control group's (parallel-trends counterfactual).
+    SE via the four-cell normal approximation sqrt(sum var_i/n_i) and
+    the alpha=.05 two-sided z flag — completing the experiment family
+    next to agg_ab_ttest (pure A/B), agg_cuped_adjusted (variance
+    reduction), agg_ab_srm_check (assignment validity), agg_power_mde
+    (design). Segments missing any of the 4 cells (or with a
+    degenerate zero-variance cell — the agg_power_mde guard class)
+    are excluded on both engines.
+
+    Plan shape: ONE conditional hash aggregation to the
+    |segments| x 2 x 2 cell frame (DECIMAL moments, single-pass
+    variance identity), then a 4-way conditional pivot and closed-form
+    arithmetic on |segments| rows. At 100 TB: one map-side-combined
+    scan, nothing else."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.round("value", 2).cast("decimal(18,2)")
+    cells = (
+        ev.select(
+            "event_type",
+            F.when(
+                F.col("ts") >= F.lit(_DID_SPLIT).cast("timestamp"), 1
+            ).otherwise(0).alias("post"),
+            (F.col("user_id") % 2).alias("treat"),
+            v.alias("v"),
+        )
+        .groupBy("event_type", "post", "treat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    mv = cells.select(
+        "event_type", "post", "treat", "n",
+        mean.alias("mean"), var.alias("var"),
+    ).filter(F.col("var") > 0)
+
+    def cell(t: int, p: int, col: str):
+        return F.max(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    wide = mv.groupBy("event_type").agg(
+        cell(1, 1, "mean").alias("m_t1"),
+        cell(1, 0, "mean").alias("m_t0"),
+        cell(0, 1, "mean").alias("m_c1"),
+        cell(0, 0, "mean").alias("m_c0"),
+        F.max(
+            F.when(
+                (F.col("treat") == 1) & (F.col("post") == 1),
+                F.col("var") / F.col("n"),
+            )
+        ).alias("v_t1"),
+        F.max(
+            F.when(
+                (F.col("treat") == 1) & (F.col("post") == 0),
+                F.col("var") / F.col("n"),
+            )
+        ).alias("v_t0"),
+        F.max(
+            F.when(
+                (F.col("treat") == 0) & (F.col("post") == 1),
+                F.col("var") / F.col("n"),
+            )
+        ).alias("v_c1"),
+        F.max(
+            F.when(
+                (F.col("treat") == 0) & (F.col("post") == 0),
+                F.col("var") / F.col("n"),
+            )
+        ).alias("v_c0"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).alias("n_cells"),
+    ).filter(F.col("n_cells") == 4).drop("n_cells")
+    did = (F.col("m_t1") - F.col("m_t0")) - (F.col("m_c1") - F.col("m_c0"))
+    se = F.sqrt(
+        F.col("v_t1") + F.col("v_t0") + F.col("v_c1") + F.col("v_c0")
+    )
+    return wide.select(
+        "event_type",
+        "n_total",
+        F.round(F.col("m_t1") - F.col("m_t0"), 6).alias("delta_treat"),
+        F.round(F.col("m_c1") - F.col("m_c0"), 6).alias("delta_control"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(did / se, 6).alias("z"),
+        (F.abs(did / se) > F.lit(float(_DID_ZCRIT))).alias("significant"),
+    )
+
+
+_JK_BUCKETS = 20  # delete-one-bucket jackknife block count
+
+
+@register(
+    "agg_jackknife_variance",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, user_id % {_JK_BUCKETS} AS j,
+    CAST(COUNT(*) AS BIGINT) AS n_j,
+    SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS s_j
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, user_id % {_JK_BUCKETS}
+), tot AS (
+  SELECT event_type, CAST(SUM(n_j) AS BIGINT) AS n, SUM(s_j) AS s,
+    CAST(COUNT(*) AS BIGINT) AS jn
+  FROM b GROUP BY event_type
+), loo AS (
+  SELECT b.event_type, b.j, tot.n, tot.jn,
+    CAST(round(CAST(tot.s - b.s_j AS DOUBLE) / (tot.n - b.n_j), 12)
+         AS DECIMAL(28,12)) AS theta_j
+  FROM b JOIN tot ON b.event_type = tot.event_type
+  WHERE tot.n - b.n_j > 0 AND tot.jn >= 2
+), bar AS (
+  SELECT event_type, n, jn,
+    CAST(SUM(theta_j) AS DOUBLE) / jn AS theta_bar
+  FROM loo GROUP BY event_type, n, jn
+), dev AS (
+  SELECT loo.event_type, loo.n, loo.jn, bar.theta_bar,
+    CAST(round((CAST(loo.theta_j AS DOUBLE) - bar.theta_bar)
+               * (CAST(loo.theta_j AS DOUBLE) - bar.theta_bar), 18)
+         AS DECIMAL(38,18)) AS d2
+  FROM loo JOIN bar ON loo.event_type = bar.event_type
+)
+SELECT event_type, n, jn AS n_blocks,
+  round(theta_bar, 6) AS theta_bar,
+  round(sqrt(CAST(jn - 1 AS DOUBLE) / jn * CAST(SUM(d2) AS DOUBLE)), 6)
+    AS se_jackknife
+FROM dev GROUP BY event_type, n, jn, theta_bar
+""",
+    tags=("agg", "stats", "experiment"),
+)
+def agg_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-ONE-BLOCK JACKKNIFE standard error for the per-segment
+    mean (Quenouille-Tukey; the block form is the uncertainty method
+    search/ads A/B platforms use when the estimator is a ratio or the
+    data arrives pre-sharded — one pass for the block moments, no
+    resampling loop, unlike the {_JK_BUCKETS}-way row expansion the
+    Poisson bootstrap pays in agg_bootstrap_ci): users hash into
+    {_JK_BUCKETS} blocks, each leave-one-block-out mean is closed-form
+    from the block (count, sum) moments, and the jackknife variance is
+    (J-1)/J * sum (theta_j - theta_bar)^2.
+
+    Exactness: block sums stay DECIMAL; each leave-one-out mean snaps
+    to a 12-dp DECIMAL and each squared deviation to an 18-dp DECIMAL
+    BEFORE the cross-row sums, so every accumulation is order-free
+    fixed-point (the emb_centroid_outliers moment discipline) — only
+    the final sqrt is a double. Plan shape: one hash agg to the
+    |segments| x {_JK_BUCKETS} block frame, a broadcast-sized totals
+    join, and two tiny aggs — at 100 TB this is a single
+    map-side-combined scan plus domain-sized arithmetic."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.round("value", 2).cast("decimal(18,2)")
+    b = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % _JK_BUCKETS).alias("j"),
+            v.alias("v"),
+        )
+        .groupBy("event_type", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_j"),
+            F.sum("v").alias("s_j"),
+        )
+    )
+    tot = b.groupBy("event_type").agg(
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.sum("s_j").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("jn"),
+    )
+    loo = (
+        b.join(F.broadcast(tot), "event_type")
+        .filter((F.col("n") - F.col("n_j") > 0) & (F.col("jn") >= 2))
+        .select(
+            "event_type",
+            "j",
+            "n",
+            "jn",
+            F.round(
+                (F.col("s") - F.col("s_j")).cast("double")
+                / (F.col("n") - F.col("n_j")),
+                12,
+            ).cast("decimal(28,12)").alias("theta_j"),
+        )
+    )
+    bar = loo.groupBy("event_type", "n", "jn").agg(
+        (F.sum("theta_j").cast("double") / F.col("jn")).alias("theta_bar")
+    )
+    dev = loo.join(
+        F.broadcast(bar.select("event_type", "theta_bar")), "event_type"
+    ).select(
+        "event_type",
+        "n",
+        "jn",
+        "theta_bar",
+        F.round(
+            (F.col("theta_j").cast("double") - F.col("theta_bar"))
+            * (F.col("theta_j").cast("double") - F.col("theta_bar")),
+            18,
+        ).cast("decimal(38,18)").alias("d2"),
+    )
+    return dev.groupBy("event_type", "n", "jn", "theta_bar").agg(
+        F.sum("d2").alias("sd2")
+    ).select(
+        "event_type",
+        "n",
+        F.col("jn").alias("n_blocks"),
+        F.round("theta_bar", 6).alias("theta_bar"),
+        F.round(
+            F.sqrt(
+                (F.col("jn") - 1).cast("double")
+                / F.col("jn")
+                * F.col("sd2").cast("double")
+            ),
+            6,
+        ).alias("se_jackknife"),
+    )

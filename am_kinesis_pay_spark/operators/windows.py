@@ -1607,3 +1607,222 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_7d"
         ),
     )
+
+
+_HAMPEL_K = "4.4478"  # 3 sigma * 1.4826 (normal-consistent MAD factor)
+
+
+@register(
+    "win_hampel_filter",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, CAST(ts AS DATE)
+), w AS (
+  SELECT event_type, day, v,
+    list(v) OVER (PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS lst
+  FROM d
+), m AS (
+  SELECT event_type, day, v,
+    CAST(len(lst) AS BIGINT) AS n_window,
+    list_sort(lst)[CAST(floor((len(lst) + 1) / 2.0) AS BIGINT)] AS med,
+    lst
+  FROM w
+), md AS (
+  SELECT event_type, day, v, n_window, med,
+    list_sort(list_transform(lst, x -> abs(x - med)))[
+      CAST(floor((n_window + 1) / 2.0) AS BIGINT)] AS mad
+  FROM m
+)
+SELECT event_type, day, CAST(v AS DOUBLE) AS v, n_window,
+  CAST(med AS DOUBLE) AS rolling_med,
+  CAST(mad AS DOUBLE) AS rolling_mad,
+  CAST(abs(v - med) AS DOUBLE) > {_HAMPEL_K} * CAST(mad AS DOUBLE)
+    AS is_spike,
+  CAST(CASE WHEN CAST(abs(v - med) AS DOUBLE)
+                 > {_HAMPEL_K} * CAST(mad AS DOUBLE)
+       THEN med ELSE v END AS DOUBLE) AS despiked
+FROM md
+""",
+    tags=("window", "timeseries", "dq"),
+)
+def win_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMPEL FILTER — rolling-window robust despike of the per-segment
+    daily revenue series (Hampel 1974; the standard sensor/metric
+    despiker: a point more than 3 normal-consistent MADs from the
+    trailing-7 rolling MEDIAN is a spike and is replaced by that
+    median). Complements agg_anomaly_mad, which flags against GLOBAL
+    median/MAD — the Hampel form adapts to level shifts, so a step
+    change doesn't flag every subsequent day.
+
+    Exactness despite rolling order statistics: the daily series is
+    an exact DECIMAL(18,2) sum; the rolling median and MAD are TYPE-1
+    lower-middle ranks (floor((n+1)/2)) picked from the sorted window
+    array — no interpolation, both engines extract the identical
+    DECIMAL element — and the spike test casts those exact decimals
+    to double against one shared literal ({_HAMPEL_K}).
+
+    Plan shape: one hash agg to the (day x segment) domain frame,
+    then ONE window (partitioned by segment, 7-row frame) whose
+    collect_list materializes <= 7 decimals per row — the sort is a
+    7-element in-memory array sort inside codegen'd expressions, not
+    a shuffle. At 100 TB the window input is the saturating calendar
+    domain, never row-scale."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round("value", 2).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    win = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    w = d.select(
+        "event_type", "day", "v", F.collect_list("v").over(win).alias("lst")
+    )
+    k = F.floor((F.size("lst") + 1) / F.lit(2.0)).cast("int")
+    m = w.select(
+        "event_type",
+        "day",
+        "v",
+        F.size("lst").cast("bigint").alias("n_window"),
+        F.element_at(F.array_sort("lst"), k).alias("med"),
+        "lst",
+    )
+    k2 = F.floor((F.col("n_window") + 1) / F.lit(2.0)).cast("int")
+    md = m.select(
+        "event_type",
+        "day",
+        "v",
+        "n_window",
+        "med",
+        F.element_at(
+            F.array_sort(
+                F.transform("lst", lambda x: F.abs(x - F.col("med")))
+            ),
+            k2,
+        ).alias("mad"),
+    )
+    spike = F.abs(F.col("v") - F.col("med")).cast("double") > F.lit(
+        float(_HAMPEL_K)
+    ) * F.col("mad").cast("double")
+    return md.select(
+        "event_type",
+        "day",
+        F.col("v").cast("double").alias("v"),
+        "n_window",
+        F.col("med").cast("double").alias("rolling_med"),
+        F.col("mad").cast("double").alias("rolling_mad"),
+        spike.alias("is_spike"),
+        F.when(spike, F.col("med"))
+        .otherwise(F.col("v"))
+        .cast("double")
+        .alias("despiked"),
+    )
+
+
+_LOCF_MOD = 97  # sparsifying user sample: the panel with genuine gaps
+
+
+@register(
+    "win_locf_backfill",
+    oracle=f"""
+WITH obs AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(round(CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*), 6) AS DECIMAL(18,6)) AS obs
+  FROM events
+  WHERE value IS NOT NULL AND user_id % {_LOCF_MOD} = 0
+  GROUP BY event_type, CAST(ts AS DATE)
+), bounds AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+         CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1 FROM events
+), calendar AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), grid AS (
+  SELECT c.day, t.event_type
+  FROM calendar c, (SELECT DISTINCT event_type FROM events) t
+), sparse AS (
+  SELECT g.day, g.event_type, o.obs
+  FROM grid g LEFT JOIN obs o
+    ON g.day = o.day AND g.event_type = o.event_type
+)
+SELECT day, event_type, CAST(obs AS DOUBLE) AS obs,
+  CAST(LAST_VALUE(obs IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled,
+  obs IS NULL AND LAST_VALUE(obs IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL
+    AS is_carried
+FROM sparse
+""",
+    tags=("window", "timeseries"),
+)
+def win_locf_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) panel densification —
+    the forward-fill every feature-store and panel-regression pipeline
+    needs (a sensor that reports intermittently still has a "current
+    value" on every calendar day): a sparse per-segment daily series
+    (deliberately sparsified to a 1/{_LOCF_MOD} user panel so gaps are
+    real at any SF) is densified onto the full calendar x segment grid,
+    missing days carry the most recent prior observation, and rows
+    with no prior observation stay NULL (leading edge — LOCF never
+    invents data). Complements events_gapfill_daily, which ZERO-fills:
+    zero is the right identity for additive counts, LOCF for level
+    readings. `is_carried` marks synthetic values so downstream
+    models can weight them.
+
+    Plan shape: one hash agg to the sparse observation frame, the
+    1-row bounds aggregate -> sequence/explode calendar (engine-side,
+    never collected), a broadcast grid LEFT JOIN, and ONE window
+    (partitioned by segment over the calendar-domain frame) using
+    last(ignorenulls) — Spark's frame-bounded IGNORE NULLS scan, the
+    same physical shape as DuckDB's LAST_VALUE IGNORE NULLS. At
+    100 TB the window input is |days| x |segments|, saturating."""
+    ev = load(spark, sf_dir, "events")
+    obs = (
+        ev.filter(
+            F.col("value").isNotNull()
+            & (F.col("user_id") % _LOCF_MOD == 0)
+        )
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.round("value", 2).cast("decimal(18,2)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("obs")
+        )
+    )
+    bounds = ev.agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("d1"),
+    )
+    calendar = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"))
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(calendar).crossJoin(F.broadcast(types))
+    sparse = grid.join(obs, ["day", "event_type"], "left")
+    win = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = F.last("obs", ignorenulls=True).over(win)
+    return sparse.select(
+        "day",
+        "event_type",
+        F.col("obs").cast("double").alias("obs"),
+        filled.cast("double").alias("filled"),
+        (F.col("obs").isNull() & filled.isNotNull()).alias("is_carried"),
+    )

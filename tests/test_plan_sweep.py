@@ -55,6 +55,8 @@ _NLJ_ALLOWED = {
     "er_lsh_blocking",  # 1-row corpus-count broadcast (gram-DF threshold)
     "events_funnel_ordered",
     "events_gapfill_daily",
+    "eval_forecast_backtest",  # 1-row global min-date broadcast (day-offset origin)
+    "win_locf_backfill",  # calendar x |segments| grid: both sides broadcast-bounded (1-row bounds -> sequence spine, distinct event types)
     "events_rfm_segments",  # 1-row corpus-max-date + 1-row n broadcasts
     "events_rolling_active_users",  # 1-row min-day broadcast (warm-up trim)
     "fe_target_encoding",  # 1-row global-prior broadcast
@@ -113,6 +115,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "text_bm25_topk": "<=10-row frame after orderBy().limit(10) (TakeOrderedAndProject)",
     "text_bpe_encode": "merge-table vocab frame (bounded merge count)",
     "text_collocations_pmi": "<=20-row frame after orderBy().limit(20)",
+    "text_vocab_coverage": "distinct-vocab frequency frame (the text_zipf_fit rank)",
     "text_zipf_fit": "distinct-vocab frequency frame",
     "ts_changepoint_binseg": "per-day frame (calendar domain) — seq/prefix/total/rank windows",
     "win_global_running_total": "per-day totals prefix frame (the two-pass pattern itself)",

@@ -1,0 +1,238 @@
+"""Semantic pins for the round-10 operator batch (beyond the oracle
+hash parity tests/test_oracle.py already enforces): each test asserts
+the law the entry claims — several by full independent recomputation
+in plain Python from the same fixture — so a refactor that kept hash
+parity with a wrong formula on both engines would still fail."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from am_kinesis_pay_spark.registry import queries
+from am_kinesis_pay_spark.tables import load
+
+from tests.conftest import SF_DIR
+
+
+def test_diff_in_diff_identity_and_flag(spark):
+    """DiD is exactly (treat post-pre) - (control post-pre); z = did/se;
+    the significance flag is |z| > the shared critical literal."""
+    from am_kinesis_pay_spark.operators.aggregations import _DID_ZCRIT
+
+    rows = queries()["agg_diff_in_diff"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.se > 0
+        assert abs(r.did - round(r.delta_treat - r.delta_control, 6)) <= 2e-6
+        assert abs(r.z - r.did / r.se) < 2e-5
+        assert r.significant == (abs(r.did / r.se) > float(_DID_ZCRIT))
+
+
+def test_jackknife_reproduces_from_block_moments(spark):
+    """Full recomputation: rebuild the block (count, sum) moments from
+    the raw fixture, apply the leave-one-out formula with the entry's
+    exact snapping discipline, and match theta_bar and se to 6 dp."""
+    from decimal import Decimal
+
+    from am_kinesis_pay_spark.operators.aggregations import _JK_BUCKETS
+
+    ev = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("user_id") % _JK_BUCKETS).alias("j"),
+            F.round("value", 2).cast("decimal(18,2)").alias("v"),
+        )
+        .collect()
+    )
+    blocks: dict[tuple, list] = {}
+    for r in ev:
+        key = (r.event_type, r.j)
+        n, s = blocks.get(key, (0, Decimal(0)))
+        blocks[key] = (n + 1, s + r.v)
+    want = {}
+    for et in {k[0] for k in blocks}:
+        bs = [(n, s) for (e, _), (n, s) in blocks.items() if e == et]
+        n_tot = sum(n for n, _ in bs)
+        s_tot = sum(s for _, s in bs)
+        thetas = [
+            round(float(s_tot - s) / (n_tot - n), 12)
+            for n, s in bs
+            if n_tot - n > 0
+        ]
+        jn = len(thetas)
+        bar = sum(Decimal(str(t)) for t in thetas) / jn  # DECIMAL sum
+        barf = float(bar)
+        sd2 = sum(
+            Decimal(str(round((t - barf) * (t - barf), 18))) for t in thetas
+        )
+        want[et] = (
+            round(barf, 6),
+            round(math.sqrt((jn - 1) / jn * float(sd2)), 6),
+            jn,
+        )
+    rows = queries()["agg_jackknife_variance"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        wb, ws, wj = want[r.event_type]
+        assert r.n_blocks == wj
+        assert abs(r.theta_bar - wb) <= 1e-6, r.event_type
+        assert abs(r.se_jackknife - ws) <= 1e-6, r.event_type
+
+
+def test_hampel_recomputes_rolling_median_mad(spark):
+    """Full recomputation of the trailing-7 type-1 rolling median/MAD
+    per series, plus the replacement rule: despiked == rolling median
+    exactly when flagged, == the observation otherwise."""
+    from decimal import Decimal
+
+    from am_kinesis_pay_spark.operators.windows import _HAMPEL_K
+
+    rows = queries()["win_hampel_filter"](spark, SF_DIR).collect()
+    assert rows
+    series: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        series.setdefault(r.event_type, []).append(r)
+    for et, rs in series.items():
+        window: list[Decimal] = []
+        for r in rs:
+            window.append(Decimal(str(r.v)))
+            frame = window[-7:]
+            k = (len(frame) + 1) // 2
+            med = sorted(frame)[k - 1]
+            mad = sorted(abs(x - med) for x in frame)[k - 1]
+            assert r.n_window == len(frame)
+            assert float(med) == r.rolling_med, (et, r.day)
+            assert float(mad) == r.rolling_mad, (et, r.day)
+            spike = abs(float(Decimal(str(r.v)) - med)) > float(
+                _HAMPEL_K
+            ) * float(mad)
+            assert r.is_spike == spike, (et, r.day)
+            assert r.despiked == (float(med) if spike else r.v)
+
+
+def test_locf_carries_last_observation_exactly(spark):
+    """The grid is dense (|days| x |segments|); filled is NULL only
+    before a segment's first observation; observed rows pass through;
+    gap rows carry the most recent prior observation; is_carried marks
+    exactly the synthetic rows."""
+    rows = queries()["win_locf_backfill"](spark, SF_DIR).collect()
+    assert rows
+    days = {r.day for r in rows}
+    types = {r.event_type for r in rows}
+    assert len(rows) == len(days) * len(types)
+    # the sparsified panel must contain genuine gaps for the test to bite
+    assert any(r.obs is None for r in rows)
+    series: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        series.setdefault(r.event_type, []).append(r)
+    for et, rs in series.items():
+        last = None
+        for r in rs:
+            if r.obs is not None:
+                last = r.obs
+                assert r.filled == r.obs
+                assert not r.is_carried
+            else:
+                assert r.filled == last, (et, r.day)
+                assert r.is_carried == (last is not None)
+
+
+def test_vocab_coverage_recomputes_and_is_monotone(spark):
+    """Coverage checkpoints recompute exactly from the whitespace
+    token counts; the curve is monotone nondecreasing in k and hits
+    1.0 once k >= vocab_size."""
+    docs = load(spark, SF_DIR, "documents").select("text").collect()
+    from collections import Counter
+
+    freqs = Counter()
+    for r in docs:
+        freqs.update(w for w in r.text.split(" ") if w != "")
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(freqs.values())
+
+    def cov(k):
+        return round(sum(f for _, f in ranked[:k]) / total, 6)
+
+    row = queries()["text_vocab_coverage"](spark, SF_DIR).collect()[0]
+    assert row.vocab_size == len(ranked)
+    assert row.total_tokens == total
+    assert row.cov_at_10 == cov(10)
+    assert row.cov_at_100 == cov(100)
+    assert row.cov_at_1000 == cov(1000)
+    assert row.cov_at_10000 == cov(10000)
+    assert (
+        row.cov_at_10
+        <= row.cov_at_100
+        <= row.cov_at_1000
+        <= row.cov_at_10000
+        <= 1.0
+    )
+    if row.vocab_size <= 10000:
+        assert row.cov_at_10000 == 1.0
+
+
+def test_forecast_backtest_skill_identity_and_ols(spark):
+    """skill == 1 - mae/mae_naive; OLS coefficients recompute from the
+    train-slice daily sums (exact integer/DECIMAL moments); MAE
+    recomputes from the test slice with the same 6-dp snapping."""
+    from decimal import Decimal
+
+    from am_kinesis_pay_spark.operators.integration import _FB_TRAIN_DAYS
+
+    ev = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.to_date("ts").alias("day"), "value")
+        .collect()
+    )
+    d0 = min(r.day for r in ev)
+    daily: dict[tuple, Decimal] = {}
+    for r in ev:
+        t = (r.day - d0).days
+        key = (r.event_type, t)
+        daily[key] = daily.get(key, Decimal(0)) + Decimal(
+            str(round(r.value, 2))
+        )
+    rows = queries()["eval_forecast_backtest"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        train = sorted(
+            (t, v) for (e, t), v in daily.items()
+            if e == r.event_type and t < _FB_TRAIN_DAYS
+        )
+        test = sorted(
+            (t, v) for (e, t), v in daily.items()
+            if e == r.event_type and t >= _FB_TRAIN_DAYS
+        )
+        n = len(train)
+        sx = sum(t for t, _ in train)
+        sy = sum(v for _, v in train)
+        sxy = sum(t * v for t, v in train)
+        sxx = sum(t * t for t, _ in train)
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        intercept = (float(sy) - slope * sx) / n
+        y_last = max(train)[1]
+        assert r.n_train == n and r.n_test == len(test)
+        assert abs(r.slope - round(slope, 6)) <= 1e-6
+        assert abs(r.intercept - round(intercept, 6)) <= 1e-6
+        mae = float(
+            sum(
+                Decimal(
+                    str(round(abs(float(v) - (intercept + slope * t)), 6))
+                )
+                for t, v in test
+            )
+        ) / len(test)
+        mae_n = float(
+            sum(
+                Decimal(str(round(abs(float(v) - float(y_last)), 6)))
+                for t, v in test
+            )
+        ) / len(test)
+        assert abs(r.mae - round(mae, 6)) <= 1e-6
+        assert abs(r.mae_naive - round(mae_n, 6)) <= 1e-6
+        assert abs(r.skill - round(1 - mae / mae_n, 6)) <= 2e-6

@@ -503,3 +503,121 @@ def test_srm_chi_square_agrees(engines, shift, mod, lo, width):
     to heavily skewed."""
     got, want = _both(engines, _srm_sql(shift, mod, lo, min(lo + width, 30)))
     assert got == want, (shift, mod, lo, width)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 closed forms: difference-in-differences (four-cell moments +
+# normal SE) and the delete-one-block jackknife — same one-SQL-text
+# discipline, fuzzing the split boundary, assignment hash, block count,
+# and date slice.
+# ---------------------------------------------------------------------------
+
+
+def _did_sql(split: int, mod: int, lo: int, hi: int) -> str:
+    return f"""
+WITH cells AS (
+  SELECT user_id % {mod} AS seg,
+    CASE WHEN ts >= TIMESTAMP '{_ts(split)} 00:00:00' THEN 1 ELSE 0 END
+      AS post,
+    user_id % 2 AS treat,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS s,
+    SUM(CAST(round(value, 2) AS DECIMAL(18,2))
+        * CAST(round(value, 2) AS DECIMAL(18,2))) AS ss
+  FROM {_TBL} WHERE value IS NOT NULL AND {_slice_pred(lo, hi)}
+  GROUP BY user_id % {mod},
+    CASE WHEN ts >= TIMESTAMP '{_ts(split)} 00:00:00' THEN 1 ELSE 0 END,
+    user_id % 2
+  HAVING COUNT(*) >= 2
+), mv AS (
+  SELECT seg, post, treat, n, CAST(s AS DOUBLE) / n AS mean,
+    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      / (n - 1) AS var
+  FROM cells
+), wide AS (
+  SELECT seg,
+    MAX(CASE WHEN treat = 1 AND post = 1 THEN mean END) AS m_t1,
+    MAX(CASE WHEN treat = 1 AND post = 0 THEN mean END) AS m_t0,
+    MAX(CASE WHEN treat = 0 AND post = 1 THEN mean END) AS m_c1,
+    MAX(CASE WHEN treat = 0 AND post = 0 THEN mean END) AS m_c0,
+    MAX(CASE WHEN treat = 1 AND post = 1 THEN var / n END) AS v_t1,
+    MAX(CASE WHEN treat = 1 AND post = 0 THEN var / n END) AS v_t0,
+    MAX(CASE WHEN treat = 0 AND post = 1 THEN var / n END) AS v_c1,
+    MAX(CASE WHEN treat = 0 AND post = 0 THEN var / n END) AS v_c0
+  FROM mv WHERE var > 0 GROUP BY seg HAVING COUNT(*) = 4
+)
+SELECT seg,
+  round((m_t1 - m_t0) - (m_c1 - m_c0), 6) AS did,
+  round(sqrt(v_t1 + v_t0 + v_c1 + v_c0), 6) AS se,
+  round(((m_t1 - m_t0) - (m_c1 - m_c0))
+        / sqrt(v_t1 + v_t0 + v_c1 + v_c0), 6) AS z
+FROM wide
+"""
+
+
+def _jack_sql(j: int, mod: int, lo: int, hi: int) -> str:
+    return f"""
+WITH b AS (
+  SELECT user_id % {mod} AS seg, user_id % {j} AS blk,
+    CAST(COUNT(*) AS BIGINT) AS n_j,
+    SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS s_j
+  FROM {_TBL} WHERE value IS NOT NULL AND {_slice_pred(lo, hi)}
+  GROUP BY user_id % {mod}, user_id % {j}
+), tot AS (
+  SELECT seg, CAST(SUM(n_j) AS BIGINT) AS n, SUM(s_j) AS s,
+    CAST(COUNT(*) AS BIGINT) AS jn
+  FROM b GROUP BY seg
+), loo AS (
+  SELECT b.seg, tot.jn,
+    CAST(round(CAST(tot.s - b.s_j AS DOUBLE) / (tot.n - b.n_j), 12)
+         AS DECIMAL(28,12)) AS theta_j
+  FROM b JOIN tot ON b.seg = tot.seg
+  WHERE tot.n - b.n_j > 0 AND tot.jn >= 2
+), bar AS (
+  SELECT seg, jn, CAST(SUM(theta_j) AS DOUBLE) / jn AS theta_bar
+  FROM loo GROUP BY seg, jn
+), dev AS (
+  SELECT loo.seg, loo.jn, bar.theta_bar,
+    CAST(round((CAST(loo.theta_j AS DOUBLE) - bar.theta_bar)
+               * (CAST(loo.theta_j AS DOUBLE) - bar.theta_bar), 18)
+         AS DECIMAL(38,18)) AS d2
+  FROM loo JOIN bar ON loo.seg = bar.seg
+)
+SELECT seg, jn, round(theta_bar, 6) AS theta_bar,
+  round(sqrt(CAST(jn - 1 AS DOUBLE) / jn * CAST(SUM(d2) AS DOUBLE)), 6)
+    AS se_jackknife
+FROM dev GROUP BY seg, jn, theta_bar
+"""
+
+
+@settings(**_SETTINGS)
+@given(
+    split_frac=st.integers(min_value=2, max_value=8),
+    mod=st.integers(min_value=2, max_value=9),
+    lo=st.integers(min_value=0, max_value=15),
+    width=st.integers(min_value=6, max_value=29),
+)
+def test_did_four_cell_estimator_agrees(engines, split_frac, mod, lo, width):
+    """DiD: conditional four-cell DECIMAL moments, var>0 guard,
+    all-cells-present HAVING, normal SE — fuzzed pre/post boundary,
+    segmentation, and slice."""
+    hi = min(lo + width, 30)
+    split = lo + max(1, (hi - lo) * split_frac // 10)
+    got, want = _both(engines, _did_sql(split, mod, lo, hi))
+    assert got == want, (split, mod, lo, hi)
+
+
+@settings(**_SETTINGS)
+@given(
+    j=st.sampled_from([5, 10, 20, 32]),
+    mod=st.integers(min_value=2, max_value=7),
+    lo=st.integers(min_value=0, max_value=18),
+    width=st.integers(min_value=3, max_value=29),
+)
+def test_jackknife_se_agrees(engines, j, mod, lo, width):
+    """Delete-one-block jackknife: 12-dp snapped leave-one-out means,
+    18-dp snapped squared deviations, (J-1)/J scaling — fuzzed block
+    count, segmentation, and slice (narrow slices hit jn < J and the
+    n - n_j = 0 degenerate block)."""
+    got, want = _both(engines, _jack_sql(j, mod, lo, min(lo + width, 30)))
+    assert got == want, (j, mod, lo, width)
