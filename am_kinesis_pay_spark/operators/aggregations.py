@@ -883,7 +883,7 @@ WITH assigned AS (
     s_a / n_a AS mean_a, s_b / n_b AS mean_b,
     (q_a - s_a * s_a / n_a) / (n_a - 1) AS var_a,
     (q_b - s_b * s_b / n_b) / (n_b - 1) AS var_b
-  FROM stats
+  FROM stats WHERE n_a >= 2 AND n_b >= 2
 )
 SELECT n_a, n_b,
   round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
@@ -892,7 +892,7 @@ SELECT n_a, n_b,
   round(pow(var_a / n_a + var_b / n_b, 2)
         / (pow(var_a / n_a, 2) / (n_a - 1)
            + pow(var_b / n_b, 2) / (n_b - 1)), 6) AS welch_dof
-FROM m
+FROM m WHERE var_a > 0 AND var_b > 0
 """,
     tags=("agg", "stats"),
 )
@@ -944,14 +944,30 @@ def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_b = (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
         F.col("n_b") - 1
     )
-    se2_a = var_a / F.col("n_a")
-    se2_b = var_b / F.col("n_b")
-    return stats.select(
+    # degenerate-arm guard (r10, the agg_power_mde class): a constant-
+    # valued arm's variance can round to a tiny NEGATIVE double, where
+    # DuckDB sqrt() throws and ANSI Spark divides by zero — exclude
+    # identically on both engines (oracle mirrors the filters)
+    m = stats.filter(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    ).select(
         "n_a",
         "n_b",
-        F.round(mean_a, 6).alias("mean_a"),
-        F.round(mean_b, 6).alias("mean_b"),
-        F.round((mean_a - mean_b) / F.sqrt(se2_a + se2_b), 6).alias("t_stat"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+    ).filter((F.col("var_a") > 0) & (F.col("var_b") > 0))
+    se2_a = F.col("var_a") / F.col("n_a")
+    se2_b = F.col("var_b") / F.col("n_b")
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2_a + se2_b), 6
+        ).alias("t_stat"),
         F.round(
             F.pow(se2_a + se2_b, 2)
             / (
@@ -2765,7 +2781,8 @@ WITH per_user AS (
   FROM arm
 ), se AS (
   SELECT grp_a, n, ratio,
-    sqrt((var_x - 2 * ratio * cov_xy + ratio * ratio * var_y) / n)
+    sqrt(GREATEST(var_x - 2 * ratio * cov_xy + ratio * ratio * var_y,
+                  0.0) / n)
       / mean_y AS se_ratio
   FROM m
 )
@@ -2841,12 +2858,17 @@ def agg_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_y.alias("var_y"),
         cov_xy.alias("cov_xy"),
     )
+    # the quadratic form var(x - r*y) is mathematically >= 0 but can
+    # round to a tiny negative double when x is (near-)proportional to
+    # y — DuckDB sqrt() throws on it (the agg_power_mde class); clamp
+    # at 0.0 with the identical GREATEST on both engines
     se_ratio = (
         F.sqrt(
-            (
+            F.greatest(
                 F.col("var_x")
                 - 2 * F.col("ratio") * F.col("cov_xy")
-                + F.col("ratio") * F.col("ratio") * F.col("var_y")
+                + F.col("ratio") * F.col("ratio") * F.col("var_y"),
+                F.lit(0.0),
             )
             / F.col("n")
         )

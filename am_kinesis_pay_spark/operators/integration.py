@@ -2713,6 +2713,7 @@ WITH t AS (
                * ln((n_goods / tg) / (n_bads / tb)), 6)
          AS DECIMAL(18,6)) AS iv_term
   FROM g CROSS JOIN tot
+  WHERE n_goods > 0 AND n_bads > 0
 )
 SELECT c_mktsegment, n_goods, n_bads, woe,
   CAST(iv_term AS DOUBLE) AS iv_term,
@@ -2759,7 +2760,13 @@ def fe_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gs = F.col("n_goods") / F.col("tg")
     bs = F.col("n_bads") / F.col("tb")
-    terms = g.crossJoin(F.broadcast(tot)).select(
+    # a pure segment (zero goods or zero bads) makes WOE ln(0)/ln(inf):
+    # DuckDB throws, ANSI Spark divides by zero — the standard
+    # credit-scoring treatment is to exclude (or merge) such bins;
+    # exclude identically on both engines
+    terms = g.filter(
+        (F.col("n_goods") > 0) & (F.col("n_bads") > 0)
+    ).crossJoin(F.broadcast(tot)).select(
         "c_mktsegment",
         "n_goods",
         "n_bads",
@@ -3519,13 +3526,13 @@ WITH seq AS (
 )
 SELECT user_id, n_gaps,
   round(s1 / n_gaps / 1000000, 6) AS mean_gap_s,
-  round(sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)) / 1000000, 6)
-    AS sd_gap_s,
-  round(sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)) / (s1 / n_gaps), 6)
-    AS cv,
-  sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)) / (s1 / n_gaps) < 0.5
-    AS is_regular
-FROM stats
+  round(sqrt(GREATEST((s2 - s1 * s1 / n_gaps) / (n_gaps - 1), 0.0))
+        / 1000000, 6) AS sd_gap_s,
+  round(sqrt(GREATEST((s2 - s1 * s1 / n_gaps) / (n_gaps - 1), 0.0))
+        / (s1 / n_gaps), 6) AS cv,
+  sqrt(GREATEST((s2 - s1 * s1 / n_gaps) / (n_gaps - 1), 0.0))
+    / (s1 / n_gaps) < 0.5 AS is_regular
+FROM stats WHERE s1 > 0
 """,
     tags=("integration", "anomaly"),
 )
@@ -3569,10 +3576,20 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(g * g).cast("double").alias("s2"),
         )
         .filter(F.col("n_gaps") >= 5)
+        # s1 == 0 (every gap zero micros) would divide cv by zero:
+        # ANSI Spark throws where DuckDB returns NULL — and a PERFECTLY
+        # regular bot's variance can round to a tiny negative double
+        # (DuckDB sqrt() throws on it), so clamp at 0.0 identically
+        .filter(F.col("s1") > 0)
     )
     n = F.col("n_gaps")
     mean = F.col("s1") / n
-    sd = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1))
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1),
+            F.lit(0.0),
+        )
+    )
     return stats.select(
         "user_id",
         "n_gaps",

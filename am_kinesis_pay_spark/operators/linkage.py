@@ -550,7 +550,8 @@ SELECT c_nationkey, c_mktsegment,
   CAST(n AS DOUBLE)
     + round(-(1.0 / {_DP_EPSILON})
             * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
-            * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_count,
+            * ln(GREATEST(1.0 - 2.0 * abs(u - 0.5),
+                          3.552713678800501e-15)), 6) AS noisy_count,
   CAST({_DP_EPSILON} AS DOUBLE) AS epsilon
 FROM seeded
 """,
@@ -597,10 +598,19 @@ def dq_dp_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint") / F.lit(float(1 << 48))
+    # u in {0, 0.5, 1} (p = 2^-48 each per key) makes the ln argument
+    # exactly 0 — DuckDB ln(0) throws where Spark returns NULL; clamp
+    # at 1/2^48 with the identical literal (the sample_weighted_gumbel
+    # convention)
     noise = F.round(
         -(F.lit(1.0) / _DP_EPSILON)
         * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
-        * F.log(F.lit(1.0) - 2.0 * F.abs(u - F.lit(0.5))),
+        * F.log(
+            F.greatest(
+                F.lit(1.0) - 2.0 * F.abs(u - F.lit(0.5)),
+                F.lit(3.552713678800501e-15),
+            )
+        ),
         6,
     )
     return counts.select(
