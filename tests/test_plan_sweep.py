@@ -102,6 +102,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "er_sorted_neighborhood": "key-prefix bucket-count prefix frames (2x)",
     "events_anomaly_rate_spike": "per-day frame (calendar domain)",
     "eval_lang_confusion": "|langs| x 3 confusion-cell frame (label/prediction domains, saturating)",
+    "eval_minhash_recall": "<=64-row per-anchor recall frame (anchors are a TakeOrderedAndProject limit)",
     "events_inter_arrival": "minute-gap distinct frame (bounded by the calendar span in minutes, saturating)",
     "events_path_analysis": "distinct 3-step path frame (|event_types|^3)",
     "events_concurrency_curve": "day-offset prefix frame (calendar domain, the win_global_running_total two-pass)",

@@ -236,3 +236,65 @@ def test_forecast_backtest_skill_identity_and_ols(spark):
         assert abs(r.mae - round(mae, 6)) <= 1e-6
         assert abs(r.mae_naive - round(mae_n, 6)) <= 1e-6
         assert abs(r.skill - round(1 - mae / mae_n, 6)) <= 2e-6
+
+
+def test_minhash_recall_truth_recomputes(spark):
+    """The recall audit's ground truth recomputes exactly in Python
+    from raw texts (rep collapse, 3-token shingles, exact Jaccard at
+    the pipeline threshold, md5-ordered anchor pool), and the reported
+    hits are a subset of the pipeline's own verified pair set."""
+    import hashlib
+
+    from am_kinesis_pay_spark.llm.dedup import _EVMR_K, _rep_pairs
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    groups: dict[str, int] = {}
+    texts: dict[int, str] = {}
+    for r in docs:
+        k = md5(r.text)
+        if k not in groups or r.doc_id < groups[k]:
+            groups[k] = r.doc_id
+        texts[r.doc_id] = r.text
+
+    def shingles(text):
+        t = text.split(" ")
+        if len(t) < 3:
+            return set()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    reps = {rid: shingles(texts[rid]) for rid in groups.values()}
+    reps = {rid: s for rid, s in reps.items() if s}  # shingled reps only
+    anchors = sorted(reps, key=lambda d: (md5(str(d)), d))[:_EVMR_K]
+    truth = {}
+    for a in anchors:
+        sa = reps[a]
+        near = set()
+        for b, sb in reps.items():
+            if b == a:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= 0.5:
+                near.add(b)
+        if near:
+            truth[a] = near
+    rows = queries()["eval_minhash_recall"](spark, SF_DIR).collect()
+    assert {r.anchor_id for r in rows} == set(truth)
+    pipeline_pairs = {
+        (r.rep_a, r.rep_b) for r in _rep_pairs(spark, SF_DIR).collect()
+    }
+    total_true = sum(len(v) for v in truth.values())
+    total_found = 0
+    for r in rows:
+        assert r.n_true == len(truth[r.anchor_id])
+        found = sum(
+            1
+            for b in truth[r.anchor_id]
+            if (min(r.anchor_id, b), max(r.anchor_id, b)) in pipeline_pairs
+        )
+        assert r.n_found == found
+        assert 0 <= r.n_found <= r.n_true
+        assert r.recall == round(r.n_found / r.n_true, 6)
+        total_found += found
+    for r in rows:
+        assert r.overall_recall == round(total_found / total_true, 6)
