@@ -2227,3 +2227,124 @@ def sample_weighted_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "es_key",
         F.row_number().over(w).cast("bigint").alias("rnk"),
     )
+
+
+_ECE_BINS = 10  # equal-width probability bins (the standard ECE grid)
+
+
+@register(
+    "eval_calibration_ece",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+    CAST(round(1.0 / (1.0 + exp(-(
+      list_sum(list_transform(string_split(text, ' '), t ->
+        (CAST(('0x' || substr(md5(t), 1, 4)) AS INTEGER) % 200 - 100)
+          / 100.0))
+      / len(string_split(text, ' '))))), 6) AS DECIMAL(18,6)) AS p,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE len(string_split(text, ' ')) >= 1
+), binned AS (
+  SELECT LEAST(CAST(floor(CAST(p AS DOUBLE) * {_ECE_BINS}) AS BIGINT),
+               {_ECE_BINS - 1}) AS bin,
+    p, y
+  FROM scored
+), per AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(p) AS DOUBLE) / COUNT(*) AS conf,
+    CAST(SUM(y) AS DOUBLE) / COUNT(*) AS acc
+  FROM binned GROUP BY bin
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM per),
+terms AS (
+  SELECT bin, n, conf, acc,
+    CAST(round(n * abs(acc - conf) / tot.n_total, 9) AS DECIMAL(18,9))
+      AS ece_term
+  FROM per CROSS JOIN tot
+)
+SELECT bin, n, round(conf, 6) AS mean_confidence,
+  round(acc, 6) AS observed_rate,
+  round(abs(acc - conf), 6) AS gap,
+  CAST(round(CAST(SUM(ece_term) OVER () AS DOUBLE), 6) AS DOUBLE) AS ece,
+  round(MAX(abs(acc - conf)) OVER (), 6) AS mce
+FROM terms
+""",
+    tags=("eval", "llm", "quality"),
+)
+def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED CALIBRATION ERROR for the quality classifier — the
+    third leg of model evaluation the registry was missing
+    (agg_model_auc measures DISCRIMINATION, eval_ann_ndcg measures
+    RANKING; this measures whether a predicted probability MEANS its
+    number — Naeini et al. 2015, the reliability-diagram summary every
+    score-gated curation pipeline should publish before thresholding
+    on p): documents binned into {_ECE_BINS} equal-width probability
+    buckets, per-bucket mean confidence vs observed label rate (label:
+    lang = 'en', the deterministic stand-in outcome), the per-bucket
+    reliability gap, and the n-weighted ECE plus worst-bucket MCE.
+
+    Exactness: quality_prob is a 6-dp DECIMAL so bucket sums are
+    exact; bin ids are exact floor arithmetic with the LEAST clamp at
+    p = 1.0; each weighted gap snaps to a 9-dp DECIMAL before the
+    order-free ECE sum. Plan shape: one map-only scoring scan (the
+    text_classifier_score expression inline), one hash agg to the
+    {_ECE_BINS}-row reliability frame, windows over that fixed-size
+    frame. At 100 TB: one scan, ten rows."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    weight = (
+        lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long") % 200
+            - 100
+        )
+        / 100.0
+    )
+    logit = F.aggregate(
+        F.transform(toks, weight), F.lit(0.0), lambda s, x: s + x
+    ) / F.size(toks)
+    scored = docs.filter(F.size(toks) >= 1).select(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+        .cast("decimal(18,6)")
+        .alias("p"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("p").cast("double") * _ECE_BINS).cast("bigint"),
+            F.lit(_ECE_BINS - 1),
+        ).alias("bin"),
+        "p",
+        "y",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("p").cast("double") / F.count(F.lit(1))).alias("conf"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("acc"),
+    )
+    tot = per.agg(F.sum("n").cast("bigint").alias("n_total"))
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "conf",
+        "acc",
+        F.round(
+            F.col("n") * F.abs(F.col("acc") - F.col("conf"))
+            / F.col("n_total"),
+            9,
+        ).cast("decimal(18,9)").alias("ece_term"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return terms.select(
+        "bin",
+        "n",
+        F.round("conf", 6).alias("mean_confidence"),
+        F.round("acc", 6).alias("observed_rate"),
+        F.round(F.abs(F.col("acc") - F.col("conf")), 6).alias("gap"),
+        F.round(F.sum("ece_term").over(w_all).cast("double"), 6).alias(
+            "ece"
+        ),
+        F.round(
+            F.max(F.abs(F.col("acc") - F.col("conf"))).over(w_all), 6
+        ).alias("mce"),
+    )

@@ -2201,3 +2201,190 @@ def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (zexpr > F.lit(float(_EOUT_Z))).alias("is_outlier"),
         "n_label",
     )
+
+
+def _ndcg_oracle() -> str:
+    """Exact-vs-LSH ranking-quality oracle: the exact chain and the
+    LSH chain (same plane literals as _lsh_oracle) under renamed CTEs,
+    composed into per-query nDCG / MRR / recall."""
+    planes = _planes_values_sql()
+    return """
+WITH planes (p, wts) AS (
+  VALUES
+    {planes}
+), norms AS (
+  SELECT vec_id, embedding,
+    coalesce(sqrt(nullif(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 1.0) AS nrm
+  FROM embeddings
+), e_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (q.nrm * c.nrm), 6) AS cosine
+  FROM norms q JOIN norms c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+), e_ranked AS (
+  SELECT query_id, neighbor_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, neighbor_id) AS INT) AS e_rank
+  FROM e_scored
+), truth AS (
+  SELECT query_id, neighbor_id, e_rank,
+    CAST({TOP_K} + 1 - e_rank AS BIGINT) AS gain
+  FROM e_ranked WHERE e_rank <= {TOP_K}
+), dots AS (
+  SELECT n.vec_id, pl.p,
+    list_sum(list_transform(list_zip(n.embedding, pl.wts),
+          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS d
+  FROM norms n CROSS JOIN planes pl
+), sigs AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS sig
+  FROM dots GROUP BY vec_id
+), banded AS (
+  SELECT vec_id, 'b' || CAST(i AS VARCHAR) || ':'
+    || CAST((sig >> (4 * i)) & 15 AS VARCHAR) AS band
+  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) bands
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded q JOIN banded c USING (band)
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+), l_scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (q.nrm * c.nrm), 6) AS cosine
+  FROM cand
+  JOIN norms q ON q.vec_id = cand.query_id
+  JOIN norms c ON c.vec_id = cand.neighbor_id
+), l_ranked AS (
+  SELECT query_id, neighbor_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, neighbor_id) AS INT) AS l_rank
+  FROM l_scored
+), l_top AS (
+  SELECT query_id, neighbor_id, l_rank FROM l_ranked WHERE l_rank <= {TOP_K}
+), dcg AS (
+  SELECT l.query_id,
+    SUM(CAST(round(COALESCE(t.gain, 0)
+             / (ln(CAST(1 + l.l_rank AS DOUBLE)) / ln(CAST(2 AS DOUBLE))), 9)
+        AS DECIMAL(18,9))) AS dcg,
+    CAST(SUM(CASE WHEN t.gain IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_hits
+  FROM l_top l LEFT JOIN truth t
+    ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+  GROUP BY l.query_id
+), idcg AS (
+  SELECT query_id,
+    SUM(CAST(round(gain
+             / (ln(CAST(1 + e_rank AS DOUBLE)) / ln(CAST(2 AS DOUBLE))), 9)
+        AS DECIMAL(18,9))) AS idcg
+  FROM truth GROUP BY query_id
+), mrr AS (
+  SELECT t.query_id,
+    COALESCE(round(1.0 / MIN(l.l_rank), 6), 0.0) AS mrr
+  FROM truth t LEFT JOIN l_top l
+    ON l.query_id = t.query_id AND l.neighbor_id = t.neighbor_id
+  WHERE t.e_rank = 1
+  GROUP BY t.query_id
+)
+SELECT d.query_id, d.n_hits,
+  round(CAST(d.n_hits AS DOUBLE) / {TOP_K}, 6) AS recall_at_k,
+  round(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6) AS ndcg_at_k,
+  CAST(m.mrr AS DOUBLE) AS mrr
+FROM dcg d
+JOIN idcg i ON i.query_id = d.query_id
+JOIN mrr m ON m.query_id = d.query_id
+""".format(planes=planes, N_QUERIES=N_QUERIES, TOP_K=TOP_K)
+
+
+@register(
+    "eval_ann_ndcg",
+    oracle=_ndcg_oracle(),
+    tags=("eval", "similarity", "ann"),
+)
+def eval_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKING-QUALITY eval for the sign-LSH ANN index — recall@k says
+    whether the right neighbors were found; nDCG@k and MRR say whether
+    they arrived in the right ORDER, which is what a retrieval stack
+    actually serves (Jarvelin & Kekalainen 2002): per query, graded
+    relevance gain = {TOP_K}+1-exact_rank for the exact-cosine top-
+    {TOP_K}, DCG over the LSH list's positions (gain / log2(1+rank)),
+    normalized by the exact list's own DCG; MRR is the reciprocal LSH
+    rank of the single best exact neighbor (0 when the index misses it
+    entirely). Completes the eval family's coverage of the ANN stack:
+    vec_ann_pq carries recall-only audits; this measures ORDER, on the
+    fully oracle-checked LSH index.
+
+    Exactness: gains and ranks are exact integers; each DCG term snaps
+    to a 9-dp DECIMAL before the order-free per-query sum (both
+    engines evaluate the identical ln(1+rank)/ln(2) double); the final
+    nDCG divides two exact DECIMAL sums. Plan shape: composes the two
+    existing entries' plans (exact top-k: broadcast query set over one
+    corpus scan; LSH: signature map + band join) plus three joins on
+    the <= {N_QUERIES} x {TOP_K}-row ranked frames. At 100 TB the
+    audit adds nothing beyond the two rankings it grades."""
+    exact = vec_cosine_topk(spark, sf_dir).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("e_rank"),
+        (F.lit(TOP_K + 1) - F.col("rank")).cast("bigint").alias("gain"),
+    )
+    lsh = vec_ann_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("l_rank")
+    )
+    log2 = lambda c: F.log(F.lit(1.0) + c) / F.log(F.lit(2.0))  # noqa: E731
+    dcg = (
+        lsh.join(
+            F.broadcast(exact.select("query_id", "neighbor_id", "gain")),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.round(
+                    F.coalesce(F.col("gain"), F.lit(0))
+                    / log2(F.col("l_rank")),
+                    9,
+                ).cast("decimal(18,9)")
+            ).alias("dcg"),
+            F.sum(
+                F.when(F.col("gain").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_hits"),
+        )
+    )
+    idcg = exact.groupBy("query_id").agg(
+        F.sum(
+            F.round(F.col("gain") / log2(F.col("e_rank")), 9).cast(
+                "decimal(18,9)"
+            )
+        ).alias("idcg")
+    )
+    # MRR is measured on the SERVED top-k list (rank of the best
+    # exact neighbor within what the index actually returns; 0 when
+    # it is not served at all)
+    mrr = (
+        exact.filter(F.col("e_rank") == 1)
+        .select("query_id", "neighbor_id")
+        .join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(
+                F.round(F.lit(1.0) / F.min("l_rank"), 6), F.lit(0.0)
+            ).alias("mrr")
+        )
+    )
+    return (
+        dcg.join(F.broadcast(idcg), "query_id")
+        .join(F.broadcast(mrr), "query_id")
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.lit(TOP_K), 6
+            ).alias("recall_at_k"),
+            F.round(
+                F.col("dcg").cast("double") / F.col("idcg").cast("double"),
+                6,
+            ).alias("ndcg_at_k"),
+            F.col("mrr").cast("double").alias("mrr"),
+        )
+    )

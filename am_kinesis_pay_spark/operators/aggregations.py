@@ -4576,3 +4576,154 @@ def agg_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("se_jackknife"),
     )
+
+
+_TOST_MARGIN = "0.05"  # relative equivalence margin vs the pooled mean
+_TOST_Z1 = "1.644854"  # one-sided alpha=.05 normal critical value
+
+
+@register(
+    "agg_tost_equivalence",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type, user_id % 2 AS arm,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS s,
+    SUM(CAST(round(value, 2) AS DECIMAL(18,2))
+        * CAST(round(value, 2) AS DECIMAL(18,2))) AS ss
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, user_id % 2
+  HAVING COUNT(*) >= 2
+), mv AS (
+  SELECT event_type, arm, n, CAST(s AS DOUBLE) / n AS mean,
+    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      / (n - 1) AS var
+  FROM g
+), wide AS (
+  SELECT event_type,
+    MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+    MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+    MAX(CASE WHEN arm = 0 THEN mean END) AS mean_a,
+    MAX(CASE WHEN arm = 1 THEN mean END) AS mean_b,
+    MAX(CASE WHEN arm = 0 THEN var END) AS var_a,
+    MAX(CASE WHEN arm = 1 THEN var END) AS var_b
+  FROM mv WHERE var > 0 GROUP BY event_type HAVING COUNT(*) = 2
+), t AS (
+  SELECT event_type, n_a, n_b, mean_a, mean_b,
+    mean_a - mean_b AS diff,
+    {_TOST_MARGIN} * ((mean_a * n_a + mean_b * n_b) / (n_a + n_b))
+      AS margin,
+    sqrt(var_a / n_a + var_b / n_b) AS se
+  FROM wide
+)
+SELECT event_type, n_a, n_b,
+  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+  round(diff, 6) AS diff, round(margin, 6) AS margin,
+  round(se, 6) AS se,
+  round((diff + margin) / se, 6) AS z_lower,
+  round((diff - margin) / se, 6) AS z_upper,
+  (diff + margin) / se > {_TOST_Z1}
+    AND (diff - margin) / se < -{_TOST_Z1} AS equivalent
+FROM t
+""",
+    tags=("agg", "stats", "experiment"),
+)
+def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST EQUIVALENCE test per metric segment (Schuirmann 1987 —
+    two one-sided tests, the regulatory/bioequivalence standard): the
+    experiment family can now answer the question a plain t-test
+    cannot — "is the new arm the SAME as control, within a
+    {_TOST_MARGIN}-relative margin?" (non-significance is NOT
+    equivalence; TOST requires the difference to be significantly
+    INSIDE both margin bounds). Arms hash-split (user_id % 2), margin
+    anchored to the pooled mean, both one-sided z statistics at
+    alpha=.05 against the shared critical literal — declared
+    equivalent only when BOTH reject.
+
+    Guards per the r10 degenerate-input discipline: cells need n >= 2,
+    positive variance, and both arms present, filtered identically on
+    both engines. Plan shape: ONE conditional hash aggregation to the
+    |segments| x 2 DECIMAL-moment frame, then closed-form arithmetic —
+    the agg_diff_in_diff scan shape."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.round("value", 2).cast("decimal(18,2)")
+    g = (
+        ev.select(
+            "event_type", (F.col("user_id") % 2).alias("arm"), v.alias("v")
+        )
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    mv = g.select(
+        "event_type", "arm", "n", mean.alias("mean"), var.alias("var")
+    ).filter(F.col("var") > 0)
+
+    def arm(a: int, col: str):
+        return F.max(F.when(F.col("arm") == a, F.col(col)))
+
+    wide = (
+        mv.groupBy("event_type")
+        .agg(
+            arm(0, "n").alias("n_a"),
+            arm(1, "n").alias("n_b"),
+            arm(0, "mean").alias("mean_a"),
+            arm(1, "mean").alias("mean_b"),
+            arm(0, "var").alias("var_a"),
+            arm(1, "var").alias("var_b"),
+            F.count(F.lit(1)).alias("n_arms"),
+        )
+        .filter(F.col("n_arms") == 2)
+        .drop("n_arms")
+    )
+    diff = F.col("mean_a") - F.col("mean_b")
+    margin = F.lit(float(_TOST_MARGIN)) * (
+        (
+            F.col("mean_a") * F.col("n_a")
+            + F.col("mean_b") * F.col("n_b")
+        )
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    se = F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    t = wide.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        diff.alias("diff"),
+        margin.alias("margin"),
+        se.alias("se"),
+    )
+    z1 = F.lit(float(_TOST_Z1))
+    return t.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("diff", 6).alias("diff"),
+        F.round("margin", 6).alias("margin"),
+        F.round("se", 6).alias("se"),
+        F.round((F.col("diff") + F.col("margin")) / F.col("se"), 6).alias(
+            "z_lower"
+        ),
+        F.round((F.col("diff") - F.col("margin")) / F.col("se"), 6).alias(
+            "z_upper"
+        ),
+        (
+            ((F.col("diff") + F.col("margin")) / F.col("se") > z1)
+            & ((F.col("diff") - F.col("margin")) / F.col("se") < -z1)
+        ).alias("equivalent"),
+    )

@@ -44,6 +44,7 @@ def constant_value_dir(spark, tmp_path_factory):
         "agg_ab_ttest",
         "agg_power_mde",
         "agg_diff_in_diff",
+        "agg_tost_equivalence",
         "agg_delta_method_ci",
         "agg_jackknife_variance",
         "emb_centroid_outliers",
@@ -65,6 +66,7 @@ def test_variance_entries_survive_constant_metric(
         "agg_ab_ttest",
         "agg_power_mde",
         "agg_diff_in_diff",
+        "agg_tost_equivalence",
     ):
         assert rows == []
 

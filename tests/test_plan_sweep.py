@@ -55,6 +55,7 @@ _NLJ_ALLOWED = {
     "er_lsh_blocking",  # 1-row corpus-count broadcast (gram-DF threshold)
     "events_funnel_ordered",
     "events_gapfill_daily",
+    "eval_calibration_ece",  # 1-row n_total broadcast onto the 10-bin reliability frame
     "eval_forecast_backtest",  # 1-row global min-date broadcast (day-offset origin)
     "win_locf_backfill",  # calendar x |segments| grid: both sides broadcast-bounded (1-row bounds -> sequence spine, distinct event types)
     "events_rfm_segments",  # 1-row corpus-max-date + 1-row n broadcasts
@@ -81,6 +82,7 @@ _NLJ_ALLOWED = {
     "vec_ann_pq",  # r9 recall audit: ≤10-row exact ground-truth query set joined with a != predicate
     "vec_ann_ivf_pq",  # r9 recall audit: same ≤10-row query-set != join
     "vec_cosine_topk",
+    "eval_ann_ndcg",  # composes vec_cosine_topk's ≤10-row query-set != join (same bound)
     "vec_matryoshka_recall",
     "vec_knn_label",
 }
@@ -102,6 +104,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "er_sorted_neighborhood": "key-prefix bucket-count prefix frames (2x)",
     "events_anomaly_rate_spike": "per-day frame (calendar domain)",
     "eval_lang_confusion": "|langs| x 3 confusion-cell frame (label/prediction domains, saturating)",
+    "eval_calibration_ece": "<= 10-row reliability-bin frame (fixed bin count)",
     "eval_minhash_recall": "<=64-row per-anchor recall frame (anchors are a TakeOrderedAndProject limit)",
     "events_inter_arrival": "minute-gap distinct frame (bounded by the calendar span in minutes, saturating)",
     "events_path_analysis": "distinct 3-step path frame (|event_types|^3)",

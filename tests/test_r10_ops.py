@@ -298,3 +298,124 @@ def test_minhash_recall_truth_recomputes(spark):
         total_found += found
     for r in rows:
         assert r.overall_recall == round(total_found / total_true, 6)
+
+
+def test_ann_ndcg_recomputes_from_both_rankings(spark):
+    """nDCG/MRR/recall recompute exactly in Python from the two
+    rankings the eval composes (exact top-k and the LSH top-k), with
+    the entry's 9-dp term snapping."""
+    from decimal import Decimal
+
+    from am_kinesis_pay_spark.llm.similarity import TOP_K
+
+    exact = {}
+    for r in queries()["vec_cosine_topk"](spark, SF_DIR).collect():
+        exact.setdefault(r.query_id, {})[r.neighbor_id] = r.rank
+    lsh = {}
+    for r in queries()["vec_ann_lsh"](spark, SF_DIR).collect():
+        lsh.setdefault(r.query_id, {})[r.neighbor_id] = r.rank
+    rows = queries()["eval_ann_ndcg"](spark, SF_DIR).collect()
+    assert {r.query_id for r in rows} == set(exact)
+    for r in rows:
+        gains = {
+            n: TOP_K + 1 - rk for n, rk in exact[r.query_id].items()
+        }
+        served = lsh.get(r.query_id, {})
+        hits = sum(1 for n in served if n in gains)
+        assert r.n_hits == hits
+        assert r.recall_at_k == round(hits / TOP_K, 6)
+        dcg = sum(
+            Decimal(
+                str(
+                    round(
+                        gains.get(n, 0)
+                        / (math.log(1 + rk) / math.log(2)),
+                        9,
+                    )
+                )
+            )
+            for n, rk in served.items()
+        )
+        idcg = sum(
+            Decimal(
+                str(round(g / (math.log(1 + rk) / math.log(2)), 9))
+            )
+            for n, rk in exact[r.query_id].items()
+            for g in [TOP_K + 1 - rk]
+        )
+        assert r.ndcg_at_k == round(float(dcg) / float(idcg), 6)
+        best = next(
+            n for n, rk in exact[r.query_id].items() if rk == 1
+        )
+        want_mrr = round(1.0 / served[best], 6) if best in served else 0.0
+        assert r.mrr == want_mrr
+        assert 0.0 <= r.ndcg_at_k <= 1.0
+
+
+def test_calibration_ece_recomputes(spark):
+    """ECE/MCE recompute exactly in Python from the classifier's own
+    scores (the already-oracle-checked quality_prob) and the lang
+    labels, with the entry's bin/snap discipline."""
+    from decimal import Decimal
+
+    from am_kinesis_pay_spark.llm.curation import _ECE_BINS
+
+    probs = {
+        r.doc_id: r.quality_prob
+        for r in queries()["text_classifier_score"](spark, SF_DIR).collect()
+    }
+    langs = {
+        r.doc_id: r.lang
+        for r in load(spark, SF_DIR, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    bins: dict[int, list] = {}
+    for d, p in probs.items():
+        b = min(int(p * _ECE_BINS), _ECE_BINS - 1)
+        bins.setdefault(b, []).append((Decimal(str(p)), langs[d] == "en"))
+    n_total = sum(len(v) for v in bins.values())
+    per = {}
+    for b, vals in bins.items():
+        n = len(vals)
+        conf = float(sum(p for p, _ in vals)) / n
+        acc = sum(1 for _, y in vals if y) / n
+        per[b] = (n, conf, acc)
+    ece = float(
+        sum(
+            Decimal(str(round(n * abs(acc - conf) / n_total, 9)))
+            for n, conf, acc in per.values()
+        )
+    )
+    mce = max(abs(acc - conf) for _, conf, acc in per.values())
+    rows = queries()["eval_calibration_ece"](spark, SF_DIR).collect()
+    assert {r.bin for r in rows} == set(per)
+    for r in rows:
+        n, conf, acc = per[r.bin]
+        assert r.n == n
+        assert r.mean_confidence == round(conf, 6)
+        assert r.observed_rate == round(acc, 6)
+        assert r.gap == round(abs(acc - conf), 6)
+        assert r.ece == round(ece, 6)
+        assert r.mce == round(mce, 6)
+
+
+def test_tost_equivalence_laws(spark):
+    """z_lower/z_upper reproduce from the reported diff/margin/se; the
+    equivalent flag is exactly (z_lower > z) AND (z_upper < -z); and
+    TOST is consistent: equivalence implies |diff| < margin."""
+    from am_kinesis_pay_spark.operators.aggregations import _TOST_Z1
+
+    z1 = float(_TOST_Z1)
+    rows = queries()["agg_tost_equivalence"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.se > 0 and r.margin > 0
+        assert abs(r.z_lower - round((r.diff + r.margin) / r.se, 6)) <= 2e-5
+        assert abs(r.z_upper - round((r.diff - r.margin) / r.se, 6)) <= 2e-5
+        want = ((r.diff + r.margin) / r.se > z1) and (
+            (r.diff - r.margin) / r.se < -z1
+        )
+        assert r.equivalent == want
+        if r.equivalent:
+            assert abs(r.diff) < r.margin
