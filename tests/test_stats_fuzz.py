@@ -24,6 +24,7 @@ existing test_differential_fuzz.py convention.
 from __future__ import annotations
 
 import datetime
+import os
 
 import duckdb
 import pytest
@@ -231,7 +232,9 @@ def _both(engines, sql: str):
 
 
 _SETTINGS = dict(
-    max_examples=12,
+    # Soak knob: STATS_FUZZ_MAX_EXAMPLES=200 runs the r10-judge soak
+    # (the winsorized DECIMAL-clamp fix was validated at 200 examples).
+    max_examples=int(os.environ.get("STATS_FUZZ_MAX_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -341,7 +344,7 @@ WITH b AS (
   FROM cum GROUP BY seg
 ), wins AS (
   SELECT dv.seg, cuts.lo, cuts.hi, cuts.n,
-    SUM(LEAST(GREATEST(dv.v, cuts.lo), cuts.hi) * dv.cnt) AS ws
+    SUM(CAST(LEAST(GREATEST(dv.v, cuts.lo), cuts.hi) AS DECIMAL(18,2)) * dv.cnt) AS ws
   FROM dv JOIN cuts ON dv.seg = cuts.seg
   GROUP BY dv.seg, cuts.lo, cuts.hi, cuts.n
 )

@@ -18,9 +18,19 @@ and the r10 sweep found four more of:
     filtered identically on both engines, never left to engine
     semantics.
 
-Run: python tools/audit_guards.py            # full listing
+A fourth class greps can NOT catch (VERDICT r10 #1/#2): silent
+engine-side type promotion — DuckDB 1.0.0's LEAST/GREATEST over
+DECIMAL return DOUBLE, turning an intended-exact decimal SUM into an
+order-dependent parallel DOUBLE sum.  `--typeof` delegates to
+tools/audit_sum_typeof.py which evaluates typeof() of every SUM input
+of every oracle on DuckDB and flags DOUBLE sums whose argument never
+asked for double.
+
+Run: python tools/audit_guards.py            # full sqrt/ln listing
      python tools/audit_guards.py --unguarded-hint   # callsites with no
                                   GREATEST/NULLIF/guard token nearby
+     python tools/audit_guards.py --typeof   # SUM-input typeof audit
+                                  (exit 1 on any flag or probe error)
 
 tests/test_degenerate_guards.py executes the guarded entries on a
 zero-variance fixture; a NEW sqrt/ln entry should be added there when
@@ -39,6 +49,10 @@ GUARD_TOKENS = ("GREATEST", "NULLIF", "nullif", "> 0", ">= 1", "+ 0.5", "+ 1")
 
 
 def main() -> int:
+    if "--typeof" in sys.argv:
+        from tools import audit_sum_typeof
+
+        return audit_sum_typeof.main()
     from am_kinesis_pay_spark.registry import REGISTRY, queries
 
     queries()  # populate the registry
