@@ -37,6 +37,30 @@ snapshot, and the snapshot records its own sha256 prefix so
 tools/bench_diff.py --adjudicate can bind its verdicts to EXACTLY this
 file (the r9 defect: the adjudicator decided on an earlier snapshot
 than the one shipped).
+
+Round-11 hardening (VERDICT r10 #3 + ADVICE r10):
+  * CO-RESIDENT JVM GUARD — the r10 lesson: an IDLE 8 GB Spark REPL
+    parked in tmux inflated adjudication medians 1.5-4x while steal
+    read ~0%; steal metering cannot see same-host memory/NUMA
+    pressure from another JVM. bench.py now scans /proc for live java
+    processes OUTSIDE its own process tree, ships them in the payload
+    ("co_jvms"), and REFUSES the snapshot when any foreign JVM holds
+    >= {CO_JVM_RSS_MB} MB RSS — the same refusal discipline as the
+    steal gate, mechanized instead of a README sentence.
+  * FAIL-CLOSED STEAL SAMPLING — a /proc/stat read failure used to
+    return (0, 0), every window then read 0.0% steal and the gate
+    silently disarmed. _stat_sample now returns None on failure, the
+    payload records "steal_pct": null + "steal_unmeasurable": true,
+    and an unmeasurable run is refused (not measurable != clean).
+  * KEPT-WINDOW ACCOUNTING — retried queries' kept triples are fully
+    warm while never-retried ones include the cold first run, and the
+    old whole-run steal included the DISCARDED dirty windows (a run
+    whose kept timings were all clean could be refused for steal that
+    never touched a kept number). The run-level gate now aggregates
+    steal over KEPT windows only ("steal_pct", basis recorded in
+    "steal_basis"); the raw wall figure ships alongside
+    ("steal_pct_wall") and every retried query name is recorded in
+    "steal_retried_queries" even when eventually clean.
 """
 
 from __future__ import annotations
@@ -63,22 +87,110 @@ STEAL_QUERY_PCT = 5.0
 STEAL_RUN_PCT = 3.0
 STEAL_RETRIES = 2
 
+# A foreign JVM this large on the box invalidates the run (r10: an
+# idle 8 GB REPL corrupted three adjudication medians at ~0% steal).
+# Small helper JVMs (gradle daemons etc.) are recorded but tolerated.
+CO_JVM_RSS_MB = 512
 
-def _stat_sample() -> tuple[int, int]:
+
+def _stat_sample() -> tuple[int, int] | None:
     """(total_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
-    line. Monotonic counters; diff two samples for a window's steal."""
+    line. Monotonic counters; diff two samples for a window's steal.
+    Returns None when /proc/stat cannot be read/parsed — FAIL CLOSED:
+    'not measurable' must never be reported as 'zero steal' (ADVICE
+    r10: the old (0, 0) sentinel silently disarmed the gate)."""
     try:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
         vals = [int(x) for x in parts[1:]]
-        return sum(vals), vals[7] if len(vals) > 7 else 0
-    except (OSError, ValueError, IndexError):
-        return 0, 0
+        if len(vals) <= 7:
+            return None
+        return sum(vals), vals[7]
+    except (OSError, ValueError):
+        return None
 
 
-def _steal_pct(a: tuple[int, int], b: tuple[int, int]) -> float:
+def _steal_pct(
+    a: tuple[int, int] | None, b: tuple[int, int] | None
+) -> float | None:
+    """Steal %% over a window; None propagates (unmeasurable window)."""
+    if a is None or b is None:
+        return None
     dt = b[0] - a[0]
     return 100.0 * (b[1] - a[1]) / dt if dt > 0 else 0.0
+
+
+def _co_jvms(proc: str = "/proc") -> list[dict]:
+    """Live java processes OUTSIDE this process tree: [{pid, comm,
+    rss_mb}, ...]. The bench's own Spark JVM is a child of this python
+    process, so anything java-named whose parent chain does NOT reach
+    os.getpid() is a co-resident — the r10 measurement-hygiene trap
+    (SCALE.md:1135-1150) that steal metering cannot see."""
+    me = os.getpid()
+
+    def ppid_of(pid: int) -> int:
+        try:
+            with open(f"{proc}/{pid}/stat") as fh:
+                # comm may contain spaces/parens: split after the
+                # LAST ')' per proc(5)
+                tail = fh.read().rsplit(")", 1)[1].split()
+            return int(tail[1])  # field 4 (ppid); tail[0] is state
+        except (OSError, ValueError, IndexError):
+            return 0
+
+    out: list[dict] = []
+    try:
+        pids = [int(p) for p in os.listdir(proc) if p.isdigit()]
+    except OSError:
+        return out
+    for pid in pids:
+        try:
+            with open(f"{proc}/{pid}/comm") as fh:
+                comm = fh.read().strip()
+        except OSError:
+            continue
+        if "java" not in comm.lower():
+            continue
+        cur, hops, mine = pid, 0, False
+        while cur > 1 and hops < 64:
+            if cur == me:
+                mine = True
+                break
+            cur = ppid_of(cur)
+            hops += 1
+        if mine:
+            continue
+        rss_kb = 0
+        try:
+            with open(f"{proc}/{pid}/status") as fh:
+                for line in fh:
+                    if line.startswith("VmRSS:"):
+                        rss_kb = int(line.split()[1])
+                        break
+        except (OSError, ValueError):
+            pass
+        out.append({"pid": pid, "comm": comm, "rss_mb": round(rss_kb / 1024)})
+    return out
+
+
+def _gate(
+    steal_kept: float | None,
+    degraded_queries: list[str],
+    unmeasurable: bool,
+    co_jvms: list[dict],
+) -> list[str]:
+    """Snapshot-refusal decision, pure for unit pinning: the reasons a
+    run is not a publishable steady-state measurement (empty = clean)."""
+    reasons = []
+    if unmeasurable or steal_kept is None:
+        reasons.append("steal_unmeasurable")
+    elif steal_kept > STEAL_RUN_PCT:
+        reasons.append("steal_run")
+    if degraded_queries:
+        reasons.append("steal_queries")
+    if any(j["rss_mb"] >= CO_JVM_RSS_MB for j in co_jvms):
+        reasons.append("co_resident_jvm")
+    return reasons
 
 
 def _parse_args() -> argparse.Namespace:
@@ -145,9 +257,14 @@ def main() -> None:
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    co_jvms = _co_jvms()  # pre-run scan; re-scanned after the run
     run_start = _stat_sample()
     steal_max_query = 0.0
+    kept_dt = 0  # jiffy sums over KEPT windows only (ADVICE r10: the
+    kept_st = 0  # run gate must not price windows the retries discarded)
+    unmeasurable = run_start is None
     degraded: list[str] = []
+    retried: list[str] = []
     for name in sorted(qs):
         try:
             # steal-gated timing triple: re-run the whole triple when
@@ -159,17 +276,34 @@ def main() -> None:
                     t0 = time.perf_counter()
                     run_query(qs[name](spark, SF_DIR))
                     runs.append(time.perf_counter() - t0)
-                steal = _steal_pct(w0, _stat_sample())
-                if steal <= STEAL_QUERY_PCT:
+                w1 = _stat_sample()
+                steal = _steal_pct(w0, w1)
+                if steal is None or steal <= STEAL_QUERY_PCT:
                     break
-            if steal > STEAL_QUERY_PCT:
-                degraded.append(name)
-            steal_max_query = max(steal_max_query, steal)
+            if attempt > 0:
+                # kept triple is fully warm (cold run happened in a
+                # discarded attempt) — record the asymmetry (ADVICE r10)
+                retried.append(name)
+            if steal is None:
+                unmeasurable = True
+            else:
+                if steal > STEAL_QUERY_PCT:
+                    degraded.append(name)
+                steal_max_query = max(steal_max_query, steal)
+                kept_dt += w1[0] - w0[0]
+                kept_st += w1[1] - w0[1]
             times[name] = round(sorted(runs)[1], 3)  # median of 3
         except Exception as e:  # noqa: BLE001 — one bad query must not
             # take down the whole bench run; record and continue
             errors[name] = f"{type(e).__name__}: {e}"[:200]
-    steal_run = _steal_pct(run_start, _stat_sample())
+    steal_run = (
+        round(100.0 * kept_st / kept_dt, 2) if kept_dt > 0 and not
+        unmeasurable else None
+    )
+    steal_wall = _steal_pct(run_start, _stat_sample())
+    for j in _co_jvms():  # post-run scan: a JVM that appeared mid-run
+        if j["pid"] not in {c["pid"] for c in co_jvms}:
+            co_jvms.append(j)
 
     total = round(sum(times.values()), 3)
     families: dict[str, float] = {}
@@ -190,15 +324,30 @@ def main() -> None:
         # coverage grows round over round; normalize so totals
         # stay comparable across rounds
         "sec_per_query": round(total / max(1, len(times)), 4),
-        # in-run hypervisor CPU steal (VERDICT r9 #1): whole-run
-        # average and the worst per-query timing window that was KEPT
-        # after steal-gated retries
-        "steal_pct": round(steal_run, 2),
+        # in-run hypervisor CPU steal (VERDICT r9 #1 + ADVICE r10):
+        # run-level steal aggregated over KEPT timing windows only
+        # (discarded retry windows never touched a kept number), plus
+        # the raw whole-run wall figure and the worst kept window;
+        # null = not measurable, which REFUSES the snapshot
+        "steal_pct": steal_run,
+        "steal_basis": "kept-windows",
+        "steal_pct_wall": None if steal_wall is None else round(steal_wall, 2),
         "steal_pct_max_query": round(steal_max_query, 2),
+        # every query whose triple was re-run for steal, even when the
+        # kept triple came back clean: its median is fully warm while
+        # never-retried queries include the cold first run
+        "steal_retried_queries": sorted(retried),
+        # co-resident JVM guard (VERDICT r10 #3): java processes
+        # outside this process tree; any >= CO_JVM_RSS_MB refuses
+        "co_jvms": sorted(co_jvms, key=lambda j: -j["rss_mb"]),
     }
-    degraded_run = steal_run > STEAL_RUN_PCT or bool(degraded)
+    if unmeasurable:
+        payload["steal_unmeasurable"] = True
+    refusal = _gate(steal_run, degraded, unmeasurable, co_jvms)
+    degraded_run = bool(refusal)
     if degraded_run:
         payload["degraded_steal"] = True
+        payload["degraded_reasons"] = refusal
         if degraded:
             payload["degraded_queries"] = sorted(degraded)
     if partial:
@@ -212,12 +361,15 @@ def main() -> None:
     # never snapshot — a filtered dict would corrupt the round diff.
     queries_file = None
     if degraded_run and not partial:
+        big = [j for j in co_jvms if j["rss_mb"] >= CO_JVM_RSS_MB]
         print(
-            f"REFUSING snapshot: run steal {steal_run:.2f}% "
-            f"(limit {STEAL_RUN_PCT}%), degraded queries after "
-            f"{STEAL_RETRIES} retries: {sorted(degraded)} "
-            f"(per-query limit {STEAL_QUERY_PCT}%) — re-run on a "
-            "quiet box; stdout payload still printed below",
+            f"REFUSING snapshot ({', '.join(refusal)}): kept-window "
+            f"run steal {steal_run}% (limit {STEAL_RUN_PCT}%), "
+            f"degraded queries after {STEAL_RETRIES} retries: "
+            f"{sorted(degraded)} (per-query limit {STEAL_QUERY_PCT}%), "
+            f"co-resident JVMs >= {CO_JVM_RSS_MB} MB: {big} — kill the "
+            "foreign JVM / re-run on a quiet box; stdout payload still "
+            "printed below",
             file=sys.stderr,
         )
     if not partial and not degraded_run:
@@ -255,6 +407,7 @@ def main() -> None:
         "errors": dict(sorted(errors.items())[:3]),
         "sec_per_query": payload["sec_per_query"],
         "steal_pct": payload["steal_pct"],
+        "n_co_jvms": len(co_jvms),
         "families": families,
         "queries_file": queries_file,
     }

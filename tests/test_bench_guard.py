@@ -31,6 +31,56 @@ def test_steal_pct_arithmetic():
     # live sample parses and is sane
     total, steal = bench._stat_sample()
     assert total > 0 and 0 <= steal <= total
+    # ADVICE r10: unmeasurable propagates as None, never as 0.0 —
+    # a (0, 0) sentinel silently disarmed the gate
+    assert bench._steal_pct(None, (11_000, 350)) is None
+    assert bench._steal_pct((10_000, 200), None) is None
+
+
+def _fake_proc(tmp_path, pid, comm, ppid, rss_kb):
+    d = tmp_path / str(pid)
+    d.mkdir()
+    (d / "comm").write_text(comm + "\n")
+    (d / "stat").write_text(f"{pid} ({comm}) S {ppid} 1 1 0 -1\n")
+    (d / "status").write_text(f"Name:\t{comm}\nVmRSS:\t{rss_kb} kB\n")
+
+
+def test_co_jvm_scan_excludes_own_tree(tmp_path):
+    """The bench's own Spark JVM (a descendant of this process) must
+    not count as a co-resident; a foreign idle REPL JVM must — the r10
+    trap: an 8 GB parked REPL corrupted medians at ~0% steal."""
+    bench = _load("bench_mod_jvm", os.path.join(REPO, "bench.py"))
+    me = os.getpid()
+    # our child JVM: ppid chain reaches os.getpid()
+    _fake_proc(tmp_path, 9001, "java", me, 4_000_000)
+    # a foreign 8 GB JVM parented to init
+    _fake_proc(tmp_path, 9002, "java", 1, 8_000_000)
+    # a foreign tiny helper JVM (recorded, below the refusal floor)
+    _fake_proc(tmp_path, 9003, "java", 1, 100_000)
+    # a non-java process is ignored entirely
+    _fake_proc(tmp_path, 9004, "python3", 1, 9_000_000)
+    got = bench._co_jvms(proc=str(tmp_path))
+    by_pid = {j["pid"]: j for j in got}
+    assert 9001 not in by_pid and 9004 not in by_pid
+    assert by_pid[9002]["rss_mb"] == 7812  # 8e6 kB, banker's round
+    assert by_pid[9003]["rss_mb"] == 98
+
+
+def test_gate_refusal_reasons():
+    bench = _load("bench_mod_gate", os.path.join(REPO, "bench.py"))
+    big = [{"pid": 1, "comm": "java", "rss_mb": 8192}]
+    small = [{"pid": 2, "comm": "java", "rss_mb": 64}]
+    assert bench._gate(0.5, [], False, []) == []
+    assert bench._gate(0.5, [], False, small) == []
+    assert bench._gate(0.5, [], False, big) == ["co_resident_jvm"]
+    assert bench._gate(9.9, [], False, []) == ["steal_run"]
+    assert bench._gate(0.5, ["q1"], False, []) == ["steal_queries"]
+    # unmeasurable is NOT clean (fail-closed), and None steal likewise
+    assert bench._gate(0.5, [], True, []) == ["steal_unmeasurable"]
+    assert bench._gate(None, [], False, []) == ["steal_unmeasurable"]
+    assert set(bench._gate(9.9, ["q1"], False, big)) == {
+        "steal_run", "steal_queries", "co_resident_jvm"
+    }
 
 
 def test_snapshot_sha_stable_and_content_bound(tmp_path):
