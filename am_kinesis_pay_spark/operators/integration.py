@@ -3025,27 +3025,43 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     same reason GraphFrames' motif joins cap supernodes). Plan:
     distinct edge agg -> partitioned cap window -> self-join on the
     customer key -> pair hash agg -> TakeOrderedAndProject (top-k via
-    orderBy().limit(), never a global row_number)."""
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ci = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
-        .distinct()
-    )
-    rn_w = W.partitionBy("cust").orderBy(
-        F.md5(F.col("item").cast("string")), F.col("item")
-    )
-    capped = (
-        ci.withColumn("rn", F.row_number().over(rn_w))
-        .filter(F.col("rn") <= _BIPROJ_CAP)
-        .select("cust", "item")
-        # pinned spread (SCALE.md AQE blind spot): the capped edge
-        # frame is byte-small but every row fans out to ~degree join
-        # partners — AQE's byte-based coalescing would serialize the
-        # pair stage; explicit numPartitions, same key as the join
-        .repartition(32, "cust")
-    )
+    orderBy().limit(), never a global row_number). The capped edge
+    frame is a session_artifact memo (VERDICT r11 #5, the
+    _materialized_edges convention): the distinct-edge agg + cap
+    window were rebuilt per call even though the frame is a pure
+    function of the input tables — at 100 TB a capped adjacency IS a
+    maintained table, probed by every projection/recommender pass."""
+    from am_kinesis_pay_spark.paths import session_artifact, sf_tag
+
+    def build_capped() -> DataFrame:
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        ci = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                F.col("o_custkey").alias("cust"),
+                F.col("l_partkey").alias("item"),
+            )
+            .distinct()
+        )
+        rn_w = W.partitionBy("cust").orderBy(
+            F.md5(F.col("item").cast("string")), F.col("item")
+        )
+        return (
+            ci.withColumn("rn", F.row_number().over(rn_w))
+            .filter(F.col("rn") <= _BIPROJ_CAP)
+            .select("cust", "item")
+        )
+
+    capped = session_artifact(
+        spark, f"akps_biproj_capped_{sf_tag(sf_dir)}", build_capped
+    ).repartition(32, "cust")
+    # pinned spread (SCALE.md AQE blind spot): the capped edge frame
+    # is byte-small but every row fans out to ~degree join partners —
+    # AQE's byte-based coalescing would serialize the pair stage;
+    # explicit numPartitions, same key as the join
     a = capped.alias("a")
     b = capped.alias("b")
     pairs = a.join(
