@@ -137,6 +137,29 @@ def test_stale_adjudication_removed_on_snapshot_rewrite(tmp_path):
     assert adj.exists()
 
 
+def test_adjudication_summary_generated_from_artifact():
+    """VERDICT r10 #6: the SCALE.md close sentence must be EMITTED
+    from BENCH_adjudication.json (the r10 close hand-wrote '24
+    variance, 1 explained' over a 25-row all-variance artifact)."""
+    bd = _load("bench_diff_summary", os.path.join(REPO, "tools", "bench_diff.py"))
+    adj = {
+        "old_round": 10, "new_round": 11, "n_runs": 5,
+        "new_snapshot_sha256": "ab" * 8,
+        "rows": [
+            {"query": "q_a", "label": "variance"},
+            {"query": "q_b", "label": "variance"},
+            {"query": "q_c", "label": "explained(SCALE.md r7: trade)"},
+        ],
+    }
+    s = bd._summary_text(adj)
+    assert "3 flagged rows" in s
+    assert "2 variance (q_a, q_b)" in s
+    assert "1 explained (q_c)" in s
+    assert "median-of-5" in s and "ab" * 8 in s
+    assert bd._summary_text({"old_round": 1, "new_round": 2, "rows": []}
+                            ).endswith("0 flagged rows — none flagged.")
+
+
 def test_regression_flagging_thresholds():
     bd = _load("bench_diff_mod3", os.path.join(REPO, "tools", "bench_diff.py"))
     qo = {"a": 1.0, "b": 1.0, "c": 0.1, "d": 2.0}

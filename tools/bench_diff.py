@@ -208,7 +208,12 @@ def _adjudicate(
                     "label": label,
                 }
             )
-    payload = {"old_round": n_old, "new_round": n_new, "rows": rows}
+    payload = {
+        "old_round": n_old,
+        "new_round": n_new,
+        "n_runs": 5,  # per-query re-run samples behind each median
+        "rows": rows,
+    }
     if new_path:
         # bind the verdicts to EXACTLY the snapshot file they judged
         # (VERDICT r9 #1: the r9 adjudication described an earlier run
@@ -268,6 +273,31 @@ def _check() -> int:
     return 0
 
 
+def _summary_text(adj: dict) -> str:
+    """The SCALE.md round-close adjudication sentence, generated FROM
+    the artifact (VERDICT r10 #6: the r10 close hand-wrote '24
+    variance, 1 explained' over a 25-row all-variance JSON — prose
+    drifting from the generated artifact is the r9 defect class in
+    miniature). Paste the output verbatim; never hand-count."""
+    rows = adj.get("rows", [])
+    by_label: dict[str, list[str]] = {}
+    for r in rows:
+        # explained labels carry a reference suffix: explained(<ref>)
+        base = r["label"].split("(")[0]
+        by_label.setdefault(base, []).append(r["query"])
+    parts = [
+        f"{len(qs)} {label} ({', '.join(sorted(qs))})"
+        for label, qs in sorted(by_label.items())
+    ]
+    breakdown = "; ".join(parts) if parts else "none flagged"
+    return (
+        f"Adjudication r{adj.get('old_round')} -> r{adj.get('new_round')} "
+        f"(median-of-{adj.get('n_runs', 3)} re-runs, bound to snapshot "
+        f"sha {adj.get('new_snapshot_sha256')}): {len(rows)} flagged "
+        f"rows — {breakdown}."
+    )
+
+
 def _print_adjudication(adj: dict) -> None:
     print(
         f"\nadjudication (3-run medians, r{adj['old_round']} -> "
@@ -302,10 +332,26 @@ def main() -> None:
         help="round-close gate: verify BENCH_adjudication.json is "
         "bound to the latest snapshot on disk (exit 1 on any drift)",
     )
+    ap.add_argument(
+        "--summary",
+        action="store_true",
+        help="print the SCALE.md round-close sentence generated from "
+        "BENCH_adjudication.json (counts can never drift from the "
+        "artifact)",
+    )
     args = ap.parse_args()
 
     if args.check:
         raise SystemExit(_check())
+    if args.summary:
+        try:
+            adj = json.load(open(_ADJ_FILE))
+        except (OSError, ValueError):
+            raise SystemExit(
+                "no BENCH_adjudication.json — run --adjudicate first"
+            )
+        print(_summary_text(adj))
+        return
 
     snaps = _snapshots()
     if not snaps:
