@@ -2285,13 +2285,13 @@ WITH planes (p, wts) AS (
   WHERE t.e_rank = 1
   GROUP BY t.query_id
 )
-SELECT d.query_id, d.n_hits,
-  round(CAST(d.n_hits AS DOUBLE) / {TOP_K}, 6) AS recall_at_k,
-  round(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6) AS ndcg_at_k,
-  CAST(m.mrr AS DOUBLE) AS mrr
-FROM dcg d
-JOIN idcg i ON i.query_id = d.query_id
-JOIN mrr m ON m.query_id = d.query_id
+SELECT i.query_id, CAST(COALESCE(d.n_hits, 0) AS BIGINT) AS n_hits,
+  round(CAST(COALESCE(d.n_hits, 0) AS DOUBLE) / {TOP_K}, 6) AS recall_at_k,
+  round(CAST(COALESCE(d.dcg, 0) AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6) AS ndcg_at_k,
+  CAST(COALESCE(m.mrr, 0.0) AS DOUBLE) AS mrr
+FROM idcg i
+LEFT JOIN dcg d ON d.query_id = i.query_id
+LEFT JOIN mrr m ON m.query_id = i.query_id
 """.format(planes=planes, N_QUERIES=N_QUERIES, TOP_K=TOP_K)
 
 
@@ -2372,19 +2372,28 @@ def eval_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mrr")
         )
     )
+    # Drive the final frame from the EXACT-ranking query set (idcg has
+    # every query by construction) with left joins + COALESCE (ADVICE
+    # r10): a query whose LSH candidate set is completely empty must
+    # score recall 0 / nDCG 0 / MRR 0, not silently vanish from the
+    # eval — the worst-performing queries are the whole point.
+    hits0 = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
     return (
-        dcg.join(F.broadcast(idcg), "query_id")
-        .join(F.broadcast(mrr), "query_id")
+        idcg.join(F.broadcast(dcg), "query_id", "left")
+        .join(F.broadcast(mrr), "query_id", "left")
         .select(
             "query_id",
-            "n_hits",
+            hits0.alias("n_hits"),
+            F.round(hits0.cast("double") / F.lit(TOP_K), 6).alias(
+                "recall_at_k"
+            ),
             F.round(
-                F.col("n_hits").cast("double") / F.lit(TOP_K), 6
-            ).alias("recall_at_k"),
-            F.round(
-                F.col("dcg").cast("double") / F.col("idcg").cast("double"),
+                F.coalesce(F.col("dcg"), F.lit(0)).cast("double")
+                / F.col("idcg").cast("double"),
                 6,
             ).alias("ndcg_at_k"),
-            F.col("mrr").cast("double").alias("mrr"),
+            F.coalesce(F.col("mrr"), F.lit(0.0)).cast("double").alias(
+                "mrr"
+            ),
         )
     )

@@ -4617,7 +4617,7 @@ WITH g AS (
 ), t AS (
   SELECT event_type, n_a, n_b, mean_a, mean_b,
     mean_a - mean_b AS diff,
-    {_TOST_MARGIN} * ((mean_a * n_a + mean_b * n_b) / (n_a + n_b))
+    {_TOST_MARGIN} * abs((mean_a * n_a + mean_b * n_b) / (n_a + n_b))
       AS margin,
     sqrt(var_a / n_a + var_b / n_b) AS se
   FROM wide
@@ -4642,7 +4642,9 @@ def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_TOST_MARGIN}-relative margin?" (non-significance is NOT
     equivalence; TOST requires the difference to be significantly
     INSIDE both margin bounds). Arms hash-split (user_id % 2), margin
-    anchored to the pooled mean, both one-sided z statistics at
+    anchored to abs(pooled mean) — a margin is a WIDTH, so it stays
+    well-defined for negative-valued metrics — both one-sided z
+    statistics at
     alpha=.05 against the shared critical literal — declared
     equivalent only when BOTH reject.
 
@@ -4692,7 +4694,10 @@ def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_arms")
     )
     diff = F.col("mean_a") - F.col("mean_b")
-    margin = F.lit(float(_TOST_MARGIN)) * (
+    # abs(): ADVICE r10 — a negative-valued metric's pooled mean gave
+    # margin <= 0, inverting z_lower/z_upper and making equivalence
+    # unsatisfiable; the relative margin is a WIDTH, always positive
+    margin = F.lit(float(_TOST_MARGIN)) * F.abs(
         (
             F.col("mean_a") * F.col("n_a")
             + F.col("mean_b") * F.col("n_b")

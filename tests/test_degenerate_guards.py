@@ -71,6 +71,46 @@ def test_variance_entries_survive_constant_metric(
         assert rows == []
 
 
+def test_tost_margin_positive_on_negative_metric(
+    spark, tmp_path_factory
+):
+    """ADVICE r10: the TOST margin anchored to the SIGNED pooled mean
+    went <= 0 on negative-valued metrics, inverting z_lower/z_upper
+    and making equivalence unsatisfiable. With the abs() anchor both
+    engines must produce positive margins and agree row-for-row on an
+    all-negative metric."""
+    import duckdb
+
+    from am_kinesis_pay_spark.registry import REGISTRY
+
+    d = str(tmp_path_factory.mktemp("negated_sf"))
+    for t in TABLES:
+        df = load(spark, SF_DIR, t)
+        if t == "events":
+            df = df.withColumn("value", -F.abs(F.col("value")) - 1.0)
+        df.write.mode("overwrite").parquet(os.path.join(d, f"{t}.parquet"))
+    got = queries()["agg_tost_equivalence"](spark, d).collect()
+    assert got, "negative-metric fixture produced no segments"
+    assert all(r.margin > 0 and r.mean_a < 0 for r in got)
+    # z_lower/z_upper keep their TOST meaning: lower bound above -margin
+    for r in got:
+        want = (r.diff + r.margin) / r.se > 1.644854 and (
+            r.diff - r.margin
+        ) / r.se < -1.644854
+        assert abs((r.equivalent or False) - want) <= 0 or r.equivalent == want
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
+        )
+    want_rows = sorted(
+        tuple(r) for r in
+        con.execute(REGISTRY["agg_tost_equivalence"].oracle).fetchall()
+    )
+    con.close()
+    assert sorted(tuple(r) for r in got) == want_rows
+
+
 def test_ttest_guard_matches_oracle_on_constant_metric(
     spark, constant_value_dir
 ):
