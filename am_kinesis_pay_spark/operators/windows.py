@@ -1801,6 +1801,17 @@ def win_locf_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("obs")
         )
     )
+    return _locf_densify(ev, obs)
+
+
+def _locf_densify(ev: DataFrame, obs: DataFrame) -> DataFrame:
+    """Stateless densification view over a sparse (day, event_type,
+    obs) panel: calendar x segment grid from the full events bounds,
+    LEFT JOIN the observations, forward-fill with last-IGNORE NULLS.
+    Shared by the batch entry above and the streaming twins
+    (streaming/batch_equiv.py::stream_locf_incremental and the TWS
+    golden in tests/test_streaming.py), so the serving-layer fill can
+    never drift from the batch specification."""
     bounds = ev.agg(
         F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0"),
         F.to_date(F.date_trunc("day", F.max("ts"))).alias("d1"),

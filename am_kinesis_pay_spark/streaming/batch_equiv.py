@@ -689,3 +689,264 @@ def stream_stickiness_incremental(
             "stickiness"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental despike / backfill twins (VERDICT r10 #7).
+#
+# The oracles are the BATCH entries' own oracle strings, looked up from
+# the registry (operators.windows is imported by registry._load_all
+# before this module, and importing it here directly is acyclic — it
+# has no path back into streaming.*), so the twin's contract can never
+# drift from the batch specification. tests/test_streaming.py addition-
+# ally pins the two oracle strings equal through the public API.
+# ---------------------------------------------------------------------------
+
+from am_kinesis_pay_spark.operators import windows as _win_ops  # noqa: E402
+from am_kinesis_pay_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_HAMPEL_ORACLE = _REG["win_hampel_filter"].oracle
+_LOCF_ORACLE = _REG["win_locf_backfill"].oracle
+
+#: Hampel output columns carried through the upsert changelog
+_HAMPEL_COLS = (
+    "v", "n_window", "rolling_med", "rolling_mad", "is_spike", "despiked",
+)
+
+
+@register(
+    "stream_hampel_incremental",
+    oracle=_HAMPEL_ORACLE,
+    tags=("streaming", "incremental", "window", "dq"),
+)
+def stream_hampel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL Hampel despike maintenance (VERDICT r10 #7): the
+    events table replayed as 3 micro-batch epochs (event_id % 3), each
+    epoch folding its partial day-sums into the per-segment daily
+    accumulator and re-emitting an UPSERT for every row whose trailing
+    7-ROW window changed — a dirty day's arrival (or a brand-new day's
+    insertion, which shifts the row frames) affects exactly that day
+    and the <= 6 following observed days, detected plan-side as
+    max(dirty) over the same rowsBetween(-6, 0) frame the filter
+    itself uses. Folding the changelog last-writer-wins per
+    (event_type, day) equals the one-shot `win_hampel_filter` (the
+    oracle here IS that entry's oracle string, registry-shared): the
+    final upsert for each day was computed after the last batch that
+    touched any window day, i.e. from the complete accumulator.
+
+    This is the batch SPECIFICATION of streaming/tws_despike.py::
+    HampelProcessor (MapState day -> exact cents, same affected-set
+    algebra); the readStream golden in tests/test_streaming.py pins
+    the TWS changelog fold to the batch output. Day sums are NOT
+    redelivery-idempotent, so unlike the stickiness twin the epochs
+    partition the stream exactly once — an at-least-once source
+    composes with the upstream stream_dedup_payment.
+
+    Plan shape per epoch: one partial hash agg on the epoch slice, a
+    full-outer merge with the localCheckpointed accumulator (both
+    sides (day x segment)-bounded — saturating calendar domain), and
+    ONE 7-row window pass over the merged frame. At 100 TB/day the
+    accumulator is the store a production pipeline keeps in a table;
+    per-epoch work is the epoch's partials plus the domain frame."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round("value", 2).cast("decimal(18,2)").alias("pv"),
+        )
+    )
+    acc = None
+    upserts = []
+    winf = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    for seq in (0, 1, 2):
+        part = (
+            ev.filter(F.col("event_id") % 3 == seq)
+            .groupBy("event_type", "day")
+            .agg(F.sum("pv").cast("decimal(18,2)").alias("pv"))
+        )
+        if acc is None:
+            merged = part.select(
+                "event_type",
+                "day",
+                F.col("pv").cast("decimal(18,2)").alias("v"),
+                F.lit(True).alias("dirty"),
+            )
+        else:
+            merged = acc.join(part, ["event_type", "day"], "full_outer").select(
+                "event_type",
+                "day",
+                (
+                    F.coalesce(F.col("v"), F.lit(0).cast("decimal(18,2)"))
+                    + F.coalesce(F.col("pv"), F.lit(0).cast("decimal(18,2)"))
+                )
+                .cast("decimal(18,2)")
+                .alias("v"),
+                F.col("pv").isNotNull().alias("dirty"),
+            )
+        framed = merged.select(
+            "event_type",
+            "day",
+            "v",
+            F.collect_list("v").over(winf).alias("lst"),
+            F.max("dirty").over(winf).alias("affected"),
+        )
+        k = F.floor((F.size("lst") + 1) / F.lit(2.0)).cast("int")
+        m = framed.filter("affected").select(
+            "event_type",
+            "day",
+            "v",
+            F.size("lst").cast("bigint").alias("n_window"),
+            F.element_at(F.array_sort("lst"), k).alias("med"),
+            "lst",
+        )
+        k2 = F.floor((F.col("n_window") + 1) / F.lit(2.0)).cast("int")
+        md = m.select(
+            "event_type",
+            "day",
+            "v",
+            "n_window",
+            "med",
+            F.element_at(
+                F.array_sort(
+                    F.transform("lst", lambda x: F.abs(x - F.col("med")))
+                ),
+                k2,
+            ).alias("mad"),
+        )
+        spike = F.abs(F.col("v") - F.col("med")).cast("double") > F.lit(
+            float(_win_ops._HAMPEL_K)
+        ) * F.col("mad").cast("double")
+        upserts.append(
+            md.select(
+                "event_type",
+                "day",
+                F.col("v").cast("double").alias("v"),
+                "n_window",
+                F.col("med").cast("double").alias("rolling_med"),
+                F.col("mad").cast("double").alias("rolling_mad"),
+                spike.alias("is_spike"),
+                F.when(spike, F.col("med"))
+                .otherwise(F.col("v"))
+                .cast("double")
+                .alias("despiked"),
+                F.lit(seq).cast("long").alias("seq"),
+            )
+        )
+        # the accumulator feeds the next epoch's merge: cut lineage or
+        # the 3-epoch DAG re-derives every prior epoch's agg per ref
+        acc = merged.select("event_type", "day", "v").localCheckpoint()
+    changelog = upserts[0]
+    for u in upserts[1:]:
+        changelog = changelog.unionAll(u)
+    return (
+        changelog.groupBy("event_type", "day")
+        .agg(F.max_by(F.struct(*_HAMPEL_COLS), "seq").alias("r"))
+        .select("event_type", "day", "r.*")
+    )
+
+
+@register(
+    "stream_locf_incremental",
+    oracle=_LOCF_ORACLE,
+    tags=("streaming", "incremental", "window", "timeseries"),
+)
+def stream_locf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL LOCF observation-panel maintenance (VERDICT r10
+    #7): the sparsified 1/{mod} user sample replayed as 3 micro-batch
+    epochs, each folding partial (sum, count) day accumulators into
+    the per-segment panel and upserting the dirty days' RAW
+    accumulators (mean + half-up rounding applied once, engine-side,
+    after the last-writer-wins fold — no intermediate float rounding).
+    The calendar densification (grid LEFT JOIN + last-IGNORE NULLS
+    window) is the batch entry's own `_locf_densify`, shared code: the
+    stateful part of streaming LOCF is exactly the sparse panel; the
+    forward-fill is a stateless serving view over it. Folded output
+    therefore equals the one-shot `win_locf_backfill` (the oracle here
+    IS that entry's oracle string, registry-shared).
+
+    This is the batch SPECIFICATION of streaming/tws_despike.py::
+    LocfPanelProcessor (MapState day -> (sum cents, count)); the
+    readStream golden in tests/test_streaming.py pins the TWS
+    changelog fold, densified by the same helper, to the batch
+    output. Same exactly-once note as the Hampel twin.
+
+    Plan shape per epoch: one partial hash agg on the epoch slice and
+    a full-outer merge with the localCheckpointed panel (both sides
+    (day x segment)-bounded); the densify adds one broadcast grid
+    join and ONE segment-partitioned window over the calendar
+    domain."""
+    ev = load(spark, sf_dir, "events")
+    src = ev.filter(
+        F.col("value").isNotNull()
+        & (F.col("user_id") % _win_ops._LOCF_MOD == 0)
+    ).select(
+        "event_id",
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round("value", 2).cast("decimal(18,2)").alias("pv"),
+    )
+    acc = None
+    upserts = []
+    for seq in (0, 1, 2):
+        part = (
+            src.filter(F.col("event_id") % 3 == seq)
+            .groupBy("event_type", "day")
+            .agg(
+                F.sum("pv").cast("decimal(18,2)").alias("ps"),
+                F.count(F.lit(1)).cast("bigint").alias("pc"),
+            )
+        )
+        if acc is None:
+            merged = part.select(
+                "event_type",
+                "day",
+                F.col("ps").cast("decimal(18,2)").alias("s"),
+                F.col("pc").alias("c"),
+                F.lit(True).alias("dirty"),
+            )
+        else:
+            merged = acc.join(part, ["event_type", "day"], "full_outer").select(
+                "event_type",
+                "day",
+                (
+                    F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,2)"))
+                    + F.coalesce(F.col("ps"), F.lit(0).cast("decimal(18,2)"))
+                )
+                .cast("decimal(18,2)")
+                .alias("s"),
+                (
+                    F.coalesce(F.col("c"), F.lit(0).cast("bigint"))
+                    + F.coalesce(F.col("pc"), F.lit(0).cast("bigint"))
+                )
+                .cast("bigint")
+                .alias("c"),
+                F.col("ps").isNotNull().alias("dirty"),
+            )
+        upserts.append(
+            merged.filter("dirty").select(
+                "event_type",
+                "day",
+                "s",
+                "c",
+                F.lit(seq).cast("long").alias("seq"),
+            )
+        )
+        acc = merged.select("event_type", "day", "s", "c").localCheckpoint()
+    changelog = upserts[0]
+    for u in upserts[1:]:
+        changelog = changelog.unionAll(u)
+    obs = (
+        changelog.groupBy("event_type", "day")
+        .agg(F.max_by(F.struct("s", "c"), "seq").alias("r"))
+        .select(
+            "event_type",
+            "day",
+            F.round(F.col("r.s").cast("double") / F.col("r.c"), 6)
+            .cast("decimal(18,6)")
+            .alias("obs"),
+        )
+    )
+    return _win_ops._locf_densify(ev, obs)

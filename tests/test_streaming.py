@@ -1273,3 +1273,127 @@ def test_tws_stickiness_changelog_equals_batch(spark, stream_dir):
         map(tuple, queries()["events_stickiness_dau_mau"](spark, SF_DIR).collect())
     )
     assert got == want
+
+
+def test_despike_twin_contracts_agree():
+    """The Hampel/LOCF streaming twins share their contract with the
+    batch entries three ways: the TWS module's literals mirror the
+    batch constants, and the registered epoch-replay entries' oracle
+    strings ARE the batch oracles (registry-shared, pinned here
+    through the public API so they can never drift)."""
+    from am_kinesis_pay_spark.operators.windows import _HAMPEL_K, _LOCF_MOD
+    from am_kinesis_pay_spark.registry import oracle_sql
+    from am_kinesis_pay_spark.streaming.tws_despike import (
+        HAMPEL_K,
+        HAMPEL_WINDOW,
+        LOCF_MOD,
+    )
+
+    assert float(_HAMPEL_K) == HAMPEL_K
+    assert _LOCF_MOD == LOCF_MOD
+    assert HAMPEL_WINDOW == 7  # rowsBetween(-6, 0) in both plans
+    o = oracle_sql()
+    assert o["stream_hampel_incremental"] == o["win_hampel_filter"]
+    assert o["stream_locf_incremental"] == o["win_locf_backfill"]
+
+
+def _run_tws_upsert(spark, stream_df, name):
+    """Start a TWS upsert-changelog query under RocksDB and drain it
+    (shared harness for the despike/backfill goldens)."""
+    from am_kinesis_pay_spark.streaming.tws_state_machine import ROCKSDB_PROVIDER
+
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_to_completion(
+            stream_df, f"{name}_{uuid.uuid4().hex[:6]}", "append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+
+
+def test_tws_hampel_changelog_equals_batch(spark, stream_dir):
+    """Incremental Hampel despike (VERDICT r10 #7): the
+    transformWithStateInPandas UPSERT changelog, folded last-writer-
+    wins per (segment, day), must equal the one-shot batch
+    win_hampel_filter exactly — regardless of how the stream was
+    chopped into files (per-segment day sums arrive across several
+    micro-batches, so late partials force the processor to re-emit a
+    day and its six followers with a higher seq; the fold keeps only
+    the final recomputation)."""
+    from am_kinesis_pay_spark.streaming.tws_despike import hampel_tws
+    from am_kinesis_pay_spark.streaming.tws_state_machine import tws_available
+
+    if not tws_available():
+        pytest.skip(
+            "transformWithState's Python worker protocol needs a protobuf "
+            "runtime (see am_kinesis_pay_spark/compat.py)"
+        )
+
+    out = _run_tws_upsert(spark, hampel_tws(events_stream(spark, stream_dir)), "hamp")
+    latest = (
+        out.groupBy("event_type", "day")
+        .agg(
+            F.max_by(
+                F.struct(
+                    "v",
+                    "n_window",
+                    "rolling_med",
+                    "rolling_mad",
+                    "is_spike",
+                    "despiked",
+                ),
+                "seq",
+            ).alias("r")
+        )
+        .select("event_type", "day", "r.*")
+    )
+    got = sorted(map(tuple, latest.collect()))
+    want = sorted(
+        map(tuple, queries()["win_hampel_filter"](spark, SF_DIR).collect())
+    )
+    assert got == want
+
+
+def test_tws_locf_panel_equals_batch(spark, stream_dir):
+    """Incremental LOCF panel (VERDICT r10 #7): the TWS upsert
+    changelog of raw (sum, count) day accumulators, folded last-
+    writer-wins and densified by the batch entry's own _locf_densify,
+    must equal the one-shot batch win_locf_backfill exactly. The mean
+    and its half-up rounding happen engine-side AFTER the fold, so no
+    Python float rounding enters the comparison."""
+    from am_kinesis_pay_spark.operators.windows import _locf_densify
+    from am_kinesis_pay_spark.streaming.tws_despike import locf_tws
+    from am_kinesis_pay_spark.streaming.tws_state_machine import tws_available
+    from am_kinesis_pay_spark.tables import load
+
+    if not tws_available():
+        pytest.skip(
+            "transformWithState's Python worker protocol needs a protobuf "
+            "runtime (see am_kinesis_pay_spark/compat.py)"
+        )
+
+    out = _run_tws_upsert(spark, locf_tws(events_stream(spark, stream_dir)), "locf")
+    obs = (
+        out.groupBy("event_type", "day")
+        .agg(F.max_by(F.struct("s", "c"), "seq").alias("r"))
+        .select(
+            "event_type",
+            "day",
+            F.round(F.col("r.s").cast("double") / 100.0 / F.col("r.c"), 6)
+            .cast("decimal(18,6)")
+            .alias("obs"),
+        )
+    )
+    filled = _locf_densify(load(spark, SF_DIR, "events"), obs)
+    got = sorted(map(tuple, filled.collect()))
+    want = sorted(
+        map(tuple, queries()["win_locf_backfill"](spark, SF_DIR).collect())
+    )
+    assert got == want
