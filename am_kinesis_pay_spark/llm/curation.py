@@ -2369,3 +2369,267 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.abs(F.col("acc") - F.col("conf"))).over(w_all), 6
         ).alias("mce"),
     )
+
+
+_PRC_BINS = 20  # score-threshold grid (step 0.05)
+
+
+@register(
+    "eval_pr_curve",
+    oracle=f"""
+WITH scored AS (
+  SELECT
+    CAST(round(1.0 / (1.0 + exp(-(
+      list_sum(list_transform(string_split(text, ' '), t ->
+        (CAST(('0x' || substr(md5(t), 1, 4)) AS INTEGER) % 200 - 100)
+          / 100.0))
+      / len(string_split(text, ' '))))), 6) AS DECIMAL(18,6)) AS p,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE len(string_split(text, ' ')) >= 1
+), binned AS (
+  SELECT LEAST(CAST(floor(CAST(p AS DOUBLE) * {_PRC_BINS}) AS BIGINT),
+               {_PRC_BINS - 1}) AS bin, y
+  FROM scored
+), per AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(y) AS BIGINT) AS pos
+  FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin, n, pos,
+    CAST(SUM(n) OVER (ORDER BY bin DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge,
+    CAST(SUM(pos) OVER (ORDER BY bin DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+    CAST(SUM(pos) OVER () AS BIGINT) AS total_pos
+  FROM per
+)
+SELECT round(CAST(bin AS DOUBLE) / {_PRC_BINS}, 6) AS threshold,
+  n_ge, tp,
+  round(CAST(tp AS DOUBLE) / n_ge, 6) AS precision_at,
+  round(CASE WHEN total_pos = 0 THEN 0.0
+        ELSE CAST(tp AS DOUBLE) / total_pos END, 6) AS recall_at,
+  round(CASE WHEN tp = 0 THEN 0.0
+        ELSE 2.0 * (CAST(tp AS DOUBLE) / n_ge)
+             * (CAST(tp AS DOUBLE) / total_pos)
+             / (CAST(tp AS DOUBLE) / n_ge
+                + CAST(tp AS DOUBLE) / total_pos) END, 6) AS f1_at
+FROM cum
+""",
+    tags=("eval", "llm", "quality"),
+)
+def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION-RECALL THRESHOLD SWEEP for the quality classifier —
+    the operating-point picker that completes the model-eval triad's
+    missing axis (agg_model_auc summarizes discrimination in one
+    number; eval_calibration_ece checks probability meaning; a
+    curation pipeline must still CHOOSE the gate threshold, and this
+    is the table it chooses from): per score bucket (step
+    1/{_PRC_BINS}), precision / recall / F1 of the rule "keep if
+    p >= threshold", computed from a cumulative-from-the-top scan of
+    the score histogram.
+
+    Exactness: scores come from the shared _classifier_scored session
+    artifact (6-dp DECIMAL — no rescoring pass, VERDICT r10 #4
+    convention); bin ids are exact floor arithmetic with the LEAST
+    clamp at p = 1.0; all cumulative quantities are INTEGER window
+    sums over the {_PRC_BINS}-row histogram, so the only float math
+    is the final per-row ratios (n_ge >= 1 for every OBSERVED bin by
+    construction; tp = 0 and total_pos = 0 guarded identically on
+    both engines). Only observed bins emit — empty buckets carry no
+    operating point.
+
+    Plan shape: one artifact scan, one hash agg to <= {_PRC_BINS}
+    rows, windows over that fixed frame (unpartitioned windows
+    allowlisted: the frame is threshold-grid-sized, never row-scale).
+    At 100 TB: one scan, twenty rows."""
+    scored = _classifier_scored(spark, sf_dir).select(
+        "p", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+    )
+    per = (
+        scored.select(
+            F.least(
+                F.floor(F.col("p").cast("double") * _PRC_BINS).cast(
+                    "bigint"
+                ),
+                F.lit(_PRC_BINS - 1),
+            ).alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    w_top = (
+        Window.orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "bin",
+        F.sum("n").over(w_top).cast("bigint").alias("n_ge"),
+        F.sum("pos").over(w_top).cast("bigint").alias("tp"),
+        F.sum("pos").over(w_all).cast("bigint").alias("total_pos"),
+    )
+    prec = F.col("tp").cast("double") / F.col("n_ge")
+    rec = F.col("tp").cast("double") / F.col("total_pos")
+    return cum.select(
+        F.round(F.col("bin").cast("double") / _PRC_BINS, 6).alias(
+            "threshold"
+        ),
+        "n_ge",
+        "tp",
+        F.round(prec, 6).alias("precision_at"),
+        F.round(
+            F.when(F.col("total_pos") == 0, F.lit(0.0)).otherwise(rec), 6
+        ).alias("recall_at"),
+        F.round(
+            F.when(F.col("tp") == 0, F.lit(0.0)).otherwise(
+                2.0 * prec * rec / (prec + rec)
+            ),
+            6,
+        ).alias("f1_at"),
+    )
+
+
+@register(
+    "eval_cohens_kappa",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+    SUM(CASE WHEN token IN ('the', 'a') THEN 1 ELSE 0 END) AS en_hits,
+    SUM(CASE WHEN token IN ('der', 'und') THEN 1 ELSE 0 END) AS de_hits
+  FROM toks GROUP BY doc_id, lang
+), pred AS (
+  SELECT lang AS labeled,
+    CASE WHEN en_hits >= de_hits AND en_hits > 0 THEN 'en'
+         WHEN de_hits > 0 THEN 'de'
+         ELSE 'unknown' END AS predicted
+  FROM scores
+), cells AS (
+  SELECT labeled, predicted, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY labeled, predicted
+), nl AS (
+  SELECT labeled AS cls, CAST(SUM(n) AS BIGINT) AS n_labeled
+  FROM cells GROUP BY labeled
+), np AS (
+  SELECT predicted AS cls, CAST(SUM(n) AS BIGINT) AS n_predicted
+  FROM cells GROUP BY predicted
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+    CAST(SUM(CASE WHEN labeled = predicted THEN n ELSE 0 END) AS BIGINT)
+      AS n_agree
+  FROM cells
+), pe_num AS (
+  SELECT CAST(SUM(COALESCE(n_labeled, 0) * COALESCE(n_predicted, 0))
+              AS BIGINT) AS pe_prod
+  FROM nl FULL OUTER JOIN np USING (cls)
+)
+SELECT n_total, n_agree,
+  round(CAST(n_agree AS DOUBLE) / n_total, 6) AS po,
+  round(CAST(pe_prod AS DOUBLE) / n_total / n_total, 6) AS pe,
+  round(CASE WHEN CAST(pe_prod AS DOUBLE) / n_total / n_total >= 1.0
+        THEN 0.0
+        ELSE (CAST(n_agree AS DOUBLE) / n_total
+              - CAST(pe_prod AS DOUBLE) / n_total / n_total)
+             / (1.0 - CAST(pe_prod AS DOUBLE) / n_total / n_total) END, 6)
+    AS kappa
+FROM tot CROSS JOIN pe_num
+""",
+    tags=("eval", "llm", "stats"),
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between the language-ID heuristic and the stored
+    labels — chance-corrected agreement (Cohen 1960), the one number
+    eval_lang_confusion's matrix doesn't give you: raw accuracy
+    (po) flatters any labeler on a skewed class mix, and kappa
+    subtracts the agreement the margins would produce by chance
+    (pe = sum of row-margin x column-margin products / N^2). This is
+    the standard inter-annotator / model-vs-gold agreement statistic
+    every labeling pipeline publishes before trusting weak labels.
+
+    Exactness: the labeler is eval_lang_confusion's deterministic
+    stopword predictor (same cells frame, so the two entries can
+    never disagree about the matrix); po and pe are ratios of exact
+    INTEGER sums (the margin cross-product accumulates bigints, never
+    doubles); the degenerate pe = 1 case (single class on both sides)
+    is guarded identically on both engines.
+
+    Plan shape: one token-explode hash agg to per-doc scores, one agg
+    to the |labels| x 3 cell frame, two margin aggs + one broadcast
+    full-outer margin join over that domain-sized frame, one final
+    1-row reduction. At 100 TB the corpus is tokenized once; all
+    agreement math is domain-sized."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    scores = toks.groupBy("doc_id", "lang").agg(
+        F.sum(
+            F.when(F.col("token").isin("the", "a"), 1).otherwise(0)
+        ).alias("en_hits"),
+        F.sum(
+            F.when(F.col("token").isin("der", "und"), 1).otherwise(0)
+        ).alias("de_hits"),
+    )
+    pred = scores.select(
+        F.col("lang").alias("labeled"),
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits")) & (F.col("en_hits") > 0),
+            "en",
+        )
+        .when(F.col("de_hits") > 0, "de")
+        .otherwise("unknown")
+        .alias("predicted"),
+    )
+    cells = pred.groupBy("labeled", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    nl = cells.groupBy(F.col("labeled").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("n_labeled")
+    )
+    np_ = cells.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("n_predicted")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(
+            F.when(F.col("labeled") == F.col("predicted"), F.col("n"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    pe_num = (
+        nl.join(np_, "cls", "full_outer")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("n_labeled"), F.lit(0))
+                * F.coalesce(F.col("n_predicted"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("pe_prod")
+        )
+    )
+    po = F.col("n_agree").cast("double") / F.col("n_total")
+    pe = (
+        F.col("pe_prod").cast("double")
+        / F.col("n_total")
+        / F.col("n_total")
+    )
+    return tot.crossJoin(F.broadcast(pe_num)).select(
+        "n_total",
+        "n_agree",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(
+            F.when(pe >= 1.0, F.lit(0.0)).otherwise((po - pe) / (1.0 - pe)),
+            6,
+        ).alias("kappa"),
+    )

@@ -4738,3 +4738,250 @@ def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("diff") - F.col("margin")) / F.col("se") < -z1)
         ).alias("equivalent"),
     )
+
+
+#: capture-recapture split: first capture = days 1..15 of the month,
+#: second capture = the rest (the fixture's events span one month)
+_CRC_SPLIT_DAY = 15
+
+
+@register(
+    "agg_capture_recapture",
+    oracle=f"""
+WITH caps AS (
+  SELECT event_type, user_id,
+    MAX(CASE WHEN EXTRACT(day FROM ts) <= {_CRC_SPLIT_DAY}
+             THEN 1 ELSE 0 END) AS in_c1,
+    MAX(CASE WHEN EXTRACT(day FROM ts) > {_CRC_SPLIT_DAY}
+             THEN 1 ELSE 0 END) AS in_c2
+  FROM events GROUP BY event_type, user_id
+), agg AS (
+  SELECT event_type,
+    CAST(SUM(in_c1) AS BIGINT) AS n1,
+    CAST(SUM(in_c2) AS BIGINT) AS n2,
+    CAST(SUM(in_c1 * in_c2) AS BIGINT) AS m,
+    CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM caps GROUP BY event_type
+)
+SELECT event_type, n1, n2, m, n_true,
+  round(CAST((n1 + 1) AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 2)
+    AS n_chapman,
+  round(CAST((n1 + 1) AS DOUBLE) * (n2 + 1) * (n1 - m) * (n2 - m)
+        / (CAST((m + 1) AS DOUBLE) * (m + 1) * (m + 2)), 2) AS var_chapman,
+  round((CAST((n1 + 1) AS DOUBLE) * (n2 + 1) / (m + 1) - 1 - n_true)
+        / n_true, 6) AS rel_err
+FROM agg
+""",
+    tags=("agg", "stats", "events"),
+)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE-RECAPTURE population estimate (Chapman's corrected
+    Lincoln-Petersen, 1951) — estimate the distinct-user population per
+    segment from TWO overlapping samples without a global distinct:
+    users seen in the first half of the month (capture 1) and the
+    second half (capture 2); N-hat = (n1+1)(n2+1)/(m+1) - 1 where m is
+    the recapture overlap, with Chapman's variance. The fixture keeps
+    the exact n_true beside the estimate so rel_err audits the
+    estimator's bias inline (the eval_minhash_recall convention: the
+    sketch ships with its own quality audit). This is the ecology /
+    data-census estimator for "how many distinct entities exist when
+    full enumeration is impractical" — dedup pipelines use the same
+    identity to estimate residual duplicate rates from two audit
+    samples.
+
+    Exactness: both capture memberships collapse per (segment, user)
+    with MAX flags in ONE hash agg (in_c1*in_c2 gives the overlap —
+    no intersect join, no second distinct pass), so n1/n2/m/n_true are
+    exact integers; the Chapman arithmetic is a fixed closed-form
+    double expression over those integers, written in the same textual
+    order on both engines. Guards: the +1 terms make every denominator
+    >= 1 by construction, and n_true >= 1 whenever the group exists.
+
+    Plan shape: one hash aggregation to the (segment x user) domain
+    frame, one to the segment frame. At 100 TB: two map-side-combined
+    passes, output |segments| rows — and the estimator is exactly what
+    you run when COUNT(DISTINCT) over the full corpus is the thing you
+    are trying to avoid."""
+    ev = load(spark, sf_dir, "events")
+    caps = ev.groupBy("event_type", "user_id").agg(
+        F.max(
+            F.when(F.dayofmonth("ts") <= _CRC_SPLIT_DAY, 1).otherwise(0)
+        ).alias("in_c1"),
+        F.max(
+            F.when(F.dayofmonth("ts") > _CRC_SPLIT_DAY, 1).otherwise(0)
+        ).alias("in_c2"),
+    )
+    agg = caps.groupBy("event_type").agg(
+        F.sum("in_c1").cast("bigint").alias("n1"),
+        F.sum("in_c2").cast("bigint").alias("n2"),
+        F.sum(F.col("in_c1") * F.col("in_c2")).cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+    )
+    n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
+    chapman = (n1 + 1).cast("double") * (n2 + 1) / (m + 1) - 1
+    return agg.select(
+        "event_type",
+        "n1",
+        "n2",
+        "m",
+        "n_true",
+        F.round(chapman, 2).alias("n_chapman"),
+        F.round(
+            (n1 + 1).cast("double") * (n2 + 1) * (n1 - m) * (n2 - m)
+            / ((m + 1).cast("double") * (m + 1) * (m + 2)),
+            2,
+        ).alias("var_chapman"),
+        F.round((chapman - F.col("n_true")) / F.col("n_true"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+#: pseudo-permutation count for the hash-based permutation test
+_PERM_B = 64
+
+
+@register(
+    "agg_permutation_test",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS grp,
+    CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+), obs AS (
+  SELECT
+    CAST(SUM(CASE WHEN grp = 0 THEN s END) AS DOUBLE)
+      / SUM(CASE WHEN grp = 0 THEN c END)
+    - CAST(SUM(CASE WHEN grp = 1 THEN s END) AS DOUBLE)
+      / SUM(CASE WHEN grp = 1 THEN c END) AS d_obs
+  FROM u
+), perms AS (
+  SELECT b,
+    CAST(SUM(CASE WHEN pl = 0 THEN s END) AS DOUBLE)
+      / SUM(CASE WHEN pl = 0 THEN c END)
+    - CAST(SUM(CASE WHEN pl = 1 THEN s END) AS DOUBLE)
+      / SUM(CASE WHEN pl = 1 THEN c END) AS d_b
+  FROM (
+    SELECT u.s, u.c, b.b,
+      CAST(('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '-'
+                               || CAST(b.b AS VARCHAR)), 1, 4))
+           AS INTEGER) % 2 AS pl
+    FROM u CROSS JOIN (
+      SELECT unnest(generate_series(0, {_PERM_B - 1})) AS b) b
+  ) GROUP BY b
+)
+SELECT
+  CAST({_PERM_B} AS BIGINT) AS n_perms,
+  round(d_obs, 6) AS obs_diff,
+  CAST(SUM(CASE WHEN abs(d_b) >= abs(d_obs) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_extreme,
+  round((1.0 + SUM(CASE WHEN abs(d_b) >= abs(d_obs) THEN 1 ELSE 0 END))
+        / (1.0 + {_PERM_B}), 6) AS p_value
+FROM perms CROSS JOIN obs
+GROUP BY d_obs
+""",
+    tags=("agg", "stats"),
+)
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-BASED PERMUTATION TEST for the A/B mean difference — the
+    assumption-free companion to agg_ab_ttest (no normality, no equal-
+    variance; Fisher 1935 exact-test logic made tractable): the null
+    distribution is built by RELABELING users, not resampling values,
+    with {_PERM_B} pseudo-permutations drawn from a deterministic md5
+    coin on (user, b) — the same derandomization as
+    graph_triangle_doulion's edge coin, so both engines materialize
+    the identical null distribution and the p-value is reproducible
+    run-to-run (a seeded RNG shuffles differently per engine; a hash
+    coin cannot). Estimate uses the add-one permutation p-value
+    (Phipson & Smyth 2010): p = (1 + #{{|d_b| >= |d_obs|}}) / (1 + B).
+
+    Exactness: one hash agg collapses events to per-user DECIMAL
+    (sum, count) pairs; every permuted difference is a ratio of exact
+    DECIMAL sums over the relabeled user frame, so no double
+    accumulates across rows anywhere — the only float math is the
+    final fixed-form division per b. The relabeling coin flips
+    USER-level units (the randomization unit of agg_ab_ttest), never
+    rows, which is what makes the test valid under within-user
+    correlation.
+
+    Plan shape: one user-level hash agg, one in-row explode of the
+    {_PERM_B}-label sequence over the user frame (user-domain x B — bounded
+    by the user DOMAIN, not row count), one hash agg to 2x{_PERM_B}
+    cells, a 1-row observed frame broadcast-crossed in. At 100 TB the
+    corpus is touched ONCE; everything after the first agg is
+    domain-sized."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round("value", 2).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    ).select("user_id", (F.col("user_id") % 2).alias("grp"), "s", "c")
+    obs = u.agg(
+        (
+            F.sum(F.when(F.col("grp") == 0, F.col("s"))).cast("double")
+            / F.sum(F.when(F.col("grp") == 0, F.col("c")))
+            - F.sum(F.when(F.col("grp") == 1, F.col("s"))).cast("double")
+            / F.sum(F.when(F.col("grp") == 1, F.col("c")))
+        ).alias("d_obs")
+    )
+    labeled = u.select(
+        "user_id",
+        "s",
+        "c",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_PERM_B - 1))
+        ).alias("b"),
+    ).select(
+        "s",
+        "c",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("user_id").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        ).alias("pl"),
+    )
+    perms = labeled.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("pl") == 0, F.col("s"))).cast("double")
+            / F.sum(F.when(F.col("pl") == 0, F.col("c")))
+            - F.sum(F.when(F.col("pl") == 1, F.col("s"))).cast("double")
+            / F.sum(F.when(F.col("pl") == 1, F.col("c")))
+        ).alias("d_b")
+    )
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .groupBy("d_obs")
+        .agg(
+            F.lit(_PERM_B).cast("bigint").alias("n_perms"),
+            F.sum(
+                F.when(F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+        .select(
+            "n_perms",
+            F.round("d_obs", 6).alias("obs_diff"),
+            "n_extreme",
+            F.round(
+                (1.0 + F.col("n_extreme")) / F.lit(1.0 + _PERM_B), 6
+            ).alias("p_value"),
+        )
+    )

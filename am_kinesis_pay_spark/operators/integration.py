@@ -4228,3 +4228,396 @@ def eval_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mae_n, 6).alias("mae_naive"),
         F.round(1 - mae / mae_n, 6).alias("skill"),
     )
+
+
+#: |z| threshold for calling a Mann-Kendall trend (two-sided 5%)
+_MK_Z = "1.96"
+
+
+@register(
+    "ts_mann_kendall",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, CAST(ts AS DATE)
+), pairs AS (
+  SELECT a.event_type,
+    CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn,
+    CAST((b.v - a.v) AS DOUBLE) / (b.day - a.day) AS slope
+  FROM d a JOIN d b
+    ON a.event_type = b.event_type AND a.day < b.day
+), s AS (
+  SELECT event_type,
+    CAST(SUM(sgn) AS BIGINT) AS s_stat,
+    list_sort(list(slope))[
+      CAST(floor((COUNT(*) + 1) / 2.0) AS BIGINT)] AS sen_slope
+  FROM pairs GROUP BY event_type
+), ties AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(SUM(tp * (tp - 1) * (2 * tp + 5)) AS BIGINT) AS tie_term
+  FROM (
+    SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS tp
+    FROM d GROUP BY event_type, v
+  ) GROUP BY event_type
+), stats AS (
+  SELECT s.event_type, ties.n_days, s.s_stat, s.sen_slope,
+    (CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5) - tie_term)
+      / 18.0 AS var_s
+  FROM s JOIN ties ON s.event_type = ties.event_type
+)
+SELECT event_type, n_days, s_stat,
+  round(var_s, 6) AS var_s,
+  round(CASE WHEN var_s <= 0 THEN 0.0
+             WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+             WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+             ELSE 0.0 END, 6) AS z,
+  CASE WHEN var_s <= 0 THEN 'no_trend'
+       WHEN s_stat > 0 AND (s_stat - 1) / sqrt(var_s) > {_MK_Z}
+         THEN 'increasing'
+       WHEN s_stat < 0 AND (s_stat + 1) / sqrt(var_s) < -{_MK_Z}
+         THEN 'decreasing'
+       ELSE 'no_trend' END AS trend,
+  round(sen_slope, 6) AS sen_slope
+FROM stats
+""",
+    tags=("integration", "timeseries", "stats"),
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST + THEIL-SEN SLOPE per segment — the
+    nonparametric "is this metric drifting" monitor (Mann 1945,
+    Kendall 1975; Sen 1968): S = sum of pairwise sign comparisons over
+    the daily series, tie-corrected variance, continuity-corrected Z,
+    and the Theil-Sen slope (median of all pairwise slopes — robust to
+    outliers where OLS in agg_ols_trend is not; the two entries
+    answer the same question under different contamination
+    assumptions). This is the standard pre-alarm for data-quality
+    drift on metrics too noisy for parametric trend fits.
+
+    Exactness: the daily series is the exact DECIMAL(18,2) frame; S
+    is an integer CASE sum (never a float); tie counts are integers;
+    the single pairwise-slope median is a TYPE-1 lower-middle rank
+    from the sorted slope list (each slope a one-shot DECIMAL-diff /
+    integer-days division — identical doubles on both engines, and
+    doubles sort identically). The z guard handles the all-tied
+    var_s = 0 case identically on both engines.
+
+    Plan shape: one hash agg to the (segment x day) domain frame,
+    then ONE segment-keyed self-join producing the C(n,2) pairwise
+    frame — QUADRATIC in days-per-segment but the domain saturates
+    (a decade is C(3653,2) ≈ 6.7M pairs per segment, constant in row
+    count; at 100 TB the corpus is touched once by the first agg).
+    collect_list holds one slope list per segment, domain-bounded."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round("value", 2).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    a = d.select(
+        "event_type", F.col("day").alias("da"), F.col("v").alias("va")
+    )
+    b = d.select(
+        "event_type", F.col("day").alias("db"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("da") < F.col("db")).select(
+        "event_type",
+        F.when(F.col("vb") > F.col("va"), 1)
+        .when(F.col("vb") < F.col("va"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        (
+            (F.col("vb") - F.col("va")).cast("double")
+            / F.datediff("db", "da")
+        ).alias("slope"),
+    )
+    k = F.floor((F.count(F.lit(1)) + 1) / F.lit(2.0)).cast("int")
+    s = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("bigint").alias("s_stat"),
+        F.element_at(F.array_sort(F.collect_list("slope")), k).alias(
+            "sen_slope"
+        ),
+    )
+    ties = (
+        d.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tp"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(
+                F.col("tp") * (F.col("tp") - 1) * (2 * F.col("tp") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term"),
+        )
+    )
+    nd = F.col("n_days")
+    stats = s.join(ties, "event_type").select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        "sen_slope",
+        (
+            (nd.cast("double") * (nd - 1) * (2 * nd + 5) - F.col("tie_term"))
+            / 18.0
+        ).alias("var_s"),
+    )
+    ss, vs = F.col("s_stat"), F.col("var_s")
+    z = (
+        F.when(vs <= 0, F.lit(0.0))
+        .when(ss > 0, (ss - 1) / F.sqrt(vs))
+        .when(ss < 0, (ss + 1) / F.sqrt(vs))
+        .otherwise(F.lit(0.0))
+    )
+    zlit = F.lit(float(_MK_Z))
+    return stats.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        F.round(vs, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(vs <= 0, F.lit("no_trend"))
+        .when((ss > 0) & ((ss - 1) / F.sqrt(vs) > zlit), "increasing")
+        .when((ss < 0) & ((ss + 1) / F.sqrt(vs) < -zlit), "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+        F.round("sen_slope", 6).alias("sen_slope"),
+    )
+
+
+#: cross-correlation max lead/lag in days
+_CCF_MAX_LAG = 4
+
+
+@register(
+    "ts_cross_correlation",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, CAST(ts AS DATE)
+), lagged AS (
+  SELECT a.event_type AS lead_type, b.event_type AS lag_type, l.lag,
+    a.v AS x, b.v AS y
+  FROM d a
+  CROSS JOIN (SELECT unnest(generate_series(0, {_CCF_MAX_LAG})) AS lag) l
+  JOIN d b ON b.event_type <> a.event_type
+          AND b.day = a.day + CAST(l.lag AS INTEGER)
+), moments AS (
+  SELECT lead_type, lag_type, lag,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+    CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM lagged GROUP BY lead_type, lag_type, lag
+)
+SELECT lead_type, lag_type, CAST(lag AS BIGINT) AS lag, n,
+  round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0 THEN 0.0
+        ELSE (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+    AS ccf
+FROM moments
+WHERE n >= 3
+""",
+    tags=("integration", "timeseries", "stats"),
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORRELATION FUNCTION between segment pairs — the lead-lag
+    detector ts_autocorrelation can't express (that entry correlates a
+    series with ITS OWN past; this one asks whether segment A's daily
+    revenue leads segment B's by k days, the input to "views today
+    predict purchases Thursday" causal screening and to forecasting
+    feature selection): Pearson correlation of (x(d), y(d+lag)) per
+    ordered segment pair for lags 0..{_CCF_MAX_LAG}, n >= 3 overlap
+    required.
+
+    Exactness: all five moments are EXACT DECIMAL sums over the
+    DECIMAL(18,2) daily frame (x*y is DECIMAL(38,4) — no double
+    accumulates across rows); the correlation is one fixed-form double
+    expression per output row, with the zero-variance guard written
+    identically on both engines (a constant series has undefined
+    correlation; emitted as 0.0 rather than dropping the row so the
+    pair's coverage stays visible).
+
+    Plan shape: one hash agg to the (segment x day) domain frame, an
+    in-row explode of the {_CCF_MAX_LAG + 1}-lag sequence, one
+    day-shifted self-join (domain x lags — saturating), one hash agg to
+    |pairs| x |lags| output rows. The corpus is scanned once."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round("value", 2).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    a = d.select(
+        F.col("event_type").alias("lead_type"),
+        F.col("day").alias("da"),
+        F.col("v").alias("x"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_CCF_MAX_LAG))
+        ).alias("lag"),
+    )
+    b = d.select(
+        F.col("event_type").alias("lag_type"),
+        F.col("day").alias("db"),
+        F.col("v").alias("y"),
+    )
+    lagged = (
+        a.withColumn("db", F.expr("date_add(da, CAST(lag AS INT))"))
+        .join(b, ["db"])
+        .filter(F.col("lag_type") != F.col("lead_type"))
+    )
+    moments = lagged.groupBy("lead_type", "lag_type", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return moments.filter(n >= 3).select(
+        "lead_type",
+        "lag_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        "n",
+        F.round(
+            F.when(den <= 0, F.lit(0.0)).otherwise(num / F.sqrt(den)), 6
+        ).alias("ccf"),
+    )
+
+
+#: minimum common-neighbor support for a predicted link
+_AA_MIN_CN = 2
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=f"""
+WITH {_TRI_EDGE_CTE}, und AS (
+  SELECT s AS u, t AS z FROM e
+  UNION ALL
+  SELECT t AS u, s AS z FROM e
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM und GROUP BY u
+), wedges AS (
+  SELECT l.u AS u, r.u AS w, l.z AS z
+  FROM und l JOIN und r ON l.z = r.z AND l.u < r.u
+), cand AS (
+  SELECT wedges.u, wedges.w, wedges.z FROM wedges
+  LEFT JOIN e ON e.s = wedges.u AND e.t = wedges.w
+  WHERE e.s IS NULL
+), scored AS (
+  SELECT c.u, c.w,
+    CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+    CAST(SUM(CAST(round(1.0 / ln(dz.dg), 9) AS DECIMAL(18,9)))
+         AS DECIMAL(18,9)) AS aa_sum,
+    CAST(SUM(CAST(round(1.0 / dz.dg, 9) AS DECIMAL(18,9)))
+         AS DECIMAL(18,9)) AS ra_sum
+  FROM cand c JOIN deg dz ON dz.u = c.z
+  GROUP BY c.u, c.w
+  HAVING COUNT(*) >= {_AA_MIN_CN}
+)
+SELECT s.u, s.w, s.common_neighbors,
+  round(CAST(aa_sum AS DOUBLE), 6) AS adamic_adar,
+  round(CAST(ra_sum AS DOUBLE), 6) AS resource_alloc,
+  round(CAST(s.common_neighbors AS DOUBLE)
+        / (du.dg + dw.dg - s.common_neighbors), 6) AS jaccard
+FROM scored s
+JOIN deg du ON du.u = s.u
+JOIN deg dw ON dw.u = s.w
+""",
+    tags=("integration", "graph"),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION scores over the co-purchase graph — the
+    missing-edge ranker (Liben-Nowell & Kleinberg 2003) beside the
+    registry's descriptive graph metrics: for every NON-adjacent pair
+    with >= {_AA_MIN_CN} common neighbors, the Adamic-Adar index
+    (sum of 1/ln(deg) over shared neighbors — rare mutual friends
+    count more), the resource-allocation index (1/deg — the exact-
+    arithmetic sibling), and neighborhood Jaccard. This is the
+    candidate generator for "users who should be linked but aren't":
+    fraud-ring discovery, recommendation seeding, ER blocking hints.
+
+    Exactness: every common neighbor z has deg(z) >= 2 by construction
+    (it is adjacent to both endpoints), so ln(deg) > 0 and no guard
+    ambiguity exists; each 1/ln and 1/deg term snaps to a 9-dp
+    DECIMAL before the ORDER-FREE decimal sum (the winsorized-oracle
+    lesson: never let a parallel DOUBLE sum decide a 6-dp round), and
+    1/deg is an IEEE-exact division of identical inputs on both
+    engines. Jaccard is integer arithmetic until one final division.
+
+    Plan shape: reuses the _materialized_edges session artifact (the
+    cap-saturated, md5-deterministic edge list every graph entry
+    shares — built once per session+sf), doubles it into an adjacency
+    frame, one neighbor-keyed wedge self-join (fan-out bounded by the
+    per-day cap, the graph_bipartite_projection discipline), one
+    left_anti against the edge list, one hash agg per candidate pair,
+    two broadcast-sized degree joins. No CartesianProduct anywhere;
+    at 100 TB the wedge join is the only super-linear stage and its
+    row count is SUM(deg^2), cap-bounded per day."""
+    edges = _materialized_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("s").alias("u"), F.col("t").alias("z")
+    ).unionAll(edges.select(F.col("t").alias("u"), F.col("s").alias("z")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+    left = und.select(F.col("u"), F.col("z"))
+    right = und.select(F.col("u").alias("w"), F.col("z"))
+    wedges = left.join(right, "z").filter(F.col("u") < F.col("w"))
+    cand = wedges.join(
+        edges,
+        (edges.s == wedges.u) & (edges.t == wedges.w),
+        "left_anti",
+    )
+    dz = deg.select(F.col("u").alias("z"), F.col("dg").alias("dz"))
+    scored = (
+        cand.join(dz, "z")
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum(
+                F.round(F.lit(1.0) / F.log(F.col("dz")), 9).cast(
+                    "decimal(18,9)"
+                )
+            )
+            .cast("decimal(18,9)")
+            .alias("aa_sum"),
+            F.sum(
+                F.round(F.lit(1.0) / F.col("dz"), 9).cast("decimal(18,9)")
+            )
+            .cast("decimal(18,9)")
+            .alias("ra_sum"),
+        )
+        .filter(F.col("common_neighbors") >= _AA_MIN_CN)
+    )
+    du = deg.select(F.col("u"), F.col("dg").alias("du"))
+    dw = deg.select(F.col("u").alias("w"), F.col("dg").alias("dw"))
+    return (
+        scored.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            "common_neighbors",
+            F.round(F.col("aa_sum").cast("double"), 6).alias("adamic_adar"),
+            F.round(F.col("ra_sum").cast("double"), 6).alias(
+                "resource_alloc"
+            ),
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("du") + F.col("dw") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

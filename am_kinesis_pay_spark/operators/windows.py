@@ -1837,3 +1837,121 @@ def _locf_densify(ev: DataFrame, obs: DataFrame) -> DataFrame:
         filled.cast("double").alias("filled"),
         (F.col("obs").isNull() & filled.isNotNull()).alias("is_carried"),
     )
+
+
+@register(
+    "events_attribution_position",
+    oracle="""
+WITH seq AS (
+  SELECT event_id, user_id, ts, event_type,
+    MIN(CASE WHEN event_type = 'purchase'
+             THEN {'ts': ts, 'event_id': event_id} END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv
+  FROM events
+), touches AS (
+  SELECT user_id, ts, event_id, event_type, conv.event_id AS conv_id
+  FROM seq
+  WHERE event_type IN ('view', 'click') AND conv IS NOT NULL
+    AND conv.ts <= ts + INTERVAL 7 DAY
+), ranked AS (
+  SELECT event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id, conv_id
+                       ORDER BY ts, event_id) AS rn_asc,
+    ROW_NUMBER() OVER (PARTITION BY user_id, conv_id
+                       ORDER BY ts DESC, event_id DESC) AS rn_desc,
+    COUNT(*) OVER (PARTITION BY user_id, conv_id) AS n
+  FROM touches
+), credited AS (
+  SELECT event_type,
+    CASE WHEN n = 1 THEN CAST(1.0 AS DECIMAL(18,9))
+         WHEN n = 2 THEN CAST(0.5 AS DECIMAL(18,9))
+         WHEN rn_asc = 1 OR rn_desc = 1 THEN CAST(0.4 AS DECIMAL(18,9))
+         ELSE CAST(round(0.2 / (n - 2), 9) AS DECIMAL(18,9))
+    END AS credit
+  FROM ranked
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_touches,
+  round(CAST(SUM(credit) AS DOUBLE), 6) AS credit
+FROM credited GROUP BY event_type
+""",
+    tags=("window", "integration"),
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-shaped, 40/20/40) attribution — the third
+    credit model on the shared touch-assignment pipeline
+    (events_attribution_last takes the final touch, _linear splits
+    1/n; the U-shape gives 40% to the FIRST touch that opened the
+    path and 40% to the LAST that closed it, splitting the remaining
+    20% across the middle — the standard compromise between first-
+    and last-touch bias). The expensive stage (forward struct-min
+    window assigning every view/click its next purchase within 7
+    days) is byte-identical to the other two entries; only the credit
+    expression changes.
+
+    Exactness: single-touch paths get the whole 1.0 and two-touch
+    paths 0.5 each (the degenerate U where edges overlap — stated so
+    credit always sums to exactly 1 per conversion); edge credits are
+    the exact DECIMAL 0.4; each middle share snaps round(0.2/(n-2), 9)
+    to a 9-dp DECIMAL before the ORDER-FREE decimal sum (the 1/(n-2)
+    division is IEEE-exact-identical on both engines). Rank ties
+    break by event_id in both directions, so rn_asc/rn_desc are
+    deterministic.
+
+    Plan shape: one per-user window Exchange serves the conversion
+    assignment, one per-(user, conv) window serves both ranks and the
+    path size, one hash agg to |touch types| rows. Same single
+    user-keyed shuffle discipline as the sibling entries; at 100 TB
+    nothing here exceeds the per-user sort the family already pays."""
+    ev = load(spark, sf_dir, "events")
+    w_next = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    conv = F.min(
+        F.when(
+            F.col("event_type") == "purchase", F.struct("ts", "event_id")
+        )
+    ).over(w_next)
+    seq = ev.select("event_id", "user_id", "ts", "event_type", conv.alias("conv"))
+    touches = seq.filter(
+        F.col("event_type").isin("view", "click")
+        & F.col("conv").isNotNull()
+        & (F.col("conv.ts") <= F.col("ts") + F.expr("INTERVAL 7 DAY"))
+    ).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.col("conv.event_id").alias("conv_id"),
+    )
+    w_asc = W.partitionBy("user_id", "conv_id").orderBy("ts", "event_id")
+    w_desc = W.partitionBy("user_id", "conv_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    w_path = W.partitionBy("user_id", "conv_id")
+    ranked = touches.select(
+        "event_type",
+        F.row_number().over(w_asc).alias("rn_asc"),
+        F.row_number().over(w_desc).alias("rn_desc"),
+        F.count(F.lit(1)).over(w_path).alias("n"),
+    )
+    n = F.col("n")
+    credit = (
+        F.when(n == 1, F.lit("1.0").cast("decimal(18,9)"))
+        .when(n == 2, F.lit("0.5").cast("decimal(18,9)"))
+        .when(
+            (F.col("rn_asc") == 1) | (F.col("rn_desc") == 1),
+            F.lit("0.4").cast("decimal(18,9)"),
+        )
+        .otherwise(
+            F.round(F.lit(0.2) / (n - 2), 9).cast("decimal(18,9)")
+        )
+    )
+    return (
+        ranked.select("event_type", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(F.sum("credit").cast("double"), 6).alias("credit"),
+        )
+    )
