@@ -4561,51 +4561,70 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: reuses the _materialized_edges session artifact (the
     cap-saturated, md5-deterministic edge list every graph entry
     shares — built once per session+sf), doubles it into an adjacency
-    frame, one neighbor-keyed wedge self-join (fan-out bounded by the
-    per-day cap, the graph_bipartite_projection discipline), one
-    left_anti against the edge list, one hash agg per candidate pair,
-    two broadcast-sized degree joins. No CartesianProduct anywhere;
-    at 100 TB the wedge join is the only super-linear stage and its
-    row count is SUM(deg^2), cap-bounded per day."""
+    frame, and generates wedges with a BROADCAST neighbor join (the
+    adjacency is |days| x day-cap x 2 rows — saturating, megabytes
+    even at a decade) whose per-z score terms are precomputed on the
+    |nodes|-row degree frame. The ONE real shuffle is the (u, w) hash
+    agg with map-side combine collapsing the SUM(deg^2) wedge fan-out
+    to the <= C(|nodes|,2) pair frame; adjacency removal and the
+    min-cn filter then run as a broadcast left_anti on that reduced
+    frame (identical result to filtering wedges first — aggregation
+    per pair is independent of which pairs survive). No
+    CartesianProduct anywhere; the wedge fan-out is cap-bounded per
+    day, never row-scale."""
     edges = _materialized_edges(spark, sf_dir)
     und = edges.select(
         F.col("s").alias("u"), F.col("t").alias("z")
     ).unionAll(edges.select(F.col("t").alias("u"), F.col("s").alias("z")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
-    left = und.select(F.col("u"), F.col("z"))
-    right = und.select(F.col("u").alias("w"), F.col("z"))
-    wedges = left.join(right, "z").filter(F.col("u") < F.col("w"))
-    cand = wedges.join(
-        edges,
-        (edges.s == wedges.u) & (edges.t == wedges.w),
-        "left_anti",
+    # per-z score terms computed ONCE on the |nodes|-row degree frame,
+    # not per wedge row: the wedge generator then only reads columns.
+    # Degree-1 nodes can never be a common neighbor (a wedge center
+    # has two distinct neighbors), so they are dropped BEFORE the
+    # 1/ln(deg) term — ln(1) = 0 would throw under ANSI — and the
+    # inner join below loses no wedge.
+    dz = deg.filter(F.col("dg") >= 2).select(
+        F.col("u").alias("z"),
+        F.round(F.lit(1.0) / F.log(F.col("dg")), 9)
+        .cast("decimal(18,9)")
+        .alias("aa_term"),
+        F.round(F.lit(1.0) / F.col("dg"), 9)
+        .cast("decimal(18,9)")
+        .alias("ra_term"),
     )
-    dz = deg.select(F.col("u").alias("z"), F.col("dg").alias("dz"))
+    # the session artifact is a single parquet file: spread the probe
+    # side so the SUM(deg^2) wedge fan-out generates on all cores, not
+    # one task
+    left = und.select(F.col("u"), F.col("z")).repartition(32, "z")
+    right = und.select(F.col("u").alias("w"), F.col("z"))
+    wedges = (
+        left.join(F.broadcast(right), "z")
+        .filter(F.col("u") < F.col("w"))
+        .join(F.broadcast(dz), "z")
+    )
+    # aggregate FIRST (map-side combine collapses the wedge fan-out to
+    # the <= C(|nodes|,2) pair frame), drop adjacent pairs AFTER via a
+    # broadcast anti against the small edge list — same result, but the
+    # anti-join and the >= min-cn filter run on the reduced frame
     scored = (
-        cand.join(dz, "z")
-        .groupBy("u", "w")
+        wedges.groupBy("u", "w")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
-            F.sum(
-                F.round(F.lit(1.0) / F.log(F.col("dz")), 9).cast(
-                    "decimal(18,9)"
-                )
-            )
-            .cast("decimal(18,9)")
-            .alias("aa_sum"),
-            F.sum(
-                F.round(F.lit(1.0) / F.col("dz"), 9).cast("decimal(18,9)")
-            )
-            .cast("decimal(18,9)")
-            .alias("ra_sum"),
+            F.sum("aa_term").cast("decimal(18,9)").alias("aa_sum"),
+            F.sum("ra_term").cast("decimal(18,9)").alias("ra_sum"),
         )
         .filter(F.col("common_neighbors") >= _AA_MIN_CN)
+    )
+    nonadj = scored.join(
+        F.broadcast(edges),
+        (edges.s == scored.u) & (edges.t == scored.w),
+        "left_anti",
     )
     du = deg.select(F.col("u"), F.col("dg").alias("du"))
     dw = deg.select(F.col("u").alias("w"), F.col("dg").alias("dw"))
     return (
-        scored.join(du, "u")
-        .join(dw, "w")
+        nonadj.join(F.broadcast(du), "u")
+        .join(F.broadcast(dw), "w")
         .select(
             "u",
             "w",

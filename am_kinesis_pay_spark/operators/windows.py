@@ -1924,17 +1924,17 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type",
         F.col("conv.event_id").alias("conv_id"),
     )
+    # (ts, event_id) is a STRICT total order within a path, so the
+    # descending rank is n + 1 - rn_asc — one window sort serves both
+    # edge ranks and the path size (the oracle spells out both
+    # ROW_NUMBERs; identical values)
     w_asc = W.partitionBy("user_id", "conv_id").orderBy("ts", "event_id")
-    w_desc = W.partitionBy("user_id", "conv_id").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
     w_path = W.partitionBy("user_id", "conv_id")
     ranked = touches.select(
         "event_type",
         F.row_number().over(w_asc).alias("rn_asc"),
-        F.row_number().over(w_desc).alias("rn_desc"),
         F.count(F.lit(1)).over(w_path).alias("n"),
-    )
+    ).withColumn("rn_desc", F.col("n") + 1 - F.col("rn_asc"))
     n = F.col("n")
     credit = (
         F.when(n == 1, F.lit("1.0").cast("decimal(18,9)"))
