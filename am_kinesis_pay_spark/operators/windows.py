@@ -829,30 +829,12 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-engine sum is exact. Alternative models are the same
     plan with a different credit expression: first/last-touch =
     row_number()==1 on the same partition, time-decay = pow over the
-    ts gap — the expensive part (conversion assignment) is shared."""
-    ev = load(spark, sf_dir, "events")
-    w_next = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    conv = F.min(
-        F.when(
-            F.col("event_type") == "purchase", F.struct("ts", "event_id")
-        )
-    ).over(w_next)
-    seq = ev.select("event_id", "user_id", "ts", "event_type", conv.alias("conv"))
-    touches = seq.filter(
-        F.col("event_type").isin("view", "click")
-        & F.col("conv").isNotNull()
-        & (F.col("conv.ts") <= F.col("ts") + F.expr("INTERVAL 7 DAY"))
-    ).select(
-        "user_id", "event_type", F.col("conv.event_id").alias("conv_id")
-    )
-    w_conv = W.partitionBy("user_id", "conv_id")
-    credited = touches.select(
+    ts gap — the expensive part (conversion assignment) is shared:
+    since r11 it is the `_touch_assignment` session artifact, built
+    once per session+sf and scanned by all three credit models."""
+    credited = _touch_assignment(spark, sf_dir).select(
         "event_type",
-        F.round(F.lit(1.0) / F.count(F.lit(1)).over(w_conv), 6)
+        F.round(F.lit(1.0) / F.col("n"), 6)
         .cast("decimal(18,6)")
         .alias("credit"),
     )
@@ -860,6 +842,57 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_touches"),
         F.sum("credit").cast("double").alias("total_credit"),
     )
+
+
+def _touch_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution family's shared expensive stage as a session
+    artifact (r11; the _classifier_scored / _materialized_edges
+    convention): every view/click touch assigned its next purchase
+    within the 7-day lookback via the per-user forward struct-min
+    window, then rank-resolved per (user, conversion) — rn_asc and the
+    path size n are everything any credit model needs (last touch is
+    rn_asc = n, linear is 1/n, U-shape reads both edges), so the
+    materialized frame carries no timestamps and each model is one
+    scan + one hash agg. The assignment windows were ~90% of all three
+    entries' cost at the 100x century (43-54 s each, SCALE.md r11);
+    at 100 TB the touch->conversion map IS a persisted table scored
+    once per day and probed by every attribution/report consumer."""
+    from am_kinesis_pay_spark.paths import session_artifact, sf_tag
+
+    def build() -> DataFrame:
+        ev = load(spark, sf_dir, "events")
+        w_next = (
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        conv = F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.struct("ts", "event_id")
+            )
+        ).over(w_next)
+        seq = ev.select(
+            "event_id", "user_id", "ts", "event_type", conv.alias("conv")
+        )
+        touches = seq.filter(
+            F.col("event_type").isin("view", "click")
+            & F.col("conv").isNotNull()
+            & (F.col("conv.ts") <= F.col("ts") + F.expr("INTERVAL 7 DAY"))
+        ).select(
+            "user_id", "ts", "event_id", "event_type",
+            F.col("conv.event_id").alias("conv_id"),
+        )
+        w_asc = W.partitionBy("user_id", "conv_id").orderBy("ts", "event_id")
+        w_conv = W.partitionBy("user_id", "conv_id")
+        return touches.select(
+            "user_id",
+            "conv_id",
+            "event_type",
+            F.row_number().over(w_asc).alias("rn_asc"),
+            F.count(F.lit(1)).over(w_conv).cast("bigint").alias("n"),
+        )
+
+    return session_artifact(spark, f"akps_touch_{sf_tag(sf_dir)}", build)
 
 
 @register(
@@ -1047,33 +1080,12 @@ def events_attribution_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole credit (a row_number pick per (user, conversion) instead of
     a 1/n split), so the output is integer-exact with no float
     convention at all. Same single per-user Exchange; first-touch and
-    time-decay are the same two-line swap."""
-    ev = load(spark, sf_dir, "events")
-    w_next = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    conv = F.min(
-        F.when(
-            F.col("event_type") == "purchase", F.struct("ts", "event_id")
-        )
-    ).over(w_next)
-    seq = ev.select("event_id", "user_id", "ts", "event_type", conv.alias("conv"))
-    touches = seq.filter(
-        F.col("event_type").isin("view", "click")
-        & F.col("conv").isNotNull()
-        & (F.col("conv.ts") <= F.col("ts") + F.expr("INTERVAL 7 DAY"))
-    ).select(
-        "user_id", "ts", "event_id", "event_type",
-        F.col("conv.event_id").alias("conv_id"),
-    )
-    w_last = W.partitionBy("user_id", "conv_id").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
+    time-decay are the same two-line swap. Reads the shared
+    `_touch_assignment` artifact (r11): last touch is rn_asc = n on
+    the strict (ts, event_id) order the artifact rank-resolved."""
     return (
-        touches.withColumn("rn", F.row_number().over(w_last))
-        .filter(F.col("rn") == 1)
+        _touch_assignment(spark, sf_dir)
+        .filter(F.col("rn_asc") == F.col("n"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("conversions_won"))
     )
@@ -1903,38 +1915,16 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, one per-(user, conv) window serves both ranks and the
     path size, one hash agg to |touch types| rows. Same single
     user-keyed shuffle discipline as the sibling entries; at 100 TB
-    nothing here exceeds the per-user sort the family already pays."""
-    ev = load(spark, sf_dir, "events")
-    w_next = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    conv = F.min(
-        F.when(
-            F.col("event_type") == "purchase", F.struct("ts", "event_id")
-        )
-    ).over(w_next)
-    seq = ev.select("event_id", "user_id", "ts", "event_type", conv.alias("conv"))
-    touches = seq.filter(
-        F.col("event_type").isin("view", "click")
-        & F.col("conv").isNotNull()
-        & (F.col("conv.ts") <= F.col("ts") + F.expr("INTERVAL 7 DAY"))
-    ).select(
-        "user_id", "ts", "event_id", "event_type",
-        F.col("conv.event_id").alias("conv_id"),
-    )
+    nothing here exceeds the per-user sort the family already pays —
+    and since r11 that sort lives in the shared `_touch_assignment`
+    artifact, so this entry itself is one scan + one hash agg."""
     # (ts, event_id) is a STRICT total order within a path, so the
-    # descending rank is n + 1 - rn_asc — one window sort serves both
-    # edge ranks and the path size (the oracle spells out both
-    # ROW_NUMBERs; identical values)
-    w_asc = W.partitionBy("user_id", "conv_id").orderBy("ts", "event_id")
-    w_path = W.partitionBy("user_id", "conv_id")
-    ranked = touches.select(
-        "event_type",
-        F.row_number().over(w_asc).alias("rn_asc"),
-        F.count(F.lit(1)).over(w_path).alias("n"),
-    ).withColumn("rn_desc", F.col("n") + 1 - F.col("rn_asc"))
+    # descending rank is n + 1 - rn_asc — the artifact's one window
+    # sort serves both edge ranks and the path size (the oracle spells
+    # out both ROW_NUMBERs; identical values)
+    ranked = _touch_assignment(spark, sf_dir).withColumn(
+        "rn_desc", F.col("n") + 1 - F.col("rn_asc")
+    )
     n = F.col("n")
     credit = (
         F.when(n == 1, F.lit("1.0").cast("decimal(18,9)"))
