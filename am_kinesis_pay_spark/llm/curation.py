@@ -2633,3 +2633,124 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+@register(
+    "eval_mcnemar_test",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), stopw AS (
+  SELECT doc_id, lang,
+    SUM(CASE WHEN token IN ('the', 'a') THEN 1 ELSE 0 END) AS en_hits,
+    SUM(CASE WHEN token IN ('der', 'und') THEN 1 ELSE 0 END) AS de_hits
+  FROM toks GROUP BY doc_id, lang
+), clf AS (
+  SELECT doc_id,
+    CAST(round(1.0 / (1.0 + exp(-(
+      list_sum(list_transform(string_split(text, ' '), t ->
+        (CAST(('0x' || substr(md5(t), 1, 4)) AS INTEGER) % 200 - 100)
+          / 100.0))
+      / len(string_split(text, ' '))))), 6) AS DECIMAL(18,6)) AS p
+  FROM documents WHERE len(string_split(text, ' ')) >= 1
+), paired AS (
+  SELECT
+    CASE WHEN (s.en_hits >= s.de_hits AND s.en_hits > 0)
+              = (s.lang = 'en') THEN 1 ELSE 0 END AS a_ok,
+    CASE WHEN (CAST(c.p AS DOUBLE) >= 0.5)
+              = (s.lang = 'en') THEN 1 ELSE 0 END AS b_ok
+  FROM stopw s JOIN clf c ON s.doc_id = c.doc_id
+), cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(a_ok * b_ok) AS BIGINT) AS both_ok,
+    CAST(SUM(a_ok * (1 - b_ok)) AS BIGINT) AS only_a,
+    CAST(SUM((1 - a_ok) * b_ok) AS BIGINT) AS only_b,
+    CAST(SUM((1 - a_ok) * (1 - b_ok)) AS BIGINT) AS both_wrong
+  FROM paired
+)
+SELECT n, both_ok, only_a, only_b, both_wrong,
+  round(CASE WHEN only_a + only_b = 0 THEN 0.0
+        ELSE CAST((abs(only_a - only_b) - 1) AS DOUBLE)
+             * (abs(only_a - only_b) - 1) / (only_a + only_b) END, 6)
+    AS chi2_cc,
+  CASE WHEN only_a + only_b = 0 THEN FALSE
+       ELSE CAST((abs(only_a - only_b) - 1) AS DOUBLE)
+            * (abs(only_a - only_b) - 1) / (only_a + only_b)
+            > 3.841459 END AS significant
+FROM cells
+""",
+    tags=("eval", "llm", "stats"),
+)
+def eval_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S PAIRED TEST between two labelers on the SAME
+    documents — the statistically correct way to ask "is classifier B
+    actually better than classifier A" (comparing two accuracies with
+    an unpaired test wastes the pairing; McNemar 1947 conditions on
+    the discordant pairs only): labeler A is the stopword lang-ID
+    heuristic (eval_lang_confusion / eval_cohens_kappa's predictor),
+    labeler B thresholds the shared classifier score at 0.5, both
+    scored on the binary is-English task; the continuity-corrected
+    chi-square (|b-c|-1)^2/(b+c) tests the null that both err equally.
+
+    Exactness: both labelers are deterministic expressions; all five
+    contingency cells are INTEGER sums; the chi-square is one
+    fixed-form double expression over those integers with the b+c = 0
+    degenerate guarded identically on both engines (no discordance =
+    no evidence, chi2 0, not significant). The 3.841459 literal is
+    the df=1 alpha=.05 critical value, shared textually.
+
+    Plan shape: one token-explode hash agg (labeler A), one scan of
+    the _classifier_scored session artifact (labeler B — scored once
+    per session+sf), one doc_id equi-join, one 1-row reduction. At
+    100 TB the corpus is tokenized once and scored never (the
+    artifact already exists)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    stopw = toks.groupBy("doc_id", "lang").agg(
+        F.sum(
+            F.when(F.col("token").isin("the", "a"), 1).otherwise(0)
+        ).alias("en_hits"),
+        F.sum(
+            F.when(F.col("token").isin("der", "und"), 1).otherwise(0)
+        ).alias("de_hits"),
+    )
+    clf = _classifier_scored(spark, sf_dir).select("doc_id", "p")
+    y = F.col("lang") == "en"
+    a_pred = (F.col("en_hits") >= F.col("de_hits")) & (F.col("en_hits") > 0)
+    b_pred = F.col("p").cast("double") >= 0.5
+    paired = stopw.join(clf, "doc_id").select(
+        F.when(a_pred == y, 1).otherwise(0).alias("a_ok"),
+        F.when(b_pred == y, 1).otherwise(0).alias("b_ok"),
+    )
+    cells = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("a_ok") * F.col("b_ok")).cast("bigint").alias("both_ok"),
+        F.sum(F.col("a_ok") * (1 - F.col("b_ok")))
+        .cast("bigint")
+        .alias("only_a"),
+        F.sum((1 - F.col("a_ok")) * F.col("b_ok"))
+        .cast("bigint")
+        .alias("only_b"),
+        F.sum((1 - F.col("a_ok")) * (1 - F.col("b_ok")))
+        .cast("bigint")
+        .alias("both_wrong"),
+    )
+    d = F.abs(F.col("only_a") - F.col("only_b"))
+    denom = F.col("only_a") + F.col("only_b")
+    chi2 = (d - 1).cast("double") * (d - 1) / denom
+    return cells.select(
+        "n",
+        "both_ok",
+        "only_a",
+        "only_b",
+        "both_wrong",
+        F.round(
+            F.when(denom == 0, F.lit(0.0)).otherwise(chi2), 6
+        ).alias("chi2_cc"),
+        F.when(denom == 0, F.lit(False))
+        .otherwise(chi2 > 3.841459)
+        .alias("significant"),
+    )

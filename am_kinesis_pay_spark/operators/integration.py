@@ -4640,3 +4640,123 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "fe_best_split",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(round(value, 1) AS DECIMAL(18,1)) AS x,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), by_x AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS n_x,
+    CAST(SUM(y) AS BIGINT) AS pos_x
+  FROM pts GROUP BY x
+), cum AS (
+  SELECT x,
+    CAST(SUM(n_x) OVER (ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+    CAST(SUM(pos_x) OVER (ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pl,
+    CAST(SUM(n_x) OVER () AS BIGINT) AS n,
+    CAST(SUM(pos_x) OVER () AS BIGINT) AS pos
+  FROM by_x
+), gains AS (
+  SELECT CAST(x AS DOUBLE) AS threshold, nl AS n_left, n - nl AS n_right,
+    (1.0 - (CAST(pos AS DOUBLE) * pos + CAST(n - pos AS DOUBLE) * (n - pos))
+           / (CAST(n AS DOUBLE) * n))
+    - (CAST(nl AS DOUBLE) / n)
+      * (1.0 - (CAST(pl AS DOUBLE) * pl
+                + CAST(nl - pl AS DOUBLE) * (nl - pl))
+               / (CAST(nl AS DOUBLE) * nl))
+    - (CAST(n - nl AS DOUBLE) / n)
+      * (1.0 - (CAST(pos - pl AS DOUBLE) * (pos - pl)
+                + CAST((n - nl) - (pos - pl) AS DOUBLE)
+                  * ((n - nl) - (pos - pl)))
+               / (CAST(n - nl AS DOUBLE) * (n - nl))) AS gain
+  FROM cum WHERE nl < n
+)
+SELECT threshold, n_left, n_right, round(gain, 6) AS gini_gain,
+  ROW_NUMBER() OVER (ORDER BY round(gain, 6) DESC, threshold) = 1
+    AS is_best
+FROM gains
+""",
+    tags=("integration", "fe", "stats"),
+)
+def fe_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION-STUMP SPLIT FINDER — the CART inner loop (Breiman
+    1984) as a set operation, the feature-engineering primitive
+    fe_woe_iv / fe_quantile_binning don't give you: for every
+    candidate threshold over the 1-dp value domain, the GINI IMPURITY
+    GAIN of splitting "x <= t" against the is-purchase label, with the
+    argmax flagged. This is how a scalable tree trainer evaluates ALL
+    split points of a numeric feature in one pass (the Spark MLlib /
+    XGBoost histogram trick): aggregate to per-value (count, positives),
+    prefix-scan, score each boundary from the four cumulative
+    integers. Gini (not entropy) keeps the arithmetic ln-free.
+
+    Exactness: per-value counts are one exact hash agg; the prefix
+    sums are INTEGER window sums over the sorted value-domain frame;
+    each gain is one fixed-form double expression over six integers
+    (written textually identically on both engines), snapped to 6 dp
+    BEFORE the argmax rank so the is_best tie-break (lowest
+    threshold) is decided on identical values. The nl < n filter
+    removes the degenerate full-left split, so no denominator is
+    zero under ANSI.
+
+    Plan shape: one corpus-scan hash agg to the 1-dp value domain
+    (saturating — ~a few thousand rows at ANY corpus size), then
+    unpartitioned windows over that domain frame (the agg_ks_test
+    allowlist pattern) and one rank. At 100 TB: one scan, domain-sized
+    everything else; per-feature parallelism is a groupBy(feature)
+    away."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pts = ev.select(
+        F.round("value", 1).cast("decimal(18,1)").alias("x"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    by_x = pts.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_x"),
+        F.sum("y").cast("bigint").alias("pos_x"),
+    )
+    w_pre = W.orderBy("x").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = by_x.select(
+        "x",
+        F.sum("n_x").over(w_pre).cast("bigint").alias("nl"),
+        F.sum("pos_x").over(w_pre).cast("bigint").alias("pl"),
+        F.sum("n_x").over(w_all).cast("bigint").alias("n"),
+        F.sum("pos_x").over(w_all).cast("bigint").alias("pos"),
+    )
+    n, nl, pos, pl = F.col("n"), F.col("nl"), F.col("pos"), F.col("pl")
+    nr, pr = n - nl, pos - pl
+
+    def gini(cnt, p):
+        return 1.0 - (
+            p.cast("double") * p + (cnt - p).cast("double") * (cnt - p)
+        ) / (cnt.cast("double") * cnt)
+
+    gain = (
+        gini(n, pos)
+        - (nl.cast("double") / n) * gini(nl, pl)
+        - (nr.cast("double") / n) * gini(nr, pr)
+    )
+    gains = cum.filter(nl < n).select(
+        F.col("x").cast("double").alias("threshold"),
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        F.round(gain, 6).alias("gini_gain"),
+    )
+    w_rank = W.orderBy(F.col("gini_gain").desc(), "threshold")
+    return gains.select(
+        "threshold",
+        "n_left",
+        "n_right",
+        "gini_gain",
+        (F.row_number().over(w_rank) == 1).alias("is_best"),
+    )

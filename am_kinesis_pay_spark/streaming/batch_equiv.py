@@ -950,3 +950,129 @@ def stream_locf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _win_ops._locf_densify(ev, obs)
+
+
+from am_kinesis_pay_spark.operators import maintenance as _maint_ops  # noqa: E402,F401
+
+_SCD2_ORACLE = _REG["dim_scd2_build"].oracle
+
+
+@register(
+    "stream_scd2_incremental",
+    oracle=_SCD2_ORACLE,
+    tags=("streaming", "incremental", "maintenance"),
+)
+def stream_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SCD Type-2 dimension maintenance (the warehouse
+    MERGE every CDC pipeline runs nightly, done as 3 ordered
+    micro-batch epochs): each epoch's events fold into the maintained
+    [valid_from, valid_to) interval table — the epoch's rows chain
+    their change detection off the STATE's current status per user
+    (lag within the batch, COALESCEd with the state seed), a user's
+    previously-current interval is CLOSED at the first new change's
+    timestamp, new intervals append with the last one open. After the
+    final epoch the table equals the one-shot `dim_scd2_build` (the
+    oracle here IS that entry's oracle string, registry-shared):
+    arrival order is event-time order (epochs split by event_id
+    TERTILES, the staged-file replay contract in streaming/runner.py
+    — an out-of-order CDC feed needs an upstream reorder buffer, the
+    tws_reorder shape, since SCD2 closes intervals irrevocably).
+
+    Plan shape per epoch: one window pass over the EPOCH slice (never
+    the history), one broadcast-sized join against the current-row
+    frame (|users| — dimension-sized, the state a production pipeline
+    keeps as the dimension table itself), and a localCheckpoint
+    lineage cut. Per-epoch work is proportional to the epoch's
+    changes; the closed history is touched only by the final union.
+    At 100 TB/day this is exactly the MERGE INTO shape the
+    sink_kv_upsert / delta-protocol family serves."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    mx = ev.agg(F.max("event_id").alias("mx"))
+    ev3 = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("event_id") * 3 / (F.col("mx") + 1))
+        .cast("int")
+        .alias("epoch"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    closed = None  # finished intervals (is_current = false)
+    current = None  # one open interval per user
+    for epoch in (0, 1, 2):
+        batch = ev3.filter(F.col("epoch") == epoch).select(
+            "user_id", "event_id", "ts", "event_type"
+        )
+        chained = batch.withColumn(
+            "prev_in_batch", F.lag("event_type").over(w)
+        )
+        if current is None:
+            seeded = chained.withColumn("seed_status", F.lit(None).cast("string"))
+        else:
+            seed = current.select(
+                "user_id", F.col("status").alias("seed_status")
+            )
+            seeded = chained.join(F.broadcast(seed), "user_id", "left")
+        eff_prev = F.coalesce(F.col("prev_in_batch"), F.col("seed_status"))
+        # ONE heavy window pass per epoch lives above `changes`; cut
+        # lineage HERE so every downstream consumer (the opened
+        # intervals, the close timestamps, the next epoch's seed) reads
+        # the small materialized change set instead of re-running it
+        changes = seeded.filter(
+            eff_prev.isNull() | (eff_prev != F.col("event_type"))
+        ).select("user_id", "event_id", "ts", "event_type").localCheckpoint()
+        # intervals opened by this batch: valid_to chains to the NEXT
+        # change in the same batch; the last stays open (current)
+        opened = changes.select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        first_change = changes.groupBy("user_id").agg(
+            F.min_by("ts", F.struct("ts", "event_id")).alias("first_ts")
+        )
+        if current is not None:
+            touched = current.join(F.broadcast(first_change), "user_id", "left")
+            newly_closed = touched.filter(F.col("first_ts").isNotNull()).select(
+                "user_id",
+                "status",
+                "valid_from",
+                F.col("first_ts").alias("valid_to"),
+            )
+            still_open = touched.filter(F.col("first_ts").isNull()).select(
+                "user_id", "status", "valid_from", "valid_to"
+            )
+            closed = closed.unionAll(newly_closed) if closed is not None else newly_closed
+        else:
+            still_open = None
+        new_closed = opened.filter(F.col("valid_to").isNotNull())
+        new_open = opened.filter(F.col("valid_to").isNull())
+        closed = (
+            closed.unionAll(new_closed) if closed is not None else new_closed
+        )
+        current = (
+            new_open if still_open is None else still_open.unionAll(new_open)
+        )
+        # `current` and `closed` both hang off the checkpointed change
+        # set (domain-sized), so no further lineage cuts are needed —
+        # the next epoch's broadcast seed and the final union are
+        # cheap re-reads of small frames
+    return closed.select(
+        "user_id",
+        "status",
+        "valid_from",
+        "valid_to",
+        F.lit(False).alias("is_current"),
+    ).unionAll(
+        current.select(
+            "user_id",
+            "status",
+            "valid_from",
+            F.lit(None).cast(closed.schema["valid_to"].dataType).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )

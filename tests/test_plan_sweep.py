@@ -61,6 +61,7 @@ _NLJ_ALLOWED = {
     "stream_locf_incremental",  # same _locf_densify grid as win_locf_backfill (shared helper)
     "agg_permutation_test",  # 1-row observed-diff broadcast onto the 64-row permutation frame
     "eval_cohens_kappa",  # 1-row margin-product broadcast onto the 1-row totals frame
+    "stream_scd2_incremental",  # 1-row max-event-id broadcast (epoch tertile split)
     "events_rfm_segments",  # 1-row corpus-max-date + 1-row n broadcasts
     "events_rolling_active_users",  # 1-row min-day broadcast (warm-up trim)
     "fe_target_encoding",  # 1-row global-prior broadcast
@@ -109,6 +110,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "eval_lang_confusion": "|langs| x 3 confusion-cell frame (label/prediction domains, saturating)",
     "eval_calibration_ece": "<= 10-row reliability-bin frame (fixed bin count)",
     "eval_pr_curve": "<= 20-row score-histogram frame (fixed threshold grid)",
+    "fe_best_split": "distinct-value frame (1-dp money domain, saturating) — prefix + total + rank windows",
     "eval_minhash_recall": "<=64-row per-anchor recall frame (anchors are a TakeOrderedAndProject limit)",
     "events_inter_arrival": "minute-gap distinct frame (bounded by the calendar span in minutes, saturating)",
     "events_path_analysis": "distinct 3-step path frame (|event_types|^3)",

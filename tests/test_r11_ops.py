@@ -339,3 +339,120 @@ def test_attribution_position_credit_conserves(spark):
     rows = queries()["events_attribution_position"](spark, SF_DIR).collect()
     assert sum(r.n_touches for r in rows) == n_touches
     assert abs(sum(r.credit for r in rows) - n_paths) <= 1e-4 * n_paths + 1e-6
+
+
+def test_scd2_incremental_equals_oneshot_and_interval_laws(spark):
+    """The epoch-replayed SCD2 merge equals the one-shot build row for
+    row, and the interval algebra holds per user: exactly one open
+    (is_current) interval, each closed interval's valid_to is the next
+    interval's valid_from, statuses alternate at every boundary."""
+    got = sorted(
+        map(tuple, queries()["stream_scd2_incremental"](spark, SF_DIR).collect())
+    )
+    want = sorted(
+        map(tuple, queries()["dim_scd2_build"](spark, SF_DIR).collect())
+    )
+    assert got == want
+    by_user: dict[int, list] = {}
+    for u, status, vf, vt, cur in got:
+        by_user.setdefault(u, []).append((vf, vt, status, cur))
+    for u, ivs in by_user.items():
+        ivs.sort()
+        assert sum(1 for _, vt, _, cur in ivs if cur) == 1
+        assert ivs[-1][1] is None and ivs[-1][3]
+        for (vf1, vt1, s1, _), (vf2, _, s2, _) in zip(ivs, ivs[1:]):
+            assert vt1 == vf2
+            assert s1 != s2
+
+
+def test_mcnemar_recomputes(spark):
+    """Full recomputation of the paired contingency cells from the two
+    deterministic labelers and the continuity-corrected chi-square."""
+    from am_kinesis_pay_spark.llm.curation import _classifier_scored
+
+    docs = {
+        r.doc_id: (r.text, r.lang)
+        for r in load(spark, SF_DIR, "documents").collect()
+    }
+    clf = {r.doc_id: float(r.p) for r in _classifier_scored(spark, SF_DIR).collect()}
+    cells = {"both_ok": 0, "only_a": 0, "only_b": 0, "both_wrong": 0}
+    n = 0
+    for doc_id, (text, lang) in docs.items():
+        if doc_id not in clf:
+            continue
+        toks = text.split(" ")
+        en = sum(1 for t in toks if t in ("the", "a"))
+        de = sum(1 for t in toks if t in ("der", "und"))
+        y = lang == "en"
+        a_ok = ((en >= de) and (en > 0)) == y
+        b_ok = (clf[doc_id] >= 0.5) == y
+        key = (
+            "both_ok" if a_ok and b_ok
+            else "only_a" if a_ok
+            else "only_b" if b_ok
+            else "both_wrong"
+        )
+        cells[key] += 1
+        n += 1
+    row = queries()["eval_mcnemar_test"](spark, SF_DIR).collect()[0]
+    assert row.n == n
+    for k, v in cells.items():
+        assert getattr(row, k) == v
+    b, c = cells["only_a"], cells["only_b"]
+    chi2 = 0.0 if b + c == 0 else (abs(b - c) - 1) ** 2 / (b + c)
+    assert abs(row.chi2_cc - round(chi2, 6)) <= 1e-9
+    assert row.significant == (chi2 > 3.841459)
+
+
+def test_best_split_recomputes_and_gain_laws(spark):
+    """Full recomputation of the Gini gain curve from value-bucket
+    counts; exactly one is_best row and it is the argmax (ties to the
+    lowest threshold); every gain is non-negative (impurity is
+    concave, so no split worsens the weighted Gini)."""
+    ev = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.round("value", 1).cast("decimal(18,1)").alias("x"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+        .collect()
+    )
+    by_x: dict = {}
+    for r in ev:
+        cn, cp = by_x.get(r.x, (0, 0))
+        by_x[r.x] = (cn + 1, cp + r.y)
+    xs = sorted(by_x)
+    n = sum(c for c, _ in by_x.values())
+    pos = sum(p for _, p in by_x.values())
+
+    def gini(cnt, p):
+        return 1.0 - (p * p + (cnt - p) * (cnt - p)) / (cnt * cnt)
+
+    want = {}
+    nl = pl = 0
+    for x in xs:
+        nl += by_x[x][0]
+        pl += by_x[x][1]
+        if nl == n:
+            break
+        g = (
+            gini(n, pos)
+            - nl / n * gini(nl, pl)
+            - (n - nl) / n * gini(n - nl, pos - pl)
+        )
+        want[float(x)] = (nl, n - nl, round(g, 6))
+    rows = queries()["fe_best_split"](spark, SF_DIR).collect()
+    assert {r.threshold for r in rows} == set(want)
+    for r in rows:
+        wnl, wnr, wg = want[r.threshold]
+        assert (r.n_left, r.n_right) == (wnl, wnr)
+        assert abs(r.gini_gain - wg) <= 1e-9
+        assert r.gini_gain >= -1e-9
+    best = [r for r in rows if r.is_best]
+    assert len(best) == 1
+    top = max(want.values(), key=lambda t: t[2])[2]
+    assert best[0].gini_gain == top
+    assert best[0].threshold == min(
+        t for t, (_, _, g) in want.items() if g == top
+    )
