@@ -4985,3 +4985,74 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+@register(
+    "agg_dispersion_check",
+    oracle="""
+WITH per_user AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY event_type, user_id
+), m AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(SUM(k) AS BIGINT) AS s1,
+    CAST(SUM(k * k) AS BIGINT) AS s2
+  FROM per_user GROUP BY event_type
+)
+SELECT event_type, n_users,
+  round(CAST(s1 AS DOUBLE) / n_users, 6) AS mean_k,
+  round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_users)
+        / (n_users - 1), 6) AS var_k,
+  round(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_users)
+         / (n_users - 1)) / (CAST(s1 AS DOUBLE) / n_users), 6)
+    AS dispersion,
+  ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_users)
+   / (n_users - 1)) / (CAST(s1 AS DOUBLE) / n_users) > 1.5
+    AS overdispersed
+FROM m
+WHERE n_users >= 2
+""",
+    tags=("agg", "stats", "dq"),
+)
+def agg_dispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-OF-DISPERSION CHECK on per-user event counts — the
+    sanity test every count model needs before assuming Poisson
+    (variance/mean = 1 under Poisson; user activity is almost always
+    OVERDISPERSED — a few heavy users — which invalidates Poisson
+    CIs and motivates negative-binomial models and the user-level
+    resampling agg_permutation_test / agg_jackknife_variance already
+    apply): per segment, the per-user count distribution's mean,
+    sample variance, dispersion ratio, and the > 1.5 overdispersion
+    flag.
+
+    Exactness: per-user counts are integers; the segment moments are
+    INTEGER sums (k*k stays bigint — the audit_sum_typeof class);
+    mean/variance/ratio are one fixed-form double expression over
+    three integers, written identically on both engines. n_users >= 2
+    keeps the (n-1) denominator positive under ANSI; mean_k >= 1/n > 0
+    by construction (every counted user has >= 1 event).
+
+    Plan shape: two hash aggs (user domain, then segment domain).
+    At 100 TB: one corpus scan with map-side combine, |segments|
+    rows out."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    m = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("k").cast("bigint").alias("s1"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("s2"),
+    )
+    n, s1, s2 = F.col("n_users"), F.col("s1"), F.col("s2")
+    mean_k = s1.cast("double") / n
+    var_k = (s2.cast("double") - s1.cast("double") * s1 / n) / (n - 1)
+    return m.filter(n >= 2).select(
+        "event_type",
+        "n_users",
+        F.round(mean_k, 6).alias("mean_k"),
+        F.round(var_k, 6).alias("var_k"),
+        F.round(var_k / mean_k, 6).alias("dispersion"),
+        (var_k / mean_k > 1.5).alias("overdispersed"),
+    )

@@ -1046,3 +1046,96 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_min.alias("lag_minutes"),
         (lag_min > _FRESH_SLA_MIN).alias("is_stale"),
     )
+
+
+_KFOLD_K = 5
+
+
+@register(
+    "sample_group_kfold",
+    oracle=f"""
+WITH tagged AS (
+  SELECT user_id, event_type,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER)
+      % {_KFOLD_K} AS fold
+  FROM events
+), per_fold AS (
+  SELECT fold,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_purchases
+  FROM tagged GROUP BY fold
+), leak AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+    CAST(COUNT(*) AS BIGINT) AS user_fold_pairs
+  FROM (SELECT DISTINCT user_id, fold FROM tagged)
+)
+SELECT CAST(fold AS BIGINT) AS fold, n_rows, n_users, n_purchases,
+  round(CAST(n_rows AS DOUBLE) / SUM(n_rows) OVER (), 6) AS row_share,
+  round(CAST(n_purchases AS DOUBLE) / n_rows, 6) AS purchase_rate,
+  user_fold_pairs = distinct_users AS no_leakage
+FROM per_fold CROSS JOIN leak
+""",
+    tags=("sample", "maintenance"),
+)
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED K-FOLD assignment — the cross-validation split
+    sample_train_split cannot give you when rows are correlated within
+    a user (a user in both train and validation leaks their behavior
+    across the boundary; grouped CV assigns the whole GROUP to one
+    fold): every event lands in fold md5(user_id) % {_KFOLD_K}, so
+    membership is a pure function of the group key — stable across
+    engines, runs, and backfills — and the leakage check (every user
+    appears in exactly one fold: distinct (user, fold) pairs ==
+    distinct users) is computed inline, the audit-beside-the-sketch
+    convention. Per fold: rows, users, purchases, row share (balance
+    audit), purchase rate (stratification audit — hash folds are
+    balanced in expectation only, and the rate column is what tells
+    you whether that held).
+
+    Exactness: fold ids and all cells are INTEGER; the two ratio
+    columns are final fixed-form divisions (n_rows >= 1 for observed
+    folds). Plan shape: map-only tag, one hash agg to {_KFOLD_K}
+    rows + one distinct-pair reduction for the leakage audit, a 1-row
+    broadcast. At 100 TB: one scan, {_KFOLD_K} rows out."""
+    ev = load(spark, sf_dir, "events")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % _KFOLD_K
+    )
+    tagged = ev.select(
+        "user_id", "event_type", fold.alias("fold")
+    )
+    per_fold = tagged.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+    )
+    leak = (
+        tagged.select("user_id", "fold")
+        .distinct()
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("distinct_users"),
+            F.count(F.lit(1)).cast("bigint").alias("user_fold_pairs"),
+        )
+    )
+    w_all = W.partitionBy()
+    return per_fold.crossJoin(F.broadcast(leak)).select(
+        F.col("fold").cast("bigint").alias("fold"),
+        "n_rows",
+        "n_users",
+        "n_purchases",
+        F.round(
+            F.col("n_rows").cast("double") / F.sum("n_rows").over(w_all), 6
+        ).alias("row_share"),
+        F.round(
+            F.col("n_purchases").cast("double") / F.col("n_rows"), 6
+        ).alias("purchase_rate"),
+        (F.col("user_fold_pairs") == F.col("distinct_users")).alias(
+            "no_leakage"
+        ),
+    )

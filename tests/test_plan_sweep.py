@@ -62,6 +62,7 @@ _NLJ_ALLOWED = {
     "agg_permutation_test",  # 1-row observed-diff broadcast onto the 64-row permutation frame
     "eval_cohens_kappa",  # 1-row margin-product broadcast onto the 1-row totals frame
     "stream_scd2_incremental",  # 1-row max-event-id broadcast (epoch tertile split)
+    "sample_group_kfold",  # 1-row leakage-audit broadcast onto the 5-fold frame
     "events_rfm_segments",  # 1-row corpus-max-date + 1-row n broadcasts
     "events_rolling_active_users",  # 1-row min-day broadcast (warm-up trim)
     "fe_target_encoding",  # 1-row global-prior broadcast
@@ -111,6 +112,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "eval_calibration_ece": "<= 10-row reliability-bin frame (fixed bin count)",
     "eval_pr_curve": "<= 20-row score-histogram frame (fixed threshold grid)",
     "fe_best_split": "distinct-value frame (1-dp money domain, saturating) — prefix + total + rank windows",
+    "sample_group_kfold": "5-row fold frame (fixed fold count) — row-share total window",
     "eval_minhash_recall": "<=64-row per-anchor recall frame (anchors are a TakeOrderedAndProject limit)",
     "events_inter_arrival": "minute-gap distinct frame (bounded by the calendar span in minutes, saturating)",
     "events_path_analysis": "distinct 3-step path frame (|event_types|^3)",

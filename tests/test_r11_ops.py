@@ -456,3 +456,54 @@ def test_best_split_recomputes_and_gain_laws(spark):
     assert best[0].threshold == min(
         t for t, (_, _, g) in want.items() if g == top
     )
+
+
+def test_group_kfold_recomputes_and_partitions(spark):
+    """Folds partition users (no leakage by construction — asserted
+    from an independent recompute), shares sum to 1, and every cell
+    matches the md5 assignment recomputed in Python."""
+    from am_kinesis_pay_spark.operators.maintenance import _KFOLD_K
+
+    ev = load(spark, SF_DIR, "events").select("user_id", "event_type").collect()
+    fold_of = lambda u: int(
+        hashlib.md5(str(u).encode()).hexdigest()[:4], 16
+    ) % _KFOLD_K
+    cells: dict[int, list] = {}
+    for r in ev:
+        f = fold_of(r.user_id)
+        n, users, pur = cells.get(f, (0, set(), 0))
+        users = users | {r.user_id}
+        cells[f] = (n + 1, users, pur + (r.event_type == "purchase"))
+    rows = queries()["sample_group_kfold"](spark, SF_DIR).collect()
+    assert {r.fold for r in rows} == set(cells)
+    total = sum(n for n, _, _ in cells.values())
+    assert abs(sum(r.row_share for r in rows) - 1.0) <= 1e-5
+    for r in rows:
+        n, users, pur = cells[r.fold]
+        assert (r.n_rows, r.n_users, r.n_purchases) == (n, len(users), pur)
+        assert abs(r.row_share - round(n / total, 6)) <= 1e-9
+        assert abs(r.purchase_rate - round(pur / n, 6)) <= 1e-9
+        assert r.no_leakage  # md5(user) is a function: one fold per user
+
+
+def test_dispersion_check_recomputes(spark):
+    """Moments recomputed from raw per-user counts; the dispersion
+    ratio is var/mean and the flag matches the shared 1.5 literal."""
+    ev = load(spark, SF_DIR, "events").select("event_type", "user_id").collect()
+    counts: dict[tuple, int] = {}
+    for r in ev:
+        counts[(r.event_type, r.user_id)] = counts.get(
+            (r.event_type, r.user_id), 0
+        ) + 1
+    rows = queries()["agg_dispersion_check"](spark, SF_DIR).collect()
+    for r in rows:
+        ks = [k for (et, _), k in counts.items() if et == r.event_type]
+        n = len(ks)
+        assert n == r.n_users and n >= 2
+        s1, s2 = sum(ks), sum(k * k for k in ks)
+        mean = s1 / n
+        var = (s2 - s1 * s1 / n) / (n - 1)
+        assert abs(r.mean_k - round(mean, 6)) <= 1e-9
+        assert abs(r.var_k - round(var, 6)) <= 1e-9
+        assert abs(r.dispersion - round(var / mean, 6)) <= 1e-9
+        assert r.overdispersed == (var / mean > 1.5)
