@@ -68,9 +68,17 @@ def udtf_explode_json_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly; the generic branches — nested values, non-JSON fallback,
     bool/null normalization — have no fixture rows and stay pinned by
     tests/test_udtf.py's direct eval() cases."""
+    from am_kinesis_pay_spark.tables import spread
+
     spark.udtf.register("explode_json_bag", ExplodeJsonBag)
     ev = load(spark, sf_dir, "events")
-    ev.select("event_id", "props").createOrReplaceTempView("events_props_v")
+    # r11 OPT: the LATERAL streams partitions through Python workers —
+    # at fixture scale the scan is ONE split, so every row went through
+    # ONE worker; spread() fans the json.loads cost over the cores
+    # (no-op at scale where splits >= cores)
+    spread(ev.select("event_id", "props")).createOrReplaceTempView(
+        "events_props_v"
+    )
     return spark.sql(
         """
         SELECT e.event_id, b.key, b.value, b.value_kind
@@ -134,6 +142,8 @@ def udtf_split_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin (`udtf_explode_json_bag`) cannot express."""
     from pyspark.sql.functions import udtf as udtf_fn
 
+    from am_kinesis_pay_spark.tables import spread
+
     spark.udtf.register("kpay_split_fixed", udtf_fn(SplitFixedUdtf))
     ev = load(spark, sf_dir, "events").select(
         "event_id",
@@ -144,7 +154,9 @@ def udtf_split_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd"),
         ).alias("line"),
     )
-    ev.createOrReplaceTempView("events_lines_v")
+    # r11 OPT: same single-split → single-Python-worker fix as
+    # udtf_explode_json_bag (spread is a no-op at scale)
+    spread(ev).createOrReplaceTempView("events_lines_v")
     return spark.sql(
         """
         SELECT e.event_id, s.eid, s.kind, s.day

@@ -649,7 +649,12 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-level complement of MinHash: MinHash finds near-dup DOCUMENTS,
     this finds shared SUBSTRINGS (headers, footers, license blocks)
     inside otherwise-distinct documents."""
-    docs = load(spark, sf_dir, "documents")
+    from am_kinesis_pay_spark.tables import spread
+
+    # r11 OPT: the per-span md5 pass runs in the scan stage — one task
+    # per split, one split at fixture scale; spread() fans it over the
+    # cores (no-op at scale)
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= _SPAN_N
     )
@@ -1291,9 +1296,26 @@ def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     xb = toks.groupBy("doc_id", "y", j.alias("j")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    n_doc = xb.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
-    X = xb.join(n_doc, "doc_id").select(
-        "doc_id", "y", "j", (F.col("cnt") / F.col("n_tok")).alias("x")
+    # r11 OPT: hash-partition the featurized frame by doc_id ONCE and
+    # derive the per-doc token total with a window over that same
+    # partitioning (identical integer sum — no arithmetic change).
+    # Every GD round's per-doc logit aggregation and X⋈p gradient join
+    # then reuse the persisted partitioning: the only Exchange left per
+    # round is the D-bucket gradient shuffle (before: a per-doc join +
+    # two corpus-frame Exchanges per round).
+    from pyspark.sql import Window as W
+
+    X = (
+        xb.repartition("doc_id")
+        .select(
+            "doc_id",
+            "y",
+            "j",
+            (
+                F.col("cnt")
+                / F.sum("cnt").over(W.partitionBy("doc_id"))
+            ).alias("x"),
+        )
     )
     X = X.persist()
     try:
@@ -1557,7 +1579,9 @@ def sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not top:
             break
         picked.append((r, int(top[0].vec_id), float(top[0].mind)))
-        center = norms.filter(F.col("vec_id") == top[0].vec_id).collect()[0]
+        # the argmax row already carries (embedding, nrm) — no second
+        # collect / norms re-scan to fetch the new center (r11 OPT)
+        center = top[0]
         mind = (
             mind.filter(F.col("vec_id") != top[0].vec_id)
             .select(

@@ -484,6 +484,109 @@ def text_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", sig.cast("bigint").alias("simhash16"))
 
 
+# --- Shared (source, text)-keyed shingle-overlap artifacts (r11 OPT) --
+#
+# text_dedup_ngram and text_dedup_containment run the IDENTICAL
+# expensive prefix — dup-group collapse keyed on md5(source||US||text),
+# 3-token shingle explode + distinct, and the (source, shingle)
+# self-join counting pairwise intersections — and differ only in the
+# threshold arithmetic applied to (n_common, n_a, n_b). Materialize
+# that prefix ONCE per (session, sf) with the same session_artifact
+# convention as the MinHash family: at 100 TB this is the persisted
+# shingle-overlap index a dedup service maintains, probed by every
+# similarity policy (Jaccard, containment, ...) instead of each policy
+# re-scanning the corpus. Semantics are untouched: both oracles keep
+# the full inline prefix.
+
+_NG_SIZES_SCHEMA = "rep_id bigint, gk string, n bigint"
+_NG_PAIRS_SCHEMA = (
+    "rep_a bigint, rep_b bigint, n_common bigint, n_a bigint, n_b bigint"
+)
+
+
+def _ng_rep_shingles(spark, sf_dir: str) -> DataFrame:
+    """Distinct (rep doc_id, gk, source, shingle) over one rep per
+    (source, text) group — build-internal, not materialized. The rep
+    row (min doc_id + its source/text) comes from ONE min-struct agg
+    (doc_id is unique, so the struct min IS the min-doc_id row) rather
+    than the groupBy + join-back the pre-r11 queries each ran."""
+    docs = load(spark, sf_dir, "documents")
+    rdocs = (
+        docs.select(
+            F.md5(F.concat("source", F.lit("\x1f"), "text")).alias("gk"),
+            F.struct("doc_id", "source", "text").alias("r"),
+        )
+        .groupBy("gk")
+        .agg(F.min("r").alias("r"))
+        .select("gk", "r.doc_id", "r.source", "r.text")
+    )
+    toks = rdocs.select(
+        "doc_id", "gk", "source", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    return toks.select(
+        "doc_id",
+        "gk",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i + 1),
+                    F.element_at("t", i + 2),
+                    F.element_at("t", i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+def _ng_sizes(spark, sf_dir: str) -> DataFrame:
+    """(rep_id, gk, n): shingle-set size per shingled rep."""
+
+    def build():
+        sh = _ng_rep_shingles(spark, sf_dir)
+        return sh.groupBy(F.col("doc_id").alias("rep_id"), "gk").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    return _materialize(
+        spark, f"akps_ng_sizes_{_sf_tag(sf_dir)}", build, _NG_SIZES_SCHEMA
+    )
+
+
+def _ng_pairs(spark, sf_dir: str) -> DataFrame:
+    """(rep_a, rep_b, n_common, n_a, n_b): pairwise shingle-set
+    intersection counts between reps sharing (source, shingle), with
+    both set sizes attached — the one (source, shingle) self-join both
+    consumers used to pay separately."""
+
+    def build():
+        sh = _ng_rep_shingles(spark, sf_dir).select(
+            "doc_id", "source", "shingle"
+        )
+        a = sh.select(F.col("doc_id").alias("rep_a"), "source", "shingle")
+        b = sh.select(F.col("doc_id").alias("rep_b"), "source", "shingle")
+        common = (
+            a.join(b, ["source", "shingle"])
+            .filter(F.col("rep_a") < F.col("rep_b"))
+            .groupBy("rep_a", "rep_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sizes = _ng_sizes(spark, sf_dir)
+        return common.join(
+            sizes.select(F.col("rep_id").alias("rep_a"), F.col("n").alias("n_a")),
+            "rep_a",
+        ).join(
+            sizes.select(F.col("rep_id").alias("rep_b"), F.col("n").alias("n_b")),
+            "rep_b",
+        )
+
+    return _materialize(
+        spark, f"akps_ng_pairs_{_sf_tag(sf_dir)}", build, _NG_PAIRS_SCHEMA
+    )
+
+
 _NGRAM_ORACLE = """
 WITH cgrp AS (
   SELECT doc_id, md5(source || chr(31) || text) AS gk FROM documents
@@ -544,58 +647,28 @@ def text_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_dedup_containment): the shingle self-join runs over one
     representative per distinct (source, text); member pairs come back
     arithmetically — intra at Jaccard 1.0 (identical sets), cross
-    inheriting the rep Jaccard (symmetric, so no ordering swap)."""
+    inheriting the rep Jaccard (symmetric, so no ordering swap).
+
+    r11 OPTIMIZATION: the collapse + shingle explode + (source,
+    shingle) self-join prefix is the _ng_pairs/_ng_sizes session
+    artifact shared with text_dedup_containment — this entry now only
+    applies the Jaccard threshold and expands rep pairs to member
+    pairs (plans/r11/text_dedup_ngram_{before,after}.txt)."""
     docs = load(spark, sf_dir, "documents")
     cgrp = docs.select(
         "doc_id",
         F.md5(F.concat("source", F.lit("\x1f"), "text")).alias("gk"),
     )
-    creps = cgrp.groupBy("gk").agg(F.min("doc_id").alias("doc_id"))
-    rdocs = docs.join(creps, "doc_id").select("doc_id", "gk", "source", "text")
-    toks = rdocs.select(
-        "doc_id", "source", F.split("text", " ").alias("t")
-    ).filter(F.size("t") >= 3)
-    sh = toks.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("t", i + 1),
-                    F.element_at("t", i + 2),
-                    F.element_at("t", i + 3),
-                ),
-            )
-        ).alias("shingle"),
-    ).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("rep_a"), "source", "shingle")
-    b = sh.select(F.col("doc_id").alias("rep_b"), "source", "shingle")
-    common = (
-        a.join(b, ["source", "shingle"])
-        .filter(F.col("rep_a") < F.col("rep_b"))
-        .groupBy("rep_a", "rep_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    j = common.join(
-        sizes.select(F.col("doc_id").alias("rep_a"), F.col("n").alias("n_a")),
-        "rep_a",
-    ).join(
-        sizes.select(F.col("doc_id").alias("rep_b"), F.col("n").alias("n_b")),
-        "rep_b",
-    )
+    j = _ng_pairs(spark, sf_dir)
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
     rpairs = j.filter(jac >= 0.4).select(
         "rep_a", "rep_b", F.round(jac, 6).alias("jac")
     )
-    rep2g = creps.select(F.col("doc_id").alias("rep_id"), "gk")
-    shingled_g = sizes.select(F.col("doc_id").alias("rep_id")).join(
-        rep2g, "rep_id"
-    ).select("gk")
+    sizes_g = _ng_sizes(spark, sf_dir)
+    rep2g = sizes_g.select("rep_id", "gk")
+    shingled_g = sizes_g.select("gk")
     ma = cgrp.select("gk", F.col("doc_id").alias("doc_a"))
     mb = cgrp.select("gk", F.col("doc_id").alias("doc_b"))
     intra = (
@@ -712,48 +785,19 @@ def text_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep containments, swapped when member ordering flips the pair).
     Kills the copy-quadratic in the (source, shingle) join — the same
     boilerplate-dup mitigation as the MinHash family, with NO cap
-    needed because the join is exact, not LSH."""
+    needed because the join is exact, not LSH.
+
+    r11 OPTIMIZATION: the collapse + shingle explode + (source,
+    shingle) self-join prefix is the _ng_pairs/_ng_sizes session
+    artifact shared with text_dedup_ngram — this entry now only
+    applies the containment threshold and expands rep pairs to member
+    pairs (plans/r11/text_dedup_containment_{before,after}.txt)."""
     docs = load(spark, sf_dir, "documents")
     cgrp = docs.select(
         "doc_id",
         F.md5(F.concat("source", F.lit("\x1f"), "text")).alias("gk"),
     )
-    creps = cgrp.groupBy("gk").agg(F.min("doc_id").alias("doc_id"))
-    rdocs = docs.join(creps, "doc_id").select("doc_id", "gk", "source", "text")
-    toks = rdocs.select(
-        "doc_id", "source", F.split("text", " ").alias("t")
-    ).filter(F.size("t") >= 3)
-    sh = toks.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("t", i + 1),
-                    F.element_at("t", i + 2),
-                    F.element_at("t", i + 3),
-                ),
-            )
-        ).alias("shingle"),
-    ).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("rep_a"), "source", "shingle")
-    b = sh.select(F.col("doc_id").alias("rep_b"), "source", "shingle")
-    common = (
-        a.join(b, ["source", "shingle"])
-        .filter(F.col("rep_a") < F.col("rep_b"))
-        .groupBy("rep_a", "rep_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    j = common.join(
-        sizes.select(F.col("doc_id").alias("rep_a"), F.col("n").alias("n_a")),
-        "rep_a",
-    ).join(
-        sizes.select(F.col("doc_id").alias("rep_b"), F.col("n").alias("n_b")),
-        "rep_b",
-    )
+    j = _ng_pairs(spark, sf_dir)
     nc = F.col("n_common").cast("double")
     rpairs = j.filter(nc / F.least("n_a", "n_b") >= 0.5).select(
         "rep_a",
@@ -761,10 +805,9 @@ def text_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nc / F.col("n_a"), 6).alias("ca"),
         F.round(nc / F.col("n_b"), 6).alias("cb"),
     )
-    rep2g = creps.select(F.col("doc_id").alias("rep_id"), "gk")
-    shingled_g = sizes.select(F.col("doc_id").alias("rep_id")).join(
-        rep2g, "rep_id"
-    ).select("gk")
+    sizes_g = _ng_sizes(spark, sf_dir)
+    rep2g = sizes_g.select("rep_id", "gk")
+    shingled_g = sizes_g.select("gk")
     ma = cgrp.select("gk", F.col("doc_id").alias("doc_a"))
     mb = cgrp.select("gk", F.col("doc_id").alias("doc_b"))
     intra = (
@@ -2265,51 +2308,62 @@ def text_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_dedup_exact cannot have at sub-document granularity, without
     text_dedup_substring's gram multiplicity.
 
-    Plan shape at 100 TB: boundary detection is a map-only explode
-    (one row per character position, filtered to ~1/64 before anything
-    shuffles — the filter sits INSIDE the generate stage); chunk
-    assembly is one per-doc window (gaps-and-islands over boundary
-    positions); the dedup itself is a single hash aggregation keyed on
-    chunk md5, map-side combined. Output is bounded by duplicate chunk
-    TYPES. Chunk-tiling exactness (every doc's chunks concatenate back
-    to the doc) is pinned in test_llm.py."""
+    Plan shape at 100 TB: boundary detection AND chunk assembly are
+    ONE map-only pass — per doc, the boundary-position array (filter
+    over the position sequence, evaluated exactly once) is extended
+    with the cut at 0 and the doc-end cut, and adjacent cuts slice the
+    chunks in-row (r11 OPTIMIZATION: the previous shape exploded one
+    row per boundary, re-derived chunk starts with a per-doc window
+    LAG, re-computed the boundary md5 pass a second time for the tail
+    chunk's MAX(i) aggregate, and re-joined documents — 3 Exchanges
+    and double the md5 work for what adjacent array elements already
+    know; plans/r11/text_dedup_cdc_{{before,after}}.txt). The dedup
+    itself is a single hash aggregation keyed on chunk md5, map-side
+    combined. Output is bounded by duplicate chunk TYPES. Chunk-tiling
+    exactness (every doc's chunks concatenate back to the doc) is
+    pinned in test_llm.py."""
     docs = load(spark, sf_dir, "documents")
     g = _CDC_GRAM
-    pos = docs.select(
-        "doc_id",
-        "text",
-        F.explode(
-            F.filter(
-                F.sequence(F.lit(g), F.length("text")),
-                lambda i: F.md5(F.col("text").substr(i - (g - 1), F.lit(g)))
-                < _CDC_BOUND,
-            )
-        ).alias("i"),
+    bpos = F.filter(
+        F.sequence(F.lit(g), F.length("text")),
+        lambda i: F.md5(F.col("text").substr(i - (g - 1), F.lit(g)))
+        < _CDC_BOUND,
     )
-    w_prev = W.partitionBy("doc_id").orderBy("i")
-    bounds = pos.withColumn(
-        "prev", F.coalesce(F.lag("i", 1).over(w_prev), F.lit(0))
+    # cuts = [0, b1..bk, len] (doc-end cut only when the last boundary
+    # is not already the end); docs with empty text chunk to nothing in
+    # the oracle too (bounds empty, tail WHERE length > 0). cuts is
+    # materialized as a COLUMN in its own projection: the boundary md5
+    # pass hides inside the expression, and referencing the expression
+    # (rather than the column) from the per-chunk lambda would re-run
+    # that pass once per chunk — CollapseProject keeps multi-referenced
+    # non-trivial aliases in their own Project, so the pass runs once
+    # per document.
+    cuts = F.concat(
+        F.array(F.lit(0).cast("int")),
+        F.transform(F.col("bpos"), lambda i: i.cast("int")),
+        F.when(
+            F.coalesce(F.try_element_at(F.col("bpos"), F.lit(-1)), F.lit(0))
+            < F.length("text"),
+            F.array(F.length("text").cast("int")),
+        ).otherwise(F.array().cast("array<int>")),
     )
-    body = bounds.select(
-        "doc_id",
-        F.col("text").substr(
-            (F.col("prev") + 1).cast("int"), (F.col("i") - F.col("prev")).cast("int")
-        ).alias("chunk"),
-    )
-    lastb = pos.groupBy("doc_id").agg(F.max("i").alias("mx"))
-    tail = (
-        docs.join(lastb, "doc_id", "left")
-        .withColumn("mx0", F.coalesce("mx", F.lit(0)))
-        .filter(F.length("text") > F.col("mx0"))
+    from am_kinesis_pay_spark.tables import spread
+
+    chunks = (
+        spread(docs.filter(F.length("text") > 0))
+        .select("doc_id", "text", bpos.alias("bpos"))
+        .select("doc_id", "text", cuts.alias("cuts"))
         .select(
             "doc_id",
-            F.col("text").substr(
-                (F.col("mx0") + 1).cast("int"),
-                (F.length("text") - F.col("mx0")).cast("int"),
+            F.explode(
+                F.zip_with(
+                    F.slice("cuts", 1, F.size("cuts") - 1),
+                    F.slice(F.col("cuts"), 2, F.size("cuts") - 1),
+                    lambda lo, hi: F.col("text").substr(lo + 1, hi - lo),
+                )
             ).alias("chunk"),
         )
     )
-    chunks = body.unionByName(tail)
     return (
         chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
         .agg(

@@ -581,8 +581,20 @@ def agg_profile_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     single partial+final hash aggregation, so profiling a 100 TB table
     costs exactly one read however many columns are profiled. (The
     multi-distinct here expands internally; with many columns swap
-    exact distinct for HLL++ sketches so the expansion stays flat.)"""
-    o = load(spark, sf_dir, "orders")
+    exact distinct for HLL++ sketches so the expansion stays flat.)
+
+    r11 OPT: the multi-distinct Expand triples the scan stage's rows
+    and all of it ran on ONE task (one split at fixture scale) —
+    spread() fans the expand+partial agg over the cores (no-op at
+    scale); every aggregate here is order-free (counts, min/max,
+    exact DECIMAL sum)."""
+    from am_kinesis_pay_spark.tables import spread
+
+    o = spread(
+        load(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+    )
     c = F.col("o_custkey")
     return o.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -3148,7 +3160,19 @@ def agg_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
     solve runs in DOUBLE with the IDENTICAL expression tree on both
     engines, then rounds to 6 dp. R² audits fit quality inline
     (SSE = Syy − bᵀXᵀY, SST = Syy − (ΣY)²/n)."""
-    li = load(spark, sf_dir, "lineitem")
+    from am_kinesis_pay_spark.tables import spread
+
+    # r11 OPT: the ten decimal-product partial sums are the whole cost
+    # and they run in the SCAN stage — one task per input split, one
+    # split at fixture scale. spread() projects to the four used
+    # columns and round-robins them over the cores first (no-op when
+    # the scan already has >= core-count splits); decimal sums are
+    # exact and order-free, so the result is bit-identical.
+    li = spread(
+        load(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+        )
+    )
     q = F.col("l_quantity").cast("decimal(18,2)")
     dis = F.col("l_discount").cast("decimal(18,2)")
     y = F.col("l_extendedprice").cast("decimal(18,2)")

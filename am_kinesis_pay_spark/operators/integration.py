@@ -1556,32 +1556,50 @@ def graph_cc_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared co-purchase edge set (symmetric, day-capped — the
     Spark twin of _CC_EDGES_SQL) used by graph_cc_pointer_doubling and
-    graph_label_propagation."""
-    from pyspark.sql import Window as W
+    graph_label_propagation. Memoized via session_artifact (r11 OPT,
+    the _materialized_edges convention): both consumers are ITERATIVE
+    — label_propagation references the edge frame in every one of its
+    3 rounds and pointer doubling in every hop join — so the pre-r11
+    shape re-ran the distinct + day-cap window + day self-join once
+    per round per call. At 100 TB the edge list is a persisted input
+    maintained once and probed by every consumer."""
+    from am_kinesis_pay_spark.paths import session_artifact, sf_tag
 
-    ev = load(spark, sf_dir, "events")
-    day_users = (
-        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
-        .select(
-            F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    def build() -> DataFrame:
+        from pyspark.sql import Window as W
+
+        ev = load(spark, sf_dir, "events")
+        day_users = (
+            ev.filter(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150)
+            )
+            .select(
+                F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    w_day = W.partitionBy("d").orderBy(
-        F.md5(F.col("user_id").cast("string")), "user_id"
-    )
-    capped = (
-        day_users.withColumn("rn", F.row_number().over(w_day))
-        .filter(F.col("rn") <= _CC_DAY_CAP)
-        .drop("rn")
-    )
-    a = capped.select("d", F.col("user_id").alias("src"))
-    b = capped.select("d", F.col("user_id").alias("dst"))
-    return (
-        a.join(b, "d")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
+        w_day = W.partitionBy("d").orderBy(
+            F.md5(F.col("user_id").cast("string")), "user_id"
+        )
+        capped = (
+            day_users.withColumn("rn", F.row_number().over(w_day))
+            .filter(F.col("rn") <= _CC_DAY_CAP)
+            .drop("rn")
+        )
+        a = capped.select("d", F.col("user_id").alias("src"))
+        b = capped.select("d", F.col("user_id").alias("dst"))
+        return (
+            a.join(b, "d")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+        )
+
+    return session_artifact(
+        spark,
+        f"akps_cc_edges_{sf_tag(sf_dir)}",
+        build,
+        "src bigint, dst bigint",
     )
 
 

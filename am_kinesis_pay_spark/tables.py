@@ -58,3 +58,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a frame to the cluster's core count —
+    ONLY when its current parallelism is lower (r11 OPT, guide §2.5
+    'input skew: one huge unsplittable file ... repartition immediately
+    after the read').
+
+    Why: several CPU-heavy map passes (per-character md5 boundary
+    detection, shingle explosion, codec decode) sit directly on a scan
+    whose split count is the FILE count at small inputs — the fixture
+    tables are one parquet file each, so the expensive stage ran on
+    ONE core of local[32]. At 100 TB the same scan yields thousands of
+    splits (>= defaultParallelism), the gate is false, and no
+    repartition — and no extra shuffle of the heavy payload — ever
+    happens; this helper is deliberately NOT a tuning constant but the
+    session's own parallelism."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
