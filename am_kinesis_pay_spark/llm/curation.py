@@ -2016,8 +2016,13 @@ def pipeline_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(bigram), 1, 15), 16, 10).cast("bigint")
         % _DSIR2_B
     )
+    from am_kinesis_pay_spark.tables import spread
+
+    # r11 OPT: spread the bigram explode + md5 bucketing over the
+    # cores (scan-stage work, one split at fixture scale; no-op at
+    # production split counts)
     bigrams = (
-        toks.filter(F.size("t") >= 2)
+        spread(toks.filter(F.size("t") >= 2))
         .select(
             "doc_id",
             "source",
@@ -2027,21 +2032,29 @@ def pipeline_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", bucket.alias("b"))
     )
     is_target = F.col("source").isin(*_DSIR2_TARGET)
-    tgt = (
-        bigrams.filter(is_target)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+    # r11 OPT: target and raw bucket counts in ONE conditional
+    # aggregation (one corpus pass instead of two), lineage-cut at the
+    # <= B-row result so the totals crossJoin and the ratio table both
+    # read the materialized counts instead of re-running the explode.
+    # tc/rc are the identical exact integers the two separate GROUP
+    # BYs produced; a bucket absent from the target slice is tc=0 —
+    # exactly what the oracle's LEFT JOIN + COALESCE yields.
+    counts = (
+        bigrams.groupBy("b")
+        .agg(
+            F.count(F.when(is_target, 1)).cast("bigint").alias("tc"),
+            F.count(F.when(~is_target, 1)).cast("bigint").alias("rc"),
+        )
+        .localCheckpoint()
     )
-    raw = (
-        bigrams.filter(~is_target)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("rc"))
-    )
-    tot = tgt.agg(F.sum("tc").alias("t_tot")).crossJoin(
-        raw.agg(F.sum("rc").alias("r_tot"))
+    # degenerate-slice parity: the oracle's scalar subqueries are NULL
+    # when a slice has no rows at all, a conditional count sums to 0
+    tot = counts.agg(
+        F.when(F.sum("tc") > 0, F.sum("tc")).alias("t_tot"),
+        F.when(F.sum("rc") > 0, F.sum("rc")).alias("r_tot"),
     )
     ratio = (
-        raw.join(tgt, "b", "left")
+        counts.filter(F.col("rc") >= 1)
         .crossJoin(F.broadcast(tot))
         .select(
             "b",

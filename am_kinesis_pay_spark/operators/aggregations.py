@@ -46,8 +46,25 @@ GROUP BY l_returnflag, l_linestatus
 @register("agg_pricing_summary", oracle=_A1_ORACLE, tags=("agg", "flagship"))
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 [REF→DRV]: pricing summary with the reference's adjustment
-    arithmetic (kinesis-pay.php:137-140) in TPC-H-Q1 shape."""
-    li = load(spark, sf_dir, "lineitem")
+    arithmetic (kinesis-pay.php:137-140) in TPC-H-Q1 shape.
+
+    r11 OPT: the decimal-product partial sums are the whole cost and
+    run in the scan stage — spread() fans them over the cores when the
+    scan has fewer splits than cores (no-op at scale); every
+    accumulator is an exact DECIMAL sum or count, order-free."""
+    from am_kinesis_pay_spark.tables import spread
+
+    li = spread(
+        load(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        )
+    )
     price = dec("l_extendedprice", 2)
     disc = dec("l_discount", 2, 4)
     tax = dec("l_tax", 2, 4)
@@ -163,8 +180,18 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 [DRV]: ROLLUP over (returnflag, linestatus) with GROUPING()
-    markers to disambiguate real NULLs from subtotal rows."""
-    li = load(spark, sf_dir, "lineitem")
+    markers to disambiguate real NULLs from subtotal rows.
+
+    r11 OPT: ROLLUP's Expand triples the scan stage's rows — spread()
+    fans that over the cores when the scan has fewer splits than
+    cores (no-op at scale); DECIMAL sum + count are order-free."""
+    from am_kinesis_pay_spark.tables import spread
+
+    li = spread(
+        load(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity"
+        )
+    )
     return (
         li.rollup("l_returnflag", "l_linestatus").agg(
             F.grouping("l_returnflag").cast("bigint").alias("g_rf"),
@@ -2341,9 +2368,15 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass. Plan: a {_BOOT_B}-way row expansion feeding one map-side-
     combined hash agg to {_BOOT_B} rows; at 100 TB the expansion is
     the honest cost of B resamples and the reduce state is B cells."""
+    from am_kinesis_pay_spark.tables import spread
+
     ev = load(spark, sf_dir, "events")
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", F.round("value", 3).cast("decimal(18,6)").alias("v")
+    # r11 OPT: the B-way explode + per-(row, b) md5 draws run in the
+    # scan stage — spread() fans them over the cores (no-op at scale)
+    purch = spread(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", F.round("value", 3).cast("decimal(18,6)").alias("v")
+        )
     )
     b = F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("b")
     u = F.conv(
@@ -3514,63 +3547,75 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference re-runs the corpus aggregation — measured 5.8 s -> 2.3 s
     # warm at sf0.1 from this line alone
     cells = cells.localCheckpoint()
-    dims = cells.agg(
+    # r11 OPT: dims is ONE row over the checkpointed <=35-cell frame —
+    # collect it and inline (total/r), (total/c) as literals (the same
+    # bounded-artifact class as the kmeans centroid collects). The
+    # pre-r11 shape cross-joined a broadcast dims into every IPF step
+    # AND referenced each step's frame twice (margins + join), so the
+    # unrolled final plan duplicated the whole upstream chain per
+    # reference — 472 Exchange nodes in the formatted plan. A per-step
+    # localCheckpoint of the <=35-row frame keeps the plan constant-
+    # size (6 Exchanges; plans/r11/agg_raking_ipf_{before,after}.txt).
+    # The double arithmetic is unchanged: total/r and total/c divide
+    # the identical collected values.
+    drow = cells.agg(
         F.sum("n").cast("double").alias("total"),
         F.countDistinct("x").cast("bigint").alias("r"),
         F.countDistinct("y").cast("bigint").alias("c"),
-    )
+    ).collect()[0]
+    if not drow["r"] or not drow["c"]:  # degenerate: no events at all
+        total, r, c = 0.0, 1, 1
+    else:
+        total, r, c = float(drow["total"]), int(drow["r"]), int(drow["c"])
+    row_target = F.lit(total) / F.lit(r)
+    col_target = F.lit(total) / F.lit(c)
     w = cells.select(
         "x", "y", "n", F.col("n").cast("decimal(28,9)").alias("w")
     )
 
-    def adjust(frame: DataFrame, key: str, target_den: str) -> DataFrame:
+    def adjust(frame: DataFrame, key: str, target) -> DataFrame:
         margins = frame.groupBy(key).agg(
             F.sum("w").cast("double").alias("s")
         )
         return (
             frame.join(margins, key)
-            .crossJoin(F.broadcast(dims))
             .select(
                 "x",
                 "y",
                 "n",
                 F.round(
-                    F.col("w").cast("double")
-                    * (
-                        (F.col("total") / F.col(target_den))
-                        / F.col("s")
-                    ),
+                    F.col("w").cast("double") * (target / F.col("s")),
                     9,
                 )
                 .cast("decimal(28,9)")
                 .alias("w"),
             )
+            # per-step lineage cut: each step references its input
+            # twice (margins + join), so an uncut chain doubles the
+            # unrolled plan per step
+            .localCheckpoint()
         )
 
-    w = adjust(w, "x", "r")
-    w = adjust(w, "y", "c")
-    w = adjust(w, "x", "r")
-    w = adjust(w, "y", "c")
+    w = adjust(w, "x", row_target)
+    w = adjust(w, "y", col_target)
+    w = adjust(w, "x", row_target)
+    w = adjust(w, "y", col_target)
     row_err = (
         w.groupBy("x")
         .agg(F.sum("w").cast("double").alias("s"))
-        .crossJoin(F.broadcast(dims))
         .agg(
-            F.max(
-                F.abs(F.col("s") - F.col("total") / F.col("r"))
-                / (F.col("total") / F.col("r"))
-            ).alias("max_row_err")
+            F.max(F.abs(F.col("s") - row_target) / row_target).alias(
+                "max_row_err"
+            )
         )
     )
     col_err = (
         w.groupBy("y")
         .agg(F.sum("w").cast("double").alias("s"))
-        .crossJoin(F.broadcast(dims))
         .agg(
-            F.max(
-                F.abs(F.col("s") - F.col("total") / F.col("c"))
-                / (F.col("total") / F.col("c"))
-            ).alias("max_col_err")
+            F.max(F.abs(F.col("s") - col_target) / col_target).alias(
+                "max_col_err"
+            )
         )
     )
     return (
@@ -3847,8 +3892,6 @@ def agg_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, everything after is bounded by baskets x C(cap,2). The
     top-N is TakeOrderedAndProject on 6-dp-rounded lift with (ia, ib)
     tie-break — a total order, same on both engines."""
-    from pyspark.sql import Window
-
     ev = load(spark, sf_dir, "events")
     bi0 = ev.select(
         "user_id",
@@ -3857,27 +3900,59 @@ def agg_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("int") % _AR_ITEMS
         ).alias("item"),
     ).filter(F.col("item").isNotNull()).distinct()
-    w_cap = Window.partitionBy("user_id", "d").orderBy(
-        F.md5(F.col("item").cast("string")), "item"
+    # r11 OPT: one basket-array frame replaces the four separate
+    # consumers of the capped (basket, item) frame (basket count, item
+    # supports, and BOTH sides of a basket self-join). The md5-rank cap
+    # becomes an in-row array_sort+slice over struct(md5, item) — the
+    # identical (md5(item), item) order the ROW_NUMBER window used —
+    # and the pair fan-out becomes an in-row combination explode
+    # (ia < ib numerically, exactly the self-join's predicate), so the
+    # C(cap,2) blow-up never crosses a shuffle. The oracle keeps the
+    # original windowed-self-join SQL: same rows by construction.
+    baskets = (
+        bi0.groupBy("user_id", "d")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.md5(F.col("item").cast("string")).alias("m"),
+                            F.col("item").alias("item"),
+                        )
+                    )
+                ),
+                1,
+                _AR_BASKET_CAP,
+            ).alias("capped")
+        )
+        .select(F.array_sort("capped.item").alias("items"))
+        # three consumers (basket count, supports, pair fan-out) — one
+        # lineage cut so the events scan + JSON extraction run once,
+        # not once per consumer; the frame is basket-domain-sized
+        .localCheckpoint()
     )
-    bi = (
-        bi0.withColumn("rn", F.row_number().over(w_cap))
-        .filter(F.col("rn") <= _AR_BASKET_CAP)
-        .drop("rn")
+    nb = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    sup = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("supp"))
     )
-    nb = (
-        bi.select("user_id", "d")
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("items"),
+                    i + 2,
+                    F.greatest(F.size("items") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("ia"), y.alias("ib")),
+            ),
+        )
     )
-    sup = bi.groupBy("item").agg(
-        F.count(F.lit(1)).cast("bigint").alias("supp")
-    )
-    a = bi.select("user_id", "d", F.col("item").alias("ia"))
-    b = bi.select("user_id", "d", F.col("item").alias("ib"))
     pairs = (
-        a.join(b, ["user_id", "d"])
-        .filter(F.col("ia") < F.col("ib"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.ia", "p.ib")
         .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).cast("bigint").alias("supp_ab"))
         .filter(F.col("supp_ab") >= _AR_MINSUP)

@@ -747,17 +747,19 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.coalesce("cluster_id", "c_custkey").alias("cluster_id"),
     )
-    sized = (
-        members.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
-        .filter(F.col("n_members") >= 2)
-    )
-    ranked = members.join(sized, "cluster_id").withColumn(
+    # r11 OPT: cluster size as a window over the SAME cluster_id
+    # partitioning as the survivorship rank — the previous
+    # groupBy+join referenced `members` twice, which re-ran the
+    # union-find applyInPandas (a Python evaluation node is never
+    # exchange-reused) a second time per execution
+    w_cluster = Window.partitionBy("cluster_id")
+    ranked = members.withColumn(
+        "n_members",
+        F.count(F.lit(1)).over(w_cluster).cast("bigint"),
+    ).filter(F.col("n_members") >= 2).withColumn(
         "rn",
         F.row_number().over(
-            Window.partitionBy("cluster_id").orderBy(
-                F.col("c_acctbal").desc(), "c_custkey"
-            )
+            w_cluster.orderBy(F.col("c_acctbal").desc(), "c_custkey")
         ),
     )
     return ranked.groupBy("cluster_id", "n_members").agg(

@@ -640,6 +640,13 @@ def stream_stickiness_incremental(
             if seen is None
             else batch.join(seen, ["d", "user_id"], "left_anti")
         )
+        # state frames feed BOTH the next epoch's anti-join and the
+        # union: cut lineage each epoch or the 4-epoch DAG re-derives
+        # every prior epoch's distinct per reference. new_pairs is cut
+        # BEFORE the coverage fan-out (r11 OPT: cand used to be built
+        # on the UN-cut frame, so the epoch's distinct + anti-join ran
+        # a second time inside new_cov's checkpoint)
+        new_pairs = new_pairs.localCheckpoint()
         cand = new_pairs.select(
             "user_id",
             F.explode(
@@ -653,10 +660,6 @@ def stream_stickiness_incremental(
             if cov is None
             else cand.join(cov, ["user_id", "cd"], "left_anti")
         )
-        # state frames feed BOTH the next epoch's anti-join and the
-        # union: cut lineage each epoch or the 4-epoch DAG re-derives
-        # every prior epoch's distinct per reference
-        new_pairs = new_pairs.localCheckpoint()
         new_cov = new_cov.localCheckpoint()
         deltas.append(
             new_pairs.select(
@@ -786,6 +789,11 @@ def stream_hampel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("v"),
                 F.col("pv").isNotNull().alias("dirty"),
             )
+        # r11 OPT: cut lineage on MERGED (not on the acc projection
+        # below) — the upsert branch is consumed only by the final
+        # action, which otherwise re-runs each epoch's partial agg +
+        # full-outer merge a second time there
+        merged = merged.localCheckpoint()
         framed = merged.select(
             "event_type",
             "day",
@@ -835,9 +843,8 @@ def stream_hampel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(seq).cast("long").alias("seq"),
             )
         )
-        # the accumulator feeds the next epoch's merge: cut lineage or
-        # the 3-epoch DAG re-derives every prior epoch's agg per ref
-        acc = merged.select("event_type", "day", "v").localCheckpoint()
+        # the accumulator is a projection of the already-cut merged
+        acc = merged.select("event_type", "day", "v")
     changelog = upserts[0]
     for u in upserts[1:]:
         changelog = changelog.unionAll(u)
@@ -925,6 +932,8 @@ def stream_locf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("c"),
                 F.col("ps").isNotNull().alias("dirty"),
             )
+        # r11 OPT: same merged-level lineage cut as the Hampel twin
+        merged = merged.localCheckpoint()
         upserts.append(
             merged.filter("dirty").select(
                 "event_type",
@@ -934,7 +943,7 @@ def stream_locf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(seq).cast("long").alias("seq"),
             )
         )
-        acc = merged.select("event_type", "day", "s", "c").localCheckpoint()
+        acc = merged.select("event_type", "day", "s", "c")
     changelog = upserts[0]
     for u in upserts[1:]:
         changelog = changelog.unionAll(u)
@@ -989,13 +998,19 @@ def stream_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
-    mx = ev.agg(F.max("event_id").alias("mx"))
-    ev3 = ev.crossJoin(F.broadcast(mx)).select(
+    # r11 OPT: the tertile boundary is ONE scalar — collect it once
+    # (bounded-artifact class) instead of broadcast-joining an agg
+    # frame whose full-scan lineage re-ran inside every epoch's
+    # checkpoint action. long/long `/` is double division in both
+    # forms, so the tertile assignment is bit-identical.
+    mx_row = ev.agg(F.max("event_id").alias("mx")).collect()[0]
+    mx_v = int(mx_row["mx"]) if mx_row["mx"] is not None else 0
+    ev3 = ev.select(
         "user_id",
         "event_id",
         "ts",
         "event_type",
-        F.floor(F.col("event_id") * 3 / (F.col("mx") + 1))
+        F.floor(F.col("event_id") * 3 / F.lit(mx_v + 1))
         .cast("int")
         .alias("epoch"),
     )
