@@ -1607,7 +1607,26 @@ def pointer_doubling_components(edges: DataFrame) -> tuple[DataFrame, int]:
     """Min-label connected components with pointer jumping over a
     SYMMETRIC (src, dst) edge list; returns (labels(node, lbl), rounds
     used). Split out from graph_cc_pointer_doubling so tests can pin
-    the O(log n) round count on a path graph directly."""
+    the O(log n) round count on a path graph directly.
+
+    Job shape (r12 OPT, guide §2.4/§3.1/§5): the labels frame is
+    BOUNDED by construction for every caller (the day-capped edge set:
+    <= _CC_DAY_CAP nodes per day, ~16 bytes each — a few MB even at
+    100 TB of events), so each round broadcasts labels ONCE and both
+    the hop lookup and the pointer-jump lookup probe that same
+    broadcast (identical build subtree -> one ReusedExchange build):
+    the O(edges) frame is never shuffled in any round, and the only
+    per-round shuffle is the partial-aggregated min-label rollup by
+    src. The own-label lookup and the pointer jump are two more probes
+    of that same broadcast (every node is a src of the symmetric edge
+    set, so the inner joins are total). The jump reads the
+    START-of-round labels (the broadcast in hand) rather than the
+    post-hop labels; both variants only ever move labels downward and
+    share the same fixed points (a stable labeling is per-component
+    constant, and the component minimum's own label is pinned at
+    itself), so the converged result is identical — the stale read
+    trades at most a few extra rounds for single-shuffle,
+    single-broadcast rounds."""
     edges = edges.persist()
     try:
         labels = (
@@ -1617,41 +1636,38 @@ def pointer_doubling_components(edges: DataFrame) -> tuple[DataFrame, int]:
             .localCheckpoint()
         )
         for it in range(_CC_MAX_ROUNDS):
+            lab = F.broadcast(labels)
+            # hop part 1: min start-of-round label over the neighbors
             nbr = (
-                edges.join(labels, edges.dst == labels.node)
-                .groupBy(F.col("src").alias("node"))
+                edges.join(lab, edges.dst == lab.node)
+                .groupBy(F.col("src"))
                 .agg(F.min("lbl").alias("nl"))
             )
-            # prev_lbl is the START-of-round label: convergence means a
-            # full hop+jump round changed nothing (checking only the
-            # jump would stop early when the hop still made progress)
-            hopped = labels.join(nbr, "node", "left").select(
-                "node",
+            # hop part 2: fold in the node's own label (probe #2 of the
+            # same broadcast; prev_lbl is the convergence reference —
+            # a full hop+jump round that changes nothing is converged)
+            hopped = nbr.join(lab, nbr.src == lab.node).select(
+                "src",
                 F.col("lbl").alias("prev_lbl"),
-                F.least(F.col("lbl"), F.coalesce("nl", F.col("lbl"))).alias(
-                    "lbl"
-                ),
+                F.least(F.col("nl"), F.col("lbl")).alias("hop_lbl"),
             )
-            # pointer jump: lbl <- label[lbl]; the min-label invariant
-            # (label[x] <= x) guarantees this only moves downward
-            ptr = hopped.select(
-                F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
-            )
+            # pointer jump: lbl <- label[hop_lbl] (probe #3; hop_lbl is
+            # always a live node id: labels are node ids and only ever
+            # decrease within the component)
             jumped = (
-                hopped.join(ptr, hopped.lbl == ptr.p_node)
+                hopped.join(lab, hopped.hop_lbl == lab.node)
                 .select(
-                    "node",
+                    F.col("src").alias("node"),
                     "prev_lbl",
-                    F.col("p_lbl").alias("lbl"),
+                    F.col("lbl"),
                 )
                 .localCheckpoint()
             )
             labels = jumped.select("node", "lbl")
             if it > 0:
-                changed = (
+                changed = len(
                     jumped.filter(F.col("prev_lbl") != F.col("lbl"))
-                    .limit(1)
-                    .count()
+                    .take(1)
                 )
                 if changed == 0:
                     return labels, it + 1
