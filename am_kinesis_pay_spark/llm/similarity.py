@@ -908,43 +908,71 @@ def _pq_train(mat, m: int = PQ_M, k: int = PQ_K, iters: int = 2):
     return np.stack(books)
 
 
+_EXACT_PAIRS_KMAX = 10  # max k any recall-audit consumer asks for
+
+
 def _exact_topk_pairs(spark, sf_dir: str, k: int) -> DataFrame:
     """Exact-cosine top-k (query_id, neighbor_id) ground truth for the
     PQ family's inline recall audits (VERDICT r8 #5) — the
     vec_cosine_topk plan minus the label column: 10-query broadcast,
     one corpus map pass, per-query top-k reduce. Same audit bargain as
     the sketch family's within_tol columns: one extra exact pass per
-    query row, corpus never shuffled."""
-    norms = _norms(load(spark, sf_dir, "embeddings"))
-    q = norms.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
-    c = norms.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6).alias(
-                "cosine"
-            ),
+    query row, corpus never shuffled.
+
+    r12 OPT (guide §8): the ranked pair list is a session artifact
+    built once at k={_EXACT_PAIRS_KMAX} — vec_ann_pq (k=10) and
+    vec_ann_ivf_pq (k=5) both consumed this exact pipeline per call,
+    re-running the interpreted 64-dim dot pass over the corpus each
+    time; now the second consumer reads the scratch parquet and
+    filters on rank. The corpus side is spread() before the
+    nested-loop scoring pass (guide §2.5 — a 1-split fixture scan put
+    the whole dot pass on one core; no-op at production split counts).
+    """
+    from am_kinesis_pay_spark.paths import session_artifact, sf_tag
+    from am_kinesis_pay_spark.tables import spread
+
+    if k > _EXACT_PAIRS_KMAX:
+        raise ValueError(f"k={k} exceeds artifact kmax={_EXACT_PAIRS_KMAX}")
+
+    def build() -> DataFrame:
+        norms = _norms(load(spark, sf_dir, "embeddings"))
+        q = norms.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
         )
+        c = spread(norms).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cn"),
+        )
+        scored = (
+            F.broadcast(q)
+            .join(c, F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    _dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6
+                ).alias("cosine"),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _EXACT_PAIRS_KMAX)
+            .select("query_id", "neighbor_id", "rank")
+        )
+
+    pairs = session_artifact(
+        spark,
+        f"akps_ann_exact_pairs_{sf_tag(sf_dir)}",
+        build,
+        "query_id bigint, neighbor_id bigint, rank int",
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id")
-    )
+    return pairs.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
 
 
 def _attach_recall(res: DataFrame, exact_pairs: DataFrame, col: str) -> DataFrame:
@@ -1397,11 +1425,33 @@ def vec_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, neighbor_id long, adc_cosine double, rank int,"
         f" recall_at_{TOP_K} double"
     )
-    cent_rows = (
-        emb.select("vec_id", "embedding")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    # one bounded driver pull where three were (r12 OPT, guide §5 /
+    # VERDICT r11 #4): the md5-ordered centroid seed, the vec_id-ordered
+    # PQ training sample and the fixed query set are three tiny subsets
+    # of the same scan — union them with a branch tag and collect ONCE
+    # (statusTracker: 1 job where 3 were); each branch keeps its own
+    # Spark-side sort+limit, and Python re-sorts by the carried keys so
+    # the selected sets and their orders are byte-identical
+    mkey = F.md5(F.col("vec_id").cast("string"))
+    null_k = F.lit(None).cast("string").alias("k")
+    b_cent = (
+        emb.select(
+            F.lit(0).alias("which"), "vec_id", mkey.alias("k"), "embedding"
+        )
+        .orderBy("k", "vec_id")
         .limit(IVF_K)
-        .collect()
+    )
+    b_train = (
+        emb.select(F.lit(1).alias("which"), "vec_id", null_k, "embedding")
+        .orderBy("vec_id")
+        .limit(PQ_TRAIN)
+    )
+    b_query = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.lit(2).alias("which"), "vec_id", null_k, "embedding"
+    )
+    pulled = b_cent.unionByName(b_train).unionByName(b_query).collect()
+    cent_rows = sorted(
+        (r for r in pulled if r.which == 0), key=lambda r: (r.k, r.vec_id)
     )
     if not cent_rows:
         return spark.createDataFrame([], out_schema)
@@ -1410,25 +1460,27 @@ def vec_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = unit_rows(cent_raw)
 
-    train = (
-        emb.orderBy("vec_id").limit(PQ_TRAIN).select("embedding").toPandas()
+    train_rows = sorted(
+        (r for r in pulled if r.which == 1), key=lambda r: r.vec_id
     )
-    tmat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
+    tmat = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in train_rows]
+    )
     tmat = unit_rows(tmat)
     books = _pq_train(tmat)  # (m, k, dsub)
     m, k, dsub = books.shape
 
     # queries are a bounded fixed set: probes + ADC tables driver-side
-    qpdf = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .toPandas()
+    q_rows = sorted(
+        (r for r in pulled if r.which == 2), key=lambda r: r.vec_id
     )
-    if qpdf.empty:
+    if not q_rows:
         return spark.createDataFrame([], out_schema)
-    qmat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    qmat = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in q_rows]
+    )
     qmat = unit_rows(qmat)
-    qids = qpdf["vec_id"].to_numpy()
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     # 6 dp pre-round + stable sort: identical cell picks to vec_ann_ivf
     qsims = np.round(qmat @ cent.T, 6)
     qprobe = np.argsort(-qsims, axis=1, kind="stable")[:, :IVF_NPROBE]
