@@ -351,6 +351,53 @@ _LSH_DF_MAX = 0.20
 _ER_LSH_TAU = 0.93
 
 
+def _er_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DF-filtered character-3-gram index over customer names —
+    the blocking index er_lsh_blocking minhashes. Session artifact
+    (r12 OPT, guide §8 / the _ng_pairs convention): the raw gram frame
+    was traversed TWICE per call in-plan (once to count document
+    frequencies, once to apply the DF ceiling — the two subtrees end
+    in different exchanges, so ReusedExchange never fires), and at
+    100 TB a blocking index over a reference roster is exactly the
+    persisted structure an ER pipeline maintains once and probes per
+    batch. The gram explode is spread() before the first exchange
+    (guide §2.5): the fixture's 1-split scan put the whole
+    explode+distinct pass on one core."""
+    from am_kinesis_pay_spark.paths import session_artifact, sf_tag
+    from am_kinesis_pay_spark.tables import spread
+
+    def build() -> DataFrame:
+        cust = load(spark, sf_dir, "customer").filter(
+            F.length("c_name") >= 3
+        )
+        grams = spread(cust.select("c_custkey", "c_name")).select(
+            "c_custkey",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("c_name") - 2),
+                        lambda i: F.col("c_name").substr(i, F.lit(3)),
+                    )
+                )
+            ).alias("g"),
+        )
+        df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        n = cust.agg(F.count(F.lit(1)).alias("n"))
+        return (
+            grams.join(df_counts, "g")
+            .crossJoin(F.broadcast(n))
+            .filter(F.col("df") <= F.lit(_LSH_DF_MAX) * F.col("n"))
+            .select("c_custkey", "g")
+        )
+
+    return session_artifact(
+        spark,
+        f"akps_er_grams_{sf_tag(sf_dir)}",
+        build,
+        "c_custkey bigint, g string",
+    )
+
+
 @register(
     "er_lsh_blocking",
     oracle=f"""
@@ -434,22 +481,7 @@ def er_lsh_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     (kinesis-pay.php:515-518), keyed on fuzzy name evidence instead of
     exact payment keys."""
     cust = load(spark, sf_dir, "customer").filter(F.length("c_name") >= 3)
-    grams = cust.select(
-        "c_custkey",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("c_name") - 2),
-                    lambda i: F.col("c_name").substr(i, F.lit(3)),
-                )
-            )
-        ).alias("g"),
-    )
-    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    n = cust.agg(F.count(F.lit(1)).alias("n"))
-    rare = grams.join(df_counts, "g").crossJoin(F.broadcast(n)).filter(
-        F.col("df") <= F.lit(_LSH_DF_MAX) * F.col("n")
-    )
+    rare = _er_grams(spark, sf_dir)
     # one agg computes all 8 permutation minima (the _rep_index shape)
     sigs = rare.groupBy("c_custkey").agg(
         *[
