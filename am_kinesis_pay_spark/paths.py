@@ -49,6 +49,12 @@ _SESSION_ARTIFACTS: set[str] = set()
 # — parquet reads snapshot the file listing at read time, so the stale
 # frame fails with FILE_NOT_EXIST when executed after the overwrite.
 _FORCE_REBUILT: set[str] = set()
+
+# artifact name -> cumulative build seconds in THIS process (first-
+# consumer attribution: the timed query that triggered each build paid
+# for it; bench.py ships this map so snapshot diffs can tell artifact
+# build cost from query drift — VERDICT r11 #3/#6)
+ARTIFACT_BUILD_SECS: dict[str, float] = {}
 _ARTIFACT_LOCK = None
 
 
@@ -164,7 +170,18 @@ def session_artifact(spark: SparkSession, name: str, build, schema=None):
             or path not in _SESSION_ARTIFACTS
             or not os.path.exists(os.path.join(path, "_SUCCESS"))
         ):
+            import time as _time
+
+            t0 = _time.perf_counter()
             build().write.mode("overwrite").parquet(path)
+            # first-consumer attribution ledger (VERDICT r11 #3/#6):
+            # build cost lands on whichever timed query built the
+            # artifact; record it so bench payloads can expose it
+            ARTIFACT_BUILD_SECS[name] = round(
+                ARTIFACT_BUILD_SECS.get(name, 0.0)
+                + (_time.perf_counter() - t0),
+                3,
+            )
             _SESSION_ARTIFACTS.add(path)
             if force_env:
                 _FORCE_REBUILT.add(path)

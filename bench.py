@@ -225,6 +225,16 @@ def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _artifact_build_secs() -> dict:
+    """Session-artifact build ledger (paths.ARTIFACT_BUILD_SECS) —
+    empty dict if the package predates it."""
+    try:
+        from am_kinesis_pay_spark.paths import ARTIFACT_BUILD_SECS
+        return dict(ARTIFACT_BUILD_SECS)
+    except ImportError:
+        return {}
+
+
 def main() -> None:
     args = _parse_args()
     spark = get_session("bench")
@@ -340,6 +350,14 @@ def main() -> None:
         # co-resident JVM guard (VERDICT r10 #3): java processes
         # outside this process tree; any >= CO_JVM_RSS_MB refuses
         "co_jvms": sorted(co_jvms, key=lambda j: -j["rss_mb"]),
+        # first-consumer attribution (VERDICT r11 #3/#6): seconds each
+        # session artifact's one-time build cost — charged to whichever
+        # timed query built it — so snapshot diffs can separate
+        # artifact-build cost from query drift. Disclosure-only; the
+        # timing loop above is untouched.
+        "artifact_build_secs": dict(
+            sorted(_artifact_build_secs().items())
+        ),
     }
     if unmeasurable:
         payload["steal_unmeasurable"] = True

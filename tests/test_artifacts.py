@@ -134,3 +134,25 @@ def test_gc_scratch_lru_budget(tmp_path, monkeypatch):
     assert deleted2 == {newest, middle}
     assert os.path.isdir(mine) and os.path.isdir(other)
     assert os.path.isdir(live)
+
+
+def test_artifact_build_ledger_records_first_consumer_cost(spark):
+    """ARTIFACT_BUILD_SECS (r12 OPT, VERDICT r11 #3/#6): each build
+    charges its one-time cost to the ledger exactly once, so bench
+    payloads can expose first-consumer attribution; read-backs add
+    nothing."""
+    from am_kinesis_pay_spark import paths
+
+    calls: list[int] = []
+    build = _builder(spark, calls)
+    name = "akps_test_art_ledger"
+    paths.ARTIFACT_BUILD_SECS.pop(name, None)
+    session_artifact(spark, name, build, "id bigint, v bigint")
+    assert name in paths.ARTIFACT_BUILD_SECS
+    first = paths.ARTIFACT_BUILD_SECS[name]
+    assert first > 0.0
+    session_artifact(spark, name, build, "id bigint, v bigint")
+    assert paths.ARTIFACT_BUILD_SECS[name] == first, (
+        "read-back must not re-charge the ledger"
+    )
+    assert len(calls) == 1
