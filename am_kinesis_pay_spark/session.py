@@ -32,6 +32,21 @@ def get_session(app_name: str = "am_kinesis_pay_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-coalesce CACHED plan output too (default false is
+        # pure plan-stability conservatism): iterative entries persist
+        # hash-repartitioned frames (e.g. the classifier's featurized
+        # X) so every round reuses the partitioning without an
+        # exchange; with this off, the cache freezes the pre-AQE
+        # partition COUNT and every downstream stage pays one task per
+        # frozen partition regardless of data size. Scale-neutral: the
+        # hash partitioning itself is preserved, only the post-AQE
+        # partition count adapts — measured r12: text_classifier_train
+        # 551->82 tasks / -20% wall at sf0.1, no plan regressed at
+        # either 8 or 32 cores (OPTIMIZATION_r12.md §AQE).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
