@@ -1466,10 +1466,23 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     be bucketed by src so each frontier expansion is a shuffle-free
     join; the frontier itself stays node-bounded. Generalizes the
     iterative min-label propagation of text_dedup_clusters to
-    arbitrary-depth graph traversal in declarative form."""
+    arbitrary-depth graph traversal in declarative form.
+
+    r12 OPT (guide §3.3/§5): the edge CTE's text appears twice in the
+    query (the anchor's MIN(src) subquery and the recursive member)
+    and CTE inlining re-plans the distinct + self-join edge build per
+    reference, with the recursion re-reading it per iteration. The
+    edge list is now materialized ONCE (localCheckpoint — the
+    'bucketed edge table' the scale note promises) and the SAME
+    recursive SQL runs over the materialized view; the oracle keeps
+    the fully-inlined text, so the hash match proves equivalence."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events_v_reach")
+    edges = spark.sql(
+        _REACH_EDGES_SQL.format(events="events_v_reach")
+    ).localCheckpoint()
+    edges.createOrReplaceTempView("reach_edges_v")
     return spark.sql(
-        _REACH_SQL.format(edges=_REACH_EDGES_SQL.format(events="events_v_reach"))
+        _REACH_SQL.format(edges="SELECT src, dst FROM reach_edges_v")
     )
 
 
