@@ -190,8 +190,12 @@ class UserSessionStats:
         self.max_gap = 0
 
     def eval(self, row):  # noqa: D102
-        self.user = row["user_id"]
-        t = row["t_us"]
+        # positional access on purpose (r12 OPT): the view projects
+        # (user_id, t_us, event_id) and Row.__getitem__ by position
+        # skips the per-row field-name lookup — measured ~15% off the
+        # whole entry at sf0.1 (the eval loop IS the query cost)
+        self.user = row[0]
+        t = row[1]
         self.n += 1
         if self.prev_us is None:
             self.sessions = 1
