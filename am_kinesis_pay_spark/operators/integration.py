@@ -2699,35 +2699,45 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     LPA's denser-than-surroundings communities answer "who clusters".
 
     Scale shape: each round is one shuffle of (edge endpoint, label)
-    pairs into a (node, label) count + one window argmax on the
+    pairs into a (node, label) count + one aggregate argmax on the
     candidate frame — all O(edges) with map-side combines, labels
     never wider than a bigint. Fixed round count (not convergence
     polling) keeps the DAG static; at 100 TB rounds are the budget
     knob exactly as in graph_cc_pointer_doubling, and the same
-    _CC_DAY_CAP bounds the edge build."""
-    from pyspark.sql import Window as W
+    _CC_DAY_CAP bounds the edge build.
 
+    r12 OPT (the pointer-doubling treatment, guide §2.4/§3.1): the
+    labels frame is day-cap-bounded (a few MB at any corpus size), so
+    the per-round vote join BROADCASTS it — the O(edges) frame is
+    never shuffled; the per-node argmax is max_by over (count,
+    -label) — identical to the row_number()=1 pick (ties toward the
+    smaller label; (c, -lbl) is unique per (node,lbl)) without the
+    window's extra exchange; and the old carry-forward left join is
+    gone because it was vestigial: every node is a src of the
+    symmetric edge set, so every node receives votes every round and
+    the coalesce('new_lbl', 'lbl') never fired. Two partial-aggregated
+    shuffles remain per round: (node,label) vote counts and the
+    per-node argmax rollup."""
     edges = _cc_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("lbl"))
     for _r in range(_LPA_ROUNDS):
         votes = (
             edges.join(
-                labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+                F.broadcast(
+                    labels.select(F.col("node").alias("dst"), "lbl")
+                ),
+                "dst",
             )
             .groupBy(F.col("src").alias("node"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w_best = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
-        best = (
-            votes.withColumn("rn", F.row_number().over(w_best))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("lbl").alias("new_lbl"))
-        )
         labels = (
-            labels.join(best, "node", "left")
-            .select(
-                "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+            votes.groupBy("node")
+            .agg(
+                F.max_by(
+                    "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+                ).alias("lbl")
             )
             .localCheckpoint()
         )

@@ -534,3 +534,97 @@ def test_concurrency_curve_matches_python_sweep(spark, ducks):
         prefix += net
     assert prefix == 0  # conservation
     assert got == want
+
+
+def test_lpa_aggregate_argmax_matches_window_pick(spark):
+    """r12 OPT pins: graph_label_propagation's max_by((c, -lbl))
+    argmax must equal the old row_number()=1 window pick (mode of
+    neighbor labels, ties toward the SMALLER label), and the dropped
+    carry-forward join must be vestigial (every node of a symmetric
+    edge set receives votes). Brute-forced on a hand graph with a
+    deliberate tie: node 30's neighbors {10, 20} vote 1:1, so the
+    smaller label 10 must win."""
+    from pyspark.sql import functions as F
+
+    pairs = [(10, 30), (20, 30), (10, 20), (40, 10), (40, 20), (40, 30)]
+    sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "src bigint, dst bigint")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    votes = (
+        edges.join(
+            F.broadcast(labels.select(F.col("node").alias("dst"), "lbl")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("node"), "lbl")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = {
+        (r.node, r.lbl)
+        for r in votes.groupBy("node")
+        .agg(
+            F.max_by(
+                "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+            ).alias("lbl")
+        )
+        .collect()
+    }
+    # brute force: mode of neighbor labels, ties -> smaller label
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(list)
+    for a, b in sym:
+        nbrs[a].append(b)  # labels are initial = node ids
+    want = set()
+    for n, vs in nbrs.items():
+        cnt = Counter(vs)
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        want.add((n, best))
+    assert got == want
+    assert (30, 10) in got, "tie must break toward the smaller label"
+    # every node voted on (the carry-forward join was vestigial)
+    assert {n for n, _ in got} == set(nbrs)
+
+
+def test_er_grams_artifact_matches_inline_computation(spark):
+    """r12 OPT pins: the _er_grams session artifact equals the inline
+    gram + document-frequency computation it replaced (distinct
+    3-grams per customer, grams in >20% of names dropped)."""
+    from pyspark.sql import functions as F
+
+    from am_kinesis_pay_spark.operators.linkage import (
+        _LSH_DF_MAX,
+        _er_grams,
+    )
+    from am_kinesis_pay_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    cust = load(spark, SF_DIR, "customer").filter(F.length("c_name") >= 3)
+    grams = cust.select(
+        "c_custkey",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("c_name") - 2),
+                    lambda i: F.col("c_name").substr(i, F.lit(3)),
+                )
+            )
+        ).alias("g"),
+    )
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+    want = {
+        (r.c_custkey, r.g)
+        for r in grams.join(df_counts, "g")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= F.lit(_LSH_DF_MAX) * F.col("n"))
+        .select("c_custkey", "g")
+        .collect()
+    }
+    got = {
+        (r.c_custkey, r.g) for r in _er_grams(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
