@@ -965,6 +965,12 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        # r12 OPT (guide §5): per_user feeds the ranked base, all
+        # three axis_rownum pipelines and the n_row count — five
+        # references, each re-running the fact scan + purchase agg
+        # (16 scans per execution in PLANSTATS). One lineage cut of
+        # the row-per-purchaser frame makes it one scan.
+        .localCheckpoint()
     )
 
     def axis_rownum(val: str, bucket, descending: bool, out: str):
